@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core word-count pipeline — the reference's entire query surface
+  * (`sendFileByFile.cpp:82-392`) re-expressed as composable Spark ops.
+  *
+  * Reference semantics (see SURVEY.md §2 rows 3-13):
+  *   tokenize on whitespace (`sendFileByFile.cpp:88`)
+  *   → keep longest prefix of {`'`, ASCII 65-122} (`sendFileByFile.cpp:89-91`)
+  *   → drop empty (`sendFileByFile.cpp:92`)
+  *   → lowercase (`sendFileByFile.cpp:93`)
+  *   → (word, 1) (`sendFileByFile.cpp:94-97`)
+  *   → partial agg per mapper (`sendFileByFile.cpp:150,186-200`)
+  *   → hash shuffle on word (`sendFileByFile.cpp:256-268`)
+  *   → final agg (`sendFileByFile.cpp:353-374`)
+  *   → alphabetic order (implicit via std::map, `sendFileByFile.cpp:385`).
+  *
+  * Here the partial/final aggregation split, the shuffle, and all of the
+  * reference's queue/backpressure/termination machinery (~40% of its LoC)
+  * are Catalyst/Tungsten built-ins: `groupBy(word).count` plans as
+  * partial `HashAggregate` → `Exchange hashpartitioning(word)` → final
+  * `HashAggregate`, all inside whole-stage codegen. At 100 TB the only
+  * shuffle is the one exchange on `word`, with map-side combine shrinking
+  * it to ~|vocabulary| rows per task.
+  */
+object WordCount {
+
+  /** Longest-allowed-prefix pattern per the reference tokenizer
+    * (`sendFileByFile.cpp:89-91`): apostrophe plus ASCII 65..122, i.e.
+    * `A-Z [ \ ] ^ _ backtick a-z`. Kept RE2-compatible so the very same
+    * pattern string runs in DuckDB for the oracle.
+    */
+  val CleanPattern = "^[A-Za-z\\[\\\\\\]^_`']*"
+
+  /** Whitespace tokenizer (`operator>>`, `sendFileByFile.cpp:88`). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Prefix-truncation cleaner (`sendFileByFile.cpp:89-91`). */
+  def clean(tok: Column): Column = regexp_extract(tok, CleanPattern, 0)
+
+  /** Array of surviving, lowercased words for one document — used by the
+    * shingling/dedup operators that need token order preserved.
+    */
+  def cleanWords(text: Column): Column =
+    filter(transform(tokens(text), t => lower(clean(t))), w => length(w) > 0)
+
+  /** One row per surviving token: (<keys...>, word). */
+  def explodeWords(docs: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
+    docs.select(keep.map(col) :+ explode(cleanWords(col(textCol))).as("word"): _*)
+
+  /** The flagship query: (word, cnt) over a text column, alphabetical.
+    * DataFrame formulation — partial+final HashAggregate, one Exchange.
+    */
+  def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    explodeWords(docs, textCol, Nil)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** RDD formulation — the canonical `flatMap → map → reduceByKey →
+    * sortByKey` spine (BASELINE.json `spark_approach`). Same semantics
+    * as [[wordCount]]; `reduceByKey` does map-side combine exactly like
+    * the reference's per-file partial maps (`sendFileByFile.cpp:150`).
+    */
+  def wordCountRdd(spark: SparkSession, docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val re = CleanPattern.r
+    docs.select(col(textCol)).na.drop().as[String].rdd
+      .flatMap(_.split("\\s+"))
+      .map(t => re.findFirstIn(t).getOrElse(""))
+      .filter(_.nonEmpty)
+      .map(w => (w.toLowerCase(java.util.Locale.ROOT), 1L))
+      .reduceByKey(_ + _)
+      .sortByKey()
+      .toDF("word", "cnt")
+  }
+
+  /** Word count keyed by extra grouping columns (e.g. source, lang). */
+  def wordCountBy(docs: DataFrame, textCol: String, keys: String*): DataFrame =
+    explodeWords(docs, textCol, keys)
+      .groupBy(keys.head, (keys.tail :+ "word"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(keys.head, (keys.tail :+ "word"): _*)
+
+  /** Number of distinct surviving words. */
+  def distinctWords(docs: DataFrame, textCol: String = "text"): DataFrame =
+    explodeWords(docs, textCol, Nil)
+      .agg(count_distinct(col("word")).as("n_words"))
+
+  /** Top-k words by count (desc), ties broken alphabetically — plans as
+    * TakeOrderedAndProject: no global sort, no driver-side collect.
+    */
+  def topK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    explodeWords(docs, textCol, Nil)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+
+  /** Histogram of word lengths over surviving tokens. */
+  def wordLengthHist(docs: DataFrame, textCol: String = "text"): DataFrame =
+    explodeWords(docs, textCol, Nil)
+      .groupBy(length(col("word")).cast("long").as("word_len"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word_len")
+}
