@@ -8,21 +8,27 @@ import graft.operators._
   *
   * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a
   * north-star extension); every entry in [[oracleSql]] is the equivalent
-  * DuckDB SQL over the same parquet tables. Column names are aliased
-  * identically on both sides (the driver sorts columns by name before
-  * hashing values).
+  * DuckDB SQL over the same parquet tables. Column names and types are
+  * aliased identically on both sides (the driver sorts columns by name
+  * before hashing values), all money/float sums are per-row-rounded
+  * integer cents, and every query has a total explicit ordering.
   */
 object SparkEntry {
 
-  /** The reference's regex, escaped for embedding in a single-quoted
-    * DuckDB SQL literal (only `'` needs doubling; RE2 accepts the same
-    * class escapes as Java regex).
+  /** The reference's cleaning regex (`sendFileByFile.cpp:89-91`),
+    * escaped for a single-quoted DuckDB SQL literal (RE2 accepts the
+    * same character-class escapes as Java regex).
     */
   private val SqlCleanPattern = "^[A-Za-z\\[\\\\\\]^_`'']*"
 
-  /** DuckDB fragment: one row per surviving lowercased token of
-    * `documents.text` — mirrors [[WordCount.explodeWords]].
+  /** DuckDB fragment: the cleaned lowercased token array for one
+    * document — mirrors [[operators.WordCount.cleanWords]].
     */
+  private val SqlWs =
+    s"list_filter(list_transform(string_split_regex(text, '\\s+'), " +
+      s"t -> lower(regexp_extract(t, '$SqlCleanPattern', 0))), w -> length(w) > 0)"
+
+  /** DuckDB fragment: one row per surviving token of `documents.text`. */
   private def sqlWords(extra: String = ""): String =
     s"""SELECT$extra lower(cleaned) AS word FROM (
        |  SELECT *, regexp_extract(tok, '$SqlCleanPattern', 0) AS cleaned FROM (
@@ -30,12 +36,40 @@ object SparkEntry {
        |  )
        |) WHERE length(cleaned) > 0""".stripMargin
 
+  /** DuckDB fragment: distinct (doc_id, 3-gram shingle) rows —
+    * mirrors [[operators.Dedup.shingles]].
+    */
+  private val SqlShingles =
+    s"""SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS shingle
+       |FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+       |     LATERAL (SELECT unnest(range(0, len(ws) - 2)) AS i) r
+       |WHERE len(ws) >= 3""".stripMargin
+
+  /** DuckDB: exact 3-gram Jaccard pairs above num/den — the oracle for
+    * BOTH the brute-force jaccard query and the MinHash+LSH query (the
+    * LSH path must converge to the exact answer after verification).
+    */
+  private def sqlJaccard(num: Int, den: Int): String =
+    s"""WITH sh AS ($SqlShingles),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM sh a JOIN sh b USING (shingle)
+       |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, sa.n_sh + sb.n_sh - inter AS uni
+       |FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+       |WHERE inter * $den > (sa.n_sh + sb.n_sh - inter) * $num
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WordCount.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference surface: word count family (SURVEY.md §2 rows 1-13)
     "wordcount" -> ((s, dir) =>
       WordCount.wordCount(Tables.documents(s, dir))),
     "wordcount_rdd" -> ((s, dir) =>
@@ -48,10 +82,47 @@ object SparkEntry {
       WordCount.topK(Tables.documents(s, dir), 20)),
     "word_length_hist" -> ((s, dir) =>
       WordCount.wordLengthHist(Tables.documents(s, dir))),
+    // --- text analysis
+    "doc_stats" -> ((s, dir) =>
+      TextAnalysis.docStats(Tables.documents(s, dir))),
+    "token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))),
+    // --- dedup
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), n = 3, b = 32, r = 4,
+        num = 4, den = 5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
+    // --- similarity search
+    "knn_cosine" -> ((s, dir) =>
+      Similarity.knnBruteForce(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.annIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5, bits = 4)),
+    "emb_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.45)),
+    // --- relational / events
+    "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
+    "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
+    "top_orders_per_cust" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
+    "events_tumbling" -> ((s, dir) => Relational.eventsTumbling(s, dir)),
+    "events_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
+    "events_json" -> ((s, dir) => Relational.eventsJson(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. `dedup_simhash` is omitted (its semantics
+    * are defined by a 64-bit hash function DuckDB does not have) →
+    * driver records a rows-only check for it.
     */
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -68,6 +139,131 @@ object SparkEntry {
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "word_length_hist" ->
       s"""SELECT length(word) AS word_len, count(*) AS cnt FROM (${sqlWords()})
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_stats" ->
+      s"""SELECT doc_id, length(text)::BIGINT AS n_chars, len(ws)::BIGINT AS n_tokens,
+         |  len(list_distinct(ws))::BIGINT AS n_distinct,
+         |  coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS sum_word_len
+         |FROM (SELECT doc_id, text, $SqlWs AS ws FROM documents) ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      s"""SELECT doc_id, len($SqlWs)::BIGINT AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'))::BIGINT AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens, stopword_hits,
+         |  CASE WHEN n_tokens > 0 THEN (swl * 100) // n_tokens ELSE 0 END::BIGINT AS mean_wlen_x100,
+         |  (n_tokens BETWEEN 5 AND 100000)
+         |    AND ((CASE WHEN n_tokens > 0 THEN (swl * 100) // n_tokens ELSE 0 END) BETWEEN 150 AND 1500)
+         |    AND stopword_hits > 0 AS quality_ok
+         |FROM (
+         |  SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS swl,
+         |    len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.Stopwords)}, w)))::BIGINT AS stopword_hits
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents)
+         |) ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""SELECT doc_id, cand AS pred_lang, score FROM (
+         |  SELECT doc_id, cand, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+         |  FROM (
+         |    SELECT w.doc_id, u.cand,
+         |      len(list_filter(w.ws, x -> list_contains(u.markers, x)))::BIGINT AS score
+         |    FROM (SELECT doc_id, $SqlWs AS ws FROM documents) w
+         |    CROSS JOIN (VALUES ${TextAnalysis.LangMarkers.map {
+                case (c, ms) => s"('$c', ${sqlList(ms)})" }.mkString(", ")}) u(cand, markers)
+         |  )
+         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" -> sqlJaccard(4, 5),
+    "dedup_minhash" -> sqlJaccard(4, 5),
+
+    "knn_cosine" ->
+      s"""SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |               c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+         |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+         |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+         |  FROM embeddings)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+         |               n.vec_id) AS rank
+         |  FROM cells q JOIN cells n
+         |    ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "emb_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_revenue" ->
+      s"""SELECT l_orderkey,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-09-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY 1 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "top_orders_per_cust" ->
+      s"""SELECT o_custkey, o_orderkey, rn, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+         |FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders
+         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "events_tumbling" ->
+      s"""SELECT (epoch_ms(ts) // 600000) * 600 AS bucket_start, event_type,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      s"""SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         |FROM (
+         |  SELECT user_id, event_id, ts_ms,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |      CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+         |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+         |      THEN 1 ELSE 0 END AS is_new
+         |    FROM events)
+         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_json" ->
+      s"""SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+         |  min(k) AS min_k, max(k) AS max_k
+         |FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

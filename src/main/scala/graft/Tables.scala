@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver testdata tables (TESTDATA.md). */
 object Tables {
@@ -9,7 +11,22 @@ object Tables {
 
   def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
-  def events(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "events")
+
+  /** `events` with `ts` normalized to a `ts_ms` epoch-milliseconds
+    * bigint. The testdata stores TIMESTAMP(NANOS) which Spark 4 only
+    * reads via the nanos-as-long legacy flag; epoch millis is also the
+    * representation every oracle query compares on (engine-native
+    * timestamp types don't round-trip identically).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(s, dir, "events")
+    val tsMs = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")  // nanos → millis
+      case _        => unix_millis(col("ts"))
+    }
+    df.withColumn("ts_ms", tsMs).drop("ts")
+  }
   def lineitem(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "customer")

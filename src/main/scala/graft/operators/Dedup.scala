@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table: exact (hash-groupBy), n-gram-shingle Jaccard
+  * (the exactness baseline), MinHash+LSH (the 100 TB scale path), and
+  * SimHash with Hamming-band candidate generation.
+  *
+  * Scale posture:
+  *  - exact dedup is one shuffle on a 128-bit fingerprint — optimal;
+  *  - brute Jaccard is quadratic in per-shingle document frequency; it
+  *    is the *correctness oracle* for the LSH paths, run on samples —
+  *    at full scale use [[minhashPairs]], whose cost is one shuffle on
+  *    (band, bucket) with bucket sizes bounded by collision probability;
+  *  - all signatures are fixed-size arrays computed per-document inside
+  *    codegen (no explode of k×shingles rows, no driver state).
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5 fingerprint of the text:
+    * (fp, keep_id = min doc_id, n_copies). At 100 TB: shuffle on fp
+    * only, with map-side partial agg; never shuffles the text itself.
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Distinct word-n-gram shingles per document: (doc_id, shingle).
+    * Built from the cleaned token array so dedup and word count agree
+    * on tokenization (SURVEY.md §2 rows 3-6).
+    */
+  def shingles(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), WordCount.cleanWords(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Near-duplicate pairs by n-gram Jaccard, integer-exact: emits
+    * (id_a, id_b, inter, uni) where `inter * den > uni * num` encodes
+    * jaccard > num/den without any float comparison (so the DuckDB
+    * oracle matches bit-for-bit).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), "shingle")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sa.n_sh") + col("sb.n_sh") - col("inter")).as("uni"))
+      .where(col("inter") * den > col("uni") * num)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Mersenne prime 2^31-1: the modulus of the classic universal-hash
+    * family (a·x + b) mod p. With a, b, x all < p, the product stays
+    * under 2^62 — no Long overflow, ANSI-mode safe.
+    */
+  private val P31 = 2147483647L
+
+  /** Deterministic affine permutation parameters (fixed seed;
+    * java.util.Random is a specified LCG, stable across JVMs).
+    */
+  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new java.util.Random(seed)
+    Seq.fill(k)((r.nextInt((P31 - 1).toInt).toLong + 1L,
+                 r.nextInt(P31.toInt).toLong))
+  }
+
+  /** MinHash signatures: (doc_id, sig: array<long> of length k).
+    * Per-doc array math — shingle hashes once via xxhash64 folded into
+    * [0, 2^31-1), then k affine permutations with elementwise min.
+    * No shuffle, no UDF, no exploded (doc × perm × shingle) rows.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int, seed: Long = 42L): DataFrame = {
+    val ps = perms(k, seed)
+    val aArr = array(ps.map(p => lit(p._1)): _*)
+    val bArr = array(ps.map(p => lit(p._2)): _*)
+    docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(ws) - $n), i -> pmod(xxhash64(concat_ws(' ', slice(ws, i + 1, $n))), ${P31}L))")
+        .as("hs"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          array_min(transform(col("hs"), h =>
+            pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(P31)))))
+          .as("sig"))
+  }
+
+  /** LSH candidate pairs from banded signatures: b bands of r rows
+    * (k = b*r). One shuffle on (band, bucket-hash); a pair collides iff
+    * some band of the signatures is identical.
+    */
+  def lshCandidates(sigs: DataFrame, b: Int, r: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${b - 1}), i -> struct(
+           |  i AS band,
+           |  xxhash64(concat_ws('_',
+           |    transform(slice(sig, i * $r + 1, $r),
+           |              x -> cast(x AS string)))) AS bucket))""".stripMargin))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-duplicate pairs: LSH candidates verified by exact
+    * shingle Jaccard (integer threshold num/den). The 100 TB path:
+    * candidate generation is the only quadratic step and is bounded by
+    * band collisions, not corpus size.
+    */
+  def minhashPairs(docs: DataFrame, n: Int, b: Int, r: Int,
+                   num: Int, den: Int, seed: Long = 42L): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs, n, b * r, seed), b, r)
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cands
+      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("id_b") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sa.n_sh") + col("sb.n_sh") - col("inter")).as("uni"))
+      .where(col("inter") * den > col("uni") * num)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document from token hashes: bit j of the
+    * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(token)).
+    * Pure per-row array math.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), WordCount.cleanWords(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), expr("transform(ws, w -> xxhash64(w))").as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc + if(aggregate(hs, 0L,
+          |            (s, h) -> s + if(((h >> j) & 1L) = 1L, 1L, -1L)) > 0L,
+          |          shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxDist,
+    * found via pigeonhole banding on four 16-bit blocks (a pair within
+    * distance 3 must agree on at least one block), then verified with
+    * bit_count(xor). Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = simhash(docs)
+    val blocks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("blk"),
+          shiftrightunsigned(col("simhash"), 16 * i)
+            .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v"))
+    blocks.as("a").join(blocks.as("b"), Seq("blk", "v"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** General relational/analytic queries over the TPC-H-ish testdata plus
+  * the `events` table — aggregation, broadcast joins, window functions,
+  * time bucketing, sessionization, JSON extraction.
+  *
+  * Determinism rules shared with the DuckDB oracle:
+  *  - money sums are per-row-rounded integer cents (`round(x*100)` then
+  *    bigint sum) — exact and order-independent in both engines;
+  *  - timestamps surface as epoch milliseconds (bigint), never as
+  *    engine-native timestamp types;
+  *  - every output has a total explicit ordering.
+  */
+object Relational {
+
+  private def cents(c: String): org.apache.spark.sql.Column =
+    round(col(c) * 100).cast("long")
+
+  /** TPC-H Q1-shaped pricing summary: filter → partial/final hash agg →
+    * sort. One shuffle on the two 2-value group keys; AQE coalesces.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        cents("l_extendedprice").as("price_c"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("disc_price_c"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * 100).cast("long").as("charge_c"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").as("sum_qty"),
+        sum("price_c").as("sum_base_cents"),
+        sum("disc_price_c").as("sum_disc_cents"),
+        sum("charge_c").as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped top-10 revenue: two joins with the small sides
+    * broadcast (customer segment filter, then orders) — at scale the
+    * only shuffle is the lineitem aggregation on l_orderkey.
+    */
+  def q3Revenue(spark: SparkSession, dir: String, segment: String = "BUILDING"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === segment).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < lit("1995-09-15"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > lit("1995-03-15"))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    li.join(broadcast(ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum("rev_c").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Window-function query: top-3 orders per customer by total price
+    * (row_number over partition, double *ordering* only — no float
+    * arithmetic, so deterministic).
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val win = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        cents("o_totalprice").as("totalprice_cents"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Tumbling-window event counts: 10-minute buckets as epoch seconds
+    * (bigint — identical bucketing arithmetic in both engines).
+    */
+  def eventsTumbling(spark: SparkSession, dir: String, widthSec: Long = 600): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr(s"(ts_ms div ${widthSec * 1000}) * $widthSec")
+          .as("bucket_start"),
+        col("event_type"),
+        cents("value").as("value_c"))
+      .groupBy("bucket_start", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_c").as("sum_value_cents"))
+      .orderBy("bucket_start", "event_type")
+
+  /** Sessionization: per-user sessions split on inactivity gaps >
+    * `gapSec`; emits per-session stats. Single shuffle on user_id; the
+    * session assignment is a running sum over lag — no state kept on
+    * the driver, scales with users × events/user.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("prev_ms", lag("ts_ms", 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ms").isNull ||
+        (col("ts_ms") - col("prev_ms") > gapSec * 1000), 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON extraction from the `props` column + aggregation: average of
+    * `$.k` per event_type surfaced as integer fixed-point (sum and
+    * count separately — no float division).
+    */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+}

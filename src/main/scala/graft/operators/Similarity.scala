@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set against the (huge) candidate corpus, so the corpus is scanned
+  * once with zero shuffle of the embeddings; ranking shuffles only
+  * (query_id, cand_id, score) triples. Scale path: IVF-style bucket
+  * pruning ([[annIvf]]) that only scores candidates sharing the query's
+  * coarse cell.
+  *
+  * All math is double-precision with sequential (array-order) folds so
+  * results are reproducible and oracle-comparable.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
+
+  /** Cosine similarity; embeddings cast to array<double> first so both
+    * engines do the identical float→double promotion and fold order.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries)
+    * the k nearest other vectors. Output (query_id, neighbor_id, rank) —
+    * integers only, ties broken by neighbor id. The query side is
+    * broadcast: the corpus-side scan is shuffle-free and embarrassingly
+    * parallel at 100 TB.
+    */
+  def knnBruteForce(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .where(col("query_id") < nQueries)
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >
+    * threshold. Brute quadratic form for oracle checking; the scale
+    * path buckets first ([[annIvf]] cells) so only same-cell pairs are
+    * scored. Output ids only — no float columns to compare.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .where(cosine(col("ea"), col("eb")) > threshold)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Coarse cell id: sign bits of the first `bits` dimensions (fixed
+    * axis-aligned hyperplanes — deterministic, data-independent).
+    */
+  def cellId(e: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(e, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** IVF/LSH-bucketed approximate top-k: queries only score candidates
+    * in their own coarse cell (2^bits cells). Recall < 1 by design;
+    * cost drops by ~2^bits. Same output shape as [[knnBruteForce]].
+    */
+  def annIvf(emb: DataFrame, nQueries: Int, k: Int, bits: Int = 4): DataFrame = {
+    val cells = emb.select(col("vec_id"), col("embedding"),
+      cellId(col("embedding"), bits).as("cell"))
+    val q = cells.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+      .where(col("query_id") < nQueries)
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+}
