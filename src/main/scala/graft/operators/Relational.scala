@@ -83,11 +83,14 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
-  /** Tumbling-window event counts: 10-minute buckets as epoch seconds
+  def eventsTumbling(spark: SparkSession, dir: String): DataFrame =
+    tumbling(Tables.events(spark, dir), 600)
+
+  /** Tumbling-window event counts: fixed-width buckets as epoch seconds
     * (bigint — identical bucketing arithmetic in both engines).
     */
-  def eventsTumbling(spark: SparkSession, dir: String, widthSec: Long = 600): DataFrame =
-    Tables.events(spark, dir)
+  def tumbling(events: DataFrame, widthSec: Long): DataFrame =
+    events
       .select(expr(s"(ts_ms div ${widthSec * 1000}) * $widthSec")
           .as("bucket_start"),
         col("event_type"),
@@ -101,9 +104,12 @@ object Relational {
     * session assignment is a running sum over lag — no state kept on
     * the driver, scales with users × events/user.
     */
-  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessions(Tables.events(spark, dir), 1800)
+
+  def sessions(events: DataFrame, gapSec: Long): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ts_ms"))
       .withColumn("prev_ms", lag("ts_ms", 1).over(byUser))
       .withColumn("is_new", when(col("prev_ms").isNull ||
@@ -121,7 +127,10 @@ object Relational {
     * count separately — no float division).
     */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    jsonStats(Tables.events(spark, dir))
+
+  def jsonStats(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y")
+    val got = Dedup.exact(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: n-2 windows of n tokens, distinct") {
+    val sh = Dedup.shingles(docs(1L -> "a b c d"), 3).as[(Long, String)].collect().toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+    assert(Dedup.shingles(docs(1L -> "a b"), 3).count() == 0) // too short
+  }
+
+  test("jaccard pairs: identical docs match, disjoint don't") {
+    val d = docs(1L -> base, 2L -> base, 3L -> "one two three four five six")
+    val got = Dedup.jaccardPairs(d, 3, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("jaccard pairs: one-word edit stays above 0.8 on long docs") {
+    // letter-only tokens (digits would be stripped by the cleaner)
+    def w(i: Int) = "" + ('a' + i % 26).toChar + ('a' + i / 26).toChar
+    val long = (1 to 40).map(w).mkString(" ")
+    val edited = long.replace(" " + w(20) + " ", " zz ")
+    val got = Dedup.jaccardPairs(docs(1L -> long, 2L -> edited), 3, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("minhash signatures are deterministic and length k") {
+    val s1 = Dedup.minhashSignatures(docs(1L -> base), 3, 16)
+      .collect().head.getSeq[Long](1)
+    val s2 = Dedup.minhashSignatures(docs(1L -> base), 3, 16)
+      .collect().head.getSeq[Long](1)
+    assert(s1 == s2 && s1.length == 16)
+    assert(s1.forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("minhash+LSH finds the same pairs as brute jaccard on testdata") {
+    val d = Tables.documents(spark, sf0001)
+    val brute = Dedup.jaccardPairs(d, 3, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(d, 3, 32, 4, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+  }
+
+  test("simhash: identical docs collide, near docs within hamming 3") {
+    val d = docs(1L -> base, 2L -> base, 3L -> "completely different words here now")
+    val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = Dedup.simhashPairs(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) || java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 3)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: (Long, Long, Long, String, Double, String)*) =
+    rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value", "props")
+
+  test("sessions split on gaps > gapSec") {
+    val e = events(
+      (1L, 1L, 0L, "a", 1.0, "{}"),
+      (2L, 1L, 1000L, "a", 1.0, "{}"),       // same session
+      (3L, 1L, 4_000_000L, "a", 1.0, "{}"),  // gap > 1800s -> new session
+      (4L, 2L, 0L, "a", 1.0, "{}"))          // other user
+    val got = Relational.sessions(e, 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("tumbling buckets align to width") {
+    val e = events(
+      (1L, 1L, 0L, "a", 1.0, "{}"),
+      (2L, 1L, 599_999L, "a", 2.0, "{}"),
+      (3L, 1L, 600_000L, "b", 3.0, "{}"))
+    val got = Relational.tumbling(e, 600)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, "a", 2L, 300L), (600L, "b", 1L, 300L)))
+  }
+
+  test("jsonStats extracts $.k") {
+    val e = events(
+      (1L, 1L, 0L, "a", 1.0, """{"k": 10}"""),
+      (2L, 1L, 0L, "a", 1.0, """{"k": 32}"""))
+    val r = Relational.jsonStats(e).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 42L, 10L, 32L)))
+  }
+
+  test("q1/q3/window queries return sane shapes on sf0.001") {
+    assert(Relational.q1Pricing(spark, sf0001).count() > 0)
+    assert(Relational.q3Revenue(spark, sf0001).count() <= 10)
+    val w = Relational.topOrdersPerCustomer(spark, sf0001, 3)
+    assert(w.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0) <= 3)
+  }
+}

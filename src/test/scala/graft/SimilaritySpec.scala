@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosine of known vectors") {
+    val df = emb((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0))
+      .select(Similarity.cosine(lit(Array(1f, 0f)), col("embedding")).as("c"))
+    val got = df.as[Double].collect().sorted
+    assert(math.abs(got(0) - 0.0) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("knn brute force ranks by cosine, ties by id") {
+    val d = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0.1f), 0),   // closest to 0
+      (2L, Seq(0.5f, 0.5f), 0), // second
+      (3L, Seq(-1f, 0f), 0))    // opposite
+    val got = Similarity.knnBruteForce(d, 1, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("ann_ivf results are a same-cell subset with correct local ranking") {
+    val d = Tables.embeddings(spark, sf0001)
+    val cells = d.select(col("vec_id"),
+      Similarity.cellId(col("embedding"), 4).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val got = Similarity.annIvf(d, 5, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, _) => assert(cells(q) == cells(n)) }
+    // ranks are 1..k contiguous per query
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("embeddingNearDup finds identical vectors") {
+    val v = Seq(0.5f, -0.25f, 1f)
+    val d = emb((10L, v, 0), (11L, v, 0), (12L, Seq(-1f, 2f, -0.5f), 0))
+    val got = Dedup2(d)
+    assert(got == Set((10L, 11L)))
+  }
+
+  private def Dedup2(d: org.apache.spark.sql.DataFrame) =
+    Similarity.embeddingNearDup(d, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("docStats on a crafted document") {
+    val r = TextAnalysis.docStats(docs(1L -> "The cat the CAT!")).collect().head
+    // tokens: the, cat, the, cat -> 4 tokens, 2 distinct, swl = 3+3+3+3
+    assert(r.getLong(1) == 16L)  // n_chars
+    assert(r.getLong(2) == 4L)   // n_tokens
+    assert(r.getLong(3) == 2L)   // n_distinct
+    assert(r.getLong(4) == 12L)  // sum_word_len
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish") {
+    val r = TextAnalysis.tokenCounts(docs(1L -> "ab12cd, x")).collect().head
+    // ws tokens surviving cleaning: "ab" (from ab12cd,), "x" -> 2
+    // bpe: ab | 12 | cd | , | x -> 5
+    assert(r.getLong(1) == 2L && r.getLong(2) == 5L)
+  }
+
+  test("qualityScore composite rule") {
+    val good = "the quick brown fox jumps over the lazy dog again"
+    val bad = "x y"  // too short, no stopword
+    val got = TextAnalysis.qualityScore(docs(1L -> good, 2L -> bad))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got(1L) && !got(2L))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val got = TextAnalysis.fingerprint(docs(
+      1L -> "Hello  World", 2L -> "hello world", 3L -> "other")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+  }
+
+  test("langId: deterministic argmax with alphabetical tie-break") {
+    // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
+    val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
+    assert(r.getString(1) == "de" && r.getLong(2) == 0L)
+    // doc dominated by en markers
+    val r2 = TextAnalysis.langId(docs(2L -> "the a fast slow the")).collect().head
+    assert(r2.getString(1) == "en" && r2.getLong(2) == 5L)
+  }
+}
