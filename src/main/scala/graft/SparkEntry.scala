@@ -110,6 +110,11 @@ object SparkEntry {
       Similarity.annIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5, bits = 4)),
     "emb_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.45)),
+    // --- multimodal plumbing (FakeCodec-stubbed decode; see Multimodal)
+    "media_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(Tables.documents(s, dir))),
+    "media_feature_stats" -> ((s, dir) =>
+      Multimodal.mediaFeatureStats(s, Tables.documents(s, dir))),
     // --- relational / events
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
@@ -177,6 +182,12 @@ object SparkEntry {
                 case (c, ms) => s"('$c', ${sqlList(ms)})" }.mkString(", ")}) u(cand, markers)
          |  )
          |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "media_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  octet_length(encode(text))::BIGINT AS n_bytes
+         |FROM documents ORDER BY media_id""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed by per-partition batch
+  * operators (the Scala analogue of `mapInPandas` batches: one iterator
+  * per partition, vectorizable per-element work, no driver collection).
+  *
+  * The actual codecs are STUBBED — this container has no image/audio
+  * libraries — behind [[FakeCodec]], a deterministic stand-in that
+  * parses a synthetic header. Everything Spark-side is real: schemas,
+  * encoders, partitioning, batch iteration, and the decode → transform
+  * → feature-extract pipeline shape.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload plus routing metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded metadata (what a real codec would parse from the header). */
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                       width: Int, height: Int, n_frames: Int)
+
+  /** A fixed-size feature vector per media item (stand-in for a CNN /
+    * audio embedding).
+    */
+  case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** STUB codec — deterministic fake in place of a real image/audio
+    * decoder (none available in this container). Header layout it
+    * "parses": byte0*256+byte1 = width, byte2*256+byte3 = height,
+    * byte4 = frame count. Replace with a real codec binding at the
+    * same call sites for production.
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      def b(i: Int): Int = if (payload.length > i) payload(i) & 0xFF else 0
+      (b(0) * 256 + b(1), b(2) * 256 + b(3), math.max(1, b(4)))
+    }
+
+    /** Deterministic fake "embedding": dim-`d` float vector from a
+      * rolling byte hash — stands in for model inference.
+      */
+    def features(payload: Array[Byte], d: Int): Array[Float] = {
+      val out = new Array[Float](d)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) {
+        h = 31 * h + (payload(i) & 0xFF)
+        out(i % d) += ((h >>> 40) % 1000).toFloat / 1000f
+        i += 1
+      }
+      out
+    }
+
+    /** Fake resize: re-stamps the header with the new dimensions and
+      * truncates payload proportionally (a real implementation decodes,
+      * resamples, re-encodes).
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = payload.clone()
+      if (out.length >= 4) {
+        out(0) = (w / 256).toByte; out(1) = (w % 256).toByte
+        out(2) = (h / 256).toByte; out(3) = (h % 256).toByte
+      }
+      out
+    }
+  }
+
+  /** Synthetic media table derived from `documents` (no binary columns
+    * ship in the testdata): payload = utf-8 bytes of the text, kind
+    * round-robins image/audio/video. Purely to exercise the plumbing.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      to_binary(col("text"), lit("utf-8")).as("payload"))
+
+  /** Decode payload headers → typed metadata. Per-partition batch
+    * iteration (the mapInPandas shape); constant memory per partition.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, f) = FakeCodec.decode(m.payload)
+        MediaMeta(m.media_id, m.kind, m.payload.length.toLong, w, h, f)
+      }
+    }
+  }
+
+  /** Feature extraction → fixed-dim vectors, ready for the
+    * [[Similarity]] operators (knn / near-dup) downstream.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m =>
+      MediaFeatures(m.media_id, FakeCodec.features(m.payload, dim))))
+  }
+
+  /** Resize all image payloads; non-images pass through untouched. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind == "image") m.copy(payload = FakeCodec.resize(m.payload, w, h)) else m
+    })
+  }
+
+  /** Frame sampling for videos: one output row per sampled frame index
+    * (every `everyN`-th of the header-declared frame count).
+    */
+  def frameSample(media: Dataset[MediaRow], everyN: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val (_, _, frames) = FakeCodec.decode(m.payload)
+        (0 until frames by everyN).map(i => (m.media_id, m.kind, i))
+      }
+    }.toDF("media_id", "kind", "frame_idx")
+  }
+
+  /** Oracle-checkable metadata query over the synthetic media table:
+    * byte length + kind, all derivable in plain SQL on both engines.
+    */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    syntheticMedia(docs)
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy("media_id")
+
+  /** End-to-end media pipeline as a query: decode → features → per-kind
+    * aggregate of feature checksums (rows-only check: FakeCodec hashes
+    * aren't expressible in SQL).
+    */
+  def mediaFeatureStats(spark: SparkSession, docs: DataFrame, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    val media = syntheticMedia(docs).as[MediaRow]
+    extractFeatures(media, dim).toDF()
+      .select(col("media_id"),
+        aggregate(col("features"), lit(0.0d), (s, v) => s + v).as("feat_sum"))
+      .join(syntheticMedia(docs).select(col("media_id"), col("kind")), "media_id")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("feat_sum") * 1000).cast("long")).as("checksum"))
+      .orderBy("kind")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming word count over a text directory (complete mode)") {
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    Files.writeString(new java.io.File(dir, "a.txt").toPath, "the cat the")
+    val q = Streams.wordCountStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("wc_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wc_stream").as[(String, Long)].collect().toMap
+      assert(got == Map("the" -> 2L, "cat" -> 1L))
+      // late-arriving file is incorporated incrementally
+      Files.writeString(new java.io.File(dir, "b.txt").toPath, "cat dog")
+      q.processAllAvailable()
+      val got2 = spark.table("wc_stream").as[(String, Long)].collect().toMap
+      assert(got2 == Map("the" -> 2L, "cat" -> 2L, "dog" -> 1L))
+    } finally q.stop()
+  }
+
+  test("windowed event counts with watermark (append after watermark)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts_ms", "event_type", "value")
+      .withColumnRenamed("ts_ms", "ts_ms")
+    val q = Streams.windowedEventCounts(events, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 60_000L, "view", 1.0), (2L, 120_000L, "view", 2.5))
+      q.processAllAvailable()
+      // push watermark far past the first window so it closes
+      in.addData((3L, 7_200_000L, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("win_stream")
+        .select("window_start_ms", "event_type", "n_events", "sum_value_cents")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got.contains((0L, "view", 2L, 350L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence per fingerprint") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val docs = in.toDF().toDF("doc_id", "ts_ms", "text")
+    val q = Streams.streamingDedup(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 1000L, "same text"), (2L, 2000L, "same text"),
+        (3L, 3000L, "other"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+      assert(ids.size == 2 && ids.contains(3L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState session counts across triggers") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val events = in.toDF().toDF("user_id", "ts_ms")
+    val q = Streams.sessionCounts(spark, events)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 0L), (1L, 1000L))        // one session
+      q.processAllAvailable()
+      in.addData((1L, 10_000_000L))            // gap > 30min -> second session
+      q.processAllAvailable()
+      val last = spark.table("sess_stream").as[(Long, Long)].collect()
+        .filter(_._1 == 1L).map(_._2).max
+      assert(last == 2L)
+    } finally q.stop()
+  }
+}
