@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's numeric hot paths.
+  *
+  * Rationale (measured at sf0.1): the declarative higher-order-function
+  * formulations (`zip_with` + `aggregate`, `transform` × `array_min`)
+  * are interpreted per-element with boxing — the O(pairs × dim) and
+  * O(docs × k × shingles) inner loops dominated the bench (139 s + 83 s
+  * + 49 s of 294 s total). Each expression here runs the same loop as
+  * one primitive-typed eval per row, and [[DotProductD]] additionally
+  * participates in whole-stage codegen.
+  */
+
+/** Sequential-fold dot product of two `array<double>` columns —
+  * left-to-right accumulation, bit-identical to the `aggregate()`
+  * formulation and to DuckDB's `list_dot_product` fold.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $s;""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature from an `array<long>` of element hashes: k affine
+  * permutations (a·x + b) mod 2^31-1 (classic universal hash family;
+  * deterministic seeded parameters), elementwise min. One eval per
+  * document replaces k × |shingles| interpreted lambda invocations.
+  */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  private val P: Long = 2147483647L
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    val r = new java.util.Random(seed)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = r.nextInt((P - 1).toInt).toLong + 1L
+      b(i) = r.nextInt(P.toInt).toLong
+      i += 1
+    }
+    (a, b)
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      val x = { val m = h % P; if (m < 0) m + P else m }  // pmod
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * x + bs(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit SimHash from an `array<long>` of token hashes: bit j of the
+  * result is the sign of Σ (±1 by bit j of each hash).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (((h >>> j) & 1L).toInt << 1) - 1  // +1 / -1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit FNV-1a rolling hash of a string's UTF-8 bytes — the cheap
+  * content fingerprint for dedup pre-bucketing (md5 stays the
+  * oracle-comparable fingerprint; this one is 8 bytes and faster).
+  */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column-level entry points for the expressions above. */
+object functions {
+  private def col(e: Expression): Column = GraftColumnBridge.column(e)
+  private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  def dot_d(a: Column, b: Column): Column = col(DotProductD(ex(a), ex(b)))
+  def minhash_sig(hashes: Column, k: Int, seed: Long = 42L): Column =
+    col(MinHashSignature(ex(hashes), k, seed))
+  def simhash64(hashes: Column): Column = col(SimHash64(ex(hashes)))
+  def rolling_hash64(s: Column): Column = col(RollingHash64(ex(s)))
+}

@@ -63,41 +63,22 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Mersenne prime 2^31-1: the modulus of the classic universal-hash
-    * family (a·x + b) mod p. With a, b, x all < p, the product stays
-    * under 2^62 — no Long overflow, ANSI-mode safe.
-    */
-  private val P31 = 2147483647L
-
-  /** Deterministic affine permutation parameters (fixed seed;
-    * java.util.Random is a specified LCG, stable across JVMs).
-    */
-  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val r = new java.util.Random(seed)
-    Seq.fill(k)((r.nextInt((P31 - 1).toInt).toLong + 1L,
-                 r.nextInt(P31.toInt).toLong))
-  }
-
   /** MinHash signatures: (doc_id, sig: array<long> of length k).
-    * Per-doc array math — shingle hashes once via xxhash64 folded into
-    * [0, 2^31-1), then k affine permutations with elementwise min.
+    * Shingle hashes once via xxhash64 (codegen), then the k affine
+    * permutations + elementwise min run inside one native Expression
+    * eval per document ([[graft.functions.MinHashSignature]]) — the
+    * declarative `transform × array_min` version interpreted k×|shingles|
+    * lambdas per doc and was ~100× slower at sf0.1.
     * No shuffle, no UDF, no exploded (doc × perm × shingle) rows.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int, seed: Long = 42L): DataFrame = {
-    val ps = perms(k, seed)
-    val aArr = array(ps.map(p => lit(p._1)): _*)
-    val bArr = array(ps.map(p => lit(p._2)): _*)
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int, seed: Long = 42L): DataFrame =
     docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
       .where(size(col("ws")) >= n)
       .select(col("doc_id"), expr(
-        s"transform(sequence(0, size(ws) - $n), i -> pmod(xxhash64(concat_ws(' ', slice(ws, i + 1, $n))), ${P31}L))")
+        s"transform(sequence(0, size(ws) - $n), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $n))))")
         .as("hs"))
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(k - 1)), i =>
-          array_min(transform(col("hs"), h =>
-            pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(P31)))))
-          .as("sig"))
-  }
+        graft.functions.functions.minhash_sig(col("hs"), k, seed).as("sig"))
 
   /** LSH candidate pairs from banded signatures: b bands of r rows
     * (k = b*r). One shuffle on (band, bucket-hash); a pair collides iff
@@ -152,11 +133,8 @@ object Dedup {
     docs.select(col("doc_id"), WordCount.cleanWords(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
       .select(col("doc_id"), expr("transform(ws, w -> xxhash64(w))").as("hs"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc + if(aggregate(hs, 0L,
-          |            (s, h) -> s + if(((h >> j) & 1L) = 1L, 1L, -1L)) > 0L,
-          |          shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.functions.simhash64(col("hs")).as("simhash"))
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxDist,
     * found via pigeonhole banding on four 16-bit blocks (a pair within

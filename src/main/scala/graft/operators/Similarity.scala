@@ -18,9 +18,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
+  /** Sequential-fold dot product of two double arrays — a native
+    * codegen Expression ([[graft.functions.DotProductD]]); the
+    * equivalent `aggregate(zip_with(...))` formulation is ~40× slower
+    * (interpreted, boxing, one array allocation per pair).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.functions.dot_d(a, b)
 
   /** Cosine similarity; embeddings cast to array<double> first so both
     * engines do the identical float→double promotion and fold order.
@@ -38,12 +41,15 @@ object Similarity {
     * parallel at 100 TB.
     */
   def knnBruteForce(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pre = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = pre.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
       .where(col("query_id") < nQueries)
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val c = pre.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qe"), col("ce")).as("cos"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
     val win = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(win).cast("long"))
@@ -58,10 +64,16 @@ object Similarity {
     * scored. Output ids only — no float columns to compare.
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // Hoist the norm: one sqrt(dot(e,e)) per row instead of two per
+    // pair. dot/(na*nb) is the same expression tree as the cosine()
+    // formulation, so results stay bit-identical to the oracle.
+    val pre = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val a = pre.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = pre.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .where(cosine(col("ea"), col("eb")) > threshold)
+      .where(dot(col("ea"), col("eb")) / (col("na") * col("nb")) > threshold)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
@@ -79,14 +91,17 @@ object Similarity {
     * cost drops by ~2^bits. Same output shape as [[knnBruteForce]].
     */
   def annIvf(emb: DataFrame, nQueries: Int, k: Int, bits: Int = 4): DataFrame = {
-    val cells = emb.select(col("vec_id"), col("embedding"),
-      cellId(col("embedding"), bits).as("cell"))
-    val q = cells.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    val cells = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"),
+        cellId(col("embedding"), bits).as("cell"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = cells.select(col("vec_id").as("query_id"), col("e").as("qe"),
+      col("nrm").as("qn"), col("cell"))
       .where(col("query_id") < nQueries)
     val scored = cells.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
     val win = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(win).cast("long"))

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's package-private Column ↔ Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils` is `private[sql]`).
+  * The one-file-in-spark-namespace shim is the established pattern for
+  * Catalyst extensions that expose custom expressions as `Column`s.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_d equals the declarative aggregate(zip_with) fold bit-for-bit") {
+    val df = Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("embedding").cast("array<double>").as("e"))
+    val got = df.select(
+      dot_d(col("e"), col("e")).as("fast"),
+      aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+        lit(0.0d), (s, v) => s + v).as("slow"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (f, s) => assert(f == s) } // bitwise-identical fold
+  }
+
+  test("minhash_sig: deterministic, in-range, similarity-preserving") {
+    val hs = Seq((1L, Seq(10L, 20L, 30L, 40L)), (2L, Seq(10L, 20L, 30L, 999L)))
+      .toDF("id", "hs")
+    val sigs = hs.select(col("id"), minhash_sig(col("hs"), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).length == 64)
+    assert(sigs(1L).forall(v => v >= 0 && v < 2147483647L))
+    // jaccard(={10,20,30,40},{10,20,30,999}) = 3/5 -> E[agree] = 38.4 of 64
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree > 24 && agree < 52) // ±3.5σ around the expectation
+    // rerun yields identical signature (fixed seed)
+    val again = hs.select(minhash_sig(col("hs"), 64).as("sig"))
+      .as[Seq[Long]].collect().head
+    assert(again == sigs(1L))
+  }
+
+  test("simhash64: identical inputs collide, sign rule holds") {
+    val df = Seq(
+      (1L, Seq(0x0L)),               // all bits 0 -> every count -1 -> hash 0
+      (2L, Seq(-1L)),                // all bits 1 -> every count +1 -> hash -1
+      (3L, Seq(5L, 5L, 5L)))         // majority = bits of 5
+      .toDF("id", "hs")
+    val got = df.select(col("id"), simhash64(col("hs")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L && got(2L) == -1L && got(3L) == 5L)
+  }
+
+  test("rolling_hash64: FNV-1a reference vector + distinctness") {
+    val got = Seq("a", "b", "").toDF("s")
+      .select(rolling_hash64(col("s"))).as[Long].collect()
+    assert(got(0) == 0xaf63dc4c8601ec8cL) // published FNV-1a("a")
+    assert(got(0) != got(1))
+    assert(got(2) == 0xcbf29ce484222325L) // offset basis for empty input
+  }
+}
