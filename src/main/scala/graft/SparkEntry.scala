@@ -82,6 +82,8 @@ object SparkEntry {
       WordCount.topK(Tables.documents(s, dir), 20)),
     "word_length_hist" -> ((s, dir) =>
       WordCount.wordLengthHist(Tables.documents(s, dir))),
+    "topk_words_per_source" -> ((s, dir) =>
+      WordCount.topKPerGroup(Tables.documents(s, dir), "text", "source", 3)),
     // --- text analysis
     "doc_stats" -> ((s, dir) =>
       TextAnalysis.docStats(Tables.documents(s, dir))),
@@ -103,6 +105,8 @@ object SparkEntry {
         num = 4, den = 5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
+    "dedup_keep_list" -> ((s, dir) =>
+      Dedup.keepList(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     // --- similarity search
     "knn_cosine" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
@@ -145,6 +149,13 @@ object SparkEntry {
     "word_length_hist" ->
       s"""SELECT length(word) AS word_len, count(*) AS cnt FROM (${sqlWords()})
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "topk_words_per_source" ->
+      s"""SELECT source, word, cnt, rn FROM (
+         |  SELECT source, word, cnt,
+         |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rn
+         |  FROM (SELECT source, word, count(*) AS cnt FROM (${sqlWords(" source,")})
+         |        GROUP BY 1, 2)
+         |) WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
     "doc_stats" ->
       s"""SELECT doc_id, length(text)::BIGINT AS n_chars, len(ws)::BIGINT AS n_tokens,
@@ -194,6 +205,12 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> sqlJaccard(4, 5),
     "dedup_minhash" -> sqlJaccard(4, 5),
+    "dedup_keep_list" ->
+      s"""WITH pairs AS (${sqlJaccard(4, 5)}),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT doc_id FROM reps
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
 
     "knn_cosine" ->
       s"""SELECT query_id, neighbor_id, rank FROM (

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the graft expressions, so the engine's
+  * custom functions are first-class in `spark.sql(...)` queries:
+  *
+  * {{{
+  *   graft.functions.GraftFunctions.register(spark)
+  *   spark.sql("SELECT graft_dot(a, b) FROM pairs")
+  * }}}
+  *
+  * or session-wide via the Catalyst extension point (no code changes at
+  * call sites):
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be a literal integer")
+  }
+
+  /** (name, builder) for every graft SQL function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (args => DotProductD(args(0), args(1))),
+    "graft_simhash" -> (args => SimHash64(args(0))),
+    "graft_rolling_hash" -> (args => RollingHash64(args(0))),
+    "graft_minhash" -> (args => MinHashSignature(args(0),
+      intLit(args(1), "k"),
+      if (args.length > 2) intLit(args(2), "seed").toLong else 42L)),
+  )
+
+  /** Register all functions on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` entry point injecting the graft functions
+  * into every session built with this extension class.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

@@ -61,6 +61,18 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The post-dedup corpus ("keep list"): the min-id representative of
+    * every exact-duplicate group, minus the higher-id member of every
+    * near-duplicate pair — i.e. what a training pipeline actually
+    * materializes after dedup. One aggregation + one left-anti join.
+    */
+  def keepList(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val reps = exact(docs).select(col("keep_id").as("doc_id"))
+    val drops = jaccardPairs(docs, n, num, den)
+      .select(col("id_b").as("doc_id")).distinct()
+    reps.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signatures: (doc_id, sig: array<long> of length k).

@@ -99,6 +99,20 @@ object WordCount {
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
 
+  /** Top-k words per group (e.g. per source): count + rank window.
+    * At scale: one shuffle for the (key, word) aggregation, one for the
+    * per-key window — both on the same key prefix, so AQE can co-plan.
+    */
+  def topKPerGroup(docs: DataFrame, textCol: String, key: String, k: Int): DataFrame = {
+    val counts = explodeWords(docs, textCol, Seq(key))
+      .groupBy(key, "word").agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("cnt").desc, col("word"))
+    counts.withColumn("rn", row_number().over(win).cast("long"))
+      .where(col("rn") <= k)
+      .orderBy(col(key), col("rn"))
+  }
+
   /** Histogram of word lengths over surviving tokens. */
   def wordLengthHist(docs: DataFrame, textCol: String = "text"): DataFrame =
     explodeWords(docs, textCol, Nil)

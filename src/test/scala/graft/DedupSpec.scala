@@ -56,6 +56,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("keepList drops exact dups and the later member of near-dup pairs") {
+    val d = docs(
+      1L -> base, 2L -> base,                       // near/exact dup of 1
+      3L -> "one two three four five six seven",    // unique
+      4L -> (base + " extra"))                      // near-dup of 1 (high jaccard)
+    val keep = Dedup.keepList(d, 3, 4, 5).collect().map(_.getLong(0)).toSet
+    assert(keep == Set(1L, 3L))
+  }
+
   test("simhash: identical docs collide, near docs within hamming 3") {
     val d = docs(1L -> base, 2L -> base, 3L -> "completely different words here now")
     val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

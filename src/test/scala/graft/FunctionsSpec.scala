@@ -45,6 +45,20 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L) == 0L && got(2L) == -1L && got(3L) == 5L)
   }
 
+  test("SQL surface: registered graft_* functions work in spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("vv")
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS d, graft_rolling_hash('a') AS h,
+        |       size(graft_minhash(array(1L, 2L), 8)) AS k,
+        |       graft_simhash(array(-1L)) AS s FROM vv""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 0xaf63dc4c8601ec8cL)
+    assert(r.getInt(2) == 8)
+    assert(r.getLong(3) == -1L)
+  }
+
   test("rolling_hash64: FNV-1a reference vector + distinctness") {
     val got = Seq("a", "b", "").toDF("s")
       .select(rolling_hash64(col("s"))).as[Long].collect()
