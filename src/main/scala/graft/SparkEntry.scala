@@ -123,6 +123,14 @@ object SparkEntry {
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
     "top_orders_per_cust" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
+    "wordcount_salted" -> ((s, dir) =>
+      WordCount.wordCountSalted(Tables.documents(s, dir), 16)),
+    "events_asof" -> ((s, dir) =>
+      Relational.asofViewBeforePurchase(Tables.events(s, dir))),
+    "events_pivot" -> ((s, dir) =>
+      Relational.eventTypePivot(Tables.events(s, dir))),
+    "events_rollup" -> ((s, dir) =>
+      Relational.eventsRollup(Tables.events(s, dir))),
     "events_tumbling" -> ((s, dir) => Relational.eventsTumbling(s, dir)),
     "events_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
     "events_json" -> ((s, dir) => Relational.eventsJson(s, dir)),
@@ -269,6 +277,34 @@ object SparkEntry {
          |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
          |  FROM orders
          |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "wordcount_salted" ->
+      s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
+    "events_asof" ->
+      s"""SELECT event_id AS purchase_id, last_view_id, ts_ms - last_view_ts AS gap_ms
+         |FROM (
+         |  SELECT event_id, event_type, ts_ms,
+         |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+         |      OVER w AS last_view_id,
+         |    last_value(CASE WHEN event_type = 'view' THEN ts_ms END IGNORE NULLS)
+         |      OVER w AS last_view_ts
+         |  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+         |        WHERE event_type IN ('view', 'purchase'))
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |) WHERE event_type = 'purchase' AND last_view_id IS NOT NULL
+         |ORDER BY purchase_id""".stripMargin,
+    "events_pivot" ->
+      s"""SELECT user_id, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_rollup" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type""".stripMargin,
     "events_tumbling" ->
       s"""SELECT (epoch_ms(ts) // 600000) * 600 AS bucket_start, event_type,
          |  count(*) AS n_events,

@@ -122,6 +122,52 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join (composed from built-ins — preference order (a) of the
+    * design rules): for each purchase, the most recent strictly-prior
+    * view by the same user. One shuffle on user_id; the as-of lookup is
+    * a running `last(ignoreNulls)` over a rows-frame ending at -1 — no
+    * self-join, no range explosion, scales with events/user.
+    */
+  def asofViewBeforePurchase(events: DataFrame): DataFrame = {
+    val win = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("last_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(win))
+      .withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts_ms")), ignoreNulls = true).over(win))
+      .where(col("event_type") === "purchase" && col("last_view_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("last_view_id"),
+        (col("ts_ms") - col("last_view_ts")).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  /** Pivot: per-user event-type counts as columns (conditional
+    * aggregation — one shuffle, no multi-pass pivot machinery).
+    */
+  def eventTypePivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_total"),
+        types.map(t => sum(when(col("event_type") === t, 1L).otherwise(0L))
+          .as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
+  /** Rollup: per-type and grand-total event stats in one pass
+    * (`GROUPING SETS` via rollup); null grouping key surfaced as 'ALL'
+    * so both engines order identically.
+    */
+  def eventsRollup(events: DataFrame): DataFrame =
+    events.rollup(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n_events"), col("sum_value_cents"))
+      .orderBy("event_type")
+
   /** JSON extraction from the `props` column + aggregation: average of
     * `$.k` per event_type surfaced as integer fixed-point (sum and
     * count separately — no float division).

@@ -99,6 +99,19 @@ object WordCount {
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
 
+  /** Skew-resistant word count: two-phase aggregation through a salt.
+    * Phase 1 shuffles on (word, salt) — a hot key (think "the" at
+    * 100 TB) spreads over `buckets` reducers — phase 2 merges the tiny
+    * per-salt partials on word alone. Result is salt-assignment
+    * independent, so it shares the plain wordcount oracle.
+    */
+  def wordCountSalted(docs: DataFrame, buckets: Int, textCol: String = "text"): DataFrame =
+    explodeWords(docs, textCol, Nil)
+      .withColumn("salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      .groupBy("word", "salt").agg(count(lit(1)).as("c"))
+      .groupBy("word").agg(sum("c").as("cnt"))
+      .orderBy("word")
+
   /** Top-k words per group (e.g. per source): count + rank window.
     * At scale: one shuffle for the (key, word) aggregation, one for the
     * per-key window — both on the same key prefix, so AQE can co-plan.

@@ -37,6 +37,37 @@ class RelationalSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 42L, 10L, 32L)))
   }
 
+  test("asof join: most recent strictly-prior view per purchase") {
+    val e = events(
+      (1L, 1L, 100L, "view", 0.0, "{}"),
+      (2L, 1L, 200L, "view", 0.0, "{}"),
+      (3L, 1L, 300L, "purchase", 0.0, "{}"),   // -> view 2, gap 100
+      (4L, 1L, 400L, "purchase", 0.0, "{}"),   // -> still view 2 (purchases don't chain)
+      (5L, 2L, 500L, "purchase", 0.0, "{}"))   // no prior view -> dropped
+    val got = Relational.asofViewBeforePurchase(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 2L, 100L), (4L, 2L, 200L)))
+  }
+
+  test("pivot: per-user conditional counts") {
+    val e = events(
+      (1L, 1L, 0L, "view", 0.0, "{}"),
+      (2L, 1L, 0L, "click", 0.0, "{}"),
+      (3L, 1L, 0L, "view", 0.0, "{}"))
+    val r = Relational.eventTypePivot(e).collect().head
+    // columns: user_id, n_total, n_click, n_error, n_purchase, n_signup, n_view
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(6) == 2L)
+  }
+
+  test("rollup emits per-type rows plus ALL grand total") {
+    val e = events(
+      (1L, 1L, 0L, "view", 1.0, "{}"),
+      (2L, 1L, 0L, "click", 2.0, "{}"))
+    val got = Relational.eventsRollup(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("ALL", 2L, 300L), ("click", 1L, 200L), ("view", 1L, 100L)))
+  }
+
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)

@@ -67,6 +67,13 @@ class WordCountSpec extends SparkSpec {
     }
   }
 
+  test("salted word count equals plain word count") {
+    val docs = Tables.documents(spark, sf0001)
+    val plain = WordCount.wordCount(docs).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = WordCount.wordCountSalted(docs, 16).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(plain == salted)
+  }
+
   test("topK takes by count desc then word asc") {
     val top = WordCount.topK(Seq("b b a a c").toDF("text"), 2)
       .collect().map(_.getString(0)).toSeq
