@@ -84,6 +84,16 @@ object SparkEntry {
       WordCount.wordLengthHist(Tables.documents(s, dir))),
     "topk_words_per_source" -> ((s, dir) =>
       WordCount.topKPerGroup(Tables.documents(s, dir), "text", "source", 3)),
+    // same semantics through the custom TopKPerKey physical operator
+    // (bounded heaps + partial pushdown) instead of a window sort
+    "topk_words_per_source_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val counts = WordCount.explodeWords(Tables.documents(s, dir), "text", Seq("source"))
+        .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      graft.plans.TopK.perKey(counts, Seq("source"),
+        Seq(("cnt", true), ("word", false)), 3)
+        .orderBy(col("source"), col("rn"))
+    }),
     // --- text analysis
     "doc_stats" -> ((s, dir) =>
       TextAnalysis.docStats(Tables.documents(s, dir))),
@@ -158,6 +168,13 @@ object SparkEntry {
       s"""SELECT length(word) AS word_len, count(*) AS cnt FROM (${sqlWords()})
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "topk_words_per_source" ->
+      s"""SELECT source, word, cnt, rn FROM (
+         |  SELECT source, word, cnt,
+         |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rn
+         |  FROM (SELECT source, word, count(*) AS cnt FROM (${sqlWords(" source,")})
+         |        GROUP BY 1, 2)
+         |) WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+    "topk_words_per_source_plan" ->
       s"""SELECT source, word, cnt, rn FROM (
          |  SELECT source, word, cnt,
          |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rn

@@ -1,0 +1,181 @@
+package graft.plans
+
+import java.util.{PriorityQueue => JPriorityQueue}
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Grouped top-k as a first-class operator: logical node + planner
+  * strategy + two physical operators with per-partition bounded heaps.
+  *
+  * Why not `row_number().over(window)`: the window operator must
+  * shuffle EVERY row to its key's partition and fully sort each key's
+  * rows before it can emit row numbers — at 100 TB with hot keys, that
+  * is a shuffle of n rows and an n·log n sort per key. This operator
+  * keeps a k-bounded heap per key:
+  *
+  *   partial (map side):  O(n log k), emits ≤ k rows per (key,
+  *                        partition) — the shuffle carries at most
+  *                        k × partitions rows per key, like a combiner;
+  *   exchange:            inserted automatically by EnsureRequirements
+  *                        from the final operator's required
+  *                        ClusteredDistribution — AQE still applies;
+  *   final (reduce side): O(m log k) on the surviving m, then one
+  *                        k-sized sort per key to assign ranks.
+  *
+  * Memory per task is O(#keys-in-partition × k) with no spill path —
+  * the contract is k ≪ rows/key (the top-k regime; for k ~ rows/key
+  * use the window operator instead).
+  */
+case class TopKPerKey(
+    keyExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(c: LogicalPlan) = copy(child = c)
+}
+
+/** Shared heap machinery for the two physical operators. */
+private[plans] object TopKHeaps {
+  /** Per-key bounded heaps over an iterator; heap head = worst kept
+    * row (reverse ordering), so admission is an O(1) compare.
+    */
+  def build(it: Iterator[InternalRow], keyProj: UnsafeProjection,
+            ord: Ordering[InternalRow], k: Int)
+      : mutable.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]] = {
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, JPriorityQueue[InternalRow]]
+    while (it.hasNext) {
+      val row = it.next()
+      val key = keyProj(row)
+      val heap = heaps.getOrElse(key, null) match {
+        case null =>
+          val h = new JPriorityQueue[InternalRow](k + 1, ord.reverse)
+          heaps.put(key.copy(), h)
+          h
+        case h => h
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (ord.lt(row, heap.peek())) { heap.poll(); heap.add(row.copy()) }
+    }
+    heaps
+  }
+}
+
+/** Map-side partial top-k: emits each key's ≤ k best rows of this
+  * partition, unordered. Schema-preserving; no distribution needs.
+  */
+case class PartialTopKPerKeyExec(
+    keyExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keys = keyExprs
+    val order = sortOrder
+    val kk = k
+    child.execute().mapPartitions ({ it =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val ord = new LazilyGeneratedOrdering(order, childOutput)
+      TopKHeaps.build(it, keyProj, ord, kk).valuesIterator
+        .flatMap(h => h.iterator().asInstanceOf[java.util.Iterator[InternalRow]]
+          .asScala)
+    }, preservesPartitioning = true)
+  }
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+  override protected def withNewChildInternal(c: SparkPlan) = copy(child = c)
+}
+
+/** Reduce-side final top-k: requires co-location by key (Exchange
+  * inserted by EnsureRequirements), re-runs the bounded heaps over the
+  * partial results, sorts each key's ≤ k survivors, appends rank.
+  */
+case class FinalTopKPerKeyExec(
+    keyExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keyExprs.isEmpty) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keyExprs))
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keys = keyExprs
+    val order = sortOrder
+    val kk = k
+    val outAttrs = output
+    child.execute().mapPartitions ({ it =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val ord = new LazilyGeneratedOrdering(order, childOutput)
+      // downstream operators require UnsafeRow: project the joined
+      // (row ++ rank) back into the unsafe format
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      TopKHeaps.build(it, keyProj, ord, kk).valuesIterator.flatMap { h =>
+        val arr = new Array[InternalRow](h.size)
+        var i = arr.length - 1
+        while (i >= 0) { arr(i) = h.poll(); i -= 1 }  // heap pops worst-first
+        arr.iterator.zipWithIndex.map { case (row, idx) =>
+          outProj(new JoinedRow(row,
+            new GenericInternalRow(Array[Any]((idx + 1).toLong)))): InternalRow
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(c: SparkPlan) = copy(child = c)
+}
+
+/** Planner strategy mapping the logical node to partial → final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, rankAttr, child) =>
+      FinalTopKPerKeyExec(keys, order, k, rankAttr,
+        PartialTopKPerKeyExec(keys, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing entry point. */
+object TopK {
+  /** Top-k rows per key group, ordered by `orderBy` (column name →
+    * descending?), with a 1-based `rankName` column appended.
+    */
+  def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
+             k: Int, rankName: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val lp = df.queryExecution.analyzed
+    def attr(name: String): Attribute = lp.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${lp.output.map(_.name).mkString(",")}"))
+    val order = orderBy.map { case (name, desc) =>
+      SortOrder(attr(name), if (desc) Descending else Ascending)
+    }
+    val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
+    GraftColumnBridge.ofRows(spark,
+      TopKPerKey(keys.map(attr), order, k, rankAttr, lp))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+
+/** The custom TopKPerKey operator (LogicalPlan + Strategy + bounded
+  * heaps) must agree with the window row_number formulation everywhere.
+  */
+class TopKPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crafted: ranks, ties, and k > group size") {
+    val df = Seq(
+      ("a", "x", 5L), ("a", "y", 5L), ("a", "z", 1L),  // tie on 5 -> x before y
+      ("b", "q", 9L))                                  // group smaller than k
+      .toDF("g", "w", "cnt")
+    val got = TopK.perKey(df, Seq("g"), Seq(("cnt", true), ("w", false)), 2)
+      .orderBy("g", "rn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "q", 1L)))
+  }
+
+  test("matches window row_number on testdata word counts") {
+    val counts = operators.WordCount
+      .explodeWords(Tables.documents(spark, sf0001), "text", Seq("source"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val win = operators.WordCount
+      .topKPerGroup(Tables.documents(spark, sf0001), "text", "source", 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val plan = TopK.perKey(counts, Seq("source"), Seq(("cnt", true), ("word", false)), 3)
+      .orderBy("source", "rn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(plan.toSeq == win.toSeq)
+  }
+
+  test("plan contains partial and final operators around one exchange") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+    val topk = TopK.perKey(df, Seq("g"), Seq(("v", true)), 1)
+    val physical = topk.queryExecution.executedPlan.toString
+    assert(physical.contains("PartialTopKPerKeyExec") || physical.contains("PartialTopKPerKey"))
+    assert(physical.contains("FinalTopKPerKeyExec") || physical.contains("FinalTopKPerKey"))
+  }
+}
