@@ -46,9 +46,16 @@ object WordCount {
   def cleanWords(text: Column): Column =
     filter(transform(tokens(text), t => lower(clean(t))), w => length(w) > 0)
 
-  /** One row per surviving token: (<keys...>, word). */
+  /** One row per surviving token: (<keys...>, word). Explodes the raw
+    * whitespace split first and cleans as flat column expressions —
+    * unlike `explode(cleanWords(...))`, every step here (split,
+    * regexp_extract, lower, filter) stays inside whole-stage codegen
+    * instead of an interpreted per-element array lambda.
+    */
   def explodeWords(docs: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
-    docs.select(keep.map(col) :+ explode(cleanWords(col(textCol))).as("word"): _*)
+    docs.select(keep.map(col) :+ explode(tokens(col(textCol))).as("tok"): _*)
+      .select(keep.map(col) :+ lower(clean(col("tok"))).as("word"): _*)
+      .where(length(col("word")) > 0)
 
   /** The flagship query: (word, cnt) over a text column, alphabetical.
     * DataFrame formulation — partial+final HashAggregate, one Exchange.
