@@ -78,6 +78,14 @@ object SparkEntry {
       WordCount.wordCountBy(Tables.documents(s, dir), "text", "source")),
     "distinct_words" -> ((s, dir) =>
       WordCount.distinctWords(Tables.documents(s, dir))),
+    // same count through the KMV TypedImperativeAggregate sketch
+    // (exact below k=1024 distinct; the 100 TB approximate path)
+    "distinct_words_sketch" -> ((s, dir) =>
+      WordCount.explodeWords(Tables.documents(s, dir), "text", Nil)
+        .agg(graft.functions.KmvDistinct.kmv_distinct(
+          org.apache.spark.sql.functions.col("word"), 1024).as("n_words"))),
+    "top_bigrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(Tables.documents(s, dir), 2, 20)),
     "topk_words" -> ((s, dir) =>
       WordCount.topK(Tables.documents(s, dir), 20)),
     "word_length_hist" -> ((s, dir) =>
@@ -132,6 +140,7 @@ object SparkEntry {
     // --- relational / events
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
+    "q5_local_supplier" -> ((s, dir) => Relational.q5LocalSupplierRevenue(s, dir)),
     "top_orders_per_cust" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
     "wordcount_salted" -> ((s, dir) =>
       WordCount.wordCountSalted(Tables.documents(s, dir), 16)),
@@ -161,6 +170,15 @@ object SparkEntry {
          |GROUP BY source, word ORDER BY source, word""".stripMargin,
     "distinct_words" ->
       s"""SELECT count(DISTINCT word) AS n_words FROM (${sqlWords()})""",
+    "distinct_words_sketch" ->
+      s"""SELECT count(DISTINCT word) AS n_words FROM (${sqlWords()})""",
+    "top_bigrams" ->
+      s"""SELECT ngram, count(*) AS cnt FROM (
+         |  SELECT array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS ngram
+         |  FROM (SELECT $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |  WHERE len(ws) >= 2
+         |) GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
     "topk_words" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
@@ -286,6 +304,17 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1995-09-15 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
          |GROUP BY 1 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "top_orders_per_cust" ->
       s"""SELECT o_custkey, o_orderkey, rn, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
          |FROM (

@@ -122,6 +122,35 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** TPC-H Q5-shaped local-supplier revenue: five joins. Dimension
+    * chain region→nation and the 10-row supplier table broadcast; the
+    * only real shuffles are lineitem⋈orders and the final aggregation.
+    * Catalyst reorders/plans the join tree; we only hint broadcasts.
+    */
+  def q5LocalSupplierRevenue(spark: SparkSession, dir: String,
+                             region: String = "ASIA"): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .where(col("r_name") === region)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev_c").as("revenue_cents"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** As-of join (composed from built-ins — preference order (a) of the
     * design rules): for each purchase, the most recent strictly-prior
     * view by the same user. One shuffle on user_id; the as-of lookup is

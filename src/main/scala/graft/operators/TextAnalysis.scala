@@ -83,6 +83,19 @@ object TextAnalysis {
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
       .orderBy("doc_id")
 
+  /** Top-k word n-grams by frequency (not per-doc-distinct — this is
+    * the frequency counter; [[Dedup.shingles]] is the set former).
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docs.select(WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+
   /** Marker-word lists for the language-ID heuristic. Real systems use
     * character-n-gram profiles (the testdata vocabulary is uniform
     * across langs, so any profile degenerates); the *operator* is the

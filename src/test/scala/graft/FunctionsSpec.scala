@@ -59,6 +59,19 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(3) == -1L)
   }
 
+  test("kmv_distinct: exact below k, merge-consistent across partitions") {
+    import graft.functions.KmvDistinct.kmv_distinct
+    val words = (1 to 500).map(i => s"w${i % 137}")  // 137 distinct
+    val exact = words.toDF("w").repartition(8)
+      .agg(kmv_distinct(col("w"), 1024)).as[Long].collect().head
+    assert(exact == 137L)
+    // above k: estimator within 3/sqrt(k) relative error
+    val big = (1 to 20000).map(i => s"x$i")
+    val est = big.toDF("w").repartition(8)
+      .agg(kmv_distinct(col("w"), 256)).as[Long].collect().head
+    assert(math.abs(est - 20000.0) / 20000.0 < 3.0 / math.sqrt(256))
+  }
+
   test("rolling_hash64: FNV-1a reference vector + distinctness") {
     val got = Seq("a", "b", "").toDF("s")
       .select(rolling_hash64(col("s"))).as[Long].collect()

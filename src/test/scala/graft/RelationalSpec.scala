@@ -71,6 +71,7 @@ class RelationalSpec extends SparkSpec {
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)
+    assert(Relational.q5LocalSupplierRevenue(spark, sf0001).count() > 0)
     val w = Relational.topOrdersPerCustomer(spark, sf0001, 3)
     assert(w.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count"))
       .collect().head.getLong(0) <= 3)

@@ -38,6 +38,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == got(2L) && got(1L) != got(3L))
   }
 
+  test("topNgrams counts overlapping bigrams") {
+    val got = TextAnalysis.topNgrams(docs(1L -> "a b a b a"), 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b", 2L), ("b a", 2L)))
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
