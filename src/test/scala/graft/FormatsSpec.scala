@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Skew, WordCount}
+
+/** Source/sink breadth: the word-count pipeline must read identically
+  * from parquet, csv, json, and text; partitioned writes must prune.
+  */
+class FormatsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+  private def counts(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    WordCount.wordCount(df, "text").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("wordcount is identical across parquet/csv/json round-trips") {
+    val base = counts(docs)
+    val tmp = Files.createTempDirectory("graft_fmt").toString
+    docs.select("doc_id", "text").write.option("header", "true").csv(s"$tmp/csv")
+    docs.select("doc_id", "text").write.json(s"$tmp/json")
+    val fromCsv = spark.read.option("header", "true").csv(s"$tmp/csv")
+    val fromJson = spark.read.json(s"$tmp/json")
+    assert(counts(fromCsv) == base)
+    assert(counts(fromJson) == base)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    docs.write.partitionBy("lang").parquet(s"$tmp/bylang")
+    val de = spark.read.parquet(s"$tmp/bylang").where(col("lang") === "de")
+    val expected = docs.where(col("lang") === "de").count()
+    assert(de.count() == expected && expected > 0)
+    val scan = de.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"))
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, "l_orderkey")
+      .groupBy("l_orderkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", 8)
+      .groupBy("l_orderkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted == plain)
+  }
+}
