@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.operators._
+
+/** Empty and degenerate inputs through every operator family — these
+  * hit different code paths (zero partitions with rows, empty arrays,
+  * all-filtered groups) than the happy path.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("word count family on empty input") {
+    assert(WordCount.wordCount(emptyDocs).count() == 0)
+    assert(WordCount.wordCountRdd(spark, emptyDocs).count() == 0)
+    assert(WordCount.distinctWords(emptyDocs).collect().head.getLong(0) == 0L)
+    assert(WordCount.topK(emptyDocs, 5).count() == 0)
+  }
+
+  test("dedup family on empty and all-filtered input") {
+    assert(Dedup.jaccardPairs(emptyDocs, 3, 4, 5).count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs, 3, 8, 2, 4, 5).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    // all tokens cleaned away -> empty word arrays everywhere
+    val digits = Seq((1L, "123 456"), (2L, "789")).toDF("doc_id", "text")
+    assert(WordCount.wordCount(digits).count() == 0)
+    assert(Dedup.shingles(digits, 3).count() == 0)
+    assert(Dedup.simhash(digits).count() == 0) // size(ws) > 0 filter
+  }
+
+  test("null text rows are dropped, not fatal") {
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a b"), Row(2L, null))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val got = WordCount.wordCount(withNull).collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b"))
+    assert(WordCount.wordCountRdd(spark, withNull).count() == 2)
+    assert(TextAnalysis.docStats(withNull).count() >= 1)
+  }
+
+  test("similarity on empty and single-row input") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    assert(Similarity.knnBruteForce(empty, 5, 3).count() == 0)
+    assert(Similarity.embeddingNearDup(empty, 0.5).count() == 0)
+    val one = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0L, Seq(1.0f, 0.0f), 0))), schema)
+    assert(Similarity.knnBruteForce(one, 5, 3).count() == 0) // no other vectors
+  }
+
+  test("custom topk plan on empty input") {
+    val empty = emptyDocs.select($"doc_id".as("g"), $"text".as("w"))
+      .withColumn("cnt", org.apache.spark.sql.functions.lit(1L))
+    assert(graft.plans.TopK.perKey(empty, Seq("g"), Seq(("cnt", true)), 3).count() == 0)
+  }
+}

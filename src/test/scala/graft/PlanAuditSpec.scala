@@ -1,0 +1,55 @@
+package graft
+
+/** Regression guard on the physical plans we actually want — pushdown,
+  * pruning, broadcast choice, top-k without global sort. A plan that
+  * silently loses one of these still returns right answers at sf0.01
+  * but dies at 100 TB; this spec makes the plan shape part of the
+  * contract.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to parquet, partial aggregation present") {
+    val p = planOf("q1_pricing")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q1: scan reads only the 7 needed lineitem columns") {
+    val p = planOf("q1_pricing")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"))
+  }
+
+  test("q3/q5: dimension sides broadcast") {
+    assert(planOf("q3_revenue").contains("BroadcastHashJoin"))
+    assert(planOf("q5_local_supplier").contains("BroadcastHashJoin"))
+  }
+
+  test("topk: plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("topk_words")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("wordcount: exactly one hash-partition exchange before the sort") {
+    val p = planOf("wordcount")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange:\n$p")
+  }
+
+  test("knn: query side broadcast, corpus scanned without shuffle") {
+    val p = planOf("knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("custom topk plan: partial before exchange, final after") {
+    val p = planOf("topk_words_per_source_plan")
+    val idxPartial = p.indexOf("PartialTopKPerKey")
+    val idxFinal = p.indexOf("FinalTopKPerKey")
+    assert(idxPartial >= 0 && idxFinal >= 0 && idxFinal < idxPartial,
+      s"final should sit above partial in the tree:\n$p")
+  }
+}
