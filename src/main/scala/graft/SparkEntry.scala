@@ -86,6 +86,15 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("word"), 1024).as("n_words"))),
     "top_bigrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(Tables.documents(s, dir), 2, 20)),
+    // top-k through the Space-Saving sketch (exact below m=1024 distinct)
+    "topk_words_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      WordCount.explodeWords(Tables.documents(s, dir), "text", Nil)
+        .agg(graft.functions.TopKFreqSketch.topk_sketch(col("word"), 1024).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.word").as("word"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)
+    }),
     "topk_words" -> ((s, dir) =>
       WordCount.topK(Tables.documents(s, dir), 20)),
     "word_length_hist" -> ((s, dir) =>
@@ -180,6 +189,9 @@ object SparkEntry {
          |  WHERE len(ws) >= 2
          |) GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
     "topk_words" ->
+      s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "topk_words_sketch" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "word_length_hist" ->

@@ -72,6 +72,25 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(est - 20000.0) / 20000.0 < 3.0 / math.sqrt(256))
   }
 
+  test("topk_sketch: exact counts below capacity, bounded above it") {
+    import graft.functions.TopKFreqSketch.topk_sketch
+    val words = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val got = words.toDF("w").repartition(4)
+      .agg(topk_sketch(col("w"), 16).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.word"), col("e.cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L), ("b", 3L), ("c", 1L)))
+    // above capacity: heavy hitter survives with count >= truth
+    val skewed = Seq.fill(100)("hot") ++ (1 to 50).map(i => s"cold$i")
+    val top = skewed.toDF("w").repartition(4)
+      .agg(topk_sketch(col("w"), 8).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.word"), col("e.cnt"))
+      .as[(String, Long)].collect()
+    assert(top.head._1 == "hot" && top.head._2 >= 100L)
+  }
+
   test("rolling_hash64: FNV-1a reference vector + distinctness") {
     val got = Seq("a", "b", "").toDF("s")
       .select(rolling_hash64(col("s"))).as[Long].collect()
