@@ -141,6 +141,10 @@ object SparkEntry {
       Similarity.annIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5, bits = 4)),
     "emb_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.45)),
+    // LSH-pruned variant at duplicate-level threshold (scale path;
+    // verified candidates converge to the exact answer)
+    "emb_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDup(Tables.embeddings(s, dir), threshold = 0.9)),
     // --- multimodal plumbing (FakeCodec-stubbed decode; see Multimodal)
     "media_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(Tables.documents(s, dir))),
@@ -296,6 +300,11 @@ object SparkEntry {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
+         |ORDER BY 1, 2""".stripMargin,
+    "emb_neardup_lsh" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.9
          |ORDER BY 1, 2""".stripMargin,
 
     "q1_pricing" ->

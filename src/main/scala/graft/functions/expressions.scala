@@ -117,6 +117,41 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Sign-LSH signature for cosine similarity: bit b of the output is
+  * the sign of ⟨e, h_b⟩ for `bits` fixed pseudo-random Gaussian
+  * hyperplanes (seeded; generated lazily per observed dimensionality,
+  * identically on every executor). Packed into ceil(bits/64) longs.
+  * P(bit agrees) = 1 − θ/π — the standard SRP-LSH family.
+  */
+case class SignLsh(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  private val nWords = (bits + 63) / 64
+  @transient private lazy val planeCache =
+    scala.collection.mutable.Map.empty[Int, Array[Double]]
+  private def planes(dim: Int): Array[Double] = planeCache.getOrElseUpdate(dim, {
+    val r = new java.util.Random(seed)
+    Array.fill(bits * dim)(r.nextGaussian())
+  })
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val dim = e.numElements()
+    val pl = planes(dim)
+    val out = new Array[Long](nWords)
+    var b = 0
+    while (b < bits) {
+      var s = 0.0d
+      var d = 0
+      val off = b * dim
+      while (d < dim) { s += pl(off + d) * e.getDouble(d); d += 1 }
+      if (s > 0) out(b >> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** 64-bit FNV-1a rolling hash of a string's UTF-8 bytes — the cheap
   * content fingerprint for dedup pre-bucketing (md5 stays the
   * oracle-comparable fingerprint; this one is 8 bytes and faster).
@@ -147,5 +182,7 @@ object functions {
   def minhash_sig(hashes: Column, k: Int, seed: Long = 42L): Column =
     col(MinHashSignature(ex(hashes), k, seed))
   def simhash64(hashes: Column): Column = col(SimHash64(ex(hashes)))
+  def sign_lsh(e: Column, bits: Int, seed: Long = 7L): Column =
+    col(SignLsh(ex(e), bits, seed))
   def rolling_hash64(s: Column): Column = col(RollingHash64(ex(s)))
 }

@@ -78,6 +78,42 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding near-dup via banded sign-LSH — the 100 TB path for
+    * [[embeddingNearDup]]: one shuffle on (band, 16-bit signature
+    * chunk); only bucket-colliding pairs get an exact cosine check.
+    * With bands=64, r=16: a cos≥0.99 duplicate pair collides with
+    * probability ≈ 1, a random (cos≈0) pair with ≈ 0.1% — ~1000×
+    * fewer exact comparisons than the quadratic baseline. Output is
+    * verified, so at duplicate-level thresholds it converges to
+    * [[embeddingNearDup]]'s answer.
+    */
+  def lshNearDup(emb: DataFrame, threshold: Double, bands: Int = 64,
+                 r: Int = 16, seed: Long = 7L): DataFrame = {
+    require(r > 0 && r < 64 && (bands * r) % 64 == 0, "need r<64, 64 | bands*r")
+    val pre = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("sig", graft.functions.functions.sign_lsh(col("e"), bands * r, seed))
+    val banded = pre.select(col("vec_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), j -> struct(
+           |  j AS band,
+           |  (shiftrightunsigned(element_at(sig, CAST((j * $r) div 64 AS INT) + 1),
+           |                      CAST((j * $r) % 64 AS INT))
+           |   & ${(1L << r) - 1}L) AS v))""".stripMargin)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.v").as("v"))
+    val cands = banded.as("a").join(banded.as("b"), Seq("band", "v"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(pre.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na")), "id_a")
+      .join(pre.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb")), "id_b")
+      .where(dot(col("ea"), col("eb")) / (col("na") * col("nb")) > threshold)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Coarse cell id: sign bits of the first `bits` dimensions (fixed
     * axis-aligned hyperplanes — deterministic, data-independent).
     */

@@ -43,6 +43,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshNearDup finds planted duplicates and equals brute force") {
+    // 30 random-ish base vectors + 3 planted near-identical pairs
+    val rnd = new scala.util.Random(13)
+    def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 30).map(i => (i.toLong, vec(), 0))
+    val planted = Seq(100L, 101L, 102L).flatMap { id =>
+      val v = vec()
+      // tiny perturbation -> cosine ~0.9999
+      Seq((id * 10, v, 0),
+        (id * 10 + 1, v.map(x => x + 0.001f), 0))
+    }
+    val d = emb((base ++ planted): _*)
+    val brute = Similarity.embeddingNearDup(d, 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = Similarity.lshNearDup(d, 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute.size >= 3 && lsh == brute)
+  }
+
   test("embeddingNearDup finds identical vectors") {
     val v = Seq(0.5f, -0.25f, 1f)
     val d = emb((10L, v, 0), (11L, v, 0), (12L, Seq(-1f, 2f, -0.5f), 0))
