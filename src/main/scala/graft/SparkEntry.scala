@@ -154,6 +154,7 @@ object SparkEntry {
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Relational.q5LocalSupplierRevenue(s, dir)),
+    "parts_revenue_by_brand" -> ((s, dir) => Relational.partsRevenueByBrand(s, dir)),
     "top_orders_per_cust" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
     "wordcount_salted" -> ((s, dir) =>
       WordCount.wordCountSalted(Tables.documents(s, dir), 16)),
@@ -336,6 +337,12 @@ object SparkEntry {
          |  JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "parts_revenue_by_brand" ->
+      s"""SELECT p_brand,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "top_orders_per_cust" ->
       s"""SELECT o_custkey, o_orderkey, rn, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
          |FROM (

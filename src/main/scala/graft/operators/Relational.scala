@@ -151,6 +151,21 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Revenue by part brand: lineitem ⋈ broadcast(part). Completes
+    * coverage of every testdata table; the broadcast keeps the fact
+    * scan shuffle-free up to the final per-brand aggregation.
+    */
+  def partsRevenueByBrand(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum("rev_c").as("revenue_cents"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
   /** As-of join (composed from built-ins — preference order (a) of the
     * design rules): for each purchase, the most recent strictly-prior
     * view by the same user. One shuffle on user_id; the as-of lookup is
