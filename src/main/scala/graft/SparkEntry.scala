@@ -164,6 +164,8 @@ object SparkEntry {
       Relational.eventTypePivot(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
       Relational.eventsRollup(Tables.events(s, dir))),
+    "events_funnel" -> ((s, dir) =>
+      Relational.funnel(Tables.events(s, dir))),
     "events_tumbling" -> ((s, dir) => Relational.eventsTumbling(s, dir)),
     "events_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
     "events_json" -> ((s, dir) => Relational.eventsJson(s, dir)),
@@ -379,6 +381,22 @@ object SparkEntry {
       s"""SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          |FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type""".stripMargin,
+    "events_funnel" ->
+      s"""WITH fv AS (
+         |  SELECT user_id, min(epoch_ms(ts)) AS v_ms FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |fs AS (
+         |  SELECT e.user_id, min(epoch_ms(e.ts)) AS s_ms
+         |  FROM events e JOIN fv ON e.user_id = fv.user_id
+         |  WHERE e.event_type = 'signup' AND epoch_ms(e.ts) > fv.v_ms GROUP BY 1),
+         |fp AS (
+         |  SELECT e.user_id, min(epoch_ms(e.ts)) AS p_ms
+         |  FROM events e JOIN fs ON e.user_id = fs.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > fs.s_ms GROUP BY 1)
+         |SELECT count(fv.v_ms) AS n_view, count(fs.s_ms) AS n_signup_after_view,
+         |  count(fp.p_ms) AS n_purchase_after_signup
+         |FROM fv LEFT JOIN fs ON fv.user_id = fs.user_id
+         |  LEFT JOIN fp ON fv.user_id = fp.user_id""".stripMargin,
     "events_tumbling" ->
       s"""SELECT (epoch_ms(ts) // 600000) * 600 AS bucket_start, event_type,
          |  count(*) AS n_events,

@@ -212,6 +212,30 @@ object Relational {
         col("n_events"), col("sum_value_cents"))
       .orderBy("event_type")
 
+  /** Staged funnel: users with a view, users whose first signup comes
+    * after their first view, users whose first purchase comes after
+    * that signup. Three conditional-min aggregations over one shuffle
+    * on user_id each — no per-user state, no driver collection.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val firstView = events.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("v_ms"))
+    val firstSignup = events.where(col("event_type") === "signup")
+      .join(firstView, "user_id")
+      .where(col("ts_ms") > col("v_ms"))
+      .groupBy("user_id").agg(min("ts_ms").as("s_ms"))
+    val firstPurchase = events.where(col("event_type") === "purchase")
+      .join(firstSignup, "user_id")
+      .where(col("ts_ms") > col("s_ms"))
+      .groupBy("user_id").agg(min("ts_ms").as("p_ms"))
+    firstView
+      .join(firstSignup, Seq("user_id"), "left")
+      .join(firstPurchase, Seq("user_id"), "left")
+      .agg(count(col("v_ms")).as("n_view"),
+        count(col("s_ms")).as("n_signup_after_view"),
+        count(col("p_ms")).as("n_purchase_after_signup"))
+  }
+
   /** JSON extraction from the `props` column + aggregation: average of
     * `$.k` per event_type surfaced as integer fixed-point (sum and
     * count separately — no float division).

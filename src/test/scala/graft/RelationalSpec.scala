@@ -68,6 +68,18 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("ALL", 2L, 300L), ("click", 1L, 200L), ("view", 1L, 100L)))
   }
 
+  test("funnel counts staged conversions in order") {
+    val e = events(
+      (1L, 1L, 100L, "view", 0.0, "{}"),
+      (2L, 1L, 200L, "signup", 0.0, "{}"),
+      (3L, 1L, 300L, "purchase", 0.0, "{}"),   // full funnel
+      (4L, 2L, 100L, "view", 0.0, "{}"),
+      (5L, 2L, 50L, "signup", 0.0, "{}"),      // signup BEFORE view -> not counted
+      (6L, 3L, 10L, "purchase", 0.0, "{}"))    // purchase only -> not in funnel
+    val r = Relational.funnel(e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)
