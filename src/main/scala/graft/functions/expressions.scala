@@ -54,7 +54,7 @@ case class DotProductD(left: Expression, right: Expression)
   * document replaces k × |shingles| interpreted lambda invocations.
   */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val P: Long = 2147483647L
   @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
     val r = new java.util.Random(seed)
@@ -86,6 +86,28 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     }
     new GenericArrayData(sig)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      s"""int $n = $c.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  long $x = $h % ${P}L; if ($x < 0) $x += ${P}L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($asRef[$j] * $x + $bsRef[$j]) % ${P}L;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);""".stripMargin
+    })
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -93,7 +115,7 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   * result is the sign of Σ (±1 by bit j of each hash).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
@@ -114,6 +136,25 @@ case class SimHash64(child: Expression)
     while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     out
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""int $n = $c.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $counts[$j] += (int) ((($h >>> $j) & 1L) << 1) - 1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
