@@ -67,6 +67,29 @@ class WordCountSpec extends SparkSpec {
     }
   }
 
+  /** Literal simulation of the reference cleaner (`sendFileByFile.cpp:
+    * 89-93`): scan for the first char outside {`'`, ASCII 65..122},
+    * truncate there (single-arg `erase` semantics), then ASCII
+    * tolower — differentially fuzzed against our regex formulation.
+    */
+  private def referenceClean(token: String): String = {
+    val cut = token.indexWhere(c => !(c == '\'' || (c >= 65 && c <= 122)))
+    val kept = if (cut < 0) token else token.substring(0, cut)
+    kept.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+  }
+
+  test("differential fuzz: regex cleaner == reference C++ semantics") {
+    val rnd = new scala.util.Random(99)
+    val pool = ('!' to '~') ++ Seq('\'', '[', '\\', ']', '^', '_', '`')
+    val re = WordCount.CleanPattern.r
+    for (_ <- 1 to 2000) {
+      val tok = Seq.fill(rnd.nextInt(12) + 1)(pool(rnd.nextInt(pool.size))).mkString
+      val viaRegex = re.findFirstIn(tok).getOrElse("")
+        .map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      assert(viaRegex == referenceClean(tok), s"token <$tok>")
+    }
+  }
+
   test("salted word count equals plain word count") {
     val docs = Tables.documents(spark, sf0001)
     val plain = WordCount.wordCount(docs).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
