@@ -90,6 +90,17 @@ class WordCountSpec extends SparkSpec {
     }
   }
 
+  test("reference defects NOT reproduced: long tokens and multibyte input") {
+    // >=30-char tokens are buffer-overflow UB in the reference
+    // (sendFileByFile.cpp:95); here they count like any other token
+    val long = "x" * 500
+    assert(run(s"$long $long") == Map(long -> 2L))
+    // multibyte chars truncate at the first disallowed char (signed-char
+    // comparison made this accidental in the reference; defined here)
+    assert(run("héllo") == Map("h" -> 1L))
+    assert(run("日本語") == Map.empty)
+  }
+
   test("salted word count equals plain word count") {
     val docs = Tables.documents(spark, sf0001)
     val plain = WordCount.wordCount(docs).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
