@@ -168,6 +168,8 @@ object SparkEntry {
       Relational.funnel(Tables.events(s, dir))),
     "events_tumbling" -> ((s, dir) => Relational.eventsTumbling(s, dir)),
     "events_sessionize" -> ((s, dir) => Relational.sessionize(s, dir)),
+    "events_session_window" -> ((s, dir) =>
+      Relational.sessionWindows(Tables.events(s, dir))),
     "events_json" -> ((s, dir) => Relational.eventsJson(s, dir)),
   )
 
@@ -416,6 +418,19 @@ object SparkEntry {
          |      THEN 1 ELSE 0 END AS is_new
          |    FROM events)
          |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session_window" ->
+      s"""SELECT user_id, min(ts_ms) AS start_ms, count(*) AS n_events
+         |FROM (
+         |  SELECT user_id, ts_ms,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |      CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+         |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) >= 1800000
+         |      THEN 1 ELSE 0 END AS is_new
+         |    FROM events)
+         |) GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin,
     "events_json" ->
       s"""SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
          |  min(k) AS min_k, max(k) AS max_k

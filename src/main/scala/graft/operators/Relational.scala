@@ -212,6 +212,21 @@ object Relational {
         col("n_events"), col("sum_value_cents"))
       .orderBy("event_type")
 
+  /** Sessionization via Spark's native `session_window` (dynamic-gap
+    * merging inside the aggregation operator — no window-function
+    * pass). Note the boundary semantics: an event exactly `gap` after
+    * the previous one starts a NEW session (session windows are
+    * half-open), vs. [[sessions]]' strictly-greater rule.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(timestamp_millis(col("ts_ms")), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+        col("n_events"))
+      .orderBy("user_id", "start_ms")
+
   /** Staged funnel: users with a view, users whose first signup comes
     * after their first view, users whose first purchase comes after
     * that signup. Three conditional-min aggregations over one shuffle
