@@ -29,10 +29,10 @@ object SparkEntry {
       s"t -> lower(regexp_extract(t, '$SqlCleanPattern', 0))), w -> length(w) > 0)"
 
   /** DuckDB fragment: one row per surviving token of `documents.text`. */
-  private def sqlWords(extra: String = ""): String =
+  private def sqlWords(extra: String = "", where: String = ""): String =
     s"""SELECT$extra lower(cleaned) AS word FROM (
        |  SELECT *, regexp_extract(tok, '$SqlCleanPattern', 0) AS cleaned FROM (
-       |    SELECT *, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+       |    SELECT *, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents$where
        |  )
        |) WHERE length(cleaned) > 0""".stripMargin
 
@@ -112,6 +112,13 @@ object SparkEntry {
         .orderBy(col("source"), col("rn"))
     }),
     // --- text analysis
+    "vocab_common_en_de" -> ((s, dir) =>
+      WordCount.vocabIntersect(Tables.documents(s, dir), "lang", "en", "de")),
+    "vocab_en_only" -> ((s, dir) =>
+      WordCount.vocabExcept(Tables.documents(s, dir), "lang", "en", "de")),
+    "events_by_day" -> ((s, dir) =>
+      Relational.eventsByDay(Tables.events(s, dir))),
+    // --- text analysis
     "doc_stats" -> ((s, dir) =>
       TextAnalysis.docStats(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) =>
@@ -137,6 +144,9 @@ object SparkEntry {
     // --- similarity search
     "knn_cosine" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+    // same ranking through the custom TopKPerKey bounded-heap operator
+    "knn_cosine_plan" -> ((s, dir) =>
+      Similarity.knnTopKPlan(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
     "ann_ivf" -> ((s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5, bits = 4)),
     "emb_neardup" -> ((s, dir) =>
@@ -221,6 +231,21 @@ object SparkEntry {
          |        GROUP BY 1, 2)
          |) WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
+    "vocab_common_en_de" ->
+      s"""SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'en'")})
+         |INTERSECT
+         |SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'de'")})
+         |ORDER BY word""".stripMargin,
+    "vocab_en_only" ->
+      s"""SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'en'")})
+         |EXCEPT
+         |SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'de'")})
+         |ORDER BY word""".stripMargin,
+    "events_by_day" ->
+      s"""SELECT epoch_ms(ts) // 86400000 AS epoch_day, count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "doc_stats" ->
       s"""SELECT doc_id, length(text)::BIGINT AS n_chars, len(ws)::BIGINT AS n_tokens,
          |  len(list_distinct(ws))::BIGINT AS n_distinct,
@@ -277,6 +302,15 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "knn_cosine" ->
+      s"""SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |               c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_cosine_plan" ->
       s"""SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id

@@ -212,6 +212,17 @@ object Relational {
         col("n_events"), col("sum_value_cents"))
       .orderBy("event_type")
 
+  /** Calendar-day bucketing (epoch days — pure integer arithmetic in
+    * both engines, no timezone/calendar library drift).
+    */
+  def eventsByDay(events: DataFrame): DataFrame =
+    events
+      .select(expr("ts_ms div 86400000").as("epoch_day"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .groupBy("epoch_day")
+      .agg(count(lit(1)).as("n_events"), sum("value_c").as("sum_value_cents"))
+      .orderBy("epoch_day")
+
   /** Sessionization via Spark's native `session_window` (dynamic-gap
     * merging inside the aggregation operator — no window-function
     * pass). Note the boundary semantics: an event exactly `gap` after

@@ -78,6 +78,28 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** kNN ranking through the custom [[graft.plans.TopKPerKey]]
+    * operator instead of a window sort: per-partition bounded heaps cut
+    * the shuffle to ≤ k candidates per (query, partition) — the right
+    * plan when candidates/query ≫ k. Same output contract as
+    * [[knnBruteForce]].
+    */
+  def knnTopKPlan(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val pre = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = pre.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .where(col("query_id") < nQueries)
+    val c = pre.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cos", true), ("neighbor_id", false)), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-dup via banded sign-LSH — the 100 TB path for
     * [[embeddingNearDup]]: one shuffle on (band, 16-bit signature
     * chunk); only bucket-colliding pairs get an exact cosine check.

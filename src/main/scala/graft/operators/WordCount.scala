@@ -133,6 +133,19 @@ object WordCount {
       .orderBy(col(key), col("rn"))
   }
 
+  /** Set operations over per-group vocabularies: the distinct words of
+    * group `a` INTERSECT / EXCEPT the distinct words of group `b`.
+    */
+  def vocabIntersect(docs: DataFrame, keyCol: String, a: String, b: String): DataFrame =
+    explodeWords(docs.where(col(keyCol) === a), "text", Nil).distinct()
+      .intersect(explodeWords(docs.where(col(keyCol) === b), "text", Nil).distinct())
+      .orderBy("word")
+
+  def vocabExcept(docs: DataFrame, keyCol: String, a: String, b: String): DataFrame =
+    explodeWords(docs.where(col(keyCol) === a), "text", Nil).distinct()
+      .except(explodeWords(docs.where(col(keyCol) === b), "text", Nil).distinct())
+      .orderBy("word")
+
   /** Histogram of word lengths over surviving tokens. */
   def wordLengthHist(docs: DataFrame, textCol: String = "text"): DataFrame =
     explodeWords(docs, textCol, Nil)
