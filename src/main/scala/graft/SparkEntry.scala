@@ -164,6 +164,10 @@ object SparkEntry {
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Relational.q5LocalSupplierRevenue(s, dir)),
+    "q6_forecast" -> ((s, dir) => Relational.q6Forecast(s, dir)),
+    "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
+    "events_retention" -> ((s, dir) =>
+      Relational.retention(Tables.events(s, dir))),
     "parts_revenue_by_brand" -> ((s, dir) => Relational.partsRevenueByBrand(s, dir)),
     "top_orders_per_cust" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
     "wordcount_salted" -> ((s, dir) =>
@@ -375,6 +379,28 @@ object SparkEntry {
          |  JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q18_large_orders" ->
+      s"""SELECT c_name, l_orderkey AS orderkey, total_qty FROM (
+         |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+         |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) >= 150
+         |) JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_qty DESC, orderkey""".stripMargin,
+    "events_retention" ->
+      s"""SELECT week, count(*) AS n_retained FROM (
+         |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+         |) a WHERE EXISTS (
+         |  SELECT 1 FROM (
+         |    SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+         |  ) b WHERE b.user_id = a.user_id AND b.week = a.week + 1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "parts_revenue_by_brand" ->
       s"""SELECT p_brand,
          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,

@@ -151,6 +151,55 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6-shaped forecast-revenue filter: pure scan + filter +
+    * single-row aggregate — the pushdown stress test (every predicate
+    * must reach the parquet reader; no shuffle at all besides the
+    * final 1-row combine).
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q18-shaped large-order customers: aggregate-then-filter
+    * (HAVING) with a join back to the dimension — the two-phase
+    * "find heavy groups, then enrich" shape.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Long = 150): DataFrame = {
+    val heavy = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .where(col("total_qty") >= minQty)
+    heavy
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey").as("orderkey"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("orderkey"))
+  }
+
+  /** Week-over-week retention: users active in epoch-week w and also
+    * in week w+1 (left-semi self-join on the week lattice).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), expr("ts_ms div 604800000").as("week"))
+      .distinct()
+    weeks.as("a")
+      .join(weeks.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.week") === col("a.week") + 1, "left_semi")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_retained"))
+      .orderBy("week")
+  }
+
   /** Revenue by part brand: lineitem ⋈ broadcast(part). Completes
     * coverage of every testdata table; the broadcast keeps the fact
     * scan shuffle-free up to the final per-brand aggregation.
