@@ -129,6 +129,10 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir))),
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8)),
+    "dataset_split" -> ((s, dir) =>
+      TextAnalysis.datasetSplit(Tables.documents(s, dir))),
     // --- dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
@@ -286,6 +290,22 @@ object SparkEntry {
                 case (c, ms) => s"('$c', ${sqlList(ms)})" }.mkString(", ")}) u(cand, markers)
          |  )
          |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      s"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk_text,
+         |  CAST(len(list_slice(ws, s + 1, s + 32)) AS BIGINT) AS n_chunk_tokens
+         |FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |     LATERAL (SELECT unnest(range(0, len(ws), 24)) AS s,
+         |                     generate_subscripts(range(0, len(ws), 24), 1) - 1 AS i) r
+         |WHERE len(ws) > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "dataset_split" ->
+      s"""SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($SqlWs)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "media_meta" ->
       s"""SELECT doc_id AS media_id,

@@ -96,6 +96,41 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Fixed-size token chunking with overlap — the pre-training prep
+    * op: each document becomes ⌈(n-overlap)/stride⌉ windows of up to
+    * `chunkSize` tokens. Pure per-row array math (no shuffle until the
+    * caller aggregates); emits (doc_id, chunk_idx, chunk_text,
+    * n_chunk_tokens).
+    */
+  def chunk(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(ws) - 1, $stride),
+           |          s -> concat_ws(' ', slice(ws, s + 1, $chunkSize)))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic train/val/test assignment by id — the reproducible
+    * split every dataset build needs (pure modulo, no RNG state).
+    */
+  def datasetSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .select(
+        when(pmod(col("doc_id"), lit(10L)) < 8, "train")
+          .when(pmod(col("doc_id"), lit(10L)) === 8, "val")
+          .otherwise("test").as("split"),
+        size(col("ws")).cast("long").as("n_toks"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("split")
+
   /** Marker-word lists for the language-ID heuristic. Real systems use
     * character-n-gram profiles (the testdata vocabulary is uniform
     * across langs, so any profile degenerates); the *operator* is the

@@ -38,6 +38,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == got(2L) && got(1L) != got(3L))
   }
 
+  test("chunking windows with overlap; short docs give one chunk") {
+    val d = docs(1L -> (1 to 10).map(i => ('a' + i).toChar.toString).mkString(" "),
+      2L -> "solo")
+    val got = TextAnalysis.chunk(d, chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.head._3 == "b c d e" && doc1.head._4 == 4L)
+    assert(doc1(1)._3 == "d e f g")       // stride 2 -> starts at token 3
+    assert(doc1.last._4 <= 4L)            // tail chunk may be short
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "solo", 1L)))
+  }
+
+  test("datasetSplit is a deterministic 80/10/10 modulo assignment") {
+    val d = docs((0L until 20L).map(i => i -> "w"): _*)
+    val got = TextAnalysis.datasetSplit(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("train" -> 16L, "val" -> 2L, "test" -> 2L))
+  }
+
   test("topNgrams counts overlapping bigrams") {
     val got = TextAnalysis.topNgrams(docs(1L -> "a b a b a"), 2, 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
