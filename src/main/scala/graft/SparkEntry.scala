@@ -36,14 +36,19 @@ object SparkEntry {
        |  )
        |) WHERE length(cleaned) > 0""".stripMargin
 
-  /** DuckDB fragment: distinct (doc_id, 3-gram shingle) rows —
-    * mirrors [[operators.Dedup.shingles]].
+  /** DuckDB fragment: (doc_id, n-gram shingle) rows — mirrors
+    * [[operators.Dedup.shingles]] when distinct, the raw gram stream
+    * otherwise.
     */
-  private val SqlShingles =
-    s"""SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS shingle
-       |FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
-       |     LATERAL (SELECT unnest(range(0, len(ws) - 2)) AS i) r
-       |WHERE len(ws) >= 3""".stripMargin
+  private def sqlShingles(n: Int, distinct: Boolean = true,
+                          where: String = ""): String =
+    s"""SELECT${if (distinct) " DISTINCT" else ""} doc_id,
+       |  array_to_string(list_slice(ws, i + 1, i + $n), ' ') AS shingle
+       |FROM (SELECT doc_id, $SqlWs AS ws FROM documents$where),
+       |     LATERAL (SELECT unnest(range(0, len(ws) - ${n - 1})) AS i) r
+       |WHERE len(ws) >= $n""".stripMargin
+
+  private val SqlShingles = sqlShingles(3)
 
   /** DuckDB: exact 3-gram Jaccard pairs above num/den — the oracle for
     * BOTH the brute-force jaccard query and the MinHash+LSH query (the
@@ -145,6 +150,10 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "dedup_keep_list" -> ((s, dir) =>
       Dedup.keepList(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+    "doc_repetition" -> ((s, dir) =>
+      Dedup.repetitionStats(Tables.documents(s, dir), n = 3)),
+    "decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     // --- similarity search
     "knn_cosine" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
@@ -318,6 +327,18 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> sqlJaccard(4, 5),
     "dedup_minhash" -> sqlJaccard(4, 5),
+    "doc_repetition" ->
+      s"""SELECT doc_id, count(*) AS n_grams,
+         |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_grams
+         |FROM (${sqlShingles(3, distinct = false)})
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "decontaminate" ->
+      s"""SELECT c.doc_id, count(*) AS n_shared_grams
+         |FROM (${sqlShingles(8, where = " WHERE doc_id > 50")}) c
+         |JOIN (SELECT DISTINCT shingle
+         |      FROM (${sqlShingles(8, where = " WHERE doc_id <= 50")})) b
+         |  USING (shingle)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_keep_list" ->
       s"""WITH pairs AS (${sqlJaccard(4, 5)}),
          |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))

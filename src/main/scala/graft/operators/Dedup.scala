@@ -61,6 +61,36 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Within-document repetition stats (the Gopher-style duplicate
+    * n-gram quality signal): total vs distinct n-grams per document,
+    * integer-exact. High (total − distinct) flags boilerplate/looping
+    * text before training.
+    */
+  def repetitionStats(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))")
+        .as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: corpus documents sharing any n-gram
+    * with the benchmark set. The benchmark's distinct n-grams are tiny
+    * relative to the corpus — broadcast them; the corpus side streams
+    * through one shuffle-free semi-join probe, then aggregates per doc.
+    */
+  def decontaminate(docs: DataFrame, benchMaxId: Long, n: Int): DataFrame = {
+    val bench = shingles(docs.where(col("doc_id") <= benchMaxId), n)
+      .select("shingle").distinct()
+    shingles(docs.where(col("doc_id") > benchMaxId), n)
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   /** The post-dedup corpus ("keep list"): the min-id representative of
     * every exact-duplicate group, minus the higher-id member of every
     * near-duplicate pair — i.e. what a training pipeline actually

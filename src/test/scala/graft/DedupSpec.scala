@@ -56,6 +56,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("repetitionStats counts total vs distinct grams") {
+    val r = Dedup.repetitionStats(docs(1L -> "a b a b a b"), 2).collect().head
+    // bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+    assert((r.getLong(1), r.getLong(2)) == ((5L, 2L)))
+  }
+
+  test("decontaminate flags corpus docs sharing benchmark n-grams") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      1L -> bench,                                   // benchmark side
+      100L -> ("prefix words " + bench),             // contains the 8-gram
+      101L -> "totally unrelated text with words")   // clean
+    val got = Dedup.decontaminate(d, benchMaxId = 50, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.contains(100L) && !got.contains(101L))
+  }
+
   test("keepList drops exact dups and the later member of near-dup pairs") {
     val d = docs(
       1L -> base, 2L -> base,                       // near/exact dup of 1
