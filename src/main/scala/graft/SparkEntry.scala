@@ -138,6 +138,8 @@ object SparkEntry {
       TextAnalysis.chunk(Tables.documents(s, dir), chunkSize = 32, overlap = 8)),
     "dataset_split" -> ((s, dir) =>
       TextAnalysis.datasetSplit(Tables.documents(s, dir))),
+    "corpus_build" -> ((s, dir) =>
+      TextAnalysis.corpusBuild(Tables.documents(s, dir))),
     // --- dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
@@ -315,6 +317,34 @@ object SparkEntry {
          |  count(*) AS n_docs,
          |  CAST(sum(len($SqlWs)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_build" ->
+      s"""WITH pairs AS (${sqlJaccard(4, 5)}),
+         |keep AS (
+         |  SELECT doc_id FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+         |good AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, len(ws)::BIGINT AS n_toks,
+         |      coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS swl,
+         |      len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.Stopwords)}, w)))::BIGINT AS sh
+         |    FROM (SELECT doc_id, $SqlWs AS ws FROM documents))
+         |  WHERE (n_toks BETWEEN 5 AND 100000)
+         |    AND ((CASE WHEN n_toks > 0 THEN (swl * 100) // n_toks ELSE 0 END) BETWEEN 150 AND 1500)
+         |    AND sh > 0),
+         |chunks AS (
+         |  SELECT doc_id, CAST(len(list_slice(ws, s + 1, s + 32)) AS BIGINT) AS n_chunk_tokens
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents
+         |        WHERE doc_id IN (SELECT doc_id FROM keep)
+         |          AND doc_id IN (SELECT doc_id FROM good)),
+         |       LATERAL (SELECT unnest(range(0, len(ws), 24)) AS s) r
+         |  WHERE len(ws) > 0)
+         |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+         |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "media_meta" ->
       s"""SELECT doc_id AS media_id,

@@ -131,6 +131,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .orderBy("split")
 
+  /** The whole training-corpus build as one composed pipeline:
+    * exact+near dedup keep-list ∩ quality filter → chunking → split
+    * assignment → per-split chunk/token counts. Every stage is an
+    * already-oracle-checked operator; this is the end-to-end shape a
+    * 100 TB dataset build actually runs.
+    */
+  def corpusBuild(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    val kept = Dedup.keepList(docs, n = 3, num = 4, den = 5)
+    val good = qualityScore(docs).where(col("quality_ok")).select("doc_id")
+    val chunks = chunk(docs.join(kept, "doc_id").join(good, "doc_id"),
+      chunkSize, overlap)
+    chunks
+      .select(
+        when(pmod(col("doc_id"), lit(10L)) < 8, "train")
+          .when(pmod(col("doc_id"), lit(10L)) === 8, "val")
+          .otherwise("test").as("split"),
+        col("doc_id"), col("n_chunk_tokens"))
+      .groupBy("split")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("n_chunk_tokens").as("n_tokens"))
+      .orderBy("split")
+  }
+
   /** Marker-word lists for the language-ID heuristic. Real systems use
     * character-n-gram profiles (the testdata vocabulary is uniform
     * across langs, so any profile degenerates); the *operator* is the
