@@ -30,12 +30,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    // two runs, report the min: run 1 pays Catalyst plan compile + JIT
-    // (measured ~3x inflation on complex plans); min = steady-state.
+    // three runs, report the min: run 1 pays Catalyst plan compile +
+    // JIT (~3x inflation on complex plans) and the host shows ±30%
+    // noise between runs; min = steady-state.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val a = once(name)
-      val b = once(name)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = Seq.fill(3)(once(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
