@@ -164,11 +164,15 @@ case class SimHash64(child: Expression)
   * P(bit agrees) = 1 − θ/π — the standard SRP-LSH family.
   */
 case class SignLsh(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val nWords = (bits + 63) / 64
   @transient private lazy val planeCache =
-    scala.collection.mutable.Map.empty[Int, Array[Double]]
-  private def planes(dim: Int): Array[Double] = planeCache.getOrElseUpdate(dim, {
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  /** Deterministic hyperplanes for a given dimensionality (public for
+    * the generated code; thread-safe — executor threads may share one
+    * generated-class instance).
+    */
+  def planesFor(dim: Int): Array[Double] = planeCache.computeIfAbsent(dim, _ => {
     val r = new java.util.Random(seed)
     Array.fill(bits * dim)(r.nextGaussian())
   })
@@ -176,7 +180,7 @@ case class SignLsh(child: Expression, bits: Int, seed: Long)
   override protected def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
     val dim = e.numElements()
-    val pl = planes(dim)
+    val pl = planesFor(dim)
     val out = new Array[Long](nWords)
     var b = 0
     while (b < bits) {
@@ -188,6 +192,25 @@ case class SignLsh(child: Expression, bits: Int, seed: Long)
       b += 1
     }
     new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signLsh", this, classOf[SignLsh].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val dim = ctx.freshName("dim"); val pl = ctx.freshName("pl")
+      val out = ctx.freshName("out"); val b = ctx.freshName("b")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val off = ctx.freshName("off")
+      s"""int $dim = $c.numElements();
+         |double[] $pl = $self.planesFor($dim);
+         |long[] $out = new long[$nWords];
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  double $s = 0.0;
+         |  int $off = $b * $dim;
+         |  for (int $d = 0; $d < $dim; $d++) { $s += $pl[$off + $d] * $c.getDouble($d); }
+         |  if ($s > 0) $out[$b >> 6] |= (1L << ($b & 63));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);""".stripMargin
+    })
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
