@@ -168,20 +168,20 @@ object TextAnalysis {
     "fr" -> Seq("scan", "data", "query", "batch"),
     "zh" -> Seq("small", "big", "customer", "stream"))
 
-  /** Predicted language per document: (doc_id, pred_lang, score). */
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"), ws.as("ws"))
+  /** Predicted language per document: (doc_id, pred_lang, score).
+    * The argmax is an `array_min` over (−score, code) structs — pure
+    * per-row math inside codegen; the earlier window formulation
+    * shuffled every (doc, lang) pair just to rank 5 rows per doc.
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"),
-        explode(array(LangMarkers.map { case (code, words) =>
+        array_min(array(LangMarkers.map { case (code, words) =>
           struct(
-            lit(code).as("cand"),
-            size(filter(col("ws"), w => w.isin(words: _*))).cast("long").as("score"))
-        }: _*)).as("s"))
-      .select(col("doc_id"), col("s.cand").as("cand"), col("s.score").as("score"))
-    val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
-    scored.withColumn("rn", row_number().over(win))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("cand").as("pred_lang"), col("score"))
+            (-size(filter(col("ws"), w => w.isin(words: _*)))).cast("long").as("neg"),
+            lit(code).as("cand"))
+        }: _*)).as("m"))
+      .select(col("doc_id"), col("m.cand").as("pred_lang"),
+        (-col("m.neg")).cast("long").as("score"))
       .orderBy("doc_id")
-  }
 }
