@@ -69,6 +69,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window merges events within the gap") {
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val agg = in.toDF().toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_millis(col("session_window.start")).as("start_ms"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_win_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 0L), (1L, 60_000L), (1L, 10_000_000L))
+      q.processAllAvailable()
+      in.addData((1L, 100_000_000L))  // advance watermark far -> close sessions
+      q.processAllAvailable()
+      val got = spark.table("sess_win_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.contains((1L, 0L, 2L)))           // merged first two events
+      assert(got.contains((1L, 10_000_000L, 1L)))  // separate session
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per fingerprint") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)]
