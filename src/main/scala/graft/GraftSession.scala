@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session builder: the configuration posture this engine
+  * assumes at scale, in one place. Local callers (tests, Verify,
+  * Bench) override master/partitions; on a cluster the same knobs are
+  * what matter at 100 TB:
+  *
+  *  - AQE on (runtime partition coalescing + skew-join splitting
+  *    replace hand-tuned reducer counts);
+  *  - shuffle partitions sized to cores (locally) — on a cluster set
+  *    ≈ 2-3× total executor cores; AQE coalesces the excess;
+  *  - 128 MiB scan splits (`files.maxPartitionBytes` default) keep
+  *    per-task memory bounded regardless of input size;
+  *  - UTC session timezone so timestamp arithmetic is reproducible
+  *    everywhere (and matches the oracles).
+  */
+object GraftSession {
+  def builder(appName: String = "graft",
+              master: String = "local[*]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -155,6 +155,23 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** Materialize the training corpus: chunk rows partitioned by split
+    * (`out/split=train/...`), so downstream training jobs read one
+    * split with partition pruning and never scan the others. This is
+    * the write-side layout counterpart of [[corpusBuild]]'s stats.
+    */
+  def writeCorpus(docs: DataFrame, out: String,
+                  chunkSize: Int = 32, overlap: Int = 8): Unit = {
+    val kept = Dedup.keepList(docs, n = 3, num = 4, den = 5)
+    val good = qualityScore(docs).where(col("quality_ok")).select("doc_id")
+    chunk(docs.join(kept, "doc_id").join(good, "doc_id"), chunkSize, overlap)
+      .withColumn("split",
+        when(pmod(col("doc_id"), lit(10L)) < 8, "train")
+          .when(pmod(col("doc_id"), lit(10L)) === 8, "val")
+          .otherwise("test"))
+      .write.mode("overwrite").partitionBy("split").parquet(out)
+  }
+
   /** Marker-word lists for the language-ID heuristic. Real systems use
     * character-n-gram profiles (the testdata vocabulary is uniform
     * across langs, so any profile degenerates); the *operator* is the

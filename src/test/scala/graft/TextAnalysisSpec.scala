@@ -57,6 +57,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map("train" -> 16L, "val" -> 2L, "test" -> 2L))
   }
 
+  test("writeCorpus lays out split partitions that prune on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_out").toString
+    TextAnalysis.writeCorpus(Tables.documents(spark, sf0001), s"$out/c")
+    val dirs = new java.io.File(s"$out/c").listFiles().map(_.getName).filter(_.startsWith("split="))
+    assert(dirs.toSet.subsetOf(Set("split=train", "split=val", "split=test")) && dirs.nonEmpty)
+    val train = spark.read.parquet(s"$out/c")
+      .where(org.apache.spark.sql.functions.col("split") === "train")
+    assert(train.count() > 0)
+    assert(train.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("topNgrams counts overlapping bigrams") {
     val got = TextAnalysis.topNgrams(docs(1L -> "a b a b a"), 2, 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
