@@ -193,6 +193,8 @@ object SparkEntry {
       Relational.eventTypePivot(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
       Relational.eventsRollup(Tables.events(s, dir))),
+    "events_props_map" -> ((s, dir) =>
+      Relational.propsMapStats(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) =>
       Relational.funnel(Tables.events(s, dir))),
     "events_tumbling" -> ((s, dir) => Relational.eventsTumbling(s, dir)),
@@ -514,6 +516,13 @@ object SparkEntry {
       s"""SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          |FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type""".stripMargin,
+    "events_props_map" ->
+      s"""SELECT key, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+         |  min(v) AS min_v, max(v) AS max_v
+         |FROM (
+         |  SELECT key, CAST(json_extract_string(props, '$$.' || key) AS BIGINT) AS v
+         |  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events))
+         |GROUP BY key ORDER BY key""".stripMargin,
     "events_funnel" ->
       s"""WITH fv AS (
          |  SELECT user_id, min(epoch_ms(ts)) AS v_ms FROM events

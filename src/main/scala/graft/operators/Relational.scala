@@ -200,6 +200,18 @@ object Relational {
       .orderBy("week")
   }
 
+  /** Map-typed JSON processing: parse `props` into map<string,long>,
+    * explode entries, aggregate per key — the dynamic-schema path for
+    * semi-structured columns (vs. [[jsonStats]]' fixed-path extract).
+    */
+  def propsMapStats(events: DataFrame): DataFrame =
+    events
+      .select(explode(from_json(col("props"), lit("map<string,bigint>"))).as(Seq("key", "v")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("key")
+
   /** Revenue by part brand: lineitem ⋈ broadcast(part). Completes
     * coverage of every testdata table; the broadcast keeps the fact
     * scan shuffle-free up to the final per-brand aggregation.
