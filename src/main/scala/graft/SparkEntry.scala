@@ -116,7 +116,7 @@ object SparkEntry {
         Seq(("cnt", true), ("word", false)), 3)
         .orderBy(col("source"), col("rn"))
     }),
-    // --- text analysis
+    // --- set operations / calendar
     "vocab_common_en_de" -> ((s, dir) =>
       WordCount.vocabIntersect(Tables.documents(s, dir), "lang", "en", "de")),
     "vocab_en_only" -> ((s, dir) =>
