@@ -25,14 +25,14 @@ object SparkEntry {
     * document — mirrors [[operators.WordCount.cleanWords]].
     */
   private val SqlWs =
-    s"list_filter(list_transform(string_split_regex(text, '\\s+'), " +
+    s"list_filter(list_transform(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'), " +
       s"t -> lower(regexp_extract(t, '$SqlCleanPattern', 0))), w -> length(w) > 0)"
 
   /** DuckDB fragment: one row per surviving token of `documents.text`. */
   private def sqlWords(extra: String = "", where: String = ""): String =
     s"""SELECT$extra lower(cleaned) AS word FROM (
        |  SELECT *, regexp_extract(tok, '$SqlCleanPattern', 0) AS cleaned FROM (
-       |    SELECT *, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents$where
+       |    SELECT *, unnest(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS tok FROM documents$where
        |  )
        |) WHERE length(cleaned) > 0""".stripMargin
 
@@ -205,9 +205,10 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. `dedup_simhash` is omitted (its semantics
-    * are defined by a 64-bit hash function DuckDB does not have) →
-    * driver records a rows-only check for it.
+    * the same parquet tables. Two queries are intentionally omitted
+    * (rows-only checks): `dedup_simhash` (semantics defined by a 64-bit
+    * hash DuckDB lacks) and `media_feature_stats` (FakeCodec hashes are
+    * not expressible in SQL).
     */
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -289,7 +290,7 @@ object SparkEntry {
          |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents)
          |) ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
-      s"""SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      s"""SELECT doc_id, md5(lower(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       s"""SELECT doc_id, cand AS pred_lang, score FROM (
@@ -513,9 +514,10 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_rollup" ->
-      s"""SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n_events,
+      s"""SELECT coalesce(et, 'ALL') AS event_type, count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-         |FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type""".stripMargin,
+         |FROM (SELECT coalesce(event_type, '(null)') AS et, value FROM events)
+         |GROUP BY ROLLUP(et) ORDER BY event_type""".stripMargin,
     "events_props_map" ->
       s"""SELECT key, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
          |  min(v) AS min_v, max(v) AS max_v

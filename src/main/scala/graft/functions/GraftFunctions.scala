@@ -23,8 +23,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 object GraftFunctions {
 
   private def intLit(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _)  => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be a literal 32-bit integer")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
     case _ => throw new IllegalArgumentException(s"$what must be a literal integer")
   }
 
@@ -35,7 +41,7 @@ object GraftFunctions {
     "graft_rolling_hash" -> (args => RollingHash64(args(0))),
     "graft_minhash" -> (args => MinHashSignature(args(0),
       intLit(args(1), "k"),
-      if (args.length > 2) intLit(args(2), "seed").toLong else 42L)),
+      if (args.length > 2) longLit(args(2), "seed") else 42L)),
   )
 
   /** Register all functions on an existing session (temp functions). */

@@ -184,6 +184,9 @@ object Dedup {
     * bit_count(xor). Output: (id_a, id_b, hamming).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    // 4-block banding only guarantees a shared block for distance <= 3
+    // (pigeonhole); a larger radius needs maxDist+1 blocks.
+    require(maxDist >= 0 && maxDist <= 3, "4-block banding covers maxDist <= 3")
     val sigs = simhash(docs)
     val blocks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>

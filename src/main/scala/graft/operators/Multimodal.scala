@@ -138,14 +138,17 @@ object Multimodal {
     */
   def mediaFeatureStats(spark: SparkSession, docs: DataFrame, dim: Int = 16): DataFrame = {
     import spark.implicits._
-    val media = syntheticMedia(docs).as[MediaRow]
-    extractFeatures(media, dim).toDF()
-      .select(col("media_id"),
-        aggregate(col("features"), lit(0.0d), (s, v) => s + v).as("feat_sum"))
-      .join(syntheticMedia(docs).select(col("media_id"), col("kind")), "media_id")
+    // single pass: kind rides along with the per-item feature fold, so
+    // the documents scan runs once and there is no join back
+    syntheticMedia(docs).as[MediaRow]
+      .mapPartitions(_.map { m =>
+        var s = 0.0d
+        FakeCodec.features(m.payload, dim).foreach(s += _)
+        (m.kind, math.round(s * 1000))
+      })
+      .toDF("kind", "checksum_part")
       .groupBy("kind")
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("feat_sum") * 1000).cast("long")).as("checksum"))
+      .agg(count(lit(1)).as("n"), sum("checksum_part").as("checksum"))
       .orderBy("kind")
   }
 }

@@ -266,7 +266,12 @@ object Relational {
     * so both engines order identically.
     */
   def eventsRollup(events: DataFrame): DataFrame =
-    events.rollup(col("event_type"))
+    events
+      // map real NULL keys to their own label BEFORE the rollup so the
+      // grand-total row is the only one that coalesces to 'ALL'
+      .select(coalesce(col("event_type"), lit("(null)")).as("event_type"),
+        col("value"))
+      .rollup(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
       .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),

@@ -111,7 +111,8 @@ object Similarity {
     */
   def lshNearDup(emb: DataFrame, threshold: Double, bands: Int = 64,
                  r: Int = 16, seed: Long = 7L): DataFrame = {
-    require(r > 0 && r < 64 && (bands * r) % 64 == 0, "need r<64, 64 | bands*r")
+    require(r > 0 && r < 64 && 64 % r == 0,
+      "need r to divide 64 (band extraction reads within one packed word)")
     val pre = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))

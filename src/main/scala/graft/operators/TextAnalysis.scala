@@ -21,7 +21,7 @@ object TextAnalysis {
     * non-space symbols (the common pre-tokenizer shape used by BPE
     * vocabularies). Identical syntax in Java regex and RE2.
     */
-  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\t\\n\\x0B\\f\\r ]"
 
   private def ws: Column = WordCount.cleanWords(col("text"))
 
@@ -55,7 +55,6 @@ object TextAnalysis {
     * one stopword) — the usual cheap pre-filters before LLM training.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val stop = Stopwords.map(lit(_))
     docs.select(col("doc_id"), ws.as("ws"))
       .select(
         col("doc_id"),
@@ -80,7 +79,7 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
         col("doc_id"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        md5(lower(regexp_replace(col("text"), WordCount.WhitespacePattern, " "))).as("fp"))
       .orderBy("doc_id")
 
   /** Top-k word n-grams by frequency (not per-doc-distinct — this is

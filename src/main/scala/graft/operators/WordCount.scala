@@ -34,8 +34,15 @@ object WordCount {
     */
   val CleanPattern = "^[A-Za-z\\[\\\\\\]^_`']*"
 
+  /** Whitespace class written out explicitly: Java's `\s` is
+    * [ \t\n\x0B\f\r] but RE2's (DuckDB's) `\s` omits vertical tab —
+    * spelling the class keeps Spark, the oracle, and the reference's
+    * `isspace` (`sendFileByFile.cpp:88`) in exact agreement.
+    */
+  val WhitespacePattern = "[\\t\\n\\x0B\\f\\r ]+"
+
   /** Whitespace tokenizer (`operator>>`, `sendFileByFile.cpp:88`). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  def tokens(text: Column): Column = split(text, WhitespacePattern)
 
   /** Prefix-truncation cleaner (`sendFileByFile.cpp:89-91`). */
   def clean(tok: Column): Column = regexp_extract(tok, CleanPattern, 0)
@@ -75,7 +82,7 @@ object WordCount {
     import spark.implicits._
     val re = CleanPattern.r
     docs.select(col(textCol)).na.drop().as[String].rdd
-      .flatMap(_.split("\\s+"))
+      .flatMap(_.split(WhitespacePattern))
       .map(t => re.findFirstIn(t).getOrElse(""))
       .filter(_.nonEmpty)
       .map(w => (w.toLowerCase(java.util.Locale.ROOT), 1L))

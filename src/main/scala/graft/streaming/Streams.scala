@@ -50,7 +50,11 @@ object Streams {
       .withColumn("fp", md5(col("text")))
       .withColumn("ts", timestamp_millis(col("ts_ms")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("fp")
+      // dropDuplicates("fp") alone would keep one state entry per
+      // fingerprint FOREVER (the watermark only bounds state when the
+      // event-time column participates); the WithinWatermark variant
+      // actually evicts expired fingerprints.
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Per-user running session counts via mapGroupsWithState: the
     * custom-state form of sessionization (gap > gapMs starts a new
