@@ -56,6 +56,12 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("simhashPairs rejects radii the 4-block banding cannot cover") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs(1L -> base), maxDist = 4)
+    }
+  }
+
   test("repetitionStats counts total vs distinct grams") {
     val r = Dedup.repetitionStats(docs(1L -> "a b a b a b"), 2).collect().head
     // bigrams: ab ba ab ba ab -> 5 total, 2 distinct

@@ -68,6 +68,23 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("ALL", 2L, 300L), ("click", 1L, 200L), ("view", 1L, 100L)))
   }
 
+  test("rollup keeps a NULL event_type distinct from the grand total") {
+    val e = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 1L, 0L, "view", 1.0, "{}"),
+        org.apache.spark.sql.Row(2L, 1L, 0L, null, 2.0, "{}"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+    val got = Relational.eventsRollup(e).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("(null)", 1L), ("ALL", 2L), ("view", 1L)))
+  }
+
   test("funnel counts staged conversions in order") {
     val e = events(
       (1L, 1L, 100L, "view", 0.0, "{}"),

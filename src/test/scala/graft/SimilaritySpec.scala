@@ -43,6 +43,12 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshNearDup rejects band widths that straddle packed words") {
+    intercept[IllegalArgumentException] {
+      Similarity.lshNearDup(emb((0L, Seq(1f), 0)), 0.9, bands = 8, r = 24)
+    }
+  }
+
   test("lshNearDup finds planted duplicates and equals brute force") {
     // 30 random-ish base vectors + 3 planted near-identical pairs
     val rnd = new scala.util.Random(13)
