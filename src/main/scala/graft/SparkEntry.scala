@@ -154,6 +154,9 @@ object SparkEntry {
       Dedup.keepList(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     "doc_repetition" -> ((s, dir) =>
       Dedup.repetitionStats(Tables.documents(s, dir), n = 3)),
+    "dedup_components" -> ((s, dir) =>
+      Dedup.components(
+        Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5))),
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     // --- similarity search
@@ -360,6 +363,18 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> sqlJaccard(4, 5),
     "dedup_minhash" -> sqlJaccard(4, 5),
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_repetition" ->
       s"""SELECT doc_id, count(*) AS n_grams,
          |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_grams

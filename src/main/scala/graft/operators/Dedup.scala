@@ -103,6 +103,42 @@ object Dedup {
     reps.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
+  /** Connected components over near-duplicate pairs by iterative
+    * min-label propagation — the clustering step after pair generation
+    * (note [[keepList]]'s pair-wise drop under-deletes on transitive
+    * chains: pairs (1,3),(2,3) keep {1,2}, but the component keeps
+    * only 1). Each iteration is one join + aggregation; lineage is cut
+    * per step with localCheckpoint (use a checkpoint dir on a real
+    * cluster); converges in O(component diameter) steps — small for
+    * dup clusters — with a driver-side loop that moves no row data.
+    * Output: (doc_id, comp = min doc_id of the component).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("comp").as("ncomp"))
+      val updated = labels
+        .join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l"), "id")
+        .where(col("u.comp") =!= col("l.comp"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signatures: (doc_id, sig: array<long> of length k).

@@ -56,6 +56,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("components clusters transitive chains to the min id") {
+    import spark.implicits._
+    // star: (1,3),(2,3) — pairwise keepList would keep {1,2}; CC keeps comp=1
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long chain needs multiple propagation rounds
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    val cc = Dedup.components(chain).collect().map(_.getLong(1)).toSet
+    assert(cc == Set(1L))
+  }
+
   test("simhashPairs rejects radii the 4-block banding cannot cover") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs(1L -> base), maxDist = 4)
