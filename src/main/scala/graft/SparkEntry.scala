@@ -157,6 +157,8 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.components(
         Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5))),
+    "dedup_keep_list_cc" -> ((s, dir) =>
+      Dedup.keepListCC(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     // --- similarity search
@@ -375,6 +377,21 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS comp FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_keep_list_cc" ->
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT doc_id FROM reps
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != comp)
+         |ORDER BY doc_id""".stripMargin,
     "doc_repetition" ->
       s"""SELECT doc_id, count(*) AS n_grams,
          |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_grams

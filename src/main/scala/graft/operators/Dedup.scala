@@ -139,6 +139,18 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 
+  /** Component-correct keep list: exact-dup representatives minus every
+    * near-dup cluster member that is not its component's minimum —
+    * handles transitive chains that pair-wise [[keepList]] misses.
+    */
+  def keepListCC(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val reps = exact(docs).select(col("keep_id").as("doc_id"))
+    val drops = components(jaccardPairs(docs, n, num, den))
+      .where(col("doc_id") =!= col("comp"))
+      .select("doc_id")
+    reps.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signatures: (doc_id, sig: array<long> of length k).
