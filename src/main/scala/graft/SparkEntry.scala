@@ -327,10 +327,19 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_build" ->
-      s"""WITH pairs AS (${sqlJaccard(4, 5)}),
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
          |keep AS (
          |  SELECT doc_id FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != comp)),
          |good AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id, len(ws)::BIGINT AS n_toks,

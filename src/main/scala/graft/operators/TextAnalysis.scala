@@ -137,7 +137,7 @@ object TextAnalysis {
     * 100 TB dataset build actually runs.
     */
   def corpusBuild(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
-    val kept = Dedup.keepList(docs, n = 3, num = 4, den = 5)
+    val kept = Dedup.keepListCC(docs, n = 3, num = 4, den = 5)
     val good = qualityScore(docs).where(col("quality_ok")).select("doc_id")
     val chunks = chunk(docs.join(kept, "doc_id").join(good, "doc_id"),
       chunkSize, overlap)
@@ -161,7 +161,7 @@ object TextAnalysis {
     */
   def writeCorpus(docs: DataFrame, out: String,
                   chunkSize: Int = 32, overlap: Int = 8): Unit = {
-    val kept = Dedup.keepList(docs, n = 3, num = 4, den = 5)
+    val kept = Dedup.keepListCC(docs, n = 3, num = 4, den = 5)
     val good = qualityScore(docs).where(col("quality_ok")).select("doc_id")
     chunk(docs.join(kept, "doc_id").join(good, "doc_id"), chunkSize, overlap)
       .withColumn("split",
