@@ -35,8 +35,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must make the bench LOUDER, not faster: each one
+    // lands in "failed" and adds a 600 s penalty to the total
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.map(_._2).filter(_ >= 0).sum + 600.0 * failed.size
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

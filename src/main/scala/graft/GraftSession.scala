@@ -28,5 +28,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata `events` stores TIMESTAMP(NANOS), which Spark 4 only
+      // reads as bigint nanos via this legacy flag (Tables.events then
+      // normalizes to epoch-ms)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -13,13 +13,13 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
 
   /** `events` with `ts` normalized to a `ts_ms` epoch-milliseconds
-    * bigint. The testdata stores TIMESTAMP(NANOS) which Spark 4 only
-    * reads via the nanos-as-long legacy flag; epoch millis is also the
-    * representation every oracle query compares on (engine-native
-    * timestamp types don't round-trip identically).
+    * bigint. The testdata stores TIMESTAMP(NANOS), readable only under
+    * the nanos-as-long legacy flag — set in [[GraftSession.builder]]
+    * (the single source of session config), not here; epoch millis is
+    * also the representation every oracle query compares on
+    * (engine-native timestamp types don't round-trip identically).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(s, dir, "events")
     val tsMs = df.schema("ts").dataType match {
       case LongType => expr("ts div 1000000")  // nanos → millis

@@ -107,35 +107,52 @@ object Dedup {
     * min-label propagation — the clustering step after pair generation
     * (note [[keepList]]'s pair-wise drop under-deletes on transitive
     * chains: pairs (1,3),(2,3) keep {1,2}, but the component keeps
-    * only 1). Each iteration is one join + aggregation; lineage is cut
-    * per step with localCheckpoint (use a checkpoint dir on a real
-    * cluster); converges in O(component diameter) steps — small for
-    * dup clusters — with a driver-side loop that moves no row data.
-    * Output: (doc_id, comp = min doc_id of the component).
+    * only 1). Each iteration is ONE Spark job: the propagation join's
+    * result is materialized (cutting lineage; use reliable checkpoint
+    * dirs on a real cluster) while a LongAccumulator counts changed
+    * labels in the same action — no separate convergence job, no extra
+    * join. Converges in O(component diameter) steps; if `maxIter` is
+    * hit first the loop THROWS rather than silently returning labels
+    * that would under-delete duplicates downstream. Output:
+    * (doc_id, comp = min doc_id of the component).
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    var prev: Option[org.apache.spark.rdd.RDD[(Long, Long)]] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("comp").as("ncomp"))
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
       val updated = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l"), "id")
-        .where(col("u.comp") =!= col("l.comp"))
-        .isEmpty
-      labels = updated
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
+        .as[(Long, Long, Boolean)]
+        .rdd.map { case (id, comp, ch) => if (ch) acc.add(1L); (id, comp) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      updated.count() // the single job: materializes + fills the accumulator
+      // (a retried task may over-count `acc`; only zero-vs-nonzero is
+      // read, and a false nonzero just costs one extra iteration)
+      converged = acc.value == 0L
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(updated)
+      labels = updated.toDF("id", "comp")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.components did not converge within $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter — " +
+          "returning early would silently under-delete duplicates")
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 
@@ -198,7 +215,12 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int, b: Int, r: Int,
                    num: Int, den: Int, seed: Long = 42L): DataFrame = {
     val cands = lshCandidates(minhashSignatures(docs, n, b * r, seed), b, r)
-    val sh = shingles(docs, n)
+    // semi-join prune: only candidate documents' shingles enter the
+    // verify joins — non-candidate docs (the vast majority at scale)
+    // never shuffle their shingle sets
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val sh = shingles(docs, n).join(candIds, Seq("doc_id"), "left_semi")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cands
       .join(sh.as("a"), col("id_a") === col("a.doc_id"))
@@ -216,13 +238,22 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document from token hashes: bit j of the
-    * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(token)).
+    * signature is the sign of Σ_tokens (±1 by bit j of hash(token)).
     * Pure per-row array math.
+    *
+    * Token hash: the first 15 hex chars of md5 as a 60-bit integer —
+    * chosen over xxhash64 because it is bit-identically computable in
+    * other engines (the DuckDB oracle reproduces it with strpos/shift
+    * arithmetic), making the whole simhash pipeline hash-verifiable.
+    * Bits 60-63 of the signature are always 0 (counts are −n there),
+    * identically on both engines; the 4×16-bit banding is unaffected.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), WordCount.cleanWords(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
-      .select(col("doc_id"), expr("transform(ws, w -> xxhash64(w))").as("hs"))
+      .select(col("doc_id"), expr(
+        "transform(ws, w -> cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint))")
+        .as("hs"))
       .select(col("doc_id"),
         graft.functions.functions.simhash64(col("hs")).as("simhash"))
 

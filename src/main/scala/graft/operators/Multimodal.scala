@@ -132,23 +132,29 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"))
       .orderBy("media_id")
 
-  /** End-to-end media pipeline as a query: decode → features → per-kind
-    * aggregate of feature checksums (rows-only check: FakeCodec hashes
-    * aren't expressible in SQL).
+  /** End-to-end media pipeline as a query: decode every payload header
+    * through the per-partition batch path ([[decodeMeta]]'s shape), then
+    * aggregate per kind. The decoded fields are plain header-byte math
+    * (width = b0·256+b1, height = b2·256+b3, frames = max(1, b4)), so a
+    * SQL oracle can reproduce them from the payload bytes — making the
+    * whole decode → aggregate pipeline hash-verifiable, unlike the
+    * earlier feature-checksum form whose 64-bit rolling hash no SQL
+    * engine could mirror.
     */
   def mediaFeatureStats(spark: SparkSession, docs: DataFrame, dim: Int = 16): DataFrame = {
     import spark.implicits._
-    // single pass: kind rides along with the per-item feature fold, so
-    // the documents scan runs once and there is no join back
+    // single pass: kind rides along with the per-item decode, so the
+    // documents scan runs once and there is no join back
     syntheticMedia(docs).as[MediaRow]
       .mapPartitions(_.map { m =>
-        var s = 0.0d
-        FakeCodec.features(m.payload, dim).foreach(s += _)
-        (m.kind, math.round(s * 1000))
+        val (w, h, f) = FakeCodec.decode(m.payload)
+        (m.kind, w.toLong, h.toLong, f.toLong, m.payload.length.toLong)
       })
-      .toDF("kind", "checksum_part")
+      .toDF("kind", "w", "h", "f", "nb")
       .groupBy("kind")
-      .agg(count(lit(1)).as("n"), sum("checksum_part").as("checksum"))
+      .agg(count(lit(1)).as("n"), sum("w").as("sum_width"),
+        sum("h").as("sum_height"), sum("f").as("sum_frames"),
+        sum("nb").as("sum_bytes"))
       .orderBy("kind")
   }
 }

@@ -261,22 +261,58 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** Rollup: per-type and grand-total event stats in one pass
-    * (`GROUPING SETS` via rollup); null grouping key surfaced as 'ALL'
-    * so both engines order identically.
+  /** Rollup: per-type and grand-total event stats in one pass. The
+    * total row is marked by `grouping()` (`is_total`), not a sentinel
+    * string — a real event_type value equal to any sentinel can never
+    * be conflated with the rollup's own rows (the (event_type,
+    * is_total) pair is unambiguous even for NULL keys, displayed '').
     */
   def eventsRollup(events: DataFrame): DataFrame =
     events
-      // map real NULL keys to their own label BEFORE the rollup so the
-      // grand-total row is the only one that coalesces to 'ALL'
-      .select(coalesce(col("event_type"), lit("(null)")).as("event_type"),
-        col("value"))
       .rollup(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
+      // grouping() is only resolvable inside the rollup's own agg
+      .agg(grouping(col("event_type")).cast("long").as("is_total"),
+        count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
-      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        col("n_events"), col("sum_value_cents"))
-      .orderBy("event_type")
+      .select(coalesce(col("event_type"), lit("")).as("event_type"),
+        col("is_total"), col("n_events"), col("sum_value_cents"))
+      .orderBy("is_total", "event_type")
+
+  /** Cube over (event_type, epoch_day): all four grouping combinations
+    * in one pass, each row tagged with its grouping id (bit 1 =
+    * event_type aggregated away, bit 0 = epoch_day) — same
+    * no-sentinel-conflation contract as [[eventsRollup]].
+    */
+  def eventsCube(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("ts_ms div 86400000").as("epoch_day"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .cube(col("event_type"), col("epoch_day"))
+      .agg((grouping(col("event_type")) * 2 + grouping(col("epoch_day")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_events"), sum("value_c").as("sum_value_cents"))
+      .select(coalesce(col("event_type"), lit("")).as("event_type"),
+        coalesce(col("epoch_day"), lit(-1L)).as("epoch_day"),
+        col("gid"), col("n_events"), col("sum_value_cents"))
+      .orderBy("gid", "event_type", "epoch_day")
+
+  /** Explicit GROUPING SETS — the two single-key marginals only (per
+    * event_type, per epoch_day), no cross product and no grand total:
+    * the shape rollup/cube can't express.
+    */
+  def eventsGroupingSets(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("ts_ms div 86400000").as("epoch_day"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("epoch_day"))),
+        col("event_type"), col("epoch_day"))
+      .agg((grouping(col("event_type")) * 2 + grouping(col("epoch_day")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_events"), sum("value_c").as("sum_value_cents"))
+      .select(coalesce(col("event_type"), lit("")).as("event_type"),
+        coalesce(col("epoch_day"), lit(-1L)).as("epoch_day"),
+        col("gid"), col("n_events"), col("sum_value_cents"))
+      .orderBy("gid", "event_type", "epoch_day")
 
   /** Calendar-day bucketing (epoch days — pure integer arithmetic in
     * both engines, no timezone/calendar library drift).

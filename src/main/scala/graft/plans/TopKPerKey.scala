@@ -158,6 +158,15 @@ object TopKStrategy extends SparkStrategy {
 object TopK {
   /** Top-k rows per key group, ordered by `orderBy` (column name →
     * descending?), with a 1-based `rankName` column appended.
+    *
+    * CONTRACT: `orderBy` must be a TOTAL order within each key group —
+    * include a unique tiebreaker column (every call site here appends
+    * one, e.g. `("word", false)` after `("cnt", true)`). The bounded
+    * heaps reject rows comparing equal to the current worst kept row
+    * (strict less-than admission), so under a partial order the kept
+    * set among ties is partition-dependent and will disagree with
+    * `row_number()` — with a total order no two rows compare equal and
+    * the result is exactly the window formulation's.
     */
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
              k: Int, rankName: String = "rn"): DataFrame = {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 import graft.operators.WordCount
 
@@ -25,6 +25,26 @@ object Streams {
       .select(explode(WordCount.cleanWords(col("value"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
+
+  /** [[wordCountStream]] driven to completion with an AvailableNow
+    * trigger and a memory sink: processes every file present, then
+    * terminates — the batch-equivalence form (must equal
+    * [[WordCount.wordCount]] over the same lines, which is what the
+    * driver's wordcount oracle checks). Complete output mode keeps the
+    * full running (word, cnt) state table; ordering is applied on the
+    * returned batch view.
+    */
+  def wordCountAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_wc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = wordCountStream(spark, dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("word")
+  }
 
   /** Tumbling event-time windows with a watermark: counts + cents sum
     * per (window, event_type); append mode emits each window once its

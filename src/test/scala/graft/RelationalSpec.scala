@@ -59,13 +59,14 @@ class RelationalSpec extends SparkSpec {
     assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(6) == 2L)
   }
 
-  test("rollup emits per-type rows plus ALL grand total") {
+  test("rollup emits per-type rows plus a grouping()-tagged grand total") {
     val e = events(
       (1L, 1L, 0L, "view", 1.0, "{}"),
       (2L, 1L, 0L, "click", 2.0, "{}"))
     val got = Relational.eventsRollup(e).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == Seq(("ALL", 2L, 300L), ("click", 1L, 200L), ("view", 1L, 100L)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("click", 0L, 1L, 200L), ("view", 0L, 1L, 100L),
+      ("", 1L, 2L, 300L)))
   }
 
   test("rollup keeps a NULL event_type distinct from the grand total") {
@@ -81,8 +82,10 @@ class RelationalSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
     val got = Relational.eventsRollup(e).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(got == Seq(("(null)", 1L), ("ALL", 2L), ("view", 1L)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the NULL-key row ('' is_total=0) is distinct from the grand
+    // total ('' is_total=1) even though a value-domain sentinel isn't
+    assert(got == Seq(("", 0L, 1L), ("view", 0L, 1L), ("", 1L, 2L)))
   }
 
   test("funnel counts staged conversions in order") {
