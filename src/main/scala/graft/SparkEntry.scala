@@ -193,6 +193,15 @@ object SparkEntry {
       Dedup.keepListCC(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
+    "decontaminate_strict" -> ((s, dir) =>
+      Dedup.decontaminateStrict(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
+    // the full scale path: LSH candidates → exact verify → connected
+    // components (same recursive-CTE oracle as dedup_components, since
+    // verified minhash pairs converge to the exact jaccard pair set)
+    "dedup_components_minhash" -> ((s, dir) =>
+      Dedup.components(
+        Dedup.minhashPairs(Tables.documents(s, dir), n = 3, b = 32, r = 4,
+          num = 4, den = 5))),
     // --- similarity search
     "knn_cosine" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
@@ -243,6 +252,34 @@ object SparkEntry {
     "events_session_window" -> ((s, dir) =>
       Relational.sessionWindows(Tables.events(s, dir))),
     "events_json" -> ((s, dir) => Relational.eventsJson(s, dir)),
+    "events_interval_join" -> ((s, dir) =>
+      Relational.intervalJoinViews(Tables.events(s, dir))),
+    "events_value_quantiles" -> ((s, dir) =>
+      Relational.valueQuantiles(Tables.events(s, dir))),
+    "customer_spend_tiers" -> ((s, dir) =>
+      Relational.customerSpendTiers(s, dir)),
+    "events_daily_momentum" -> ((s, dir) =>
+      Relational.dailyMomentum(Tables.events(s, dir))),
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))),
+    "pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir))),
+    "events_type_rank" -> ((s, dir) =>
+      Relational.eventTypeRanks(Tables.events(s, dir))),
+    "events_sliding" -> ((s, dir) =>
+      Relational.slidingWindows(Tables.events(s, dir))),
+    "events_clicks_views_fo" -> ((s, dir) =>
+      Relational.clicksVsViewsByDay(Tables.events(s, dir))),
+    // watermark+window streaming under the driver's oracle: the events
+    // parquet as a file stream, tumbling windows, run to completion
+    "streaming_events_windows" -> ((s, dir) =>
+      graft.streaming.Streams.eventsWindowsAvailableNow(s, dir)),
+    // streaming dedup (dropDuplicatesWithinWatermark) and custom state
+    // (mapGroupsWithState), both driven to completion + batch-oracled
+    "streaming_dedup" -> ((s, dir) =>
+      graft.streaming.Streams.dedupAvailableNow(s, dir)),
+    "streaming_session_counts" -> ((s, dir) =>
+      graft.streaming.Streams.sessionCountsAvailableNow(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -503,6 +540,27 @@ object SparkEntry {
          |SELECT doc_id FROM reps
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
+    "decontaminate_strict" ->
+      s"""SELECT doc_id FROM documents WHERE doc_id > 50
+         |  AND doc_id NOT IN (
+         |    SELECT DISTINCT c.doc_id
+         |    FROM (${sqlShingles(8, where = " WHERE doc_id > 50")}) c
+         |    JOIN (SELECT DISTINCT shingle
+         |          FROM (${sqlShingles(8, where = " WHERE doc_id <= 50")})) b
+         |      USING (shingle))
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_components_minhash" ->
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "knn_cosine" ->
       s"""SELECT query_id, neighbor_id, rank FROM (
@@ -722,5 +780,98 @@ object SparkEntry {
          |  min(k) AS min_k, max(k) AS max_k
          |FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_interval_join" ->
+      s"""SELECT p.event_id AS purchase_id, count(v.v_ms) AS n_views_before
+         |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+         |      WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT user_id, epoch_ms(ts) AS v_ms FROM events
+         |           WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id
+         |  AND v.v_ms >= p.ts_ms - 600000 AND v.v_ms < p.ts_ms
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_value_quantiles" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  quantile_cont(c, 0.25) AS p25, quantile_cont(c, 0.5) AS p50,
+         |  quantile_cont(c, 0.75) AS p75
+         |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "customer_spend_tiers" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+         |  FROM orders GROUP BY 1),
+         |cuts AS (SELECT quantile_cont(spend_cents, 0.25) AS q1,
+         |                quantile_cont(spend_cents, 0.5) AS q2,
+         |                quantile_cont(spend_cents, 0.75) AS q3 FROM spend)
+         |SELECT CAST(CASE WHEN spend_cents <= q1 THEN 1
+         |            WHEN spend_cents <= q2 THEN 2
+         |            WHEN spend_cents <= q3 THEN 3 ELSE 4 END AS BIGINT) AS tier,
+         |  count(*) AS n_customers, CAST(sum(spend_cents) AS BIGINT) AS sum_spend_cents
+         |FROM spend, cuts GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_daily_momentum" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1)
+         |SELECT epoch_day, cents,
+         |  coalesce(cents - lag(cents) OVER (ORDER BY epoch_day), 0) AS delta_cents,
+         |  CAST(sum(cents) OVER (ORDER BY epoch_day
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_cents
+         |FROM daily ORDER BY epoch_day""".stripMargin,
+    "tfidf_top_terms" ->
+      s"""WITH tf AS (SELECT doc_id, word, count(*) AS tf
+         |            FROM (${sqlWords(" doc_id,")}) GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT doc_id, word, tf, df, tf * 1000000 // df AS score
+         |      FROM tf JOIN df USING (word))
+         |SELECT doc_id, word, tf, df, score, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, word) AS rn FROM s
+         |) WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "streaming_events_windows" ->
+      s"""SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms, event_type,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event belongs to width/slide = 2 sliding windows
+    "events_sliding" ->
+      s"""SELECT (epoch_ms(ts) // 300000 - i) * 300000 AS window_start_ms,
+         |  event_type, count(*) AS n_events
+         |FROM events, LATERAL (SELECT unnest(range(2)) AS i) r
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_clicks_views_fo" ->
+      s"""SELECT coalesce(c.epoch_day, v.epoch_day) AS epoch_day,
+         |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_views, 0) AS n_views
+         |FROM (SELECT epoch_ms(ts) // 86400000 AS epoch_day, count(*) AS n_clicks
+         |      FROM events WHERE event_type = 'click' GROUP BY 1) c
+         |FULL JOIN (SELECT epoch_ms(ts) // 86400000 AS epoch_day, count(*) AS n_views
+         |           FROM events WHERE event_type = 'view' GROUP BY 1) v
+         |  ON c.epoch_day = v.epoch_day
+         |ORDER BY epoch_day""".stripMargin,
+    "streaming_dedup" ->
+      s"""SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp""",
+    "pii_scrub" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}'))::BIGINT AS n_urls,
+         |  md5(regexp_replace(
+         |        regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |        '${TextAnalysis.UrlPattern}', '<URL>', 'g')) AS scrubbed_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_type_rank" ->
+      s"""SELECT user_id, event_type, cnt,
+         |  rank() OVER w AS rnk, dense_rank() OVER w AS dense_rnk
+         |FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY cnt DESC)
+         |ORDER BY user_id, event_type""".stripMargin,
+    "streaming_session_counts" ->
+      s"""SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+         |  SELECT user_id,
+         |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+         |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -91,6 +91,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Strict decontamination: corpus documents sharing NO n-gram with
+    * the benchmark set — the keep side of [[decontaminate]], via a
+    * left-anti join against the contaminated ids. Documents too short
+    * to shingle are trivially clean and kept.
+    */
+  def decontaminateStrict(docs: DataFrame, benchMaxId: Long, n: Int): DataFrame = {
+    val bench = shingles(docs.where(col("doc_id") <= benchMaxId), n)
+      .select("shingle").distinct()
+    val corpus = docs.where(col("doc_id") > benchMaxId)
+    val contaminated = shingles(corpus, n)
+      .join(broadcast(bench), "shingle")
+      .select("doc_id").distinct()
+    corpus.select("doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** The post-dedup corpus ("keep list"): the min-id representative of
     * every exact-duplicate group, minus the higher-id member of every
     * near-duplicate pair — i.e. what a training pipeline actually
@@ -117,35 +134,29 @@ object Dedup {
     * (doc_id, comp = min doc_id of the component).
     */
   def components(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
-    var prev: Option[org.apache.spark.rdd.RDD[(Long, Long)]] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("comp").as("ncomp"))
-      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      // the changed flag rides the propagation row, so the ONE real job
+      // per iteration (the eager localCheckpoint) computes both the new
+      // labels and the convergence signal; the isEmpty probe below is a
+      // limit-1 scan of the just-cached blocks, not a second pass (the
+      // round-1 version re-joined old and new labels to diff them)
       val updated = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
-        .as[(Long, Long, Boolean)]
-        .rdd.map { case (id, comp, ch) => if (ch) acc.add(1L); (id, comp) }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      updated.count() // the single job: materializes + fills the accumulator
-      // (a retried task may over-count `acc`; only zero-vs-nonzero is
-      // read, and a false nonzero just costs one extra iteration)
-      converged = acc.value == 0L
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(updated)
-      labels = updated.toDF("id", "comp")
+        .localCheckpoint()
+      converged = updated.where(col("changed")).isEmpty
+      labels = updated.drop("changed")
       iter += 1
     }
     if (!converged)

@@ -364,6 +364,133 @@ object Relational {
         count(col("p_ms")).as("n_purchase_after_signup"))
   }
 
+  /** rank/dense_rank with REAL ties: event types ranked per user by
+    * count (equal counts are common, so rank gaps and dense ranks
+    * genuinely differ). Rank values depend only on the count multiset,
+    * so the output is deterministic; presentation order pins ties by
+    * event_type.
+    */
+  def eventTypeRanks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("cnt").desc)
+    events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("event_type"), col("cnt"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("dense_rnk"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Sliding event-time windows via the built-in `window()` generator:
+    * each event lands in width/slide windows (2 here). Spark explodes
+    * the window set per row before the aggregation — one shuffle on
+    * (window, event_type), same as tumbling ×(width/slide).
+    */
+  def slidingWindows(events: DataFrame, width: String = "10 minutes",
+                     slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(timestamp_millis(col("ts_ms")), width, slide).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start_ms", "event_type")
+
+  /** Full-outer join coverage: daily click vs view counts, days kept
+    * from either side, absent side zero-filled. Both inputs are day
+    * aggregates, so the join is tiny regardless of event volume.
+    */
+  def clicksVsViewsByDay(events: DataFrame): DataFrame = {
+    def daily(t: String, as: String) = events
+      .where(col("event_type") === t)
+      .groupBy(expr("ts_ms div 86400000").as("epoch_day"))
+      .agg(count(lit(1)).as(as))
+    daily("click", "n_clicks")
+      .join(daily("view", "n_views"), Seq("epoch_day"), "full_outer")
+      .select(col("epoch_day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy("epoch_day")
+  }
+
+  /** Interval (range) join: for each purchase, how many views the same
+    * user made in the preceding `windowMs`. The join key is the
+    * equi-part (user_id) — one shuffle, range predicate evaluated as a
+    * residual on co-located rows — so the cost is bounded by events per
+    * user, never a cross product.
+    */
+  def intervalJoinViews(events: DataFrame, windowMs: Long = 600000L): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_ms"))
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_ms").as("v_ms"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ms") >= col("ts_ms") - windowMs && col("v_ms") < col("ts_ms"),
+        "left")
+      .groupBy("purchase_id")
+      .agg(count(col("v_ms")).as("n_views_before"))
+      .orderBy("purchase_id")
+  }
+
+  /** Exact quantiles of per-event value (integer cents) per event_type.
+    * Quarter-point interpolation over integers is exactly representable
+    * in binary doubles, so Spark's `percentile` and DuckDB's
+    * `quantile_cont` agree bit-for-bit.
+    */
+  def valueQuantiles(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(c, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("event_type"), col("n"),
+        col("qs")(0).as("p25"), col("qs")(1).as("p50"), col("qs")(2).as("p75"))
+      .orderBy("event_type")
+
+  /** Customer spend tiers by quartile BOUNDARY assignment (not ntile):
+    * the three quartile cut points are one tiny percentile aggregate
+    * broadcast back over the spend table — no global single-partition
+    * window sort, which is what `ntile()` over an empty partitionBy
+    * would cost at scale. Ties land by value, deterministically.
+    */
+  def customerSpendTiers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(cents("o_totalprice")).as("spend_cents"))
+    val cuts = spend.agg(
+      expr("percentile(spend_cents, array(0.25D, 0.5D, 0.75D))").as("qs"))
+    spend.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("spend_cents"),
+        when(col("spend_cents") <= col("qs")(0), 1L)
+          .when(col("spend_cents") <= col("qs")(1), 2L)
+          .when(col("spend_cents") <= col("qs")(2), 3L)
+          .otherwise(4L).as("tier"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("spend_cents").as("sum_spend_cents"))
+      .orderBy("tier")
+  }
+
+  /** Daily revenue momentum: per-day cents total with day-over-day
+    * delta and a 7-row moving sum. The window is global but runs over
+    * the per-day AGGREGATES (≤ a few thousand rows for decades of
+    * days) — the raw events never pass through a single partition.
+    */
+  def dailyMomentum(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("ts_ms div 86400000").as("epoch_day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("epoch_day")
+      .agg(sum("c").as("cents"))
+    val w = Window.orderBy("epoch_day")
+    daily
+      .withColumn("delta_cents",
+        coalesce(col("cents") - lag("cents", 1).over(w), lit(0L)))
+      .withColumn("ma7_cents",
+        sum("cents").over(w.rowsBetween(-6, 0)))
+      .orderBy("epoch_day")
+  }
+
   /** JSON extraction from the `props` column + aggregation: average of
     * `$.k` per event_type surfaced as integer fixed-point (sum and
     * count separately — no float division).

@@ -171,6 +171,49 @@ object TextAnalysis {
       .write.mode("overwrite").partitionBy("split").parquet(out)
   }
 
+  /** PII patterns shared with the oracle — kept lookaround-free so Java
+    * regex and RE2 agree byte-for-byte.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val UrlPattern = "https?://[^\\t\\n\\x0B\\f\\r ]+"
+
+  /** PII scrub — the redaction stage every training pipeline runs
+    * before the text reaches a model: count and strip emails/URLs,
+    * fingerprint the scrubbed text. Pure per-row regex inside codegen;
+    * the counts + md5 make redaction itself oracle-verifiable.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlPattern), lit(0)))
+          .cast("long").as("n_urls"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          UrlPattern, "<URL>")).as("scrubbed_fp"))
+      .orderBy("doc_id")
+
+  /** Top-k salient terms per document by a tf-idf-style score kept in
+    * INTEGER arithmetic (`tf·10^6 div df` — monotone in tf/idf, exact
+    * on both engines; no float log). Two aggregations (tf per (doc,
+    * word), df per word) and one join on word — the document-frequency
+    * side is vocabulary-sized, so the join shuffles by word rather than
+    * broadcasting (vocabulary at 100 TB is itself huge).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        expr("tf * 1000000L div df").as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .orderBy("doc_id", "rn")
+  }
+
   /** Marker-word lists for the language-ID heuristic. Real systems use
     * character-n-gram profiles (the testdata vocabulary is uniform
     * across langs, so any profile degenerates); the *operator* is the

@@ -26,25 +26,103 @@ object Streams {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
-  /** [[wordCountStream]] driven to completion with an AvailableNow
-    * trigger and a memory sink: processes every file present, then
-    * terminates — the batch-equivalence form (must equal
-    * [[WordCount.wordCount]] over the same lines, which is what the
-    * driver's wordcount oracle checks). Complete output mode keeps the
-    * full running (word, cnt) state table; ordering is applied on the
-    * returned batch view.
+  /** Drive a streaming DataFrame to completion: AvailableNow trigger +
+    * memory sink — processes everything present, then terminates,
+    * returning the result table ordered by `orderCols`. The
+    * batch-equivalence harness for every streaming query the driver
+    * checks. `mode` follows the query shape: "complete" for streaming
+    * aggregations, "append" for dedup, "update" for
+    * mapGroupsWithState.
     */
-  def wordCountAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val name = "graft_stream_wc_" +
+  def runAvailableNow(stream: DataFrame, orderCols: Seq[String],
+                      mode: String = "complete"): DataFrame = {
+    val spark = stream.sparkSession
+    val name = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = wordCountStream(spark, dir)
+    val q = stream
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("word")
+    spark.table(name).orderBy(orderCols.map(col): _*)
   }
+
+  /** [[wordCountStream]] driven to completion — the batch-equivalence
+    * form (must equal [[WordCount.wordCount]] over the same lines,
+    * which is what the driver's wordcount oracle checks).
+    */
+  def wordCountAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(wordCountStream(spark, dir), Seq("word"))
+
+  /** [[windowedEventCounts]] over the events parquet read as a file
+    * stream (schema pinned from a batch read), driven to completion:
+    * the watermark+window machinery under the driver's oracle — in
+    * complete mode every window is emitted, so the result equals the
+    * batch tumbling aggregation.
+    */
+  private val streamDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The file stream source requires a DIRECTORY basePath: stage a
+    * single parquet file behind a symlink in a temp dir (cached per
+    * source path, exactly one file — so AvailableNow runs one batch).
+    */
+  private def stagedFileDir(path: String): String =
+    streamDirCache.computeIfAbsent(path, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(java.nio.file.Paths.get(path).getFileName.toString),
+        java.nio.file.Paths.get(path))
+      d.toString
+    })
+
+  /** The testdata events parquet as a file stream with `ts` normalized
+    * to epoch-ms, mirroring [[graft.Tables.events]].
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(stagedFileDir(path))
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+    raw.withColumn("ts_ms", tsMs).drop("ts")
+  }
+
+  /** [[windowedEventCounts]] over the events file stream, driven to
+    * completion: the watermark+window machinery under the driver's
+    * oracle — in complete mode every window is emitted, so the result
+    * equals the batch tumbling aggregation.
+    */
+  def eventsWindowsAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(windowedEventCounts(eventsStream(spark, dir)),
+      Seq("window_start_ms", "event_type"))
+
+  /** [[streamingDedup]] over the documents file stream (synthetic
+    * event time = doc_id ms), driven to completion in append mode; the
+    * surviving fingerprint set equals batch `SELECT DISTINCT md5(text)`
+    * regardless of which duplicate row won the race.
+    */
+  def dedupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    // synthetic event time offset above 0: a row at epoch 0 ties the
+    // stream's INITIAL watermark and is dropped as late data
+    val raw = spark.readStream.schema(schema).parquet(stagedFileDir(path))
+      .withColumn("ts_ms", col("doc_id") + lit(86400000L))
+    runAvailableNow(streamingDedup(raw).select(col("fp")), Seq("fp"),
+      mode = "append")
+  }
+
+  /** [[sessionCounts]] (mapGroupsWithState) over the events file
+    * stream, driven to completion in update mode: one staged file =
+    * one batch, so each user's final session count is emitted exactly
+    * once and equals the batch sessionization count.
+    */
+  def sessionCountsAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(sessionCounts(spark, eventsStream(spark, dir)),
+      Seq("user_id"), mode = "update")
 
   /** Tumbling event-time windows with a watermark: counts + cents sum
     * per (window, event_type); append mode emits each window once its

@@ -56,6 +56,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("decontaminateStrict keeps clean and too-short docs, drops contaminated") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      1L -> bench,                                     // benchmark side
+      10L -> bench,                                    // shares 8-grams -> dropped
+      11L -> "one two three four five six seven eight nine", // clean -> kept
+      12L -> "tiny")                                   // too short to shingle -> kept
+    val got = Dedup.decontaminateStrict(d, benchMaxId = 5, n = 8)
+      .as[Long].collect().toSet
+    assert(got == Set(11L, 12L))
+  }
+
   test("components clusters transitive chains to the min id") {
     import spark.implicits._
     // star: (1,3),(2,3) — pairwise keepList would keep {1,2}; CC keeps comp=1

@@ -52,4 +52,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(idxPartial >= 0 && idxFinal >= 0 && idxFinal < idxPartial,
       s"final should sit above partial in the tree:\n$p")
   }
+
+  test("interval join: equi-keyed join, never a cartesian product") {
+    val p = planOf("events_interval_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate must ride an equi join:\n$p")
+  }
+
+  test("spend tiers: percentile cuts broadcast, no global window sort") {
+    val p = planOf("customer_spend_tiers")
+    assert(!p.contains("Window"), s"ntile-style global window crept in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row cut table should broadcast:\n$p")
+  }
+
+  test("strict decontamination: benchmark grams broadcast, anti join") {
+    val p = planOf("decontaminate_strict")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftAnti"), s"keep side must anti-join:\n$p")
+  }
+
+  test("partitioned corpus write prunes to one split on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    graft.operators.TextAnalysis.writeCorpus(
+      Tables.documents(spark, sf0001), out)
+    val read = spark.read.parquet(out)
+      .where(org.apache.spark.sql.functions.col("split") === "train")
+    val scan = read.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("split"), s"partition filter must prune splits:\n$scan")
+  }
 }

@@ -88,6 +88,54 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("", 0L, 1L), ("view", 0L, 1L), ("", 1L, 2L)))
   }
 
+  test("rank vs dense_rank diverge on tied counts") {
+    val e = events(
+      (1L, 1L, 0L, "view", 0.0, "{}"),
+      (2L, 1L, 0L, "view", 0.0, "{}"),
+      (3L, 1L, 0L, "click", 0.0, "{}"),
+      (4L, 1L, 0L, "error", 0.0, "{}"))   // click/error tie at 1
+    val got = Relational.eventTypeRanks(e).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("click", 1L, 2L, 2L), ("error", 1L, 2L, 2L),
+      ("view", 2L, 1L, 1L)))
+  }
+
+  test("interval join counts only same-user views in the preceding window") {
+    val e = events(
+      (1L, 1L, 1_000_000L, "purchase", 0.0, "{}"),
+      (2L, 1L, 999_000L, "view", 0.0, "{}"),      // in window
+      (3L, 1L, 1_000_000L - 600_000L, "view", 0.0, "{}"), // exactly -10min: in (>=)
+      (4L, 1L, 300_000L, "view", 0.0, "{}"),      // too old
+      (5L, 1L, 1_000_000L, "view", 0.0, "{}"),    // not strictly before
+      (6L, 2L, 999_500L, "view", 0.0, "{}"),      // other user
+      (7L, 3L, 0L, "purchase", 0.0, "{}"))        // no views at all
+    val got = Relational.intervalJoinViews(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (7L, 0L)))
+  }
+
+  test("value quantiles interpolate quarter points exactly") {
+    // cents 100,200,300,400 -> p25 = 175, p50 = 250, p75 = 325
+    val e = events(
+      (1L, 1L, 0L, "a", 1.0, "{}"), (2L, 1L, 0L, "a", 2.0, "{}"),
+      (3L, 1L, 0L, "a", 3.0, "{}"), (4L, 1L, 0L, "a", 4.0, "{}"))
+    val r = Relational.valueQuantiles(e).collect().head
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((175.0, 250.0, 325.0)))
+  }
+
+  test("daily momentum: delta and 7-day moving sum over day aggregates") {
+    val day = 86_400_000L
+    val e = events(
+      (1L, 1L, 0L, "a", 1.0, "{}"),
+      (2L, 1L, day, "a", 3.0, "{}"),
+      (3L, 1L, day, "a", 1.0, "{}"),
+      (4L, 1L, 2 * day, "a", 2.0, "{}"))
+    val got = Relational.dailyMomentum(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 100L, 0L, 100L), (1L, 400L, 300L, 500L),
+      (2L, 200L, -200L, 700L)))
+  }
+
   test("funnel counts staged conversions in order") {
     val e = events(
       (1L, 1L, 100L, "view", 0.0, "{}"),

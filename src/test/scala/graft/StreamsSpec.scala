@@ -109,6 +109,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("availableNow streaming dedup equals batch distinct fingerprints") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val got = Streams.dedupAvailableNow(spark, sf0001).count()
+    val want = Tables.documents(spark, sf0001)
+      .select(md5(col("text"))).distinct().count()
+    assert(got == want)
+  }
+
+  test("availableNow session counts equal batch sessionization") {
+    import org.apache.spark.sql.functions.{col, max}
+    val got = Streams.sessionCountsAvailableNow(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val want = graft.operators.Relational
+      .sessions(Tables.events(spark, sf0001), 1800)
+      .groupBy("user_id").agg(max(col("session_id")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("mapGroupsWithState session counts across triggers") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Long)]

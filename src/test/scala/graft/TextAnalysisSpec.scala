@@ -7,6 +7,35 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("piiScrub counts and redacts emails and urls") {
+    val d = docs(
+      1L -> "contact bob@example.com or visit https://example.com/x now",
+      2L -> "clean text")
+    val rows = TextAnalysis.piiScrub(d).collect()
+    assert((rows(0).getLong(1), rows(0).getLong(2)) == ((1L, 1L)))
+    assert((rows(1).getLong(1), rows(1).getLong(2)) == ((0L, 0L)))
+    // fingerprints: scrubbed text no longer contains the email/url
+    import org.apache.spark.sql.functions.md5
+    val wantFp = d.sparkSession.range(1).select(
+      md5(org.apache.spark.sql.functions
+        .lit("contact <EMAIL> or visit <URL> now"))).collect().head.getString(0)
+    assert(rows(0).getString(3) == wantFp)
+  }
+
+  test("tfidf ranks document-specific terms above ubiquitous ones") {
+    // 'rare' appears only in doc 1; 'the' is in every doc -> df 3
+    val d = docs(
+      1L -> "the rare rare word",
+      2L -> "the common word",
+      3L -> "the common word")
+    val top = TextAnalysis.tfidfTopTerms(d, k = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(top.head == ((1L, "rare")))
+    // score integer-exact: tf=2, df=1 -> 2_000_000
+    val r1 = TextAnalysis.tfidfTopTerms(d, k = 1).collect().head
+    assert(r1.getLong(4) == 2_000_000L && r1.getLong(5) == 1L)
+  }
+
   test("docStats on a crafted document") {
     val r = TextAnalysis.docStats(docs(1L -> "The cat the CAT!")).collect().head
     // tokens: the, cat, the, cat -> 4 tokens, 2 distinct, swl = 3+3+3+3
