@@ -264,6 +264,12 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))),
     "pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
+    "doc_sample_hash" -> ((s, dir) =>
+      TextAnalysis.hashSample(Tables.documents(s, dir), pct = 10)),
+    "doc_editdist_next" -> ((s, dir) =>
+      TextAnalysis.editDistanceToNext(Tables.documents(s, dir))),
+    "media_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSampleQuery(s, Tables.documents(s, dir))),
     "events_type_rank" -> ((s, dir) =>
       Relational.eventTypeRanks(Tables.events(s, dir))),
     "events_sliding" -> ((s, dir) =>
@@ -864,6 +870,26 @@ object SparkEntry {
          |FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
          |WINDOW w AS (PARTITION BY user_id ORDER BY cnt DESC)
          |ORDER BY user_id, event_type""".stripMargin,
+    "doc_sample_hash" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id, list_sum(list_transform(range(15), i ->
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+         |      << (4*(14-i)))) AS h
+         |  FROM documents) WHERE h % 100 < 10 ORDER BY doc_id""".stripMargin,
+    "doc_editdist_next" ->
+      s"""SELECT a.doc_id, levenshtein(a.text, b.text)::BIGINT AS dist_next
+         |FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
+    "media_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text))::BIGINT AS nb
+         |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+         |f AS (SELECT media_id, greatest(1, CASE WHEN nb > 4 THEN
+         |        (strpos('0123456789ABCDEF', substr(hx, 9, 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF', substr(hx, 10, 1)) - 1) ELSE 0 END) AS frames
+         |      FROM m)
+         |SELECT media_id, CAST(unnest(range(0, frames, 2)) AS BIGINT) AS frame_idx
+         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "streaming_session_counts" ->
       s"""SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
          |  SELECT user_id,

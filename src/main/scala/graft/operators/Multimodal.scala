@@ -123,6 +123,18 @@ object Multimodal {
     }.toDF("media_id", "kind", "frame_idx")
   }
 
+  /** Frame sampling as a driver query: every `everyN`-th frame index of
+    * each video (frame count decoded from the header byte), through the
+    * real [[frameSample]] mapPartitions path.
+    */
+  def frameSampleQuery(spark: SparkSession, docs: DataFrame, everyN: Int = 2): DataFrame = {
+    import spark.implicits._
+    frameSample(syntheticMedia(docs).as[MediaRow], everyN)
+      .where(col("kind") === "video")
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Oracle-checkable metadata query over the synthetic media table:
     * byte length + kind, all derivable in plain SQL on both engines.
     */

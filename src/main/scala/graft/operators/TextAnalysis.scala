@@ -171,6 +171,31 @@ object TextAnalysis {
       .write.mode("overwrite").partitionBy("split").parquet(out)
   }
 
+  /** Deterministic hash sample: keep ~pct% of documents by a stable
+    * content-independent hash of the id (the dual-engine md5-prefix
+    * hash — NOT `rand()`, so the sample is reproducible across runs,
+    * engines, and partitionings; the standard holdout-split primitive).
+    */
+  def hashSample(docs: DataFrame, pct: Int): DataFrame =
+    docs.select(col("doc_id"), expr(
+        "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
+        .as("h"))
+      .where(pmod(col("h"), lit(100L)) < pct)
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Levenshtein distance from each document to its id-successor — the
+    * fuzzy-match primitive (dedup pipelines use it to verify candidate
+    * pairs). Pairing is an equi-join on doc_id+1 (one shuffle), not a
+    * global window sort.
+    */
+  def editDistanceToNext(docs: DataFrame): DataFrame =
+    docs.as("a")
+      .join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist_next"))
+      .orderBy("doc_id")
+
   /** PII patterns shared with the oracle — kept lookaround-free so Java
     * regex and RE2 agree byte-for-byte.
     */

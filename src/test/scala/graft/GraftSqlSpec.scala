@@ -19,6 +19,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(sql == df)
   }
 
+  test("TopK.perKey composes with spark.sql sources (the SQL surface)") {
+    GraftSql.registerViews(spark, sf0001)
+    val counts = spark.sql(
+      "SELECT lang, doc_id, length(text) AS n FROM documents")
+    val got = plans.TopK.perKey(counts, Seq("lang"),
+      Seq(("n", true), ("doc_id", false)), 2)
+    val want = spark.sql(
+      """SELECT * FROM (
+        |  SELECT lang, doc_id, length(text) AS n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 2""".stripMargin)
+    assert(got.orderBy("lang", "rn").collect().map(_.toString).toSeq ==
+      want.orderBy("lang", "rn").collect().map(_.toString).toSeq)
+  }
+
   test("graft functions + views compose in SQL (simhash near-dup probe)") {
     GraftSql.registerViews(spark, sf0001)
     val n = spark.sql(

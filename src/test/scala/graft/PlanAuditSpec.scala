@@ -53,6 +53,19 @@ class PlanAuditSpec extends SparkSpec {
       s"final should sit above partial in the tree:\n$p")
   }
 
+  test("minhash verify prunes shingles to LSH candidates via semi join") {
+    val p = planOf("dedup_minhash")
+    assert(p.contains("LeftSemi"),
+      s"non-candidate docs' shingles must not enter the verify joins:\n$p")
+  }
+
+  test("cube: one hash exchange on the expanded grouping keys") {
+    val p = planOf("events_cube")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(p.contains("Expand") && hashExchanges == 1,
+      s"cube should expand then aggregate through one exchange:\n$p")
+  }
+
   test("interval join: equi-keyed join, never a cartesian product") {
     val p = planOf("events_interval_join")
     assert(!p.contains("CartesianProduct") &&
