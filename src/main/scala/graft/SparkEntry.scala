@@ -286,6 +286,12 @@ object SparkEntry {
       graft.streaming.Streams.dedupAvailableNow(s, dir)),
     "streaming_session_counts" -> ((s, dir) =>
       graft.streaming.Streams.sessionCountsAvailableNow(s, dir)),
+    // stream-stream interval join (watermark-bounded state) and
+    // sliding windows, both run to completion and batch-oracled
+    "streaming_interval_join" -> ((s, dir) =>
+      graft.streaming.Streams.intervalJoinAvailableNow(s, dir)),
+    "streaming_events_sliding" -> ((s, dir) =>
+      graft.streaming.Streams.slidingWindowsAvailableNow(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -899,5 +905,18 @@ object SparkEntry {
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
          |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "streaming_interval_join" ->
+      s"""SELECT p.event_id AS purchase_id, epoch_ms(v.ts) AS view_ms
+         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id
+         |  AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 600000
+         |  AND epoch_ms(v.ts) < epoch_ms(p.ts)
+         |ORDER BY purchase_id, view_ms""".stripMargin,
+    "streaming_events_sliding" ->
+      s"""SELECT (epoch_ms(ts) // 300000 - i) * 300000 AS window_start_ms,
+         |  event_type, count(*) AS n_events
+         |FROM events, LATERAL (SELECT unnest(range(2)) AS i) r
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -124,6 +124,45 @@ object Streams {
     runAvailableNow(sessionCounts(spark, eventsStream(spark, dir)),
       Seq("user_id"), mode = "update")
 
+  /** Stream-stream interval join: purchases ⋈ views by user within the
+    * preceding `windowMs`, both sides watermarked (the time-range
+    * condition is what lets Spark bound each side's join state — an
+    * unconstrained stream-stream join would buffer forever). Inner
+    * join + append mode emits each matched (purchase, view) pair once;
+    * equals the batch interval join's pair set.
+    */
+  def intervalJoinAvailableNow(spark: SparkSession, dir: String,
+                               windowMs: Long = 600000L): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        timestamp_millis(col("ts_ms")).as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), timestamp_millis(col("ts_ms")).as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS") &&
+        col("v_ts") < col("p_ts"))
+      .select(col("purchase_id"), unix_millis(col("v_ts")).as("view_ms"))
+    runAvailableNow(joined, Seq("purchase_id", "view_ms"), mode = "append")
+  }
+
+  /** Sliding windows (width 10 min, slide 5 min) over the events file
+    * stream — each event in two windows; complete mode equals the
+    * batch [[graft.operators.Relational.slidingWindows]].
+    */
+  def slidingWindowsAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(
+      eventsStream(spark, dir)
+        .groupBy(window(timestamp_millis(col("ts_ms")), "10 minutes", "5 minutes")
+          .as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("w.start")).as("window_start_ms"),
+          col("event_type"), col("n_events")),
+      Seq("window_start_ms", "event_type"))
+
   /** Tumbling event-time windows with a watermark: counts + cents sum
     * per (window, event_type); append mode emits each window once its
     * watermark passes.

@@ -23,6 +23,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(WordCount.topK(emptyDocs, 5).count() == 0)
   }
 
+  private lazy val emptyEvents = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row],
+    StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_ms", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))))
+
+  test("round-2 relational/text operators on empty input") {
+    assert(Relational.intervalJoinViews(emptyEvents).count() == 0)
+    assert(Relational.valueQuantiles(emptyEvents).count() == 0)
+    assert(Relational.dailyMomentum(emptyEvents).count() == 0)
+    assert(Relational.eventTypeRanks(emptyEvents).count() == 0)
+    assert(Relational.slidingWindows(emptyEvents).count() == 0)
+    assert(Relational.clicksVsViewsByDay(emptyEvents).count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(emptyDocs).count() == 0)
+    assert(TextAnalysis.piiScrub(emptyDocs).count() == 0)
+    assert(TextAnalysis.hashSample(emptyDocs, 10).count() == 0)
+    assert(TextAnalysis.editDistanceToNext(emptyDocs).count() == 0)
+    assert(Dedup.decontaminateStrict(emptyDocs, 50, 8).count() == 0)
+  }
+
   test("dedup family on empty and all-filtered input") {
     assert(Dedup.jaccardPairs(emptyDocs, 3, 4, 5).count() == 0)
     assert(Dedup.minhashPairs(emptyDocs, 3, 8, 2, 4, 5).count() == 0)
