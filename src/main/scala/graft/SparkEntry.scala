@@ -266,6 +266,8 @@ object SparkEntry {
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "doc_sample_hash" -> ((s, dir) =>
       TextAnalysis.hashSample(Tables.documents(s, dir), pct = 10)),
+    "doc_bigram_familiarity" -> ((s, dir) =>
+      TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))),
     "doc_editdist_next" -> ((s, dir) =>
       TextAnalysis.editDistanceToNext(Tables.documents(s, dir))),
     "media_frame_sample" -> ((s, dir) =>
@@ -876,6 +878,12 @@ object SparkEntry {
          |FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
          |WINDOW w AS (PARTITION BY user_id ORDER BY cnt DESC)
          |ORDER BY user_id, event_type""".stripMargin,
+    "doc_bigram_familiarity" ->
+      s"""WITH g AS (${sqlShingles(2, distinct = false)}),
+         |gc AS (SELECT shingle, count(*) AS gcnt FROM g GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(gcnt) AS BIGINT) AS familiarity
+         |FROM g JOIN gc USING (shingle)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_sample_hash" ->
       s"""SELECT doc_id FROM (
          |  SELECT doc_id, list_sum(list_transform(range(15), i ->
@@ -883,7 +891,8 @@ object SparkEntry {
          |      << (4*(14-i)))) AS h
          |  FROM documents) WHERE h % 100 < 10 ORDER BY doc_id""".stripMargin,
     "doc_editdist_next" ->
-      s"""SELECT a.doc_id, levenshtein(a.text, b.text)::BIGINT AS dist_next
+      s"""SELECT a.doc_id,
+         |  levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128))::BIGINT AS dist_next
          |FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
          |ORDER BY a.doc_id""".stripMargin,
     "media_frame_sample" ->

@@ -42,6 +42,14 @@ object GraftFunctions {
     "graft_minhash" -> (args => MinHashSignature(args(0),
       intLit(args(1), "k"),
       if (args.length > 2) longLit(args(2), "seed") else 42L)),
+    "graft_sign_lsh" -> (args => SignLsh(args(0),
+      intLit(args(1), "bits"),
+      if (args.length > 2) longLit(args(2), "seed") else 7L)),
+    // aggregates: the sketches are usable directly in SQL GROUP BYs
+    "graft_kmv_distinct" -> (args => KmvDistinct(args(0),
+      intLit(args(1), "k")).toAggregateExpression()),
+    "graft_topk_sketch" -> (args => TopKFreqSketch(args(0),
+      intLit(args(1), "m")).toAggregateExpression()),
   )
 
   /** Register all functions on an existing session (temp functions). */

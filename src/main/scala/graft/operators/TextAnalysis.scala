@@ -171,6 +171,28 @@ object TextAnalysis {
       .write.mode("overwrite").partitionBy("split").parquet(out)
   }
 
+  /** Per-document "familiarity": the sum of corpus-wide frequencies of
+    * the document's bigrams (an integer-exact stand-in for an n-gram
+    * LM score — repetitive or boilerplate-heavy documents score high
+    * relative to their length). The global bigram table is computed
+    * once and joined back by bigram: two aggregations + one shuffle
+    * join, the join-against-global-statistics shape every corpus
+    * quality pass uses.
+    */
+  def bigramFamiliarity(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', slice(ws, i + 1, 2)))"))
+        .as("bigram"))
+    val global = grams.groupBy("bigram").agg(count(lit(1)).as("gcnt"))
+    grams.join(global, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("gcnt").as("familiarity"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash sample: keep ~pct% of documents by a stable
     * content-independent hash of the id (the dual-engine md5-prefix
     * hash — NOT `rand()`, so the sample is reproducible across runs,
@@ -187,13 +209,18 @@ object TextAnalysis {
   /** Levenshtein distance from each document to its id-successor — the
     * fuzzy-match primitive (dedup pipelines use it to verify candidate
     * pairs). Pairing is an equi-join on doc_id+1 (one shuffle), not a
-    * global window sort.
+    * global window sort. Distance is computed over a `prefixLen`-char
+    * prefix: levenshtein is O(len²) per pair, so production screens
+    * always bound the compared length (or the distance threshold) —
+    * unbounded full-text edit distance would be the per-row hot spot
+    * at corpus scale.
     */
-  def editDistanceToNext(docs: DataFrame): DataFrame =
+  def editDistanceToNext(docs: DataFrame, prefixLen: Int = 128): DataFrame =
     docs.as("a")
       .join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"),
-        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist_next"))
+        levenshtein(substring(col("a.text"), 1, prefixLen),
+          substring(col("b.text"), 1, prefixLen)).cast("long").as("dist_next"))
       .orderBy("doc_id")
 
   /** PII patterns shared with the oracle — kept lookaround-free so Java

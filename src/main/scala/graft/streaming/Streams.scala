@@ -35,16 +35,27 @@ object Streams {
     * mapGroupsWithState.
     */
   def runAvailableNow(stream: DataFrame, orderCols: Seq[String],
-                      mode: String = "complete"): DataFrame = {
+                      mode: String = "complete",
+                      statePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
     val name = "graft_stream_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream
-      .writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful operators pay per-partition state-store commit overhead
+    // every micro-batch; heavily-stateful queries (stream-stream joins
+    // keep 4 stores per partition) want fewer, larger state partitions.
+    // The conf is read at query START and baked into the checkpoint, so
+    // scoping it around start() is safe; restore afterwards.
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = stream
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (statePartitions.isDefined) spark.conf.set(key, saved)
     spark.table(name).orderBy(orderCols.map(col): _*)
   }
 
@@ -146,7 +157,8 @@ object Streams {
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS") &&
         col("v_ts") < col("p_ts"))
       .select(col("purchase_id"), unix_millis(col("v_ts")).as("view_ms"))
-    runAvailableNow(joined, Seq("purchase_id", "view_ms"), mode = "append")
+    runAvailableNow(joined, Seq("purchase_id", "view_ms"), mode = "append",
+      statePartitions = Some(8))
   }
 
   /** Sliding windows (width 10 min, slide 5 min) over the events file

@@ -34,6 +34,22 @@ class GraftSqlSpec extends SparkSpec {
       want.orderBy("lang", "rn").collect().map(_.toString).toSeq)
   }
 
+  test("sketch aggregates are first-class SQL functions") {
+    GraftSql.registerViews(spark, sf0001)
+    val r = spark.sql(
+      """SELECT graft_kmv_distinct(lang, 256) AS n_langs,
+        |       graft_topk_sketch(lang, 16)[0].word AS top_lang
+        |FROM documents""".stripMargin).collect().head
+    val nLangs = spark.sql("SELECT count(DISTINCT lang) FROM documents")
+      .collect().head.getLong(0)
+    val topLang = spark.sql(
+      """SELECT lang FROM (SELECT lang, count(*) AS c FROM documents
+        |GROUP BY lang ORDER BY c DESC, lang LIMIT 1)""".stripMargin)
+      .collect().head.getString(0)
+    assert(r.getLong(0) == nLangs) // exact below k
+    assert(r.getString(1) == topLang)
+  }
+
   test("graft functions + views compose in SQL (simhash near-dup probe)") {
     GraftSql.registerViews(spark, sf0001)
     val n = spark.sql(
