@@ -125,20 +125,30 @@ object Dedup {
     * (note [[keepList]]'s pair-wise drop under-deletes on transitive
     * chains: pairs (1,3),(2,3) keep {1,2}, but the component keeps
     * only 1). Each iteration is ONE Spark job: the propagation join's
-    * result is materialized (cutting lineage; use reliable checkpoint
-    * dirs on a real cluster) while a LongAccumulator counts changed
-    * labels in the same action — no separate convergence job, no extra
-    * join. Converges in O(component diameter) steps; if `maxIter` is
-    * hit first the loop THROWS rather than silently returning labels
-    * that would under-delete duplicates downstream. Output:
+    * result is materialized, cutting lineage, while the changed flag
+    * rides the same rows — no separate convergence join. Converges in
+    * O(component diameter) steps; if `maxIter` is hit first the loop
+    * THROWS rather than silently returning labels that would
+    * under-delete duplicates downstream. Output:
     * (doc_id, comp = min doc_id of the component).
+    *
+    * `reliable = true` switches the per-iteration materialization from
+    * executor-memory `localCheckpoint` (fast; lost blocks kill the
+    * job) to reliable `checkpoint` into
+    * `spark.sparkContext.getCheckpointDir` — set that and pass true on
+    * a real cluster where executor loss must be survivable.
     */
-  def components(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 100,
+                 reliable: Boolean = false): DataFrame = {
+    require(!reliable || pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable checkpointing needs spark.sparkContext.setCheckpointDir(...)")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    val sym = materialize(
+      edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = materialize(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -154,9 +164,9 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
-        .localCheckpoint()
-      converged = updated.where(col("changed")).isEmpty
-      labels = updated.drop("changed")
+      val updatedM = materialize(updated)
+      converged = updatedM.where(col("changed")).isEmpty
+      labels = updatedM.drop("changed")
       iter += 1
     }
     if (!converged)
