@@ -278,6 +278,21 @@ object SparkEntry {
       Relational.slidingWindows(Tables.events(s, dir))),
     "events_clicks_views_fo" -> ((s, dir) =>
       Relational.clicksVsViewsByDay(Tables.events(s, dir))),
+    "q4_order_priority" -> ((s, dir) => Relational.q4OrderPriority(s, dir)),
+    "q10_returned_cust" -> ((s, dir) => Relational.q10ReturnedCustomers(s, dir)),
+    "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(s, dir)),
+    "events_transitions" -> ((s, dir) =>
+      Relational.eventTransitions(Tables.events(s, dir))),
+    // explicit runtime row-level filter: bloom prefilter on the fact
+    // scan + exact semi-join verify (result exact regardless of FP)
+    "bloom_semi_join" -> ((s, dir) =>
+      RuntimeFilter.bloomPrunedRevenue(s, dir)),
+    // k-means Lloyd building blocks over embeddings — scaled-integer
+    // distance math, so assignment + sufficient stats are exact
+    "kmeans_assign" -> ((s, dir) =>
+      Clustering.assign(Tables.embeddings(s, dir), k = 8)),
+    "kmeans_step" -> ((s, dir) =>
+      Clustering.step(Tables.embeddings(s, dir), k = 8)),
     // watermark+window streaming under the driver's oracle: the events
     // parquet as a file stream, tumbling windows, run to completion
     "streaming_events_windows" -> ((s, dir) =>
@@ -927,5 +942,88 @@ object SparkEntry {
          |  event_type, count(*) AS n_events
          |FROM events, LATERAL (SELECT unnest(range(2)) AS i) r
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q4_order_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders o
+         |WHERE EXISTS (SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey
+         |    AND epoch_ms(l.l_shipdate) > epoch_ms(o.o_orderdate) + 2592000000)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_cust" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+         |    CAST(round(l_extendedprice * 100) AS BIGINT)
+         |      * CAST(round((1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_c4,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c4
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "events_transitions" ->
+      s"""SELECT prev_type, event_type, count(*) AS cnt FROM (
+         |  SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_id) AS prev_type
+         |  FROM events)
+         |WHERE prev_type IS NOT NULL
+         |GROUP BY prev_type, event_type
+         |ORDER BY cnt DESC, prev_type, event_type LIMIT 20""".stripMargin,
+    // the bloom prefilter is a pure performance device — the verify
+    // semi-join makes the result the plain semi-join answer
+    "bloom_semi_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // scaled-integer distances (round(x·1e6) bigints) make argmin and
+    // sums bit-exact on both engines — no float summation anywhere
+    "kmeans_assign" ->
+      s"""WITH cent AS (SELECT vec_id AS cluster, embedding
+         |              FROM embeddings ORDER BY vec_id LIMIT 8),
+         |cs AS (SELECT cluster,
+         |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS cv
+         |       FROM cent),
+         |scaled AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev
+         |           FROM embeddings),
+         |dists AS (SELECT vec_id, cluster,
+         |    CAST(list_sum(list_transform(range(1, len(ev) + 1),
+         |      i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))) AS BIGINT) AS d2
+         |  FROM scaled, cs),
+         |best AS (SELECT vec_id, cluster, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+         |  FROM dists)
+         |SELECT vec_id, cluster, d2 FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "kmeans_step" ->
+      s"""WITH cent AS (SELECT vec_id AS cluster, embedding
+         |              FROM embeddings ORDER BY vec_id LIMIT 8),
+         |cs AS (SELECT cluster,
+         |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS cv
+         |       FROM cent),
+         |scaled AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev
+         |           FROM embeddings),
+         |dists AS (SELECT vec_id, ev, cluster,
+         |    CAST(list_sum(list_transform(range(1, len(ev) + 1),
+         |      i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))) AS BIGINT) AS d2
+         |  FROM scaled, cs),
+         |best AS (SELECT vec_id, ev, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+         |  FROM dists),
+         |ex AS (SELECT cluster, g.i AS dim, ev[g.i] AS v
+         |  FROM best, (SELECT unnest(range(1,
+         |    (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i) g
+         |  WHERE rn = 1)
+         |SELECT cluster, CAST(dim AS BIGINT) AS dim,
+         |  CAST(sum(v) AS BIGINT) AS sum_scaled, count(*) AS cnt
+         |FROM ex GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
   )
 }

@@ -184,6 +184,82 @@ object Relational {
       .orderBy(col("total_qty").desc, col("orderkey"))
   }
 
+  /** TPC-H Q4-shaped order-priority check: count orders having at
+    * least one line shipped more than `lateDays` after the order date —
+    * EXISTS as a left-semi join (equi on orderkey + a residual range
+    * predicate); the probe never duplicates order rows, and only the
+    * two key/date columns of lineitem are scanned.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String, lateDays: Int = 30): DataFrame = {
+    // the testdata timestamps are NTZ, so day arithmetic is fixed
+    // 24h-per-day — identical to the oracle's epoch-ms form
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q10-shaped returned-item losers: top-20 customers by revenue
+    * on returned lineitems. Revenue is the exact integer product
+    * price_cents × (1−discount)_cents (order-independent, no float
+    * summation); the customer dimension broadcasts.
+    */
+  def q10ReturnedCustomers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev_c4"))
+    li.join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum("rev_c4").as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q14-shaped promo-revenue share: one broadcast join + one
+    * single-row conditional aggregate. The share is surfaced as the
+    * exact integer pair (promo, total) in cents² — the caller divides;
+    * emitting the float ratio would make the result summation-order
+    * dependent.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev_c4"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type").startsWith("PROMO"), col("rev_c4"))
+          .otherwise(0L)).as("promo_c4"),
+        sum("rev_c4").as("total_c4"))
+
+  /** Event-type transition matrix (Markov edges): lag over each user's
+    * event sequence, then count (prev → next) pairs, top-k. One shuffle
+    * on user_id for the lag, one on the pair for the count — the
+    * standard path-analysis primitive at any scale.
+    */
+  def eventTransitions(events: DataFrame, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("prev_type"), col("event_type"))
+      .limit(k)
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** K-means building blocks: exact scaled-integer assignment and
+  * sufficient statistics.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private lazy val embs = Tables.embeddings(spark, sf0001)
+
+  test("assign labels every vector exactly once with a valid centroid") {
+    val n = embs.count()
+    val a = Clustering.assign(embs, k = 8).cache()
+    assert(a.count() == n)
+    assert(a.select("vec_id").distinct().count() == n)
+    // clusters are the 8 lowest vec_ids
+    val clusters = a.select("cluster").distinct()
+      .collectAsList().size()
+    assert(clusters <= 8)
+    assert(a.where(col("cluster") > 7 || col("cluster") < 0).isEmpty)
+  }
+
+  test("seed centroids are assigned to themselves at distance 0") {
+    val a = Clustering.assign(embs, k = 8)
+    val self = a.where(col("vec_id") <= 7)
+    assert(self.where(col("cluster") =!= col("vec_id")).isEmpty)
+    assert(self.where(col("d2") =!= 0L).isEmpty)
+  }
+
+  test("assignment is the true integer argmin (brute-force check)") {
+    val cent = Clustering.centroids(embs, 8)
+    val brute = embs.limit(50)
+      .select(col("vec_id"), Clustering.scaledVec(col("embedding")).as("ev"))
+      .crossJoin(cent)
+      .select(col("vec_id"), col("cluster"),
+        aggregate(zip_with(col("ev"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy("d2", "cluster")))
+      .where(col("rn") === 1)
+      .select("vec_id", "cluster", "d2")
+    val fast = Clustering.assign(embs, 8)
+      .join(brute.select(col("vec_id"),
+        col("cluster").as("bc"), col("d2").as("bd2")), "vec_id")
+    assert(fast.where(col("cluster") =!= col("bc") ||
+      col("d2") =!= col("bd2")).isEmpty)
+  }
+
+  test("step emits k·d sufficient statistics consistent with assign") {
+    val dims = embs.select(size(col("embedding"))).first().getInt(0)
+    val s = Clustering.step(embs, k = 8).cache()
+    val byCluster = s.groupBy("cluster").agg(
+      count(lit(1)).as("n_dims"), max("cnt").as("mx"), min("cnt").as("mn"))
+    // every populated cluster has exactly one row per dimension, and the
+    // member count is constant across its dims
+    assert(byCluster.where(col("n_dims") =!= dims).isEmpty)
+    assert(byCluster.where(col("mx") =!= col("mn")).isEmpty)
+    // counts must agree with the assignment
+    val counts = Clustering.assign(embs, 8).groupBy("cluster")
+      .agg(count(lit(1)).as("n"))
+    val joined = s.where(col("dim") === 1)
+      .join(counts, "cluster")
+    assert(joined.where(col("cnt") =!= col("n")).isEmpty)
+  }
+}

@@ -148,6 +148,27 @@ class RelationalSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
   }
 
+  test("eventTransitions counts lag pairs per user in time order") {
+    val e = events(
+      (1L, 1L, 100L, "view", 0.0, "{}"),
+      (2L, 1L, 200L, "click", 0.0, "{}"),
+      (3L, 1L, 300L, "click", 0.0, "{}"),
+      (4L, 2L, 100L, "view", 0.0, "{}"),
+      (5L, 2L, 200L, "click", 0.0, "{}"),
+      (6L, 3L, 100L, "signup", 0.0, "{}"))   // single event -> no pair
+    val got = Relational.eventTransitions(e)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("view", "click", 2L), ("click", "click", 1L)))
+  }
+
+  test("q4/q10/q14 return sane shapes on sf0.001") {
+    val q4 = Relational.q4OrderPriority(spark, sf0001)
+    assert(q4.count() == 5)  // all five priorities present in testdata
+    assert(Relational.q10ReturnedCustomers(spark, sf0001).count() <= 20)
+    val r = Relational.q14PromoShare(spark, sf0001).collect().head
+    assert(r.getLong(0) >= 0 && r.getLong(0) <= r.getLong(1))
+  }
+
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)
