@@ -206,6 +206,43 @@ object TextAnalysis {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Stratified deterministic sample: per-stratum keep rates (percent)
+    * over the same dual-engine id hash as [[hashSample]] — the
+    * language/domain-balancing primitive of a corpus build (e.g.
+    * downsample dominant languages without losing reproducibility).
+    * Shuffle-free: the rate lookup and hash filter are per-row.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(col(stratumCol) === k, pct).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col(stratumCol), expr(
+        "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
+        .as("h"))
+      .where(pmod(col("h"), lit(100L)) < rate.cast("long"))
+      .select("doc_id", stratumCol)
+      .orderBy("doc_id")
+  }
+
+  /** Inverted index: per word the sorted distinct posting list
+    * (truncated to `maxPostings` ids, serialized — bounded row width)
+    * plus the FULL document frequency. One shuffle on word. At corpus
+    * scale the aggregate state for stopwords is the cost driver — cap
+    * it by pre-filtering high-df terms (a first count-pass or a
+    * [[graft.functions.TopKFreqSketch]] stopword list) before building
+    * postings; the truncation here bounds output, not state.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 20): DataFrame =
+    WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("word")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(col("word"),
+        array_join(transform(slice(col("ids"), 1, maxPostings),
+          x => x.cast("string")), ",").as("postings"),
+        size(col("ids")).cast("long").as("df"))
+      .orderBy("word")
+
   /** Levenshtein distance from each document to its id-successor — the
     * fuzzy-match primitive (dedup pipelines use it to verify candidate
     * pairs). Pairing is an equi-join on doc_id+1 (one shuffle), not a
