@@ -28,11 +28,12 @@ object SparkEntry {
     s"list_filter(list_transform(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'), " +
       s"t -> lower(regexp_extract(t, '$SqlCleanPattern', 0))), w -> length(w) > 0)"
 
-  /** DuckDB fragment: one row per surviving token of `documents.text`. */
-  private def sqlWords(extra: String = "", where: String = ""): String =
+  /** DuckDB fragment: one row per surviving token of `from`.text. */
+  private def sqlWords(extra: String = "", where: String = "",
+                       from: String = "documents"): String =
     s"""SELECT$extra lower(cleaned) AS word FROM (
        |  SELECT *, regexp_extract(tok, '$SqlCleanPattern', 0) AS cleaned FROM (
-       |    SELECT *, unnest(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS tok FROM documents$where
+       |    SELECT *, unnest(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS tok FROM $from$where
        |  )
        |) WHERE length(cleaned) > 0""".stripMargin
 
@@ -114,7 +115,9 @@ object SparkEntry {
     // ORACLE VALIDITY WINDOW: the exact-count oracle holds only while
     // corpus vocabulary ≤ 1024 (testdata vocab is tiny at every sf; on
     // a larger corpus the sketch is ±2/√k approximate by design) —
-    // same caveat for topk_words_sketch (m=1024), and the LSH queries
+    // same caveat for topk_words_sketch (m=1024),
+    // events_value_quantiles_sketch (exact ≤ k=32768 rows/group), and
+    // the LSH queries
     // (dedup_minhash, emb_neardup_lsh) whose exact oracles rely on
     // banded-LSH recall ≈ 1 at the declared thresholds/seeds.
     "distinct_words_sketch" -> ((s, dir) =>
@@ -151,8 +154,17 @@ object SparkEntry {
     // --- set operations / calendar
     "vocab_common_en_de" -> ((s, dir) =>
       WordCount.vocabIntersect(Tables.documents(s, dir), "lang", "en", "de")),
-    "vocab_en_only" -> ((s, dir) =>
-      WordCount.vocabExcept(Tables.documents(s, dir), "lang", "en", "de")),
+    // EXCEPT with a planted en-only doc so the gate is non-vacuous (the
+    // synthetic corpora share their whole vocabulary across langs — a
+    // bare EXCEPT matches the oracle on an empty set, proving nothing)
+    "vocab_en_only" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(("en", "graftplanted graftsingleton"))
+        .toDF("lang", "text")
+      WordCount.vocabExcept(
+        Tables.documents(s, dir).select("lang", "text").unionByName(planted),
+        "lang", "en", "de")
+    }),
     "events_by_day" -> ((s, dir) =>
       Relational.eventsByDay(Tables.events(s, dir))),
     // --- text analysis
@@ -213,9 +225,13 @@ object SparkEntry {
     "emb_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.45)),
     // LSH-pruned variant at duplicate-level threshold (scale path;
-    // verified candidates converge to the exact answer)
+    // verified candidates converge to the exact answer). Runs over the
+    // corpus + 20 planted near-dups (cos ≈ 0.99) so the oracle match
+    // exercises recall on a non-empty pair set.
     "emb_neardup_lsh" -> ((s, dir) =>
-      Similarity.lshNearDup(Tables.embeddings(s, dir), threshold = 0.9)),
+      Similarity.lshNearDup(
+        Similarity.plantNearDups(Tables.embeddings(s, dir), nPlants = 20),
+        threshold = 0.9)),
     // --- multimodal plumbing (FakeCodec-stubbed decode; see Multimodal)
     "media_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(Tables.documents(s, dir))),
@@ -256,6 +272,10 @@ object SparkEntry {
       Relational.intervalJoinViews(Tables.events(s, dir))),
     "events_value_quantiles" -> ((s, dir) =>
       Relational.valueQuantiles(Tables.events(s, dir))),
+    // same quantiles through the mergeable KLL sketch (exact ≤ k=32768
+    // rows/group — covers every test sf; the fixed-memory 100 TB path)
+    "events_value_quantiles_sketch" -> ((s, dir) =>
+      Relational.valueQuantilesSketch(Tables.events(s, dir))),
     "customer_spend_tiers" -> ((s, dir) =>
       Relational.customerSpendTiers(s, dir)),
     "events_daily_momentum" -> ((s, dir) =>
@@ -266,6 +286,15 @@ object SparkEntry {
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "doc_sample_hash" -> ((s, dir) =>
       TextAnalysis.hashSample(Tables.documents(s, dir), pct = 10)),
+    // per-stratum keep rates over the same deterministic id hash — the
+    // language-balancing primitive of a corpus build
+    "doc_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir), "lang",
+        Map("en" -> 10, "de" -> 50), defaultPct = 25)),
+    // posting lists with state-capped aggregation (stopwords keep exact
+    // df but never build collect_set state)
+    "inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir))),
     "doc_bigram_familiarity" -> ((s, dir) =>
       TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))),
     "doc_editdist_next" -> ((s, dir) =>
@@ -370,9 +399,14 @@ object SparkEntry {
          |SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'de'")})
          |ORDER BY word""".stripMargin,
     "vocab_en_only" ->
-      s"""SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'en'")})
+      s"""WITH docs2 AS (
+         |  SELECT lang, text FROM documents
+         |  UNION ALL
+         |  SELECT 'en' AS lang, 'graftplanted graftsingleton' AS text
+         |)
+         |SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'en'", from = "docs2")})
          |EXCEPT
-         |SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'de'")})
+         |SELECT DISTINCT word FROM (${sqlWords(where = " WHERE lang = 'de'", from = "docs2")})
          |ORDER BY word""".stripMargin,
     "events_by_day" ->
       s"""SELECT epoch_ms(ts) // 86400000 AS epoch_day, count(*) AS n_events,
@@ -631,8 +665,15 @@ object SparkEntry {
          |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
          |ORDER BY 1, 2""".stripMargin,
     "emb_neardup_lsh" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      s"""WITH emb2 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    [CAST(0.0 AS FLOAT)] || embedding[2:] AS embedding
+         |  FROM embeddings WHERE vec_id < 20
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.9
          |ORDER BY 1, 2""".stripMargin,
 
@@ -824,6 +865,12 @@ object SparkEntry {
          |  quantile_cont(c, 0.75) AS p75
          |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_value_quantiles_sketch" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  quantile_cont(c, 0.25) AS p25, quantile_cont(c, 0.5) AS p50,
+         |  quantile_cont(c, 0.75) AS p75
+         |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "customer_spend_tiers" ->
       s"""WITH spend AS (
          |  SELECT o_custkey,
@@ -905,6 +952,24 @@ object SparkEntry {
          |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
          |      << (4*(14-i)))) AS h
          |  FROM documents) WHERE h % 100 < 10 ORDER BY doc_id""".stripMargin,
+    "doc_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, list_sum(list_transform(range(15), i ->
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+         |      << (4*(14-i)))) AS h
+         |  FROM documents)
+         |WHERE h % 100 < (CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50 ELSE 25 END)
+         |ORDER BY doc_id""".stripMargin,
+    "inverted_index" ->
+      s"""WITH pairs AS (SELECT DISTINCT doc_id, word FROM (${sqlWords(" doc_id,")})),
+         |d AS (SELECT word, count(*)::BIGINT AS df FROM pairs GROUP BY 1),
+         |p AS (SELECT word, list_sort(list(doc_id)) AS ids FROM pairs GROUP BY 1)
+         |SELECT d.word AS word,
+         |  CASE WHEN d.df <= 100
+         |    THEN array_to_string(list_transform(p.ids[1:20], x -> CAST(x AS VARCHAR)), ',')
+         |    ELSE '' END AS postings,
+         |  d.df AS df
+         |FROM d JOIN p USING (word) ORDER BY word""".stripMargin,
     "doc_editdist_next" ->
       s"""SELECT a.doc_id,
          |  levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128))::BIGINT AS dist_next

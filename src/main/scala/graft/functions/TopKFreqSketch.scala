@@ -125,7 +125,10 @@ object TopKFreqSketch {
       case Some(prev) =>
         byCount.remove((prev, w))
         counts.update(w, prev + c)
-        byCount.add((prev + c, w))
+        // clone: `w` may alias a reused UnsafeRow buffer, and a tuple
+        // stored in the TreeSet must never mutate in place (the counts
+        // key is already the clone made at insert time)
+        byCount.add((prev + c, w.clone()))
       case None if counts.size < m =>
         insert(w.clone(), c)
       case None =>

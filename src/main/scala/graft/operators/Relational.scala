@@ -542,6 +542,23 @@ object Relational {
         col("qs")(0).as("p25"), col("qs")(1).as("p50"), col("qs")(2).as("p75"))
       .orderBy("event_type")
 
+  /** [[valueQuantiles]] through the mergeable
+    * [[graft.functions.KllQuantiles]] sketch — fixed ≤ ~2k longs of
+    * state per group instead of `percentile`'s O(rows) sort buffer; the
+    * 100 TB plan. Exact (and oracle-matching) while every group's row
+    * count ≤ k; ±O(n/k) rank error above.
+    */
+  def valueQuantilesSketch(events: DataFrame, k: Int = 32768): DataFrame =
+    events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.KllQuantiles.kll_quantiles(
+          col("c"), k, Seq(0.25d, 0.5d, 0.75d)).as("qs"))
+      .select(col("event_type"), col("n"),
+        col("qs")(0).as("p25"), col("qs")(1).as("p50"), col("qs")(2).as("p75"))
+      .orderBy("event_type")
+
   /** Customer spend tiers by quartile BOUNDARY assignment (not ntile):
     * the three quartile cut points are one tiny percentile aggregate
     * broadcast back over the spend table — no global single-partition

@@ -137,6 +137,22 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** The corpus ∪ deterministic near-duplicate plants: for each
+    * `vec_id < nPlants` a copy at `vec_id + idOffset` with dimension 1
+    * zeroed. On unit-norm vectors the planted pair's cosine is
+    * √(1−e₁²) ≈ 0.99 — above any duplicate-level threshold — which
+    * makes recall gates non-vacuous: an LSH path that drops candidates
+    * now visibly diverges from the exact oracle instead of matching on
+    * an empty set. The perturbation is exact float arithmetic (zero +
+    * tail slice), so both engines see bit-identical planted vectors.
+    */
+  def plantNearDups(emb: DataFrame, nPlants: Int, idOffset: Long = 100000L): DataFrame =
+    emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.where(col("vec_id") < nPlants).select(
+        (col("vec_id") + idOffset).as("vec_id"),
+        concat(array(lit(0.0f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding")))
+
   /** Coarse cell id: sign bits of the first `bits` dimensions (fixed
     * axis-aligned hyperplanes — deterministic, data-independent).
     */

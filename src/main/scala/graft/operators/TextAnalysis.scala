@@ -227,21 +227,32 @@ object TextAnalysis {
 
   /** Inverted index: per word the sorted distinct posting list
     * (truncated to `maxPostings` ids, serialized — bounded row width)
-    * plus the FULL document frequency. One shuffle on word. At corpus
-    * scale the aggregate state for stopwords is the cost driver — cap
-    * it by pre-filtering high-df terms (a first count-pass or a
-    * [[graft.functions.TopKFreqSketch]] stopword list) before building
-    * postings; the truncation here bounds output, not state.
+    * plus the FULL document frequency — with the aggregate STATE capped,
+    * not just the output: a first count-pass finds terms with
+    * df > `maxDf` (stopwords — the words that appear in nearly every
+    * document, so the list is small and broadcastable), and the
+    * posting-list aggregation anti-joins them away before any
+    * `collect_set` state is built. Stopword rows keep their exact df
+    * (count-only state) with empty postings. Without the cap, "the" at
+    * 100 TB would accumulate a posting set the size of the corpus in a
+    * single aggregation buffer.
     */
-  def invertedIndex(docs: DataFrame, maxPostings: Int = 20): DataFrame =
-    WordCount.explodeWords(docs, "text", Seq("doc_id"))
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 20,
+                    maxDf: Long = 100L): DataFrame = {
+    val pairs = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .select("word", "doc_id").distinct()
+    val dfs = pairs.groupBy("word").agg(count(lit(1)).as("df"))
+    val hot = dfs.where(col("df") > maxDf).select("word")
+    val postings = pairs.join(broadcast(hot), Seq("word"), "left_anti")
       .groupBy("word")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+    dfs.join(postings, Seq("word"), "left")
       .select(col("word"),
-        array_join(transform(slice(col("ids"), 1, maxPostings),
-          x => x.cast("string")), ",").as("postings"),
-        size(col("ids")).cast("long").as("df"))
+        coalesce(array_join(transform(slice(col("ids"), 1, maxPostings),
+          x => x.cast("string")), ","), lit("")).as("postings"),
+        col("df"))
       .orderBy("word")
+  }
 
   /** Levenshtein distance from each document to its id-successor — the
     * fuzzy-match primitive (dedup pipelines use it to verify candidate

@@ -91,6 +91,47 @@ class FunctionsSpec extends SparkSpec {
     assert(top.head._1 == "hot" && top.head._2 >= 100L)
   }
 
+  test("topk_sketch Summary survives in-place mutation of the input buffer") {
+    // aggregate inputs may alias a reused UnsafeRow buffer: the bytes an
+    // admitted UTF8String points at can change after the row advances.
+    // The summary must retain cloned keys everywhere (map AND eviction
+    // index) or evictions desync and the state grows past m.
+    import org.apache.spark.unsafe.types.UTF8String
+    val buf = new graft.functions.TopKFreqSketch.Summary
+    // offset slice of a larger buffer — the UnsafeRow shape (a
+    // whole-array UTF8String would make clone() a no-op alias)
+    val arr = "Xaa".getBytes("UTF-8")
+    val aliased = UTF8String.fromBytes(arr, 1, 2)
+    buf.admit(aliased, 1L, 2)     // insert path (clones)
+    buf.admit(aliased, 1L, 2)     // increment path (must also clone)
+    arr(1) = 'z'                  // the reused buffer moves on
+    buf.admit(UTF8String.fromString("bb"), 3L, 2) // fill to capacity
+    buf.admit(UTF8String.fromString("cc"), 1L, 2) // evicts min = ("aa", 2)
+    assert(buf.counts.size == 2)  // desynced index would leave 3 entries
+    assert(!buf.counts.contains(UTF8String.fromString("aa")))
+    assert(buf.counts(UTF8String.fromString("cc")) == 3L) // inherited 2+1
+  }
+
+  test("kll_quantiles: exact below capacity, bounded rank error above") {
+    import graft.functions.KllQuantiles.kll_quantiles
+    // below capacity: bit-identical to the exact percentile aggregate
+    val vals = (1 to 500).map(i => ((i * 7919) % 1000).toLong)
+    val df = vals.toDF("v").repartition(8)
+    val got = df.agg(kll_quantiles(col("v"), 1024, Seq(0.25d, 0.5d, 0.75d)).as("qs"),
+        expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("ex"))
+      .select(col("qs")(0), col("qs")(1), col("qs")(2),
+        col("ex")(0), col("ex")(1), col("ex")(2))
+      .as[(Double, Double, Double, Double, Double, Double)].head()
+    assert(got._1 == got._4 && got._2 == got._5 && got._3 == got._6)
+    // above capacity (k=128, n=20000 uniform): estimates stay within a
+    // loose rank tolerance of truth — the sketch degrades, not breaks
+    val big = (1 to 20000).map(i => ((i.toLong * 48271) % 20000))
+    val est = big.toDF("v").repartition(8)
+      .agg(kll_quantiles(col("v"), 128, Seq(0.5d)).as("qs"))
+      .select(col("qs")(0)).as[Double].head()
+    assert(math.abs(est - 10000.0) < 2500.0) // ±12.5% rank error at k=128
+  }
+
   test("rolling_hash64: FNV-1a reference vector + distinctness") {
     val got = Seq("a", "b", "").toDF("s")
       .select(rolling_hash64(col("s"))).as[Long].collect()
