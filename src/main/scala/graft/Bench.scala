@@ -40,6 +40,10 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.map(_._2).filter(_ >= 0).sum + 600.0 * failed.size
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // compact headline FIRST: a tail-truncated capture of the big
+    // per-query line (it happened to BENCH_r02.json) must still retain
+    // the total + failure list
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

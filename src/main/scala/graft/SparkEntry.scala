@@ -69,6 +69,37 @@ object SparkEntry {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** DuckDB fragment: squared scaled-integer L2 between e.ev and c.cv. */
+  private def sqlD2(e: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($e.ev) + 1), " +
+      s"j -> ($e.ev[j] - $c.cv[j]) * ($e.ev[j] - $c.cv[j]))) AS BIGINT)"
+
+  /** DuckDB CTE chain `ev, c0, a1, s1, c1, …, c<iters>` mirroring
+    * [[operators.Clustering.lloydCentroids]] — `iters` unrolled Lloyd
+    * iterations with truncating integer means (`//` == Spark `div`),
+    * empty clusters keeping their previous centroid. The Spark side
+    * runs "until converged, max iters"; a converged state is a fixed
+    * point of the update, so both produce the same final centroids.
+    */
+  private def sqlKmeansCents(k: Int, iters: Int): String = {
+    val base =
+      s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, ev AS cv FROM ev ORDER BY vec_id LIMIT $k)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, ev, cluster FROM (
+         |  SELECT e.vec_id, e.ev, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |s$i AS (SELECT cluster, list(m ORDER BY dim) AS newcv FROM (
+         |  SELECT cluster, dim, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m FROM (
+         |    SELECT a.cluster, r.i AS dim, a.ev[r.i] AS v
+         |    FROM a$i a, LATERAL (SELECT unnest(range(1, len(a.ev) + 1)) AS i) r)
+         |  GROUP BY cluster, dim) GROUP BY cluster),
+         |c$i AS (SELECT p.cluster, COALESCE(s.newcv, p.cv) AS cv FROM c${i - 1} p LEFT JOIN s$i s ON p.cluster = s.cluster)""".stripMargin
+    }
+    (base +: iterCtes).mkString("WITH ", ",\n", "")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WordCount.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"))
@@ -322,6 +353,13 @@ object SparkEntry {
       Clustering.assign(Tables.embeddings(s, dir), k = 8)),
     "kmeans_step" -> ((s, dir) =>
       Clustering.step(Tables.embeddings(s, dir), k = 8)),
+    // Lloyd run to convergence (max 5 iterations; the converged state
+    // is a fixed point, so this equals the oracle's 5-times unroll)
+    "kmeans_converged" -> ((s, dir) =>
+      Clustering.lloydConverged(Tables.embeddings(s, dir), k = 8, maxIters = 5)),
+    // IVF over the LEARNED centroids (k-means cells, not sign bits)
+    "ann_ivf_kmeans" -> ((s, dir) =>
+      Similarity.annIvfKmeans(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
     // watermark+window streaming under the driver's oracle: the events
     // parquet as a file stream, tumbling windows, run to completion
     "streaming_events_windows" -> ((s, dir) =>
@@ -768,28 +806,33 @@ object SparkEntry {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_rollup" ->
       s"""SELECT coalesce(event_type, '') AS event_type,
+         |  CAST(GROUPING(event_type) = 0 AND event_type IS NULL AS BIGINT) AS et_null,
          |  GROUPING(event_type)::BIGINT AS is_total, count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          |FROM events GROUP BY ROLLUP(event_type)
-         |ORDER BY is_total, event_type""".stripMargin,
+         |ORDER BY is_total, et_null, event_type""".stripMargin,
     "events_cube" ->
       s"""SELECT coalesce(event_type, '') AS event_type,
+         |  CAST(GROUPING(event_type) = 0 AND event_type IS NULL AS BIGINT) AS et_null,
          |  coalesce(epoch_day, -1) AS epoch_day,
+         |  CAST(GROUPING(epoch_day) = 0 AND epoch_day IS NULL AS BIGINT) AS day_null,
          |  (GROUPING(event_type)*2 + GROUPING(epoch_day))::BIGINT AS gid,
          |  count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          |FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day, value FROM events)
          |GROUP BY CUBE(event_type, epoch_day)
-         |ORDER BY gid, event_type, epoch_day""".stripMargin,
+         |ORDER BY gid, et_null, event_type, day_null, epoch_day""".stripMargin,
     "events_grouping_sets" ->
       s"""SELECT coalesce(event_type, '') AS event_type,
+         |  CAST(GROUPING(event_type) = 0 AND event_type IS NULL AS BIGINT) AS et_null,
          |  coalesce(epoch_day, -1) AS epoch_day,
+         |  CAST(GROUPING(epoch_day) = 0 AND epoch_day IS NULL AS BIGINT) AS day_null,
          |  (GROUPING(event_type)*2 + GROUPING(epoch_day))::BIGINT AS gid,
          |  count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          |FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day, value FROM events)
          |GROUP BY GROUPING SETS ((event_type), (epoch_day))
-         |ORDER BY gid, event_type, epoch_day""".stripMargin,
+         |ORDER BY gid, et_null, event_type, day_null, epoch_day""".stripMargin,
     "events_props_map" ->
       s"""SELECT key, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
          |  min(v) AS min_v, max(v) AS max_v
@@ -1090,5 +1133,25 @@ object SparkEntry {
          |SELECT cluster, CAST(dim AS BIGINT) AS dim,
          |  CAST(sum(v) AS BIGINT) AS sum_scaled, count(*) AS cnt
          |FROM ex GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+    "kmeans_converged" ->
+      s"""${sqlKmeansCents(8, 5)}
+         |SELECT cluster, CAST(r.i AS BIGINT) AS dim, cv[r.i] AS v
+         |FROM c5, LATERAL (SELECT unnest(range(1, len(cv) + 1)) AS i) r
+         |ORDER BY cluster, dim""".stripMargin,
+    "ann_ivf_kmeans" ->
+      s"""${sqlKmeansCents(8, 5)},
+         |cells AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+         |               n.vec_id) AS rank
+         |  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+         |  JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

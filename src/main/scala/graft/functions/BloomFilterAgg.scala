@@ -111,7 +111,12 @@ object BloomFilterAgg {
     * set in `bloom`. Built entirely from builtin expressions
     * (xxhash64 / pmod / element_at / shift) so the probe stays in
     * whole-stage codegen. MUST be called with the same
-    * (numBits, numHashes) the filter was built with.
+    * (numBits, numHashes) the filter was built with — AND with the same
+    * Catalyst data type as the build column: xxhash64 dispatches on
+    * type, so an int probe against a bigint-built filter (or any other
+    * width/type mismatch) hashes differently and silently never
+    * matches. Cast both sides to a common type (e.g. `.cast("long")`
+    * for integral keys) before building and probing.
     */
   def mightContain(bloom: Column, key: Column, numBits: Int = 1 << 17,
                    numHashes: Int = 5): Column =

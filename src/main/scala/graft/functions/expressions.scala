@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -215,6 +216,78 @@ case class SignLsh(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Argmin over k centroids by scaled-integer squared L2 — the k-means
+  * inner loop as ONE codegen'd primitive eval per row. Inputs: the
+  * row's scaled vector (`array<long>`) and the broadcast centroid array
+  * (`array<struct<cluster long, cv array<long>>>`); output
+  * `struct<d2 long, cluster long>`, ties to the lowest cluster id —
+  * exactly the lexicographic `array_min(transform(...))` contract, but
+  * without the O(k·d) interpreted-lambda boxing that formulation pays
+  * per row (NOTES.md measured 40-100× on the same shape).
+  */
+case class NearestCentroidL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", LongType, nullable = false),
+    StructField("cluster", LongType, nullable = false)))
+  override protected def nullSafeEval(v: Any, cs: Any): Any = {
+    val ev = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    var bestD2 = Long.MaxValue
+    var bestCl = Long.MaxValue
+    val k = cents.numElements()
+    var i = 0
+    while (i < k) {
+      val st = cents.getStruct(i, 2)
+      val cluster = st.getLong(0)
+      val cv = st.getArray(1)
+      val n = math.min(ev.numElements(), cv.numElements())
+      var s = 0L
+      var j = 0
+      while (j < n) {
+        val d = ev.getLong(j) - cv.getLong(j)
+        s += d * d
+        j += 1
+      }
+      if (s < bestD2 || (s == bestD2 && cluster < bestCl)) {
+        bestD2 = s; bestCl = cluster
+      }
+      i += 1
+    }
+    InternalRow(bestD2, bestCl)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs) => {
+      val bestD2 = ctx.freshName("bestD2"); val bestCl = ctx.freshName("bestCl")
+      val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val st = ctx.freshName("st"); val cl = ctx.freshName("cl")
+      val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      s"""long $bestD2 = Long.MAX_VALUE;
+         |long $bestCl = Long.MAX_VALUE;
+         |int $k = $cs.numElements();
+         |for (int $i = 0; $i < $k; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $st = $cs.getStruct($i, 2);
+         |  long $cl = $st.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $st.getArray(1);
+         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
+         |  long $s = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $d = $v.getLong($j) - $cv.getLong($j);
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bestD2 || ($s == $bestD2 && $cl < $bestCl)) {
+         |    $bestD2 = $s; $bestCl = $cl;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$bestD2, $bestCl});""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** 64-bit FNV-1a rolling hash of a string's UTF-8 bytes — the cheap
   * content fingerprint for dedup pre-bucketing (md5 stays the
   * oracle-comparable fingerprint; this one is 8 bytes and faster).
@@ -248,4 +321,6 @@ object functions {
   def sign_lsh(e: Column, bits: Int, seed: Long = 7L): Column =
     col(SignLsh(ex(e), bits, seed))
   def rolling_hash64(s: Column): Column = col(RollingHash64(ex(s)))
+  def nearest_centroid_l2(vec: Column, cents: Column): Column =
+    col(NearestCentroidL2(ex(vec), ex(cents)))
 }

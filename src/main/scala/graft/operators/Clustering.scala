@@ -38,25 +38,32 @@ object Clustering {
   /** All k centroids as ONE row holding a sorted array of structs —
     * the broadcast-scalar shape for per-row argmin.
     */
-  private def centroidArray(embs: DataFrame, k: Int): DataFrame =
-    centroids(embs, k)
-      .agg(sort_array(collect_list(struct(col("cluster"), col("cv")))).as("cents"))
+  private def centroidArrayOf(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("cluster"), col("cv")))).as("cents"))
 
-  private def assignWithVec(embs: DataFrame, k: Int): DataFrame =
+  /** (vec_id, ev) scaled view of the embeddings. */
+  private def scaledView(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), scaledVec(col("embedding")).as("ev"))
+
+  /** Assignment against an arbitrary centroid set (cluster, cv): argmin
+    * by (d2, cluster) — ties to the lowest cluster id — through the
+    * native codegen [[graft.functions.NearestCentroidL2]] expression
+    * (one primitive k·d loop per row; the interpreted
+    * `array_min(transform(...))` formulation it replaces paid boxed
+    * lambda evals on the same hot path).
+    */
+  private[graft] def assignAgainst(scaled: DataFrame, cents: DataFrame): DataFrame =
+    scaled
       // 1-row scalar broadcast (k centroid structs), not a data join
-      .join(broadcast(centroidArray(embs, k)))
-      // argmin by (d2, cluster) via lexicographic struct array_min —
-      // integer math only, ties break to the lowest cluster id
-      .withColumn("best", array_min(transform(col("cents"), c =>
-        struct(
-          aggregate(
-            zip_with(col("ev"), c.getField("cv"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d2"),
-          c.getField("cluster").as("cluster")))))
+      .join(broadcast(centroidArrayOf(cents)))
+      .withColumn("best",
+        graft.functions.functions.nearest_centroid_l2(col("ev"), col("cents")))
       .select(col("vec_id"), col("ev"),
         col("best").getField("cluster").as("cluster"),
         col("best").getField("d2").as("d2"))
+
+  private def assignWithVec(embs: DataFrame, k: Int): DataFrame =
+    assignAgainst(scaledView(embs), centroids(embs, k))
 
   /** Assignment step: each vector's nearest seed centroid (exact
     * scaled-integer squared L2) and that distance.
@@ -78,5 +85,64 @@ object Clustering {
         col("col").as("v"))
       .groupBy("cluster", "dim")
       .agg(sum("v").as("sum_scaled"), count(lit(1)).as("cnt"))
+      .orderBy("cluster", "dim")
+
+  /** Full Lloyd iteration to convergence (bounded by `maxIters`):
+    * assign → integer-mean update (`sum div cnt`, truncation toward
+    * zero — the SAME semantics as DuckDB's `//`, so the whole iteration
+    * is engine-reproducible), empty clusters keep their previous
+    * centroid. Stops early when NO centroid moved; because the update
+    * is a deterministic function of the centroid set, a converged state
+    * is a fixed point — running "until converged, max N" returns
+    * exactly the N-times-unrolled result, which is what the oracle
+    * computes.
+    *
+    * Scale shape: ONE job per iteration (the convergence check action
+    * over the k-row checkpointed centroid frame drives the scan);
+    * driver holds no data — centroids stay a DataFrame, truncated with
+    * `localCheckpoint` each round exactly like
+    * [[Dedup.components]]' iteration (the k·d-row frame is tiny, the
+    * lineage would otherwise grow by one broadcast join per round).
+    */
+  def lloydCentroids(embs: DataFrame, k: Int, maxIters: Int): DataFrame = {
+    val scaled = scaledView(embs)
+    var cents = centroids(embs, k).localCheckpoint()
+    var iter = 0
+    var moved = true
+    while (iter < maxIters && moved) {
+      val stats = assignAgainst(scaled, cents)
+        .select(col("cluster"), posexplode(col("ev")))
+        .groupBy("cluster", "pos")
+        .agg(expr("sum(col) div count(1)").as("m"))
+        .groupBy("cluster")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("newcv"))
+      val prev = cents.select(col("cluster"), col("cv").as("pcv"))
+      val next = prev.join(stats, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("newcv"), col("pcv")).as("cv"))
+        .localCheckpoint()
+      moved = next.join(prev, Seq("cluster"))
+        .where(col("cv") =!= col("pcv")).limit(1).count() > 0
+      cents = next
+      iter += 1
+    }
+    cents
+  }
+
+  /** Each vector's nearest centroid from an arbitrary (cluster, cv)
+    * set — the IVF cell-assignment step once centroids are learned.
+    */
+  def cellAssignments(embs: DataFrame, cents: DataFrame): DataFrame =
+    assignAgainst(scaledView(embs), cents)
+      .select(col("vec_id"), col("cluster").as("cell"))
+
+  /** Gate shape for [[lloydCentroids]]: the converged centroids
+    * unpacked to (cluster, dim, v) rows with a total ordering.
+    */
+  def lloydConverged(embs: DataFrame, k: Int, maxIters: Int): DataFrame =
+    lloydCentroids(embs, k, maxIters)
+      .select(col("cluster"), posexplode(col("cv")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("v"))
       .orderBy("cluster", "dim")
 }

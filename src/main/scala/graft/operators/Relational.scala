@@ -369,9 +369,15 @@ object Relational {
       .agg(grouping(col("event_type")).cast("long").as("is_total"),
         count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      // et_null disambiguates a genuine NULL key from a genuine ''
+      // key (both display ''): with it the sort key set is total, so
+      // row order matches the oracle on ANY data, not just data that
+      // avoids the collision
       .select(coalesce(col("event_type"), lit("")).as("event_type"),
+        ((col("is_total") === 0) && col("event_type").isNull)
+          .cast("long").as("et_null"),
         col("is_total"), col("n_events"), col("sum_value_cents"))
-      .orderBy("is_total", "event_type")
+      .orderBy("is_total", "et_null", "event_type")
 
   /** Cube over (event_type, epoch_day): all four grouping combinations
     * in one pass, each row tagged with its grouping id (bit 1 =
@@ -386,10 +392,16 @@ object Relational {
       .agg((grouping(col("event_type")) * 2 + grouping(col("epoch_day")))
           .cast("long").as("gid"),
         count(lit(1)).as("n_events"), sum("value_c").as("sum_value_cents"))
+      // same NULL-vs-display-value disambiguation as eventsRollup:
+      // et_null/day_null make the sort key total on any data
       .select(coalesce(col("event_type"), lit("")).as("event_type"),
+        ((col("gid") < 2) && col("event_type").isNull)
+          .cast("long").as("et_null"),
         coalesce(col("epoch_day"), lit(-1L)).as("epoch_day"),
+        ((col("gid") % 2 === 0) && col("epoch_day").isNull)
+          .cast("long").as("day_null"),
         col("gid"), col("n_events"), col("sum_value_cents"))
-      .orderBy("gid", "event_type", "epoch_day")
+      .orderBy("gid", "et_null", "event_type", "day_null", "epoch_day")
 
   /** Explicit GROUPING SETS — the two single-key marginals only (per
     * event_type, per epoch_day), no cross product and no grand total:
@@ -404,10 +416,16 @@ object Relational {
       .agg((grouping(col("event_type")) * 2 + grouping(col("epoch_day")))
           .cast("long").as("gid"),
         count(lit(1)).as("n_events"), sum("value_c").as("sum_value_cents"))
+      // same NULL-vs-display-value disambiguation as eventsRollup:
+      // et_null/day_null make the sort key total on any data
       .select(coalesce(col("event_type"), lit("")).as("event_type"),
+        ((col("gid") < 2) && col("event_type").isNull)
+          .cast("long").as("et_null"),
         coalesce(col("epoch_day"), lit(-1L)).as("epoch_day"),
+        ((col("gid") % 2 === 0) && col("epoch_day").isNull)
+          .cast("long").as("day_null"),
         col("gid"), col("n_events"), col("sum_value_cents"))
-      .orderBy("gid", "event_type", "epoch_day")
+      .orderBy("gid", "et_null", "event_type", "day_null", "epoch_day")
 
   /** Calendar-day bucketing (epoch days — pure integer arithmetic in
     * both engines, no timezone/calendar library drift).

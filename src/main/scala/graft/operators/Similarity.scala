@@ -161,6 +161,36 @@ object Similarity {
       when(element_at(e, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** [[annIvf]] with LEARNED cells: k-means centroids from
+    * [[Clustering.lloydCentroids]] define the IVF partitions instead of
+    * fixed sign-bit hyperplanes — data-adaptive cells give better
+    * recall/cost at the same cell count (the standard IVF index build).
+    * The centroid frame is k·d values, broadcast; cell assignment is a
+    * per-row argmin; scoring shuffles only same-cell candidates.
+    */
+  def annIvfKmeans(emb: DataFrame, nQueries: Int, k: Int,
+                   nClusters: Int = 8, iters: Int = 5): DataFrame = {
+    val cents = Clustering.lloydCentroids(emb, nClusters, iters)
+    val cells = Clustering.cellAssignments(emb, cents)
+    val pre = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .join(cells, "vec_id")
+    val q = pre.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+      .where(col("query_id") < nQueries)
+    val scored = pre.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF/LSH-bucketed approximate top-k: queries only score candidates
     * in their own coarse cell (2^bits cells). Recall < 1 by design;
     * cost drops by ~2^bits. Same output shape as [[knnBruteForce]].

@@ -34,13 +34,18 @@ import org.apache.spark.sql.types.LongType
   *
   * Memory per task is O(#keys-in-partition × k) with no spill path —
   * the contract is k ≪ rows/key (the top-k regime; for k ~ rows/key
-  * use the window operator instead).
+  * use the window operator instead), and it is ENFORCED: each task
+  * counts the rows its heaps retain and fails fast with a clear
+  * remediation message when `maxRetained` is exceeded, instead of
+  * silently OOM-ing the executor. The budget is per partition, rows
+  * retained ≤ #keys × k.
   */
 case class TopKPerKey(
     keyExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
+    maxRetained: Long,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -53,7 +58,7 @@ private[plans] object TopKHeaps {
     * row (reverse ordering), so admission is an O(1) compare.
     */
   def build(it: Iterator[InternalRow], keyProj: UnsafeProjection,
-            ord: Ordering[InternalRow], k: Int)
+            ord: Ordering[InternalRow], k: Int, maxRetained: Long)
       : mutable.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]] = {
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, JPriorityQueue[InternalRow]]
     while (it.hasNext) {
@@ -61,6 +66,16 @@ private[plans] object TopKHeaps {
       val key = keyProj(row)
       val heap = heaps.getOrElse(key, null) match {
         case null =>
+          // worst case this new heap fills to k: charge it up front so
+          // the guard fires on heap CREATION, before the memory is owed
+          if ((heaps.size + 1).toLong * k > maxRetained) {
+            throw new IllegalStateException(
+              s"TopKPerKey retained-rows budget exceeded: > ${heaps.size} " +
+                s"keys x k=$k rows in one partition (budget $maxRetained). " +
+                "This operator is for the k << rows/key regime; raise " +
+                "maxRetained, repartition by key first, or use the " +
+                "row_number() window formulation.")
+          }
           val h = new JPriorityQueue[InternalRow](k + 1, ord.reverse)
           heaps.put(key.copy(), h)
           h
@@ -80,6 +95,7 @@ case class PartialTopKPerKeyExec(
     keyExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
+    maxRetained: Long,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] = {
@@ -87,10 +103,11 @@ case class PartialTopKPerKeyExec(
     val keys = keyExprs
     val order = sortOrder
     val kk = k
+    val budget = maxRetained
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ord = new LazilyGeneratedOrdering(order, childOutput)
-      TopKHeaps.build(it, keyProj, ord, kk).valuesIterator
+      TopKHeaps.build(it, keyProj, ord, kk, budget).valuesIterator
         .flatMap(h => h.iterator().asInstanceOf[java.util.Iterator[InternalRow]]
           .asScala)
     }, preservesPartitioning = true)
@@ -112,6 +129,7 @@ case class FinalTopKPerKeyExec(
     sortOrder: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
+    maxRetained: Long,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -123,6 +141,7 @@ case class FinalTopKPerKeyExec(
     val keys = keyExprs
     val order = sortOrder
     val kk = k
+    val budget = maxRetained
     val outAttrs = output
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
@@ -130,7 +149,7 @@ case class FinalTopKPerKeyExec(
       // downstream operators require UnsafeRow: project the joined
       // (row ++ rank) back into the unsafe format
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      TopKHeaps.build(it, keyProj, ord, kk).valuesIterator.flatMap { h =>
+      TopKHeaps.build(it, keyProj, ord, kk, budget).valuesIterator.flatMap { h =>
         val arr = new Array[InternalRow](h.size)
         var i = arr.length - 1
         while (i >= 0) { arr(i) = h.poll(); i -= 1 }  // heap pops worst-first
@@ -147,9 +166,9 @@ case class FinalTopKPerKeyExec(
 /** Planner strategy mapping the logical node to partial → final. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, rankAttr, child) =>
-      FinalTopKPerKeyExec(keys, order, k, rankAttr,
-        PartialTopKPerKeyExec(keys, order, k, planLater(child))) :: Nil
+    case TopKPerKey(keys, order, k, rankAttr, maxRetained, child) =>
+      FinalTopKPerKeyExec(keys, order, k, rankAttr, maxRetained,
+        PartialTopKPerKeyExec(keys, order, k, maxRetained, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -168,8 +187,13 @@ object TopK {
     * `row_number()` — with a total order no two rows compare equal and
     * the result is exactly the window formulation's.
     */
+  /** `maxRetained`: per-partition retained-row budget (#keys × k must
+    * stay under it — default 8M rows ≈ low hundreds of MB of retained
+    * UnsafeRows, well inside an executor's task memory).
+    */
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
-             k: Int, rankName: String = "rn"): DataFrame = {
+             k: Int, rankName: String = "rn",
+             maxRetained: Long = 8L * 1024 * 1024): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
@@ -185,6 +209,6 @@ object TopK {
     }
     val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
     GraftColumnBridge.ofRows(spark,
-      TopKPerKey(keys.map(attr), order, k, rankAttr, lp))
+      TopKPerKey(keys.map(attr), order, k, rankAttr, maxRetained, lp))
   }
 }

@@ -33,6 +33,12 @@ object Streams {
     * checks. `mode` follows the query shape: "complete" for streaming
     * aggregations, "append" for dedup, "update" for
     * mapGroupsWithState.
+    *
+    * The memory sink is the GATE HARNESS ONLY — it materializes the
+    * result in driver memory so the oracle can hash it. A production
+    * pipeline writes `.format("parquet")`/Kafka with a checkpoint
+    * location and keeps nothing on the driver; don't copy this shape
+    * into a deployment.
     */
   def runAvailableNow(stream: DataFrame, orderCols: Seq[String],
                       mode: String = "complete",
@@ -56,7 +62,15 @@ object Streams {
         .start()
       q.awaitTermination()
     } finally if (statePartitions.isDefined) spark.conf.set(key, saved)
-    spark.table(name).orderBy(orderCols.map(col): _*)
+    val out = spark.table(name).orderBy(orderCols.map(col): _*)
+    // resolve the sink relation into the plan NOW, then drop the
+    // catalog name: repeated runs in one session (bench sweeps, test
+    // suites) would otherwise accumulate a full result copy per UUID
+    // view forever; after the caller releases `out`, the sink data is
+    // garbage-collectable
+    out.queryExecution.analyzed
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** [[wordCountStream]] driven to completion — the batch-equivalence
@@ -154,7 +168,10 @@ object Streams {
       .withWatermark("v_ts", "1 hour")
     val joined = p.join(v,
       col("p_user") === col("v_user") &&
-        col("v_ts") >= col("p_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS") &&
+        // millisecond-granularity interval: `INTERVAL n SECONDS` would
+        // silently truncate a windowMs that isn't a whole second and
+        // diverge from the batch/oracle bound (exact milliseconds)
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
         col("v_ts") < col("p_ts"))
       .select(col("purchase_id"), unix_millis(col("v_ts")).as("view_ms"))
     runAvailableNow(joined, Seq("purchase_id", "view_ms"), mode = "append",

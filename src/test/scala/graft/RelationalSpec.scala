@@ -64,9 +64,10 @@ class RelationalSpec extends SparkSpec {
       (1L, 1L, 0L, "view", 1.0, "{}"),
       (2L, 1L, 0L, "click", 2.0, "{}"))
     val got = Relational.eventsRollup(e).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    assert(got == Seq(("click", 0L, 1L, 200L), ("view", 0L, 1L, 100L),
-      ("", 1L, 2L, 300L)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(("click", 0L, 0L, 1L, 200L), ("view", 0L, 0L, 1L, 100L),
+      ("", 0L, 1L, 2L, 300L)))
   }
 
   test("rollup keeps a NULL event_type distinct from the grand total") {
@@ -82,10 +83,12 @@ class RelationalSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
     val got = Relational.eventsRollup(e).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    // the NULL-key row ('' is_total=0) is distinct from the grand
-    // total ('' is_total=1) even though a value-domain sentinel isn't
-    assert(got == Seq(("", 0L, 1L), ("view", 0L, 1L), ("", 1L, 2L)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the NULL-key row (et_null=1, is_total=0) is distinct from BOTH a
+    // genuine '' key (et_null=0) and the grand total (is_total=1), and
+    // the (is_total, et_null, event_type) sort key is total
+    assert(got == Seq(("view", 0L, 0L, 1L), ("", 1L, 0L, 1L),
+      ("", 0L, 1L, 2L)))
   }
 
   test("rank vs dense_rank diverge on tied counts") {

@@ -34,6 +34,24 @@ class TopKPlanSpec extends SparkSpec {
     assert(plan.toSeq == win.toSeq)
   }
 
+  test("maxRetained guard fails fast with remediation, not executor OOM") {
+    // 1000 distinct keys x k=5 = 5000 retained rows > budget 100
+    val many = (1 to 1000).map(i => (s"k$i", i.toLong)).toDF("g", "v")
+      .coalesce(1)
+    val ex = intercept[Exception] {
+      TopK.perKey(many, Seq("g"), Seq(("v", true)), 5, maxRetained = 100L)
+        .collect()
+    }
+    def rootMessage(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator("")).mkString(" ")
+    assert(rootMessage(ex).contains("retained-rows budget exceeded"))
+    // the same shape inside budget works
+    val ok = TopK.perKey(many, Seq("g"), Seq(("v", true)), 5,
+      maxRetained = 8L * 1024 * 1024).count()
+    assert(ok == 1000L)
+  }
+
   test("plan contains partial and final operators around one exchange") {
     val df = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
     val topk = TopK.perKey(df, Seq("g"), Seq(("v", true)), 1)
