@@ -341,6 +341,15 @@ object SparkEntry {
     "q4_order_priority" -> ((s, dir) => Relational.q4OrderPriority(s, dir)),
     "q10_returned_cust" -> ((s, dir) => Relational.q10ReturnedCustomers(s, dir)),
     "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(s, dir)),
+    "q7_volume" -> ((s, dir) => Relational.q7Volume(s, dir)),
+    "q8_market_share" -> ((s, dir) => Relational.q8MarketShare(s, dir)),
+    "q9_profit" -> ((s, dir) => Relational.q9Profit(s, dir)),
+    "q12_shipdelay" -> ((s, dir) => Relational.q12ShipDelay(s, dir)),
+    "q13_custdist" -> ((s, dir) => Relational.q13CustDist(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
+    "q17_small_qty" -> ((s, dir) => Relational.q17SmallQty(s, dir)),
+    "q19_disjunctive" -> ((s, dir) => Relational.q19Disjunctive(s, dir)),
+    "q22_dormant_rich" -> ((s, dir) => Relational.q22DormantRich(s, dir)),
     "events_transitions" -> ((s, dir) =>
       Relational.eventTransitions(Tables.events(s, dir))),
     // explicit runtime row-level filter: bloom prefilter on the fact
@@ -1074,6 +1083,102 @@ object SparkEntry {
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
          |         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c4
          |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q7_volume" ->
+      s"""SELECT supp_nation, cust_nation, yr, CAST(sum(rev_c) AS BIGINT) AS revenue_cents FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+         |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT yr,
+         |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN rev_c ELSE 0 END) AS BIGINT) AS nation_cents,
+         |  CAST(sum(rev_c) AS BIGINT) AS total_cents
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n1.n_name AS nation,
+         |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |    JOIN region ON n2.n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      s"""SELECT nation, yr, CAST(sum(rev_c) AS BIGINT) AS profit_cents FROM (
+         |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN part ON l_partkey = p_partkey
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE p_name LIKE '%widget%'
+         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q12_shipdelay" ->
+      s"""SELECT bucket,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM (
+         |  SELECT o_orderpriority,
+         |    CASE WHEN delay_days < 30 THEN 'fast' WHEN delay_days < 90 THEN 'mid' ELSE 'slow' END AS bucket
+         |  FROM (SELECT o_orderpriority,
+         |          (epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) // 86400000 AS delay_days
+         |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      s"""SELECT c_count, count(*) AS custdist FROM (
+         |  SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+         |  GROUP BY 1)
+         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS suppkey,
+         |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev_cents
+         |FROM supplier JOIN rev ON s_suppkey = suppkey
+         |WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  JOIN (SELECT l_partkey AS apk, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq,
+         |          count(*) AS cnt FROM lineitem GROUP BY 1) a ON apk = l_partkey
+         |WHERE p_brand = 'Brand#3'
+         |  AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * cnt < sq""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_rich" ->
+      s"""WITH bal AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+         |avg_bal AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n FROM bal WHERE bal_c > 0)
+         |SELECT c_nationkey, count(*) AS numcust, CAST(sum(bal_c) AS BIGINT) AS total_bal_cents
+         |FROM bal, avg_bal
+         |WHERE bal_c * n > s
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_transitions" ->
       s"""SELECT prev_type, event_type, count(*) AS cnt FROM (
          |  SELECT event_type,

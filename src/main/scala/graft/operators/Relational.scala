@@ -636,4 +636,230 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
+
+  private def revCents: org.apache.spark.sql.Column =
+    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+      .cast("long").as("rev_c")
+
+  /** TPC-H Q7-shaped bilateral trade volume: supplier nation ↔ customer
+    * nation by ship year. The two nation lookups broadcast (25 rows);
+    * customer/supplier broadcast after their nation filter; the only
+    * big shuffle is lineitem ⋈ orders. The disjunctive nation-pair
+    * predicate lands AFTER the dimension joins, exactly where TPC-H
+    * puts it.
+    */
+  def q7Volume(spark: SparkSession, dir: String,
+               nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(spark, dir).join(broadcast(n1),
+      col("s_nationkey") === col("s_nk")).select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(spark, dir).join(broadcast(n2),
+      col("c_nationkey") === col("c_nk")).select("c_custkey", "cust_nation")
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("yr"), revCents)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy("supp_nation", "cust_nation", "yr")
+      .agg(sum("rev_c").as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
+  /** TPC-H Q8-shaped market share: one target nation's slice of a
+    * region's yearly revenue for one part type. Surfaced as
+    * (nation_cents, total_cents) integer pairs — the ratio is the
+    * caller's float, not the engine's.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+                    nation: String = "NATION_3", region: String = "ASIA",
+                    ptype: String = "ECONOMY"): DataFrame = {
+    val supNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val regionCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).where(col("r_name") === region)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("rc_nk"))),
+        col("c_nationkey") === col("rc_nk"))
+      .select("c_custkey")
+    val pt = Tables.part(spark, dir).where(col("p_type") === ptype)
+      .select("p_partkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revCents)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("yr")
+      .agg(sum(when(col("nation") === nation, col("rev_c")).otherwise(0L))
+          .as("nation_cents"),
+        sum("rev_c").as("total_cents"))
+      .orderBy("yr")
+  }
+
+  /** TPC-H Q9-shaped profit by supplier nation × order year for parts
+    * matching a name substring (no partsupp table in this testdata, so
+    * profit is discounted revenue).
+    */
+  def q9Profit(spark: SparkSession, dir: String,
+               nameLike: String = "widget"): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .where(col("p_name").contains(nameLike)).select("p_partkey")
+    val supNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revCents)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("nation", "yr")
+      .agg(sum("rev_c").as("profit_cents"))
+      .orderBy("nation", "yr")
+  }
+
+  /** TPC-H Q12-shaped priority × delay-bucket counts (this testdata has
+    * no commit/receipt dates or ship modes, so the bucket is order→ship
+    * delay in whole days — pure epoch-ms integer arithmetic in both
+    * engines).
+    */
+  def q12ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        // the parquet dates are TIMESTAMP_NTZ; the UTC session makes
+        // the cast-to-instant equal DuckDB's naive epoch_ms
+        expr("(unix_millis(cast(l_shipdate AS timestamp)) - " +
+          "unix_millis(cast(o_orderdate AS timestamp))) div 86400000")
+          .as("delay_days"))
+      .select(col("o_orderpriority"),
+        when(col("delay_days") < 30, "fast")
+          .when(col("delay_days") < 90, "mid")
+          .otherwise("slow").as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("bucket")
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    * zero-order customers survive with count 0, then a histogram of the
+    * counts. Two shuffles (custkey, then c_count) — both on aggregated
+    * rows.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    * keep the max-revenue supplier(s) — the scalar-max is a 1-row
+    * broadcast joined back, not a global sort.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"), revCents)
+      .groupBy("l_suppkey")
+      .agg(sum("rev_c").as("total_rev_cents"))
+    rev.join(broadcast(rev.agg(max("total_rev_cents").as("mx"))),
+        col("total_rev_cents") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_rev_cents")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lines below 20% of their
+    * part's average quantity. The per-part average rides as exact
+    * integers (5·centiqty·cnt < Σcentiqty — no float division, so both
+    * engines agree bit-for-bit on the boundary).
+    */
+  def q17SmallQty(spark: SparkSession, dir: String,
+                  brand: String = "Brand#3"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQ = li.select(col("l_partkey").as("apk"),
+        round(col("l_quantity") * 100).cast("long").as("cq"))
+      .groupBy("apk").agg(sum("cq").as("sq"), count(lit(1)).as("cnt"))
+    li.select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("centiqty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(Tables.part(spark, dir)
+        .where(col("p_brand") === brand).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("apk"))
+      .where(col("centiqty") * 5 * col("cnt") < col("sq"))
+      .agg(sum("price_c").as("sum_price_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive predicate revenue: OR-of-ANDs across
+    * brand/size/quantity — the pushdown shape optimizers historically
+    * mangled; part side broadcast with its size bounds pre-applied.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), revCents)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum("rev_c").as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22-shaped dormant rich customers: above-average balance
+    * (integer cross-multiplied — no float average) with no RECENT
+    * orders (left-anti against the filtered order scan), grouped by
+    * nation. The global average is a 1-row broadcast.
+    */
+  def q22DormantRich(spark: SparkSession, dir: String,
+                     since: String = "2000-01-01"): DataFrame = {
+    val bal = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val avgBal = bal.where(col("bal_c") > 0)
+      .agg(sum("bal_c").as("s"), count(lit(1)).as("n"))
+    bal.join(broadcast(avgBal))
+      .where(col("bal_c") * col("n") > col("s"))
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderdate") >= lit(since)).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum("bal_c").as("total_bal_cents"))
+      .orderBy("c_nationkey")
+  }
 }
