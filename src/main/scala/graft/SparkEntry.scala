@@ -326,6 +326,14 @@ object SparkEntry {
     // df but never build collect_set state)
     "inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(Tables.documents(s, dir))),
+    // contiguous greedy packing of docs into fixed token budgets,
+    // per-source shard (parallel prefix sums, no global window)
+    "doc_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir))),
+    // PageRank over the word-adjacency graph: integer-scaled damped
+    // power iteration, 3 unrolled rounds in the oracle
+    "word_pagerank" -> ((s, dir) =>
+      Graph.wordPageRank(Tables.documents(s, dir))),
     "doc_bigram_familiarity" -> ((s, dir) =>
       TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))),
     "doc_editdist_next" -> ((s, dir) =>
@@ -379,6 +387,10 @@ object SparkEntry {
       graft.streaming.Streams.dedupAvailableNow(s, dir)),
     "streaming_session_counts" -> ((s, dir) =>
       graft.streaming.Streams.sessionCountsAvailableNow(s, dir)),
+    // multi-row custom state (flatMapGroupsWithState): one row per
+    // SESSION, equal to the batch sessionize output
+    "streaming_session_rows" -> ((s, dir) =>
+      graft.streaming.Streams.sessionRowsAvailableNow(s, dir)),
     // stream-stream interval join (watermark-bounded state) and
     // sliding windows, both run to completion and batch-oracled
     "streaming_interval_join" -> ((s, dir) =>
@@ -870,6 +882,20 @@ object SparkEntry {
          |  count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "streaming_session_rows" ->
+      s"""SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         |FROM (
+         |  SELECT user_id, event_id, ts_ms,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |      CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+         |        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+         |      THEN 1 ELSE 0 END AS is_new
+         |    FROM events)
+         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sessionize" ->
       s"""SELECT user_id, session_id, count(*) AS n_events,
          |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
@@ -1004,6 +1030,35 @@ object SparkEntry {
          |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
          |      << (4*(14-i)))) AS h
          |  FROM documents) WHERE h % 100 < 10 ORDER BY doc_id""".stripMargin,
+    "doc_pack_sequences" ->
+      s"""SELECT source, doc_id, n_tokens, (cum - n_tokens) // 256 AS seq_id FROM (
+         |  SELECT source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT source, doc_id, CAST(len($SqlWs) AS BIGINT) AS n_tokens FROM documents))
+         |ORDER BY source, doc_id""".stripMargin,
+    "word_pagerank" -> {
+      val init = 1000000000000L
+      val jump = init * 15 / 100
+      val iters = 3
+      val base =
+        s"""edges AS (SELECT DISTINCT ws[i+1] AS src, ws[i+2] AS dst
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+           |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+           |r0 AS (SELECT node, CAST($init AS BIGINT) AS rank FROM nodes)""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |  CAST($jump AS BIGINT) + (85 * COALESCE(f.inflow, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(sum(r.rank // o.odeg) AS BIGINT) AS inflow
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           |    GROUP BY 1) f ON n.node = f.dst)""".stripMargin
+      }
+      (base +: iterCtes).mkString("WITH ", ",\n", "") +
+        s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node"
+    },
     "doc_stratified_sample" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, list_sum(list_transform(range(15), i ->

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived graphs — the centrality
+  * complement to [[Dedup.components]]' connectivity: PageRank-style
+  * scoring of the word co-occurrence graph (link-graph quality signals
+  * are a standard corpus-curation input).
+  *
+  * Determinism contract: ranks are scaled BIGINTs (initial mass
+  * `init` per node) and every step is integer arithmetic —
+  * `rank div outdeg` per edge, damping as `(85 · inflow) div 100` —
+  * truncation toward zero on both engines, so each iteration is
+  * bit-reproducible and the oracle can unroll the same recurrence.
+  * Dangling nodes simply leak their mass (classic simplified PageRank);
+  * nodes with no in-edges keep the teleport term.
+  */
+object Graph {
+
+  /** Distinct directed word-adjacency edges (consecutive cleaned
+    * tokens) across all documents.
+    */
+  def bigramEdges(docs: DataFrame): DataFrame =
+    docs.select(WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS src, ws[i+1] AS dst))"))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .distinct()
+
+  /** `iters` PageRank power iterations over (src, dst) edges.
+    *
+    * Scale shape: per iteration ONE shuffle on dst (the inflow
+    * aggregation) plus the rank⋈edge join on src — both keyed
+    * exchanges over edge/node-sized frames, nothing on the driver. The
+    * node-sized rank frame is `localCheckpoint`ed per iteration to
+    * truncate lineage (same pattern as [[Dedup.components]] /
+    * [[Clustering.lloydCentroids]]).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               init: Long = 1000000000000L): DataFrame = {
+    val jump = init * 15 / 100
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val inflow = edges
+        .join(ranks, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank div odeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(jump) + expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks.orderBy(col("rank").desc, col("node"))
+  }
+
+  /** Gate shape: PageRank of the corpus word-adjacency graph. */
+  def wordPageRank(docs: DataFrame, iters: Int = 3): DataFrame =
+    pageRank(bigramEdges(docs), iters)
+      .select(col("node"), col("rank"))
+}

@@ -254,6 +254,25 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** Training-sequence packing: documents concatenate in doc_id order
+    * into fixed token-budget sequences, assigned by the sequence their
+    * FIRST token lands in (contiguous greedy packing — the standard
+    * "concat and chunk" pretraining layout). Packing is per `source`
+    * shard, so the running token sum is a window over each shard, not
+    * one global single-partition prefix sum — at 100 TB each shard
+    * packs independently and in parallel.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("source"), col("doc_id"),
+        size(WordCount.cleanWords(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("seq_id"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Levenshtein distance from each document to its id-successor — the
     * fuzzy-match primitive (dedup pipelines use it to verify candidate
     * pairs). Pairing is an equi-join on doc_id+1 (one shuffle), not a

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.operators.WordCount
 
@@ -245,4 +245,57 @@ object Streams {
       }
       .toDF("user_id", "n_sessions")
   }
+
+  /** Full session ROWS via `flatMapGroupsWithState` — the multi-row
+    * custom-state API (mapGroupsWithState emits exactly one row per
+    * group; this emits one per session). Events arrive in one staged
+    * batch, so each user's history is sessionized in one invocation and
+    * the emitted rows equal batch
+    * [[graft.operators.Relational.sessions]]. Per-user buffering is
+    * bounded by events/user (the sessionization sort), same contract as
+    * the batch window.
+    */
+  def sessionRows(spark: SparkSession, events: DataFrame,
+                  gapMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("ts_ms").as[Long],
+        col("event_id").as[Long])
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long)]
+          var sessionId = state.getOption.getOrElse(0L)
+          var lastMs = Long.MinValue
+          var n = 0L
+          var startMs = 0L
+          def close(endMs: Long): Unit =
+            if (n > 0) out += ((user, sessionId, n, startMs, endMs))
+          sorted.foreach { case (_, ts, _) =>
+            if (lastMs == Long.MinValue || ts - lastMs > gapMs) {
+              close(lastMs)
+              sessionId += 1
+              n = 0L
+              startMs = ts
+            }
+            n += 1
+            lastMs = ts
+          }
+          close(lastMs)
+          state.update(sessionId)
+          out.iterator
+      }
+      .toDF("user_id", "session_id", "n_events", "start_ms", "end_ms")
+  }
+
+  /** [[sessionRows]] driven to completion, update mode; equals the
+    * batch sessionize oracle row-for-row.
+    */
+  def sessionRowsAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(sessionRows(spark, eventsStream(spark, dir)),
+      Seq("user_id", "session_id"), mode = "update")
 }
