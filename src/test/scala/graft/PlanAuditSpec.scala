@@ -86,6 +86,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"keep side must anti-join:\n$p")
   }
 
+  test("q7: nation/customer/supplier dims broadcast, one big join only") {
+    val p = planOf("q7_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    // lineitem ⋈ orders is the only shuffle join allowed
+    val shuffleJoins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffleJoins <= 1, s"expected at most one shuffled join:\n$p")
+  }
+
+  test("q19: part side broadcast; disjunctive filter after the join") {
+    val p = planOf("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q22: anti join on recent orders, no shuffled customer window") {
+    val p = planOf("q22_dormant_rich")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("Window"))
+  }
+
+  test("pack sequences: window partitioned by source (no global sort)") {
+    val p = planOf("doc_pack_sequences")
+    // a single global window would show hashpartitioning on no columns
+    // or a SinglePartition exchange feeding the Window
+    assert(p.contains("Window"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must stay per-source parallel:\n$p")
+  }
+
+  test("kll quantile sketch: partial aggregation before the exchange") {
+    val p = planOf("events_value_quantiles_sketch")
+    assert(p.contains("partial_kllquantiles") ||
+      p.linesIterator.exists(l => l.contains("partial") && l.contains("kll")),
+      s"sketch must combine map-side:\n$p")
+  }
+
   test("partitioned corpus write prunes to one split on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.operators.TextAnalysis.writeCorpus(
