@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // managed tables (the bucketed-join path) land in a temp dir, not
+      // the process cwd; callers may override
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       // testdata `events` stores TIMESTAMP(NANOS), which Spark 4 only
       // reads as bigint nanos via this legacy flag (Tables.events then
       // normalizes to epoch-ms)

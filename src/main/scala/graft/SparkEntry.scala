@@ -280,6 +280,32 @@ object SparkEntry {
     "top_orders_per_cust" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
     "wordcount_salted" -> ((s, dir) =>
       WordCount.wordCountSalted(Tables.documents(s, dir), 16)),
+    // explicit salted equi-join (hot-key spreading): orders ⋈ customer
+    // over 8 salt buckets, aggregated per nation — result is
+    // salt-invariant so it shares a plain-join oracle
+    "orders_nation_salted_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val big = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val small = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      Skew.saltedJoin(big, small, "custkey", 8)
+        .groupBy("c_nationkey")
+        .agg(sum("price_c").as("sum_price_cents"), count(lit(1)).as("n_orders"))
+        .orderBy("c_nationkey")
+    }),
+    // co-located bucketed join: both sides bucketed+sorted on orderkey
+    // at write time, joined with zero exchanges (plan-audited)
+    "bucketed_join_revenue" -> ((s, dir) =>
+      graft.sources.Bucketing.bucketedRevenueByPriority(s, dir)),
+    // per-group KMV sketch (exact below k per group)
+    "distinct_words_per_source_sketch" -> ((s, dir) =>
+      WordCount.explodeWords(Tables.documents(s, dir), "text", Seq("source"))
+        .groupBy("source")
+        .agg(graft.functions.KmvDistinct.kmv_distinct(
+          org.apache.spark.sql.functions.col("word"), 1024).as("n_words"))
+        .orderBy("source")),
     "events_asof" -> ((s, dir) =>
       Relational.asofViewBeforePurchase(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) =>
@@ -1138,6 +1164,21 @@ object SparkEntry {
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
          |         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c4
          |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "orders_nation_salted_join" ->
+      s"""SELECT c_nationkey,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+         |  count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bucketed_join_revenue" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_lines
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "distinct_words_per_source_sketch" ->
+      s"""SELECT source, count(DISTINCT word) AS n_words FROM (${sqlWords(" source,")})
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q7_volume" ->
       s"""SELECT supp_nation, cust_nation, yr, CAST(sum(rev_c) AS BIGINT) AS revenue_cents FROM (
          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -42,7 +42,8 @@ case class KllQuantiles(
   extends TypedImperativeAggregate[KllQuantiles.Summary] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // null on zero non-null inputs — same contract as `percentile`
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def createAggregationBuffer(): KllQuantiles.Summary =
@@ -62,7 +63,7 @@ case class KllQuantiles(
   }
 
   override def eval(buf: KllQuantiles.Summary): Any =
-    new GenericArrayData(buf.quantiles(ps.toArray))
+    if (buf.n == 0) null else new GenericArrayData(buf.quantiles(ps.toArray))
 
   override def serialize(buf: KllQuantiles.Summary): Array[Byte] = {
     val levels = buf.levels
@@ -182,7 +183,7 @@ object KllQuantiles {
       * compaction yet) this IS the exact algorithm bit-for-bit.
       */
     def quantiles(probs: Array[Double]): Array[Double] = {
-      if (n == 0) return probs.map(_ => 0.0d)
+      require(n > 0, "quantiles of an empty summary (eval returns null)")
       val total = levelBufs.iterator.map(_.length.toLong).sum.toInt
       val vals = new Array[Long](total)
       val wts = new Array[Long](total)

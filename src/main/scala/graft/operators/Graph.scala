@@ -39,12 +39,18 @@ object Graph {
     * truncate lineage (same pattern as [[Dedup.components]] /
     * [[Clustering.lloydCentroids]]).
     */
-  def pageRank(edges: DataFrame, iters: Int,
+  def pageRank(rawEdges: DataFrame, iters: Int,
                init: Long = 1000000000000L): DataFrame = {
     val jump = init * 15 / 100
+    // materialize the (possibly expensive) edge derivation ONCE: every
+    // iteration joins against edges/outdeg, and without this each of
+    // them would re-run the upstream lineage per iteration
+    val edges = rawEdges.localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
     var i = 0
     while (i < iters) {

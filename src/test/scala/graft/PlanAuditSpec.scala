@@ -123,6 +123,13 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch must combine map-side:\n$p")
   }
 
+  test("bucketed join: zero exchanges on the join, one for the agg") {
+    val p = planOf("bucketed_join_revenue")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"bucketed layout must join exchange-free (only the final agg shuffles):\n$p")
+  }
+
   test("partitioned corpus write prunes to one split on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.operators.TextAnalysis.writeCorpus(
