@@ -120,6 +120,25 @@ object SparkEntry {
       out
     })
 
+  /** The documents table round-tripped through a non-parquet format
+    * once per (sf dir, format) — the CSV/JSON source coverage (the
+    * wordcount oracle is format-invariant).
+    */
+  private val fmtDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def docsAsFormat(s: SparkSession, dir: String, fmt: String): String =
+    fmtDirCache.computeIfAbsent(s"$dir:$fmt", _ => {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_${fmt}_").toString
+      val docs = Tables.documents(s, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      fmt match {
+        case "csv" =>
+          docs.write.mode("overwrite").option("header", "true").csv(out)
+        case "json" => docs.write.mode("overwrite").json(out)
+      }
+      out
+    })
+
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference surface: word count family (SURVEY.md §2 rows 1-13)
@@ -139,6 +158,16 @@ object SparkEntry {
       graft.streaming.Streams.wordCountAvailableNow(s, docsAsTextDir(s, dir))),
     "wordcount_per_source" -> ((s, dir) =>
       WordCount.wordCountBy(Tables.documents(s, dir), "text", "source")),
+    // CSV / JSONL sources: the same pipeline over a schema'd csv/json
+    // read (format-invariant oracle)
+    "csv_wordcount" -> ((s, dir) =>
+      WordCount.wordCount(s.read.option("header", "true")
+        .schema("doc_id LONG, text STRING")
+        .csv(docsAsFormat(s, dir, "csv")))),
+    "json_wordcount" -> ((s, dir) =>
+      WordCount.wordCount(s.read
+        .schema("doc_id LONG, text STRING")
+        .json(docsAsFormat(s, dir, "json")))),
     "distinct_words" -> ((s, dir) =>
       WordCount.distinctWords(Tables.documents(s, dir))),
     // same count through the KMV TypedImperativeAggregate sketch
@@ -368,6 +397,12 @@ object SparkEntry {
       Multimodal.frameSampleQuery(s, Tables.documents(s, dir))),
     "events_type_rank" -> ((s, dir) =>
       Relational.eventTypeRanks(Tables.events(s, dir))),
+    // keyed ntile quartiles (never the global single-partition ntile)
+    "events_ntile" -> ((s, dir) =>
+      Relational.eventsNtile(Tables.events(s, dir))),
+    // first_value / last_value over an unbounded total-ordered frame
+    "events_user_first_last" -> ((s, dir) =>
+      Relational.userFirstLast(Tables.events(s, dir))),
     "events_sliding" -> ((s, dir) =>
       Relational.slidingWindows(Tables.events(s, dir))),
     "events_clicks_views_fo" -> ((s, dir) =>
@@ -443,6 +478,26 @@ object SparkEntry {
     "wordcount_per_source" ->
       s"""SELECT source, word, count(*) AS cnt FROM (${sqlWords(" source,")})
          |GROUP BY source, word ORDER BY source, word""".stripMargin,
+    "csv_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
+    "json_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
+    "events_ntile" ->
+      s"""SELECT event_type, tile, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_cents FROM (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c,
+         |    CAST(ntile(4) OVER (PARTITION BY event_type
+         |      ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS BIGINT) AS tile
+         |  FROM events)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_user_first_last" ->
+      s"""SELECT DISTINCT user_id,
+         |  first_value(event_type) OVER w AS first_type,
+         |  last_value(event_type) OVER w AS last_type,
+         |  count(*) OVER (PARTITION BY user_id) AS n_events
+         |FROM (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY user_id""".stripMargin,
     "distinct_words" ->
       s"""SELECT count(DISTINCT word) AS n_words FROM (${sqlWords()})""",
     "distinct_words_sketch" ->

@@ -637,6 +637,39 @@ object Relational {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Quartile assignment WITHIN each event_type (ntile over a keyed
+    * partition — never the global single-partition ntile), aggregated
+    * per tile. Total window order via (value_c, event_id).
+    */
+  def eventsNtile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value_c"), col("event_id"))
+    events.select(col("event_type"), cents("value").as("value_c"),
+        col("event_id"))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .groupBy("event_type", "tile")
+      .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_cents"))
+      .orderBy("event_type", "tile")
+  }
+
+  /** Each user's first and last event type (first_value/last_value over
+    * an unbounded frame with a total order) plus their event count.
+    */
+  def userFirstLast(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events.select(col("user_id"), col("event_type"), col("ts_ms"),
+        col("event_id"))
+      .withColumn("first_type", first("event_type").over(w))
+      .withColumn("last_type", last("event_type").over(w))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy("user_id")))
+      .select("user_id", "first_type", "last_type", "n_events")
+      .distinct()
+      .orderBy("user_id")
+  }
+
   private def revCents: org.apache.spark.sql.Column =
     round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
       .cast("long").as("rev_c")

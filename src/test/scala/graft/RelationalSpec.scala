@@ -172,6 +172,29 @@ class RelationalSpec extends SparkSpec {
     assert(r.getLong(0) >= 0 && r.getLong(0) <= r.getLong(1))
   }
 
+  test("ntile quartiles are keyed per event_type and near-equal sized") {
+    // 8 rows of type a (tiles of 2), 2 rows of type b (tiles 1,2 of 1)
+    val e = events((1L to 8L).map(i => (i, 1L, 0L, "a", i.toDouble, "{}")) ++
+      Seq((9L, 1L, 0L, "b", 1.0, "{}"), (10L, 1L, 0L, "b", 2.0, "{}")): _*)
+    val got = Relational.eventsNtile(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 1L, 2L, 300L), ("a", 2L, 2L, 700L),
+      ("a", 3L, 2L, 1100L), ("a", 4L, 2L, 1500L),
+      ("b", 1L, 1L, 100L), ("b", 2L, 1L, 200L)))
+  }
+
+  test("userFirstLast takes the total-ordered endpoints per user") {
+    val e = events(
+      (2L, 1L, 100L, "view", 0.0, "{}"),
+      (1L, 1L, 100L, "signup", 0.0, "{}"),  // ts tie -> event_id breaks it
+      (3L, 1L, 300L, "purchase", 0.0, "{}"),
+      (4L, 2L, 0L, "click", 0.0, "{}"))
+    val got = Relational.userFirstLast(e).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "signup", "purchase", 3L),
+      (2L, "click", "click", 1L)))
+  }
+
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)
