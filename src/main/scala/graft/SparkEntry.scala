@@ -419,6 +419,11 @@ object SparkEntry {
     "q17_small_qty" -> ((s, dir) => Relational.q17SmallQty(s, dir)),
     "q19_disjunctive" -> ((s, dir) => Relational.q19Disjunctive(s, dir)),
     "q22_dormant_rich" -> ((s, dir) => Relational.q22DormantRich(s, dir)),
+    "q2_min_cost_supplier" -> ((s, dir) => Relational.q2MinCostSupplier(s, dir)),
+    "q11_important_parts" -> ((s, dir) => Relational.q11ImportantParts(s, dir)),
+    "q16_supplier_cnt" -> ((s, dir) => Relational.q16SupplierCount(s, dir)),
+    "q20_promotion_suppliers" -> ((s, dir) => Relational.q20PromotionSuppliers(s, dir)),
+    "q21_waiting_suppliers" -> ((s, dir) => Relational.q21WaitingSuppliers(s, dir)),
     "events_transitions" -> ((s, dir) =>
       Relational.eventTransitions(Tables.events(s, dir))),
     // explicit runtime row-level filter: bloom prefilter on the fact
@@ -1330,6 +1335,67 @@ object SparkEntry {
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      s"""WITH offers AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)
+         |  GROUP BY 1, 2),
+         |best AS (SELECT pk AS bpk, min(cost_c) AS mc FROM offers GROUP BY 1)
+         |SELECT o.pk AS p_partkey, o.sk AS s_suppkey, o.cost_c, s.s_name,
+         |  CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_c, n.n_name AS nation
+         |FROM offers o JOIN best b ON o.pk = b.bpk AND o.cost_c = b.mc
+         |JOIN supplier s ON o.sk = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |ORDER BY bal_c DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin,
+    "q11_important_parts" ->
+      s"""WITH val AS (
+         |  SELECT l_partkey AS p_partkey,
+         |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS value_c
+         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+         |  GROUP BY 1)
+         |SELECT p_partkey, value_c FROM val
+         |WHERE value_c * 10000 > (SELECT sum(value_c) FROM val) * 12
+         |ORDER BY value_c DESC, p_partkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      s"""SELECT p_brand, p_size // 10 AS size_bucket,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2
+         |ORDER BY supplier_cnt DESC, p_brand, size_bucket""".stripMargin,
+    "q20_promotion_suppliers" ->
+      s"""SELECT s_suppkey, s_name FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+         |  AND s_suppkey IN (
+         |    SELECT l_suppkey FROM lineitem
+         |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+         |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |    GROUP BY l_suppkey
+         |    HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 5000)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_suppkey,
+         |    (epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) // 86400000 > 365 AS late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F'),
+         |ostats AS (
+         |  SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+         |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+         |  FROM li GROUP BY 1)
+         |SELECT s_name, count(*) AS numwait FROM (
+         |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+         |  FROM li l JOIN ostats o ON l.l_orderkey = o.ok
+         |  WHERE l.late AND o.n_supp > 1 AND o.n_late = 1)
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "events_transitions" ->
       s"""SELECT prev_type, event_type, count(*) AS cnt FROM (
          |  SELECT event_type,

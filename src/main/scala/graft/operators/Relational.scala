@@ -895,4 +895,147 @@ object Relational {
       .agg(count(lit(1)).as("numcust"), sum("bal_c").as("total_bal_cents"))
       .orderBy("c_nationkey")
   }
+
+  /** TPC-H Q2-shaped min-cost supplier: the correlated min-subquery
+    * becomes a per-part min aggregate joined back on (part, cost) —
+    * the standard decorrelation. No partsupp table here, so the "offer"
+    * is each supplier's cheapest lineitem price for the part. The part
+    * filter lands BEFORE both aggregates (it's per-part, so it commutes
+    * with the min), shrinking the only big shuffle.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+                        maxSize: Int = 15): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .where(col("p_size") <= maxSize).select("p_partkey")
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min("price_c").as("cost_c"))
+    val best = offers.groupBy(col("pk").as("bpk"))
+      .agg(min("cost_c").as("mc"))
+    val supNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal") * 100).cast("long").as("bal_c"),
+        col("n_name").as("nation"))
+    offers.join(best, col("pk") === col("bpk") && col("cost_c") === col("mc"))
+      .join(broadcast(supNation), col("sk") === col("s_suppkey"))
+      .select(col("pk").as("p_partkey"), col("sk").as("s_suppkey"),
+        col("cost_c"), col("s_name"), col("bal_c"), col("nation"))
+      .orderBy(col("bal_c").desc, col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11-shaped important parts: per-part inventory value for a
+    * supplier-nation group, kept only when it exceeds a fraction of the
+    * grand total. The scalar subquery is a 1-row broadcast and the
+    * threshold is integer cross-multiplied (value·10⁴ > total·12, i.e.
+    * 0.12%), so both engines agree bit-for-bit on the boundary.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+                        nations: Seq[String] = Seq("NATION_1", "NATION_2", "NATION_3")): DataFrame = {
+    val natSup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .where(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), revCents)
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum("rev_c").as("value_c"))
+    value.join(broadcast(value.agg(sum("value_c").as("t"))))
+      .where(col("value_c") * 10000 > col("t") * 12)
+      .select("p_partkey", "value_c")
+      .orderBy(col("value_c").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16-shaped supplier count per (brand, size bucket): the
+    * NOT-IN complaints subquery is a broadcast left-anti join against
+    * negative-balance suppliers; count(DISTINCT suppkey) carries the
+    * dedup through the aggregate (partial distinct before the brand
+    * shuffle).
+    */
+  def q16SupplierCount(spark: SparkSession, dir: String,
+                       excludeBrands: Seq[String] = Seq("Brand#1", "Brand#2")): DataFrame = {
+    val complaints = Tables.supplier(spark, dir)
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(Tables.part(spark, dir)
+          .where(!col("p_brand").isin(excludeBrands: _*))
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"),
+        expr("CAST(p_size div 10 AS BIGINT)").as("size_bucket"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_bucket"))
+  }
+
+  /** TPC-H Q20-shaped promotion suppliers: two nested IN-subqueries as
+    * semi-joins — parts by name (broadcast) gate the lineitem scan, the
+    * HAVING-filtered per-supplier quantity gates the supplier list
+    * (left-semi). Only aggregated rows cross the final join.
+    */
+  def q20PromotionSuppliers(spark: SparkSession, dir: String,
+                            nameLike: String = "widget",
+                            nations: Seq[String] = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4"),
+                            minCentiQty: Long = 5000L): DataFrame = {
+    val namedParts = Tables.part(spark, dir)
+      .where(col("p_name").contains(nameLike)).select("p_partkey")
+    val heavy = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity") * 100).cast("long").as("centiqty"))
+      .join(broadcast(namedParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy("l_suppkey")
+      .agg(sum("centiqty").as("sq"))
+      .where(col("sq") > minCentiQty)
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .where(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-shaped waiting suppliers: the EXISTS/NOT-EXISTS pair
+    * over sibling lineitems decorrelates into one per-order aggregate
+    * (distinct suppliers, distinct LATE suppliers) joined back — a
+    * qualifying line is late, shares its finished order with another
+    * supplier, and is the ONLY late supplier on it. "Late" is a
+    * ship-vs-order delay > 365 days (this testdata has no
+    * commit/receipt dates).
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String,
+                          lateDays: Int = 365): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (expr("(unix_millis(cast(l_shipdate AS timestamp)) - " +
+          "unix_millis(cast(o_orderdate AS timestamp))) div 86400000")
+          > lateDays).as("late"))
+    val ostats = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+    li.where(col("late"))
+      .join(ostats, col("l_orderkey") === col("ok"))
+      .where(col("n_supp") > 1 && col("n_late") === 1)
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
 }

