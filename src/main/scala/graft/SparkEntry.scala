@@ -135,6 +135,7 @@ object SparkEntry {
         case "csv" =>
           docs.write.mode("overwrite").option("header", "true").csv(out)
         case "json" => docs.write.mode("overwrite").json(out)
+        case "orc"  => docs.write.mode("overwrite").orc(out)
       }
       out
     })
@@ -168,6 +169,11 @@ object SparkEntry {
       WordCount.wordCount(s.read
         .schema("doc_id LONG, text STRING")
         .json(docsAsFormat(s, dir, "json")))),
+    "orc_wordcount" -> ((s, dir) =>
+      WordCount.wordCount(s.read.orc(docsAsFormat(s, dir, "orc")))),
+    // hive-partitioned lake: the filter prunes to one partition dir
+    "partitioned_pruned_scan" -> ((s, dir) =>
+      graft.sources.PartitionedLake.prunedDailySpend(s, dir)),
     "distinct_words" -> ((s, dir) =>
       WordCount.distinctWords(Tables.documents(s, dir))),
     // same count through the KMV TypedImperativeAggregate sketch
@@ -487,6 +493,13 @@ object SparkEntry {
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
     "json_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
+    "orc_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
+    "partitioned_pruned_scan" ->
+      s"""SELECT epoch_ms(ts) // 86400000 AS epoch_day, count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_ntile" ->
       s"""SELECT event_type, tile, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_cents FROM (
          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c,

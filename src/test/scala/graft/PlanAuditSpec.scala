@@ -130,6 +130,17 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed layout must join exchange-free (only the final agg shuffles):\n$p")
   }
 
+  test("partitioned lake: type filter is a PartitionFilter, not a row filter") {
+    val p = planOf("partitioned_pruned_scan")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"),
+      s"event_type must prune partition dirs:\n$p")
+    // the scan line carries everything; the row-level filter sets must
+    // be EMPTY (the predicate is satisfied by pruning alone)
+    assert(pf.contains("PushedFilters: []") && pf.contains("DataFilters: []"),
+      s"pruned column must not reappear as a row filter:\n$p")
+  }
+
   test("partitioned corpus write prunes to one split on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.operators.TextAnalysis.writeCorpus(
