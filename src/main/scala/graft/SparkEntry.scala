@@ -403,6 +403,18 @@ object SparkEntry {
       Multimodal.frameSampleQuery(s, Tables.documents(s, dir))),
     "events_type_rank" -> ((s, dir) =>
       Relational.eventTypeRanks(Tables.events(s, dir))),
+    // percent_rank/cume_dist distribution positions, keyed windows
+    "events_percent_rank" -> ((s, dir) =>
+      Relational.eventsPercentRank(Tables.events(s, dir))),
+    // RANGE frame (time-valued, tie-safe) peak moving sum
+    "events_peak_window" -> ((s, dir) =>
+      Relational.peakWindowSpend(Tables.events(s, dir))),
+    // unpivot/melt: the wide→long reshape of the pivot
+    "events_melt" -> ((s, dir) =>
+      Relational.eventTypeMelt(Tables.events(s, dir))),
+    // higher-order array functions (filter/transform/aggregate), no UDF
+    "emb_array_stats" -> ((s, dir) =>
+      Similarity.arrayStats(Tables.embeddings(s, dir))),
     // keyed ntile quartiles (never the global single-partition ntile)
     "events_ntile" -> ((s, dir) =>
       Relational.eventsNtile(Tables.events(s, dir))),
@@ -916,6 +928,47 @@ object SparkEntry {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          |) WHERE event_type = 'purchase' AND last_view_id IS NOT NULL
          |ORDER BY purchase_id""".stripMargin,
+    "events_percent_rank" ->
+      s"""SELECT event_type,
+         |  count(*) FILTER (WHERE pr <= 0.25) AS n_bottom_quartile,
+         |  count(*) FILTER (WHERE cd <= 0.5) AS n_lower_half,
+         |  CAST(sum(value_c) FILTER (WHERE pr <= 0.25) AS BIGINT) AS bottom_cents
+         |FROM (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c,
+         |    percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY CAST(round(value * 100) AS BIGINT), event_id))
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_peak_window" ->
+      s"""SELECT user_id, CAST(max(mv) AS BIGINT) AS peak_10min_cents,
+         |  count(*) AS n_events
+         |FROM (
+         |  SELECT user_id,
+         |    sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         |      PARTITION BY user_id ORDER BY epoch_ms(ts)
+         |      RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS mv
+         |  FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_melt" ->
+      s"""SELECT user_id, metric, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT user_id, count(*) AS n_total,
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+         |  FROM events GROUP BY user_id)
+         |UNPIVOT (cnt FOR metric IN (n_total, n_click, n_error, n_purchase, n_signup, n_view))
+         |ORDER BY user_id, metric""".stripMargin,
+    "emb_array_stats" ->
+      s"""SELECT vec_id,
+         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+         |  CAST(list_sum(list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
+         |  CAST(list_max(list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS max_milli
+         |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin,
     "events_pivot" ->
       s"""SELECT user_id, count(*) AS n_total,
          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

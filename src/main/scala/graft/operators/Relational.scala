@@ -896,6 +896,55 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Distribution-position windows: percent_rank / cume_dist within
+    * each event_type (keyed partitions — never a global single-partition
+    * window), aggregated to quartile/half counts. The window order
+    * (value_c, event_id) is total, so both functions are deterministic;
+    * both engines compute (rank-1)/(n-1) and rank/n on identical
+    * doubles, so the threshold comparisons agree bit-for-bit.
+    */
+  def eventsPercentRank(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value_c"), col("event_id"))
+    events.select(col("event_type"), cents("value").as("value_c"),
+        col("event_id"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("event_type")
+      .agg(sum(when(col("pr") <= 0.25, 1L).otherwise(0L)).as("n_bottom_quartile"),
+        sum(when(col("cd") <= 0.5, 1L).otherwise(0L)).as("n_lower_half"),
+        sum(when(col("pr") <= 0.25, col("value_c"))).as("bottom_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Peak 10-minute spend per user: a RANGE frame (600 000 ms preceding
+    * on ts_ms) — ties in event time all join the frame regardless of
+    * row order, so the moving sum (and its max) is deterministic even
+    * on duplicate timestamps, where a ROWS frame would not be.
+    */
+  def peakWindowSpend(events: DataFrame, windowMs: Long = 600000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-windowMs, Window.currentRow)
+    events.select(col("user_id"), col("ts_ms"), cents("value").as("value_c"))
+      .withColumn("mv", sum("value_c").over(w))
+      .groupBy("user_id")
+      .agg(max("mv").as("peak_10min_cents"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** The pivot inverted: `unpivot` (melt) turns the per-user conditional
+    * counts back into tall (user_id, metric, cnt) rows — the
+    * wide→long reshape. Stays distributed: unpivot is a per-row
+    * flatMap, no shuffle beyond the pivot's own aggregation.
+    */
+  def eventTypeMelt(events: DataFrame): DataFrame = {
+    val wide = eventTypePivot(events)
+    wide.unpivot(Array(col("user_id")),
+        wide.columns.filter(_ != "user_id").map(col),
+        "metric", "cnt")
+      .orderBy("user_id", "metric")
+  }
+
   /** TPC-H Q2-shaped min-cost supplier: the correlated min-subquery
     * becomes a per-part min aggregate joined back on (part, cost) —
     * the standard decorrelation. No partsupp table here, so the "offer"

@@ -214,4 +214,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** Per-vector stats via higher-order array functions — `filter`,
+    * `transform`, `aggregate` run inside codegen with no UDF and no
+    * explode (the array never becomes rows, so a 100 TB scan stays one
+    * pass with zero shuffle). Integer-milli outputs: both engines do
+    * the identical float→double promotion before scaling.
+    */
+  def arrayStats(emb: DataFrame, limit: Int = 500): DataFrame = {
+    val milli = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    emb.select(col("vec_id"),
+        size(filter(col("embedding"), _ > 0f)).cast("long").as("n_pos"),
+        aggregate(milli, lit(0L), (acc, x) => acc + x).as("sum_milli"),
+        array_max(milli).as("max_milli"))
+      .orderBy("vec_id")
+      .limit(limit)
+  }
 }

@@ -195,6 +195,33 @@ class RelationalSpec extends SparkSpec {
       (2L, "click", "click", 1L)))
   }
 
+  test("percent_rank quartile counts follow the (rank-1)/(n-1) definition") {
+    // 5 rows: pr = 0, .25, .5, .75, 1 -> two rows at pr <= 0.25
+    val e = events((1L to 5L).map(i => (i, 1L, 0L, "a", i.toDouble, "{}")): _*)
+    val r = Relational.eventsPercentRank(e).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 2L, 300L)))
+  }
+
+  test("RANGE frame includes timestamp ties and the full preceding window") {
+    val e = events(
+      (1L, 1L, 0L, "a", 1.0, "{}"),
+      (2L, 1L, 0L, "a", 2.0, "{}"),        // tie: both rows see both
+      (3L, 1L, 600_000L, "a", 4.0, "{}"),  // still in range of t=0
+      (4L, 1L, 1_300_000L, "a", 3.0, "{}")) // out of range of all others
+    val r = Relational.peakWindowSpend(e).collect().head
+    assert(r.getLong(1) == 700L && r.getLong(2) == 4L)  // 100+200+400 peak
+  }
+
+  test("melt inverts the pivot to tall rows") {
+    val e = events(
+      (1L, 1L, 0L, "view", 0.0, "{}"),
+      (2L, 1L, 0L, "click", 0.0, "{}"))
+    val got = Relational.eventTypeMelt(e).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got("n_total") == 2L && got("n_click") == 1L &&
+      got("n_view") == 1L && got("n_error") == 0L && got.size == 6)
+  }
+
   test("q2/q11/q16/q20/q21 return sane shapes on sf0.001") {
     val q2 = Relational.q2MinCostSupplier(spark, sf0001)
     assert(q2.count() > 0 && q2.count() <= 100)

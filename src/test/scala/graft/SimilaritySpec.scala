@@ -17,6 +17,13 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(0) - 0.0) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
   }
 
+  test("arrayStats: higher-order filter/transform/aggregate, no explode") {
+    val d = emb((0L, Seq(0.5f, -0.25f, 0f), 0), (1L, Seq(-1f, -1f, 2f), 0))
+    val got = Similarity.arrayStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L, 250L, 500L), (1L, 1L, 0L, 2000L)))
+  }
+
   test("knn brute force ranks by cosine, ties by id") {
     val d = emb(
       (0L, Seq(1f, 0f), 0),
