@@ -481,6 +481,9 @@ object SparkEntry {
       graft.streaming.Streams.intervalJoinAvailableNow(s, dir)),
     "streaming_events_sliding" -> ((s, dir) =>
       graft.streaming.Streams.slidingWindowsAvailableNow(s, dir)),
+    // stream-static enrichment join: broadcast batch dim, no join state
+    "streaming_static_join" -> ((s, dir) =>
+      graft.streaming.Streams.streamStaticJoinAvailableNow(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1266,6 +1269,11 @@ object SparkEntry {
          |  event_type, count(*) AS n_events
          |FROM events, LATERAL (SELECT unnest(range(2)) AS i) r
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "streaming_static_join" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q4_order_priority" ->
       s"""SELECT o_orderpriority, count(*) AS order_count
          |FROM orders o

@@ -298,4 +298,21 @@ object Streams {
   def sessionRowsAvailableNow(spark: SparkSession, dir: String): DataFrame =
     runAvailableNow(sessionRows(spark, eventsStream(spark, dir)),
       Seq("user_id", "session_id"), mode = "update")
+
+  /** Stream-static join: the event stream enriched against a BATCH
+    * dimension (customer → nation) then aggregated. The static side is
+    * broadcast — each micro-batch probes it with zero shuffle and zero
+    * join state (nothing to watermark: the dimension is re-resolvable
+    * every batch, the standard streaming-enrichment shape).
+    */
+  def streamStaticJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"))
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+    runAvailableNow(enriched, Seq("nationkey"))
+  }
 }
