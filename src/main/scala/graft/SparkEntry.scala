@@ -403,6 +403,12 @@ object SparkEntry {
       Multimodal.frameSampleQuery(s, Tables.documents(s, dir))),
     "events_type_rank" -> ((s, dir) =>
       Relational.eventTypeRanks(Tables.events(s, dir))),
+    // integer-exact variance components (the deterministic stddev form)
+    "events_value_stats" -> ((s, dir) =>
+      Relational.eventsValueStats(Tables.events(s, dir))),
+    // typed Dataset[T] groupByKey/mapGroups surface
+    "typed_user_spend" -> ((s, dir) =>
+      Relational.typedUserSpend(Tables.events(s, dir))),
     // percent_rank/cume_dist distribution positions, keyed windows
     "events_percent_rank" -> ((s, dir) =>
       Relational.eventsPercentRank(Tables.events(s, dir))),
@@ -484,6 +490,9 @@ object SparkEntry {
     // stream-static enrichment join: broadcast batch dim, no join state
     "streaming_static_join" -> ((s, dir) =>
       graft.streaming.Streams.streamStaticJoinAvailableNow(s, dir)),
+    // the production file sink: checkpointed parquet append, batch read
+    "streaming_file_sink" -> ((s, dir) =>
+      graft.streaming.Streams.fileSinkWordCount(s, docsAsTextDir(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -500,6 +509,8 @@ object SparkEntry {
     "textdir_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
     "streaming_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
+    "streaming_file_sink" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
     "wordcount_per_source" ->
       s"""SELECT source, word, count(*) AS cnt FROM (${sqlWords(" source,")})
@@ -931,6 +942,16 @@ object SparkEntry {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          |) WHERE event_type = 'purchase' AND last_view_id IS NOT NULL
          |ORDER BY purchase_id""".stripMargin,
+    "events_value_stats" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(c) AS BIGINT) AS sum_cents,
+         |  CAST(sum(c * c) AS BIGINT) AS sumsq_cents
+         |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "typed_user_spend" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_percent_rank" ->
       s"""SELECT event_type,
          |  count(*) FILTER (WHERE pr <= 0.25) AS n_bottom_quartile,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -293,7 +293,7 @@ case class NearestCentroidL2(left: Expression, right: Expression)
   * oracle-comparable fingerprint; this one is 8 bytes and faster).
   */
 case class RollingHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
@@ -306,6 +306,21 @@ case class RollingHash64(child: Expression)
     }
     h
   }
+  // Java long arithmetic wraps by definition, so the generated code is
+  // the interpreted loop verbatim (ANSI mode only guards Catalyst-level
+  // arithmetic, not emitted Java).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""byte[] $b = $s.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h ^= ($b[$i] & 0xFFL);
+         |  $h *= 0x100000001b3L;
+         |}
+         |${ev.value} = $h;""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -896,6 +896,48 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Variance components as exact integers: (n, Σc, Σc²) per
+    * event_type. Client-side `(n·Σc² − (Σc)²) / n²` is the population
+    * variance in cents² — the engine ships only bigints, so both
+    * engines agree bit-for-bit where a float `stddev` aggregate would
+    * drift with partition order. Σc² < 2^63 needs |c| ≤ ~3M·√rows —
+    * enforced by value ∈ [0, 1000) in this schema; a 100 TB deployment
+    * wanting overflow headroom swaps the sums to DECIMAL(38,0).
+    */
+  def eventsValueStats(events: DataFrame): DataFrame =
+    events.select(col("event_type"), cents("value").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"),
+        sum(col("c") * col("c")).as("sumsq_cents"))
+      .orderBy("event_type")
+
+  /** One event as a typed row — the `Dataset[T]` surface. */
+  final case class Event(event_id: Long, user_id: Long, ts_ms: Long,
+                         event_type: String, value_c: Long)
+
+  /** Per-user spend through the TYPED Dataset API
+    * (`groupByKey`/`mapGroups` with case-class Encoders) — the
+    * compile-time-checked path; equals the untyped groupBy/agg. The
+    * closure runs per group server-side; only (user, n, sum) rows
+    * return, and Catalyst still plans a hash shuffle on the key (one
+    * exchange, same as the DataFrame form).
+    */
+  def typedUserSpend(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("event_type"), cents("value").as("value_c"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, rows) =>
+        var n = 0L; var s = 0L
+        rows.foreach { e => n += 1; s += e.value_c }
+        (uid, n, s)
+      }
+      .toDF("user_id", "n_events", "spend_cents")
+      .orderBy("user_id")
+  }
+
   /** Distribution-position windows: percent_rank / cume_dist within
     * each event_type (keyed partitions — never a global single-partition
     * window), aggregated to quartile/half counts. The window order

@@ -299,6 +299,30 @@ object Streams {
     runAvailableNow(sessionRows(spark, eventsStream(spark, dir)),
       Seq("user_id", "session_id"), mode = "update")
 
+  /** The PRODUCTION sink shape: a stateless token stream appended to a
+    * parquet directory with a checkpoint (exactly-once via the sink's
+    * file-manifest log), then aggregated by a separate batch read —
+    * the write side keeps zero driver state and restarts resume from
+    * the checkpoint, unlike the memory-sink gate harness above. The
+    * count-after-read equals the batch word count.
+    */
+  def fileSinkWordCount(spark: SparkSession, textDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ckpt_").toString
+    val q = spark.readStream.text(textDir)
+      .select(explode(WordCount.cleanWords(col("value"))).as("word"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }
+
   /** Stream-static join: the event stream enriched against a BATCH
     * dimension (customer → nation) then aggregated. The static side is
     * broadcast — each micro-batch probes it with zero shuffle and zero
