@@ -406,6 +406,12 @@ object SparkEntry {
     // integer-exact variance components (the deterministic stddev form)
     "events_value_stats" -> ((s, dir) =>
       Relational.eventsValueStats(Tables.events(s, dir))),
+    // SCD-1 merge: full-outer join + coalesce upsert
+    "events_snapshot_upsert" -> ((s, dir) =>
+      Relational.snapshotUpsert(Tables.events(s, dir))),
+    // aggregate-of-aggregates incremental rollup
+    "events_weekly_rollup" -> ((s, dir) =>
+      Relational.weeklyFromDaily(Tables.events(s, dir))),
     // typed Dataset[T] groupByKey/mapGroups surface
     "typed_user_spend" -> ((s, dir) =>
       Relational.typedUserSpend(Tables.events(s, dir))),
@@ -942,6 +948,30 @@ object SparkEntry {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          |) WHERE event_type = 'purchase' AND last_view_id IS NOT NULL
          |ORDER BY purchase_id""".stripMargin,
+    "events_snapshot_upsert" ->
+      s"""WITH ranked AS (
+         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+         |    row_number() OVER (PARTITION BY user_id, epoch_ms(ts) >= 1705363200000
+         |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
+         |    epoch_ms(ts) >= 1705363200000 AS is_upd
+         |  FROM events),
+         |snap AS (SELECT * FROM ranked WHERE rn = 1 AND NOT is_upd),
+         |upd AS (SELECT * FROM ranked WHERE rn = 1 AND is_upd)
+         |SELECT coalesce(u.user_id, s.user_id) AS user_id,
+         |  coalesce(u.event_id, s.event_id) AS last_event_id,
+         |  coalesce(u.ts_ms, s.ts_ms) AS last_ts_ms,
+         |  coalesce(u.event_type, s.event_type) AS last_type
+         |FROM snap s FULL OUTER JOIN upd u ON s.user_id = u.user_id
+         |ORDER BY user_id""".stripMargin,
+    "events_weekly_rollup" ->
+      s"""SELECT epoch_day // 7 AS epoch_week,
+         |  CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(sum(c) AS BIGINT) AS sum_value_cents
+         |FROM (
+         |  SELECT epoch_ms(ts) // 86400000 AS epoch_day, count(*) AS n,
+         |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+         |  FROM events GROUP BY 1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_value_stats" ->
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(c) AS BIGINT) AS sum_cents,

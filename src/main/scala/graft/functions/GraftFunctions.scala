@@ -64,11 +64,15 @@ object GraftFunctions {
   * into every session built with this extension class.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // the grouped-top-k physical operator, available session-wide
+    // (TopKPerKey.perKey also self-registers for ad-hoc sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

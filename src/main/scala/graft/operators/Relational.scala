@@ -896,6 +896,47 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** SCD-1 upsert merge: latest-per-user rows BEFORE the split form the
+    * snapshot, rows at/after it are the updates; a full-outer join +
+    * coalesce takes the update when present, else the snapshot — the
+    * lakehouse MERGE pattern as one keyed shuffle per side with exchange
+    * reuse (both sides hash-partition on user_id, the join adds none).
+    */
+  def snapshotUpsert(events: DataFrame,
+                     splitMs: Long = 1705363200000L): DataFrame = {
+    def latest(df: DataFrame) = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      df.select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    }
+    val snap = latest(events.where(col("ts_ms") < splitMs))
+      .withColumnRenamed("user_id", "s_user")
+    val upd = latest(events.where(col("ts_ms") >= splitMs))
+      .toDF("u_user", "u_event_id", "u_ts_ms", "u_event_type")
+    snap.join(upd, col("s_user") === col("u_user"), "full_outer")
+      .select(coalesce(col("u_user"), col("s_user")).as("user_id"),
+        coalesce(col("u_event_id"), col("event_id")).as("last_event_id"),
+        coalesce(col("u_ts_ms"), col("ts_ms")).as("last_ts_ms"),
+        coalesce(col("u_event_type"), col("event_type")).as("last_type"))
+      .orderBy("user_id")
+  }
+
+  /** Incremental rollup: weekly aggregates derived from the DAILY
+    * aggregate, not the raw rows — the aggregate-of-aggregates pattern
+    * that lets a 100 TB pipeline maintain coarse grains from fine ones
+    * (sums re-aggregate losslessly; the second shuffle moves only
+    * day-level rows).
+    */
+  def weeklyFromDaily(events: DataFrame): DataFrame =
+    eventsByDay(events)
+      .select(expr("epoch_day div 7").as("epoch_week"),
+        col("n_events"), col("sum_value_cents"))
+      .groupBy("epoch_week")
+      .agg(sum("n_events").as("n_events"),
+        sum("sum_value_cents").as("sum_value_cents"))
+      .orderBy("epoch_week")
+
   /** Variance components as exact integers: (n, Σc, Σc²) per
     * event_type. Client-side `(n·Σc² − (Σc)²) / n²` is the population
     * variance in cents² — the engine ships only bigints, so both

@@ -17,4 +17,13 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The planner strategies an extensions class would inject
+    * (`SparkSessionExtensions.buildPlannerStrategies` is
+    * `private[sql]`) — lets tests assert injection wiring without
+    * booting a second SparkSession.
+    */
+  def plannerStrategies(ext: SparkSessionExtensions,
+                        spark: SparkSession): Seq[execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 }

@@ -195,6 +195,37 @@ class RelationalSpec extends SparkSpec {
       (2L, "click", "click", 1L)))
   }
 
+  test("snapshot upsert: update wins, snapshot survives, new user appears") {
+    val e = events(
+      (1L, 1L, 100L, "view", 0.0, "{}"),      // user 1 snapshot
+      (2L, 1L, 900L, "click", 0.0, "{}"),     // user 1 update (wins)
+      (3L, 2L, 200L, "view", 0.0, "{}"),      // user 2 snapshot only
+      (4L, 3L, 950L, "signup", 0.0, "{}"))    // user 3 update only
+    val got = Relational.snapshotUpsert(e, splitMs = 500L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 2L, "click"), (2L, 3L, "view"),
+      (3L, 4L, "signup")))
+  }
+
+  test("weekly rollup equals re-aggregated daily sums") {
+    val day = 86_400_000L
+    val e = events(
+      (1L, 1L, 0L, "a", 1.0, "{}"),
+      (2L, 1L, 3 * day, "a", 2.0, "{}"),   // same week 0
+      (3L, 1L, 8 * day, "a", 4.0, "{}"))   // week 1
+    val got = Relational.weeklyFromDaily(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2L, 300L), (1L, 1L, 400L)))
+  }
+
+  test("GraftExtensions injects the TopK planner strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val strategies =
+      org.apache.spark.sql.GraftColumnBridge.plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.TopKStrategy))
+  }
+
   test("percent_rank quartile counts follow the (rank-1)/(n-1) definition") {
     // 5 rows: pr = 0, .25, .5, .75, 1 -> two rows at pr <= 0.25
     val e = events((1L to 5L).map(i => (i, 1L, 0L, "a", i.toDouble, "{}")): _*)
