@@ -1039,21 +1039,26 @@ object Relational {
                         maxSize: Int = 15): DataFrame = {
     val smallParts = Tables.part(spark, dir)
       .where(col("p_size") <= maxSize).select("p_partkey")
+    // one exchange total before the dimension joins: repartition by part
+    // ONCE — hash(pk) clusters (pk, sk) for the aggregate AND pk for the
+    // per-part-min window, so neither adds a shuffle (the aggregate +
+    // self-join decorrelation planned 5 exchanges with no reuse)
     val offers = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
         round(col("l_extendedprice") * 100).cast("long").as("price_c"))
       .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .agg(min("price_c").as("cost_c"))
-    val best = offers.groupBy(col("pk").as("bpk"))
-      .agg(min("cost_c").as("mc"))
     val supNation = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"),
         round(col("s_acctbal") * 100).cast("long").as("bal_c"),
         col("n_name").as("nation"))
-    offers.join(best, col("pk") === col("bpk") && col("cost_c") === col("mc"))
+    offers
+      .withColumn("mc", min("cost_c").over(Window.partitionBy("pk")))
+      .where(col("cost_c") === col("mc"))
       .join(broadcast(supNation), col("sk") === col("s_suppkey"))
       .select(col("pk").as("p_partkey"), col("sk").as("s_suppkey"),
         col("cost_c"), col("s_name"), col("bal_c"), col("nation"))
