@@ -395,6 +395,15 @@ object SparkEntry {
     // power iteration, 3 unrolled rounds in the oracle
     "word_pagerank" -> ((s, dir) =>
       Graph.wordPageRank(Tables.documents(s, dir))),
+    // degree-oriented wedge-join triangle count of the same word graph
+    "word_triangles" -> ((s, dir) =>
+      Graph.triangleCount(Tables.documents(s, dir))),
+    // CCNet-style cross-doc boilerplate chunk removal
+    "doc_boilerplate_scrub" -> ((s, dir) =>
+      TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
+    // Zipf-shape frequency-of-frequency histogram
+    "word_freq_of_freq" -> ((s, dir) =>
+      TextAnalysis.freqOfFreq(Tables.documents(s, dir))),
     "doc_bigram_familiarity" -> ((s, dir) =>
       TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))),
     "doc_editdist_next" -> ((s, dir) =>
@@ -1242,6 +1251,39 @@ object SparkEntry {
          |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM (SELECT source, doc_id, CAST(len($SqlWs) AS BIGINT) AS n_tokens FROM documents))
          |ORDER BY source, doc_id""".stripMargin,
+    "word_triangles" ->
+      s"""WITH edges AS (SELECT DISTINCT ws[i+1] AS s, ws[i+2] AS t
+         |  FROM (SELECT $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |  WHERE len(ws) >= 2),
+         |e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+         |  FROM edges WHERE s <> t),
+         |deg AS (SELECT w, count(*) AS d FROM
+         |  (SELECT a AS w FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS src,
+         |    CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a END AS dst
+         |  FROM e0 JOIN deg da ON e0.a = da.w JOIN deg db ON e0.b = db.w)
+         |SELECT count(*) AS n_triangles FROM o e1
+         |JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+         |JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "doc_boilerplate_scrub" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_idx,
+         |    array_to_string(list_slice(ws, r.s + 1, r.s + 8), ' ') AS t
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |  LATERAL (SELECT unnest(range(0, len(ws), 8)) AS s,
+         |                  generate_subscripts(range(0, len(ws), 8), 1) - 1 AS i) r
+         |  WHERE len(ws) > 0),
+         |dfc AS (SELECT t, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_kept,
+         |  md5(string_agg(t, ' ' ORDER BY chunk_idx)) AS fp
+         |FROM ch WHERE t NOT IN (SELECT t FROM dfc WHERE df > 2)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "word_freq_of_freq" ->
+      s"""SELECT cnt, count(*) AS n_words FROM (
+         |  SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY 1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "word_pagerank" -> {
       val init = 1000000000000L
       val jump = init * 15 / 100

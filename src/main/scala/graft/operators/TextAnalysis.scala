@@ -362,4 +362,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("m.cand").as("pred_lang"),
         (-col("m.neg")).cast("long").as("score"))
       .orderBy("doc_id")
+
+  /** CCNet/C4-style cross-document boilerplate removal: fixed-size
+    * token chunks stand in for paragraphs (this corpus has no line
+    * structure); any chunk text appearing in more than `maxDf` distinct
+    * documents is dropped everywhere, and each document is reassembled
+    * in chunk order (fingerprint + kept-count per doc).
+    *
+    * Scale shape: one shuffle keyed on chunk text for the df count; the
+    * surviving common set is tiny BY DEFINITION (it's the boilerplate),
+    * so the removal is a broadcast anti-join and the reassembly is the
+    * only doc-keyed shuffle. At 100 TB swap the chunk text for its
+    * xxhash64 in the df pass so the shuffle carries 8-byte keys.
+    */
+  def boilerplateScrub(docs: DataFrame, chunkTokens: Int = 8,
+                       maxDf: Int = 2): DataFrame = {
+    val ch = docs.select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(ws) - 1, $chunkTokens),
+           |          s -> concat_ws(' ', slice(ws, s + 1, $chunkTokens)))""".stripMargin))
+        .as(Seq("chunk_idx", "t")))
+    val common = ch.groupBy("t")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") > maxDf).select("t")
+    ch.join(broadcast(common), Seq("t"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(chunk_idx, t))), x -> x.t)")))
+          .as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Frequency-of-frequency histogram (how many words occur `cnt`
+    * times) — the Zipf-shape diagnostic over the corpus; two
+    * aggregates, the second over vocabulary-sized rows.
+    */
+  def freqOfFreq(docs: DataFrame): DataFrame =
+    WordCount.wordCount(docs)
+      .groupBy("cnt").agg(count(lit(1)).as("n_words"))
+      .orderBy("cnt")
 }

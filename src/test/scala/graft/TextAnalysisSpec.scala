@@ -22,6 +22,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0).getString(3) == wantFp)
   }
 
+  test("boilerplateScrub drops cross-doc common chunks, keeps order") {
+    // chunkTokens=2: "x y" appears in all 3 docs (df 3 > 2) -> dropped
+    val d = docs(
+      1L -> "x y a b",
+      2L -> "x y c d",
+      3L -> "x y e f")
+    val got = TextAnalysis.boilerplateScrub(d, chunkTokens = 2, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("freqOfFreq histograms the word counts") {
+    val d = docs(1L -> "a a a b b c")
+    val got = TextAnalysis.freqOfFreq(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("tfidf ranks document-specific terms above ubiquitous ones") {
     // 'rare' appears only in doc 1; 'the' is in every doc -> df 3
     val d = docs(
