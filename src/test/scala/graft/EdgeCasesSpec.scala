@@ -77,6 +77,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.knnBruteForce(one, 5, 3).count() == 0) // no other vectors
   }
 
+  test("round-3 operators on empty input") {
+    assert(Relational.eventsNtile(emptyEvents).count() == 0)
+    assert(Relational.userFirstLast(emptyEvents).count() == 0)
+    assert(Relational.eventsPercentRank(emptyEvents).count() == 0)
+    assert(Relational.peakWindowSpend(emptyEvents).count() == 0)
+    assert(Relational.eventTypeMelt(emptyEvents).count() == 0)
+    assert(Relational.eventsValueStats(emptyEvents).count() == 0)
+    assert(Relational.typedUserSpend(emptyEvents).count() == 0)
+    assert(Relational.snapshotUpsert(emptyEvents).count() == 0)
+    assert(Relational.weeklyFromDaily(emptyEvents).count() == 0)
+    assert(TextAnalysis.boilerplateScrub(emptyDocs).count() == 0)
+    assert(TextAnalysis.freqOfFreq(emptyDocs).count() == 0)
+    assert(Graph.triangleCount(emptyDocs).collect().head.getLong(0) == 0L)
+  }
+
+  test("round-3 TPC-H shapes on empty lineitem-like input") {
+    // snapshotUpsert with only one side populated: update-only user
+    val oneSide = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 7L, 2_000_000_000_000L, "view", 1.0, "{}"))),
+      emptyEvents.schema)
+    val up = Relational.snapshotUpsert(oneSide).collect()
+    assert(up.length == 1 && up.head.getLong(0) == 7L)
+  }
+
   test("custom topk plan on empty input") {
     val empty = emptyDocs.select($"doc_id".as("g"), $"text".as("w"))
       .withColumn("cnt", org.apache.spark.sql.functions.lit(1L))
