@@ -74,5 +74,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the grouped-top-k physical operator, available session-wide
     // (TopKPerKey.perKey also self-registers for ad-hoc sessions)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKLimitPushdown)
   }
 }

@@ -173,6 +173,60 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: fold a rank predicate into the operator itself —
+  * `Filter(rank ≤ n, TopKPerKey(k))` with n < k becomes
+  * `Filter(rank ≤ n, TopKPerKey(n))`, shrinking every bounded heap and
+  * the shuffle to n rows per (key, partition). Spark's own
+  * `WindowGroupLimit` rule does exactly this for `row_number` windows
+  * but cannot see a custom node — this is the operator's missing half.
+  * Sound because ranks are 1-based, dense, and deterministic under the
+  * operator's total-order contract: rows with rank ≤ n are identical
+  * whether k or n rows were kept. The Filter stays (it still prunes
+  * ranks in (n, k] when the bound was not the only predicate — on the
+  * common exact-match shape it just passes everything through).
+  */
+object TopKLimitPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.types.IntegerType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, tk: TopKPerKey) =>
+      val bound = rankBound(cond, tk.rankAttr)
+      if (bound.exists(n => n >= 1 && n < tk.k))
+        f.copy(child = tk.copy(k = bound.get.toInt))
+      else f
+  }
+
+  /** Tightest upper bound on the rank attribute provable from `cond`. */
+  private def rankBound(cond: Expression, rank: Attribute): Option[Long] = {
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType)   => Some(v)
+      case Cast(inner, LongType, _, _)  => lit(inner)
+      case _ => None
+    }
+    def isRank(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.semanticEquals(rank)
+      case Cast(inner, _, _, _)  => isRank(inner)
+      case _ => false
+    }
+    cond match {
+      case LessThanOrEqual(a, v) if isRank(a) => lit(v)
+      case LessThan(a, v) if isRank(a)        => lit(v).map(_ - 1)
+      case GreaterThanOrEqual(v, a) if isRank(a) => lit(v)
+      case GreaterThan(v, a) if isRank(a)     => lit(v).map(_ - 1)
+      case EqualTo(a, v) if isRank(a)         => lit(v)
+      case EqualTo(v, a) if isRank(a)         => lit(v)
+      case And(l, r) =>
+        (rankBound(l, rank), rankBound(r, rank)) match {
+          case (Some(x), Some(y)) => Some(math.min(x, y))
+          case (x, y) => x.orElse(y)
+        }
+      case _ => None
+    }
+  }
+}
+
 /** User-facing entry point. */
 object TopK {
   /** Top-k rows per key group, ordered by `orderBy` (column name →
@@ -198,6 +252,10 @@ object TopK {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(TopKLimitPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKLimitPushdown
     }
     val lp = df.queryExecution.analyzed
     def attr(name: String): Attribute = lp.output

@@ -59,4 +59,32 @@ class TopKPlanSpec extends SparkSpec {
     assert(physical.contains("PartialTopKPerKeyExec") || physical.contains("PartialTopKPerKey"))
     assert(physical.contains("FinalTopKPerKeyExec") || physical.contains("FinalTopKPerKey"))
   }
+
+  test("TopKLimitPushdown shrinks k to the filter's rank bound") {
+    val df = Seq(("a", "x", 5L), ("a", "y", 4L), ("a", "z", 3L),
+      ("a", "w", 2L), ("b", "q", 9L)).toDF("g", "w", "cnt")
+    val filtered = TopK.perKey(df, Seq("g"), Seq(("cnt", true), ("w", false)), 10)
+      .where(col("rn") <= 2)
+    val ks = filtered.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKey => t.k
+    }
+    assert(ks == Seq(2), s"expected k folded to 2, got $ks")
+    // and the result equals the k=2 call
+    val got = filtered.orderBy("g", "rn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "q", 1L)))
+  }
+
+  test("TopKLimitPushdown leaves non-rank and loosening filters alone") {
+    val df = Seq(("a", "x", 5L), ("a", "y", 4L)).toDF("g", "w", "cnt")
+    val loose = TopK.perKey(df, Seq("g"), Seq(("cnt", true), ("w", false)), 2)
+      .where(col("rn") <= 7)  // bound above k: no change
+    assert(loose.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKey => t.k }.forall(_ == 2))
+    val other = TopK.perKey(df, Seq("g"), Seq(("cnt", true), ("w", false)), 2)
+      .where(col("cnt") > 0L) // not a rank predicate
+    assert(other.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKey => t.k }.forall(_ == 2))
+    assert(other.count() == 2)
+  }
 }
