@@ -408,6 +408,9 @@ object SparkEntry {
       TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))),
     "doc_editdist_next" -> ((s, dir) =>
       TextAnalysis.editDistanceToNext(Tables.documents(s, dir))),
+    // resize pipeline: images re-stamped to 4x3, others untouched
+    "media_resize" -> ((s, dir) =>
+      Multimodal.mediaResizeQuery(s, Tables.documents(s, dir))),
     "media_frame_sample" -> ((s, dir) =>
       Multimodal.frameSampleQuery(s, Tables.documents(s, dir))),
     "events_type_rank" -> ((s, dir) =>
@@ -709,6 +712,27 @@ object SparkEntry {
          |FROM documents ORDER BY media_id""".stripMargin,
     // FakeCodec.decode is header-byte math (w = b0*256+b1, h = b2*256+b3,
     // frames = max(1, b4)); bytes come out of the payload blob via hex()
+    "media_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    hex(encode(text)) AS hx,
+         |    octet_length(encode(text))::BIGINT AS n_bytes
+         |  FROM documents),
+         |b AS (
+         |  SELECT media_id, kind, n_bytes,
+         |    list_transform(range(4), i ->
+         |      CASE WHEN n_bytes > i THEN
+         |        (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+         |      ELSE 0 END) AS hdr
+         |  FROM m)
+         |SELECT media_id, kind, n_bytes,
+         |  CAST(CASE WHEN kind = 'image' AND n_bytes >= 4 THEN 4
+         |       ELSE hdr[1]*256 + hdr[2] END AS BIGINT) AS width,
+         |  CAST(CASE WHEN kind = 'image' AND n_bytes >= 4 THEN 3
+         |       ELSE hdr[3]*256 + hdr[4] END AS BIGINT) AS height
+         |FROM b ORDER BY media_id""".stripMargin,
     "media_feature_stats" ->
       s"""WITH m AS (
          |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -135,6 +135,23 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** The resize pipeline as a driver query: images re-stamped to
+    * (w, h) through the real [[resizeImages]] mapPartitions path, then
+    * header-decoded — images read back the new dimensions, non-images
+    * their original header bytes; byte counts are unchanged (the fake
+    * codec clones). Everything is byte math a SQL oracle mirrors.
+    */
+  def mediaResizeQuery(spark: SparkSession, docs: DataFrame,
+                       w: Int = 4, h: Int = 3): DataFrame = {
+    import spark.implicits._
+    decodeMeta(resizeImages(syntheticMedia(docs).as[MediaRow], w, h))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("media_id")
+  }
+
   /** Oracle-checkable metadata query over the synthetic media table:
     * byte length + kind, all derivable in plain SQL on both engines.
     */
