@@ -130,6 +130,21 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed layout must join exchange-free (only the final agg shuffles):\n$p")
   }
 
+  test("join hints steer the physical join: merge vs shuffle_hash") {
+    import org.apache.spark.sql.functions.col
+    // big-to-big joins: the hint decides SMJ vs shuffled-hash — the
+    // explicit-control surface for when the optimizer guesses wrong
+    // (e.g. a build side known to fit memory that stats undersell)
+    val l = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
+    val merge = l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    assert(merge.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val shuffleHash = l.join(o.hint("shuffle_hash"),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(shuffleHash.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+  }
+
   test("partitioned lake: type filter is a PartitionFilter, not a row filter") {
     val p = planOf("partitioned_pruned_scan")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
