@@ -169,8 +169,32 @@ object Similarity {
     * per-row argmin; scoring shuffles only same-cell candidates.
     */
   def annIvfKmeans(emb: DataFrame, nQueries: Int, k: Int,
-                   nClusters: Int = 8, iters: Int = 5): DataFrame = {
-    val cents = Clustering.lloydCentroids(emb, nClusters, iters)
+                   nClusters: Int = 8, iters: Int = 5): DataFrame =
+    annIvfWithCentroids(emb,
+      Clustering.lloydCentroids(emb, nClusters, iters), nQueries, k)
+
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[annIvfKmeans]] with the index build AMORTIZED: the converged
+    * centroid frame is built once per (session, sf dir) and cached —
+    * it is already `localCheckpoint`ed (executor blocks, zero driver
+    * rows), so the cache holds a plan reference, not data. This is how
+    * an IVF index actually serves: build once, query many — the same
+    * amortized-layout pattern as [[graft.sources.Bucketing]]'s
+    * bucketed-write gate.
+    */
+  def annIvfKmeansIndexed(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, nQueries: Int, k: Int,
+                          nClusters: Int = 8, iters: Int = 5): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cents = ivfIndexCache.computeIfAbsent(dir,
+      _ => Clustering.lloydCentroids(emb, nClusters, iters))
+    annIvfWithCentroids(emb, cents, nQueries, k)
+  }
+
+  private def annIvfWithCentroids(emb: DataFrame, cents: DataFrame,
+                                  nQueries: Int, k: Int): DataFrame = {
     val cells = Clustering.cellAssignments(emb, cents)
     val pre = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
