@@ -75,6 +75,21 @@ class TopKPlanSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "q", 1L)))
   }
 
+  test("property: filtered TopK(k) equals direct TopK(n) on random data") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(200)((s"g${rnd.nextInt(8)}", s"w${rnd.nextInt(1000)}",
+        rnd.nextInt(50).toLong))
+      val df = rows.toDF("g", "w", "cnt")
+      val order = Seq(("cnt", true), ("w", false))  // total within key
+      val fused = TopK.perKey(df, Seq("g"), order, 10).where(col("rn") <= 3)
+        .orderBy("g", "rn").collect().map(_.toSeq)
+      val direct = TopK.perKey(df, Seq("g"), order, 3)
+        .orderBy("g", "rn").collect().map(_.toSeq)
+      assert(fused.toSeq == direct.toSeq, s"trial $trial diverged")
+    }
+  }
+
   test("TopKLimitPushdown leaves non-rank and loosening filters alone") {
     val df = Seq(("a", "x", 5L), ("a", "y", 4L)).toDF("g", "w", "cnt")
     val loose = TopK.perKey(df, Seq("g"), Seq(("cnt", true), ("w", false)), 2)
