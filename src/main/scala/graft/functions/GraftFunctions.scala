@@ -45,12 +45,40 @@ object GraftFunctions {
     "graft_sign_lsh" -> (args => SignLsh(args(0),
       intLit(args(1), "bits"),
       if (args.length > 2) longLit(args(2), "seed") else 7L)),
+    "graft_nearest_centroid" -> (args => NearestCentroidL2(args(0), args(1))),
     // aggregates: the sketches are usable directly in SQL GROUP BYs
     "graft_kmv_distinct" -> (args => KmvDistinct(args(0),
       intLit(args(1), "k")).toAggregateExpression()),
     "graft_topk_sketch" -> (args => TopKFreqSketch(args(0),
       intLit(args(1), "m")).toAggregateExpression()),
+    // the sketch consumes longs; cast like the Column entry point does
+    "graft_kll_quantiles" -> (args => KllQuantiles(
+      org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+        org.apache.spark.sql.types.LongType),
+      intLit(args(1), "k"),
+      if (args.length > 2) doubleArrayLit(args(2), "ps")
+      else Seq(0.25, 0.5, 0.75)).toAggregateExpression()),
+    "graft_bloom_agg" -> (args => BloomFilterAgg(args(0),
+      if (args.length > 1) intLit(args(1), "numBits") else 1 << 17,
+      if (args.length > 2) intLit(args(2), "numHashes") else 5)
+      .toAggregateExpression()),
   )
+
+  private def doubleArrayLit(e: Expression, what: String): Seq[Double] = e match {
+    // SQL numeric literals arrive cast-wrapped (0.5 → cast(0.5 as
+    // decimal)); anything foldable is fine — evaluate it
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _)
+        if items.forall(_.foldable) =>
+      items.map(i => i.eval() match {
+        case d: Double => d
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: java.lang.Number => n.doubleValue
+        case other => throw new IllegalArgumentException(
+          s"$what must be an array of numeric literals, got $other")
+      })
+    case _ => throw new IllegalArgumentException(
+      s"$what must be an array(...) of numeric literals")
+  }
 
   /** Register all functions on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

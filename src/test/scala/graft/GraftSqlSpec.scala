@@ -50,6 +50,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getString(1) == topLang)
   }
 
+  test("kll and bloom aggregates are first-class SQL functions") {
+    GraftSql.registerViews(spark, sf0001)
+    // exact below capacity: quartiles of lengths 1..n match percentile
+    val r = spark.sql(
+      """SELECT graft_kll_quantiles(length(text), 32768, array(0.25, 0.5, 0.75)) AS qs
+        |FROM documents""".stripMargin).collect().head
+    val want = spark.sql(
+      """SELECT percentile(length(text), array(0.25, 0.5, 0.75)) FROM documents""")
+      .collect().head.getSeq[Double](0)
+    assert(r.getSeq[Double](0) == want)
+    // bloom: SQL-built filter, probed via the Column helper — every
+    // present key must hit (no false negatives by construction)
+    val bf = spark.sql(
+      "SELECT graft_bloom_agg(doc_id, 65536, 5) AS bf FROM documents")
+    import org.apache.spark.sql.functions.col
+    val missed = Tables.documents(spark, sf0001).crossJoin(
+        org.apache.spark.sql.functions.broadcast(bf))
+      .where(!graft.functions.BloomFilterAgg.mightContain(
+        col("bf"), col("doc_id"), 65536, 5))
+      .count()
+    assert(missed == 0L)
+  }
+
   test("graft functions + views compose in SQL (simhash near-dup probe)") {
     GraftSql.registerViews(spark, sf0001)
     val n = spark.sql(
