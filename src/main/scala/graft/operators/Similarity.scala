@@ -240,10 +240,15 @@ object Similarity {
   }
 
   /** Per-vector stats via higher-order array functions — `filter`,
-    * `transform`, `aggregate` run inside codegen with no UDF and no
-    * explode (the array never becomes rows, so a 100 TB scan stays one
-    * pass with zero shuffle). Integer-milli outputs: both engines do
-    * the identical float→double promotion before scaling.
+    * `transform`, `aggregate` with no UDF and no explode (the array
+    * never becomes rows, so a 100 TB scan stays one pass with zero
+    * shuffle). This query IS the higher-order-function API coverage;
+    * note Spark evaluates the lambdas interpreted (HigherOrderFunction
+    * is CodegenFallback), so a hot 100 TB inner loop should use a
+    * native codegen Expression instead — the [[dot]]/`NearestCentroidL2`
+    * treatment (NOTES.md measured 40–100× for exactly this swap).
+    * Integer-milli outputs: both engines do the identical float→double
+    * promotion before scaling.
     */
   def arrayStats(emb: DataFrame, limit: Int = 500): DataFrame = {
     val milli = transform(col("embedding"),

@@ -145,6 +145,33 @@ class PlanAuditSpec extends SparkSpec {
       .contains("ShuffledHashJoin"))
   }
 
+  test("AQE upgrades a shuffle join to broadcast from runtime stats") {
+    import org.apache.spark.sql.functions.col
+    // static planning is forbidden from broadcasting (threshold -1);
+    // the ADAPTIVE threshold still allows it once the filtered side's
+    // true size is known — the runtime re-plan a 100 TB job relies on
+    // when stats undersell a selective filter
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    spark.conf.set(aqeKey, "10m")
+    try {
+      val small = Tables.orders(spark, sf0001)
+        .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val j = Tables.lineitem(spark, sf0001).select("l_orderkey")
+        .join(small, col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"AQE should have upgraded to broadcast:\n$plan")
+    } finally {
+      spark.conf.set(key, saved)
+      spark.conf.unset(aqeKey)
+    }
+  }
+
   test("partitioned lake: type filter is a PartitionFilter, not a row filter") {
     val p = planOf("partitioned_pruned_scan")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
