@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: synthesize a `factor`× copy of the
+  * documents/events/lineitem tables in a temp dir (ids shifted per
+  * copy; document text perturbed with a per-copy tag token so
+  * near-dup structure isn't degenerate 10-clones), then time the
+  * heaviest operators on base vs scaled. Prints one JSON line per
+  * table scale with steady-state (min-of-2, after warmup) seconds —
+  * the "would this hold at 10× the bench SF" measurement NOTES.md
+  * records each round.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor]`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession
+      .builder("graft-scale-probe", s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+
+    def scaleAndWrite(name: String, df: DataFrame, idCols: Seq[String],
+                      shift: Long, perturbText: Boolean): String = {
+      val scaled = (0 until factor).map { i =>
+        var c = df
+        idCols.foreach(id => c = c.withColumn(id, col(id) + lit(i * shift)))
+        if (perturbText)
+          c = c.withColumn("text", concat_ws(" ", col("text"), lit(s"copytag$i")))
+        c
+      }.reduce(_ unionByName _)
+      val path = s"$out/$name"
+      scaled.write.mode("overwrite").parquet(path)
+      path
+    }
+
+    val docs = scaleAndWrite("documents", Tables.documents(spark, sfDir),
+      Seq("doc_id"), 10000000L, perturbText = true)
+    val events = scaleAndWrite("events",
+      Tables.events(spark, sfDir).withColumn("ts",
+        // keep a ts column so Tables.events-style ms math still applies
+        col("ts_ms")).drop("ts_ms"),
+      Seq("event_id", "user_id"), 10000000L, perturbText = false)
+    val li = scaleAndWrite("lineitem", Tables.lineitem(spark, sfDir),
+      Seq("l_orderkey"), 100000000L, perturbText = false)
+
+    def time(f: => DataFrame): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once // warmup/compile
+      math.min(once, once)
+    }
+
+    val docsBase = Tables.documents(spark, sfDir)
+    val docsBig = spark.read.parquet(docs)
+    val eventsBase = Tables.events(spark, sfDir)
+    val eventsBig = spark.read.parquet(events)
+      .withColumn("ts_ms", col("ts")).drop("ts")
+    val liBase = Tables.lineitem(spark, sfDir)
+    val liBig = spark.read.parquet(li)
+
+    val probes: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("wordcount",
+        operators.WordCount.wordCount(docsBase),
+        operators.WordCount.wordCount(docsBig)),
+      ("boilerplate_scrub",
+        operators.TextAnalysis.boilerplateScrub(docsBase),
+        operators.TextAnalysis.boilerplateScrub(docsBig)),
+      ("minhash_pairs",
+        operators.Dedup.minhashPairs(docsBase, n = 3, b = 32, r = 4,
+          num = 4, den = 5),
+        operators.Dedup.minhashPairs(docsBig, n = 3, b = 32, r = 4,
+          num = 4, den = 5)),
+      ("peak_window",
+        operators.Relational.peakWindowSpend(eventsBase),
+        operators.Relational.peakWindowSpend(eventsBig)),
+      ("q1_style_agg",
+        liBase.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"),
+            count(lit(1)).as("n")),
+        liBig.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"),
+            count(lit(1)).as("n"))))
+
+    val results = probes.map { case (name, base, big) =>
+      val tb = time(base); val tg = time(big)
+      (name, tb, tg)
+    }
+    val json = results.map { case (n, tb, tg) =>
+      f"""\"$n\":{\"base_sec\":$tb%.2f,\"x$factor%d_sec\":$tg%.2f,\"ratio\":${tg / tb}%.2f}"""
+    }.mkString("{", ",", s""","factor":$factor,"sf":"$sfDir"}""")
+    println(json)
+    spark.stop()
+  }
+}
