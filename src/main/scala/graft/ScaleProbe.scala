@@ -23,7 +23,17 @@ object ScaleProbe {
       .builder("graft-scale-probe", s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft_scale_")
+    val out = outPath.toString
+    // the scaled copies are sf1-sized (multi-GB at factor 10) — delete
+    // them on exit so repeated probe runs can't fill the temp volume
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(outPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
 
     def scaleAndWrite(name: String, df: DataFrame, idCols: Seq[String],
                       shift: Long, perturbText: Boolean): String = {

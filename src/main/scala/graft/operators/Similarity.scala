@@ -177,18 +177,22 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** [[annIvfKmeans]] with the index build AMORTIZED: the converged
-    * centroid frame is built once per (session, sf dir) and cached —
-    * it is already `localCheckpoint`ed (executor blocks, zero driver
-    * rows), so the cache holds a plan reference, not data. This is how
-    * an IVF index actually serves: build once, query many — the same
-    * amortized-layout pattern as [[graft.sources.Bucketing]]'s
-    * bucketed-write gate.
+    * centroid frame is built once per (source dir, nClusters, iters)
+    * and cached — it is already `localCheckpoint`ed (executor blocks,
+    * zero driver rows), so the cache holds a plan reference, not data.
+    * This is how an IVF index actually serves: build once, query many —
+    * the same amortized-layout pattern as [[graft.sources.Bucketing]]'s
+    * bucketed-write gate. The checkpoint blocks belong to the session
+    * that built them, so the cache is valid for ONE SparkSession
+    * lifetime (the Verify/Bench/test processes each run exactly one);
+    * a multi-session server would key by session too or rebuild on a
+    * lost-block failure.
     */
   def annIvfKmeansIndexed(spark: org.apache.spark.sql.SparkSession,
                           dir: String, nQueries: Int, k: Int,
                           nClusters: Int = 8, iters: Int = 5): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
-    val cents = ivfIndexCache.computeIfAbsent(dir,
+    val cents = ivfIndexCache.computeIfAbsent(s"$dir:$nClusters:$iters",
       _ => Clustering.lloydCentroids(emb, nClusters, iters))
     annIvfWithCentroids(emb, cents, nQueries, k)
   }
@@ -255,7 +259,11 @@ object Similarity {
       x => round(x.cast("double") * 1000).cast("long"))
     emb.select(col("vec_id"),
         size(filter(col("embedding"), _ > 0f)).cast("long").as("n_pos"),
-        aggregate(milli, lit(0L), (acc, x) => acc + x).as("sum_milli"),
+        // SQL sum-of-empty is NULL (DuckDB list_sum, SQL SUM); the
+        // fold's zero element would say 0 — align to NULL so the
+        // semantics (and the oracle) hold for zero-length vectors
+        when(size(col("embedding")) > 0,
+          aggregate(milli, lit(0L), (acc, x) => acc + x)).as("sum_milli"),
         array_max(milli).as("max_milli"))
       .orderBy("vec_id")
       .limit(limit)

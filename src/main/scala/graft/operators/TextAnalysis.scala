@@ -377,12 +377,18 @@ object TextAnalysis {
     */
   def boilerplateScrub(docs: DataFrame, chunkTokens: Int = 8,
                        maxDf: Int = 2): DataFrame = {
+    // materialize the chunk table ONCE: both the df-count branch and
+    // the anti-join/reassembly branch consume it, and without the
+    // checkpoint each would re-tokenize and re-explode the full corpus
+    // (the dominant cost at scale) — same pattern as Graph.pageRank's
+    // edge materialization
     val ch = docs.select(col("doc_id"), ws.as("ws"))
       .where(size(col("ws")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(ws) - 1, $chunkTokens),
            |          s -> concat_ws(' ', slice(ws, s + 1, $chunkTokens)))""".stripMargin))
         .as(Seq("chunk_idx", "t")))
+      .localCheckpoint()
     val common = ch.groupBy("t")
       .agg(countDistinct("doc_id").as("df"))
       .where(col("df") > maxDf).select("t")

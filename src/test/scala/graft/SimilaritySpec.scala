@@ -24,6 +24,13 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 250L, 500L), (1L, 1L, 0L, 2000L)))
   }
 
+  test("arrayStats: empty vector sums to NULL (SQL semantics), not 0") {
+    val d = emb((0L, Seq.empty[Float], 0))
+    val r = Similarity.arrayStats(d).collect().head
+    assert(r.getLong(1) == 0L)       // n_pos: empty filter -> 0
+    assert(r.isNullAt(2) && r.isNullAt(3))  // sum/max of empty -> NULL
+  }
+
   test("knn brute force ranks by cosine, ties by id") {
     val d = emb(
       (0L, Seq(1f, 0f), 0),
