@@ -145,6 +145,23 @@ class PlanAuditSpec extends SparkSpec {
       .contains("ShuffledHashJoin"))
   }
 
+  test("q2: single hash exchange via repartition-prefix (agg + window share it)") {
+    val p = planOf("q2_min_cost_supplier")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"q2 must plan exactly one keyed exchange (got $hashEx):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimensions must broadcast:\n$p")
+  }
+
+  test("snapshot upsert: one keyed exchange per side, the join adds none") {
+    val p = planOf("events_snapshot_upsert")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2,
+      s"MERGE shape = two window shuffles reused by the join (got $hashEx):\n$p")
+    assert(p.contains("SortMergeJoin FullOuter") || p.contains("FullOuter"),
+      s"full-outer merge expected:\n$p")
+  }
+
   test("AQE upgrades a shuffle join to broadcast from runtime stats") {
     import org.apache.spark.sql.functions.col
     // static planning is forbidden from broadcasting (threshold -1);
