@@ -269,6 +269,9 @@ object SparkEntry {
         Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5))),
     "dedup_keep_list_cc" -> ((s, dir) =>
       Dedup.keepListCC(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+    // per-cluster QUALITY argmax instead of the id-order root
+    "dedup_keep_best_quality" -> ((s, dir) =>
+      Dedup.keepBestQuality(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     "decontaminate_strict" -> ((s, dir) =>
@@ -808,6 +811,37 @@ object SparkEntry {
          |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          |SELECT doc_id FROM reps
          |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != comp)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best_quality" ->
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    (n_tokens BETWEEN 5 AND 100000)
+         |      AND ((CASE WHEN n_tokens > 0 THEN (swl * 100) // n_tokens ELSE 0 END) BETWEEN 150 AND 1500)
+         |      AND stopword_hits > 0 AS ok
+         |  FROM (
+         |    SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         |      coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS swl,
+         |      len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.Stopwords)}, w)))::BIGINT AS stopword_hits
+         |    FROM (SELECT doc_id, $SqlWs AS ws FROM documents))),
+         |winners AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |      row_number() OVER (PARTITION BY c.comp
+         |        ORDER BY q.ok DESC, q.n_tokens DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN q USING (doc_id)) WHERE rn = 1),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT doc_id FROM reps WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+         |UNION ALL SELECT doc_id FROM winners
          |ORDER BY doc_id""".stripMargin,
     "doc_repetition" ->
       s"""SELECT doc_id, count(*) AS n_grams,

@@ -189,6 +189,29 @@ object Dedup {
     reps.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
+  /** Quality-aware keep list: within each near-dup cluster keep the
+    * BEST document — (quality_ok, n_tokens) maximal, ties to the
+    * smaller doc_id — instead of [[keepListCC]]'s cluster root. This is
+    * the curation rule real pipelines want: near-dups often differ by
+    * truncation or boilerplate, and id-order keeps whichever crawled
+    * first. Exact copies have identical scores, so the tie-break keeps
+    * the exact-dedup representative. One aggregate per cluster (the
+    * argmax rides a struct max — no window, no second shuffle).
+    */
+  def keepBestQuality(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val comp = components(jaccardPairs(docs, n, num, den))
+    val winners = comp
+      .join(graft.operators.TextAnalysis.qualityScore(docs), "doc_id")
+      .groupBy("comp")
+      .agg(max(struct(col("quality_ok").cast("int").as("ok"),
+        col("n_tokens").as("nt"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"))
+    val reps = exact(docs).select(col("keep_id").as("doc_id"))
+    reps.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+      .union(winners)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signatures: (doc_id, sig: array<long> of length k).

@@ -81,6 +81,22 @@ class DedupSpec extends SparkSpec {
     assert(cc == Set(1L))
   }
 
+  test("keepBestQuality keeps the higher-quality near-dup, not the min id") {
+    // doc 1: no stopword -> quality_ok false; doc 2: same text + 'the'
+    // (shingle Jaccard 8/9 > 4/5) -> quality_ok true and longer. The
+    // id-order rule would keep 1; the quality rule must keep 2.
+    val d = docs(
+      1L -> base,
+      2L -> (base + " the"),
+      3L -> "completely different words entirely unrelated content here the end")
+    val got = Dedup.keepBestQuality(d, n = 3, num = 4, den = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L), s"got $got")
+    val idOrder = Dedup.keepListCC(d, n = 3, num = 4, den = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(idOrder == Seq(1L, 3L))  // the contrast this operator fixes
+  }
+
   test("simhashPairs rejects radii the 4-block banding cannot cover") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs(1L -> base), maxDist = 4)
