@@ -28,6 +28,11 @@ object SparkEntry {
     s"list_filter(list_transform(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'), " +
       s"t -> lower(regexp_extract(t, '$SqlCleanPattern', 0))), w -> length(w) > 0)"
 
+  /** DuckDB spelling of [[TextAnalysis.SymbolPattern]] (identical
+    * class syntax in Java regex and RE2).
+    */
+  private val SqlSymbolPattern = "[^A-Za-z0-9\\t\\n\\x0B\\f\\r ]"
+
   /** DuckDB fragment: one row per surviving token of `from`.text. */
   private def sqlWords(extra: String = "", where: String = "",
                        from: String = "documents"): String =
@@ -250,7 +255,15 @@ object SparkEntry {
       TextAnalysis.datasetSplit(Tables.documents(s, dir))),
     "corpus_build" -> ((s, dir) =>
       TextAnalysis.corpusBuild(Tables.documents(s, dir))),
+    "doc_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    "doc_reservoir_per_lang" -> ((s, dir) =>
+      TextAnalysis.reservoirPerGroup(Tables.documents(s, dir), "lang", n = 5)),
+    "bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), k = 30)),
     // --- dedup
+    "dedup_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -640,6 +653,55 @@ object SparkEntry {
          |    len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.Stopwords)}, w)))::BIGINT AS stopword_hits
          |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents)
          |) ORDER BY doc_id""".stripMargin,
+    "doc_gopher_rules" ->
+      s"""SELECT doc_id, n_tokens, n_distinct, stop_hits, n_symbols, mean_wlen_x100,
+         |  flag_len, flag_mwl, flag_symbol, flag_distinct, flag_stop,
+         |  flag_len AND flag_mwl AND flag_symbol AND flag_distinct AND flag_stop AS gopher_ok
+         |FROM (
+         |  SELECT doc_id, n_tokens, n_distinct, stop_hits, n_symbols, mean_wlen_x100,
+         |    n_tokens BETWEEN 10 AND 100000 AS flag_len,
+         |    mean_wlen_x100 BETWEEN 300 AND 1000 AS flag_mwl,
+         |    n_symbols * 10 <= n_tokens AS flag_symbol,
+         |    n_distinct * 10 >= n_tokens * 3 AS flag_distinct,
+         |    stop_hits >= 2 AS flag_stop
+         |  FROM (
+         |    SELECT doc_id, n_tokens, n_distinct, stop_hits, n_symbols,
+         |      CASE WHEN n_tokens > 0 THEN (swl * 100) // n_tokens ELSE 0 END::BIGINT AS mean_wlen_x100
+         |    FROM (
+         |      SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         |        len(list_distinct(ws))::BIGINT AS n_distinct,
+         |        coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS swl,
+         |        len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.Stopwords)}, w)))::BIGINT AS stop_hits,
+         |        len(regexp_extract_all(text, '$SqlSymbolPattern'))::BIGINT AS n_symbols
+         |      FROM (SELECT doc_id, text, $SqlWs AS ws FROM documents)
+         |    )
+         |  )
+         |) ORDER BY doc_id""".stripMargin,
+    "doc_reservoir_per_lang" ->
+      s"""SELECT lang, rn, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn
+         |  FROM (SELECT doc_id, lang, list_sum(list_transform(range(15), i ->
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+         |      << (4*(14-i)))) AS h
+         |  FROM documents))
+         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "bpe_pair_counts" ->
+      s"""WITH wc AS (SELECT word, count(*)::BIGINT AS cnt FROM (${sqlWords()}) GROUP BY 1)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
+         |  SELECT substr(word, i, 2) AS pair, cnt
+         |  FROM wc, LATERAL (SELECT unnest(range(1, length(word))) AS i) r
+         |  WHERE length(word) >= 2)
+         |GROUP BY 1 ORDER BY pair_cnt DESC, pair LIMIT 30""".stripMargin,
+    "dedup_dup_spans" ->
+      s"""WITH sp AS (${sqlShingles(8, distinct = false)}),
+         |c AS (SELECT shingle, count(*)::BIGINT AS c FROM sp GROUP BY 1),
+         |per AS (SELECT sp.doc_id, count(*)::BIGINT AS n_spans,
+         |        CAST(count(*) FILTER (WHERE c.c >= 2) AS BIGINT) AS n_dup_spans
+         |        FROM sp JOIN c USING (shingle) GROUP BY 1)
+         |SELECT doc_id, n_spans, n_dup_spans,
+         |  n_dup_spans * 1000 // n_spans AS dup_ratio_x1000
+         |FROM per ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(lower(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -61,6 +61,43 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact substring-duplication signal (the span-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): slide a `w`-token window (stride 1) over every document,
+    * mark windows whose text occurs at least twice anywhere in the
+    * corpus — including within the same document — and report each
+    * document's duplicated-window coverage as an integer ratio ×1000.
+    * Whole-document (exact/minhash) and paragraph
+    * ([[TextAnalysis.boilerplateScrub]]) dedup both miss this: a long
+    * quote copied into an otherwise-unique page only shows up here.
+    *
+    * Scale shape: the window stream is materialized once (the global
+    * count and the per-doc mark both consume it); one shuffle keyed on
+    * the span text for the count, one shuffle semi-join back (NOT a
+    * broadcast — duplicated spans are corpus-sized in the worst case),
+    * one shuffle on doc_id for the rollup. At 100 TB carry
+    * xxhash64(span) instead of the text so every shuffle moves 8-byte
+    * keys, and tune `w` up to keep the dup set selective.
+    */
+  def dupSpanRatio(docs: DataFrame, w: Int): DataFrame = {
+    val spans = docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $w), i -> concat_ws(' ', slice(ws, i + 1, $w)))"))
+        .as("span"))
+      .localCheckpoint()
+    val dup = spans.groupBy("span").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("span")
+    val dupPerDoc = spans.join(dup, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio_x1000", expr("n_dup_spans * 1000 div n_spans"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition stats (the Gopher-style duplicate
     * n-gram quality signal): total vs distinct n-grams per document,
     * integer-exact. High (total − distinct) flags boilerplate/looping

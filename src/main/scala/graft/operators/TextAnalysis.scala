@@ -72,6 +72,86 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Symbol character class shared with the oracle: anything that is
+    * not a letter, digit, or whitespace. Same syntax in Java regex and
+    * RE2.
+    */
+  val SymbolPattern = "[^A-Za-z0-9\\t\\n\\x0B\\f\\r ]"
+
+  /** Gopher-style composite quality rule screen (Rae et al. 2021,
+    * appendix A1.1, adapted to this corpus's structure): per-document
+    * boolean flags for token-count range, mean-word-length range,
+    * symbol-to-token ratio, distinct-token fraction, and stopword
+    * evidence, plus the composite `gopher_ok` conjunction. This is the
+    * cheap rule screen every corpus build runs before any model-based
+    * quality filter; each flag is emitted so downstream can attribute
+    * rejections. All integer/boolean per-row math inside whole-stage
+    * codegen — zero shuffles except the presentation sort.
+    */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), ws.as("ws"), col("text"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("swl"),
+        size(filter(col("ws"), w => w.isin(Stopwords: _*))).cast("long").as("stop_hits"),
+        size(regexp_extract_all(col("text"), lit(SymbolPattern), lit(0)))
+          .cast("long").as("n_symbols"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("stop_hits"), col("n_symbols"),
+        when(col("n_tokens") > 0, expr("swl * 100 div n_tokens"))
+          .otherwise(lit(0L)).as("mean_wlen_x100"))
+      .withColumn("flag_len", col("n_tokens").between(10L, 100000L))
+      .withColumn("flag_mwl", col("mean_wlen_x100").between(300L, 1000L))
+      .withColumn("flag_symbol", col("n_symbols") * 10 <= col("n_tokens"))
+      .withColumn("flag_distinct", col("n_distinct") * 10 >= col("n_tokens") * 3)
+      .withColumn("flag_stop", col("stop_hits") >= 2)
+      .withColumn("gopher_ok",
+        col("flag_len") && col("flag_mwl") && col("flag_symbol") &&
+          col("flag_distinct") && col("flag_stop"))
+      .orderBy("doc_id")
+
+  /** Fixed-quota deterministic per-stratum sample ("reservoir" by
+    * stable hash rank): within each stratum keep the `n` documents with
+    * the smallest dual-engine id hash — the fixed-count companion of
+    * the rate-based [[stratifiedSample]] (equal-size per-language eval
+    * sets, balanced human-review batches). One shuffle on the stratum
+    * key for the rank window; at 100 TB per-stratum heaps stay bounded
+    * because only rank ≤ n rows survive — the same top-k-per-key shape
+    * [[graft.plans.TopK.perKey]] implements with bounded memory, which
+    * is the drop-in at scale if strata are few and huge.
+    */
+  def reservoirPerGroup(docs: DataFrame, stratumCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col(stratumCol), expr(
+        "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
+        .as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= n)
+      .select(col(stratumCol), col("rn"), col("doc_id"))
+      .orderBy(stratumCol, "rn")
+  }
+
+  /** The BPE vocabulary-learning statistic: adjacent character-pair
+    * counts over the corpus, weighted by word frequency — the argmax of
+    * this table is the first merge a byte-pair-encoding learner would
+    * apply. Two aggregations: word counts over the token stream (the
+    * wordcount spine, map-side combinable), then pair counts over the
+    * DISTINCT vocabulary — so the pair explosion is bounded by
+    * vocabulary size × word length, not corpus size. The iterative
+    * learner ([[bpeLearn]]) repeats this with merges applied.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame =
+    WordCount.wordCount(docs)
+      .where(length(col("word")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("pair"))
+      .limit(k)
+
   /** Content fingerprint for exact dedup: md5 of the
     * whitespace-normalized, lowercased text. (A 64-bit rolling hash
     * variant lives in [[graft.functions.RollingHash]] for non-SQL use.)

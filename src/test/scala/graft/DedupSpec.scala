@@ -129,6 +129,20 @@ class DedupSpec extends SparkSpec {
     assert(keep == Set(1L, 3L))
   }
 
+  test("dupSpanRatio: cross-doc and within-doc repeated windows counted") {
+    val d = docs(
+      1L -> "a b c d e f",       // spans (w=3): abc bcd cde def
+      2L -> "a b c x y z",       // shares span "a b c" with doc 1
+      3L -> "p q r p q r p q",   // within-doc repeats: "p q r" x2, "q r p" x2, "r p q" x2
+      4L -> "a b")               // too short -> no row
+    val got = Dedup.dupSpanRatio(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0) == ((1L, 4L, 1L, 250L)))  // only "a b c" duplicated
+    assert(got(1) == ((2L, 4L, 1L, 250L)))
+    assert(got(2)._2 == 6L && got(2)._3 == 6L && got(2)._4 == 1000L)
+  }
+
   test("simhash: identical docs collide, near docs within hamming 3") {
     val d = docs(1L -> base, 2L -> base, 3L -> "completely different words here now")
     val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -121,6 +121,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(("a b", 2L), ("b a", 2L)))
   }
 
+  test("gopherRules: flags and composite on crafted pass/fail docs") {
+    // letter-only words (digits would be prefix-truncated by the
+    // reference cleaning regex): 7 distinct 4-char words + 4 stopwords
+    val good = (1 to 20).map(i => ('a' + i % 7).toChar.toString * 4).mkString(" ") +
+      " the of and in"
+    val bad = "x " * 30                           // mwl 100 (<300), no stopwords
+    val got = TextAnalysis.gopherRules(docs(1L -> good, 2L -> bad))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("gopher_ok")).toMap
+    assert(got(1L) && !got(2L))
+    val r1 = TextAnalysis.gopherRules(docs(1L -> good)).collect().head
+    assert(r1.getAs[Long]("n_tokens") == 24L)
+    assert(r1.getAs[Long]("stop_hits") == 4L)
+    assert(r1.getAs[Long]("n_symbols") == 0L)
+  }
+
+  test("reservoirPerGroup keeps exactly n per stratum, hash-deterministic") {
+    val d = (1L to 40L).map(i => (i, if (i % 2 == 0) "en" else "de", "t"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.reservoirPerGroup(d, "lang", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 6)
+    assert(got.count(_._1 == "en") == 3 && got.count(_._1 == "de") == 3)
+    // deterministic: same input, same picks
+    val again = TextAnalysis.reservoirPerGroup(d, "lang", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("bpePairCounts: adjacent char pairs weighted by word frequency") {
+    val got = TextAnalysis.bpePairCounts(docs(1L -> "abc abc ab xx"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // 'ab' appears in abc (x2) and ab (x1); 'bc' in abc (x2); 'xx' once
+    assert(got("ab") == 3L && got("bc") == 2L && got("xx") == 1L)
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
