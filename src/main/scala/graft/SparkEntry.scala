@@ -105,6 +105,34 @@ object SparkEntry {
     (base +: iterCtes).mkString("WITH ", ",\n", "")
   }
 
+  /** DuckDB mirror of [[TextAnalysis.bpeLearn]]: `n` unrolled
+    * count-argmax-merge rounds over the token-string vocabulary (same
+    * trailing-`/` representation, same non-overlapping `replace`), one
+    * (p_i, w_i) CTE pair per round. No data-dependent literals — each
+    * round's argmax is computed inside the SQL.
+    */
+  private def sqlBpeLearn(n: Int): String = {
+    val base =
+      s"""w0 AS (SELECT regexp_replace(word, '(.)', '\\1/', 'g') AS ts, count(*)::BIGINT AS cnt
+         |  FROM (${sqlWords()}) GROUP BY 1)""".stripMargin
+    val steps = (1 to n).map { i =>
+      s"""p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |  SELECT toks[j] AS l, toks[j + 1] AS r, cnt FROM (
+         |    SELECT list_filter(string_split(ts, '/'), x -> x != '') AS toks, cnt FROM w${i - 1}),
+         |    LATERAL (SELECT unnest(range(1, len(toks))) AS j) rr
+         |  WHERE len(toks) >= 2)
+         |GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1),
+         |w$i AS (SELECT replace(ts, l || '/' || r || '/', l || r || '/') AS ts, cnt
+         |  FROM w${i - 1} CROSS JOIN p$i)""".stripMargin
+    }
+    val sel = (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, pc AS pair_cnt FROM p$i")
+      .mkString("\nUNION ALL ")
+    (base +: steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM (\n$sel\n) ORDER BY step"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WordCount.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"))
@@ -261,6 +289,8 @@ object SparkEntry {
       TextAnalysis.reservoirPerGroup(Tables.documents(s, dir), "lang", n = 5)),
     "bpe_pair_counts" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), k = 30)),
+    "bpe_learn" -> ((s, dir) =>
+      TextAnalysis.bpeLearn(Tables.documents(s, dir), nMerges = 6)),
     // --- dedup
     "dedup_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
@@ -693,6 +723,7 @@ object SparkEntry {
          |  FROM wc, LATERAL (SELECT unnest(range(1, length(word))) AS i) r
          |  WHERE length(word) >= 2)
          |GROUP BY 1 ORDER BY pair_cnt DESC, pair LIMIT 30""".stripMargin,
+    "bpe_learn" -> sqlBpeLearn(6),
     "dedup_dup_spans" ->
       s"""WITH sp AS (${sqlShingles(8, distinct = false)}),
          |c AS (SELECT shingle, count(*)::BIGINT AS c FROM sp GROUP BY 1),

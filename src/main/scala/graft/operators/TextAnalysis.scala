@@ -152,6 +152,60 @@ object TextAnalysis {
       .orderBy(col("pair_cnt").desc, col("pair"))
       .limit(k)
 
+  /** Iterative byte-pair-encoding merge learning: `nMerges` rounds of
+    * "count adjacent token pairs weighted by word frequency, merge the
+    * argmax everywhere". Returns the learned merge table
+    * (step, lhs, rhs, merged, pair_cnt) — the actual artifact a BPE
+    * tokenizer ships.
+    *
+    * Representation: each word is a token string with a trailing `/`
+    * after every token (`/` cannot survive the reference cleaning
+    * class, so it is a safe separator). A merge is then plain
+    * `replace(ts, "l/r/", "lr/")` — non-overlapping left-to-right,
+    * exactly BPE's convention, and identical in Spark and DuckDB.
+    *
+    * Scale shape: the loop state is the VOCABULARY (word, cnt) table,
+    * not the corpus — the corpus is scanned once by the wordcount
+    * spine. Each round is one map-side-combined aggregation over the
+    * vocab plus a 1-row argmax collect (the merge decision is
+    * inherently sequential); `localCheckpoint` truncates lineage so
+    * round N doesn't replay rounds 1..N-1.
+    */
+  def bpeLearn(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = WordCount.wordCount(docs)
+      .select(regexp_replace(col("word"), "(.)", "$1/").as("ts"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val top = words
+        .select(col("cnt"), expr("filter(split(ts, '/'), x -> x != '')").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS l, toks[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, pc) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((step.toLong, l, r, l + r, pc))
+        // Column-API replace: tokens may contain quote/backslash chars,
+        // so never splice them into an expr string
+        words = words
+          .select(org.apache.spark.sql.functions.replace(col("ts"),
+            lit(s"$l/$r/"), lit(s"$l$r/")).as("ts"), col("cnt"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_cnt").orderBy("step")
+  }
+
   /** Content fingerprint for exact dedup: md5 of the
     * whitespace-normalized, lowercased text. (A 64-bit rolling hash
     * variant lives in [[graft.functions.RollingHash]] for non-SQL use.)

@@ -156,6 +156,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("ab") == 3L && got("bc") == 2L && got("xx") == 1L)
   }
 
+  test("bpeLearn: greedy argmax merges, stops when no pairs remain") {
+    // wordcount: abab x2, ab x1 -> (a,b) weight 5 beats (b,a) weight 2;
+    // after merging 'ab' everywhere, (ab,ab) weight 2 is the only pair;
+    // then every word is a single token and the loop ends early
+    val got = TextAnalysis.bpeLearn(docs(1L -> "abab abab ab"), nMerges = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, "a", "b", "ab", 5L), (2L, "ab", "ab", "abab", 2L)))
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
