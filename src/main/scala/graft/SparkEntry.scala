@@ -112,6 +112,17 @@ object SparkEntry {
     * round's argmax is computed inside the SQL.
     */
   private def sqlBpeLearn(n: Int): String = {
+    val sel = (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, pc AS pair_cnt FROM p$i")
+      .mkString("\nUNION ALL ")
+    sqlBpeCtes(n) + s"\nSELECT * FROM (\n$sel\n) ORDER BY step"
+  }
+
+  /** The `WITH w0, (p_i, w_i)*` chain shared by [[sqlBpeLearn]] and the
+    * segmentation oracle.
+    */
+  private def sqlBpeCtes(n: Int): String = {
     val base =
       s"""w0 AS (SELECT regexp_replace(word, '(.)', '\\1/', 'g') AS ts, count(*)::BIGINT AS cnt
          |  FROM (${sqlWords()}) GROUP BY 1)""".stripMargin
@@ -125,12 +136,7 @@ object SparkEntry {
          |w$i AS (SELECT replace(ts, l || '/' || r || '/', l || r || '/') AS ts, cnt
          |  FROM w${i - 1} CROSS JOIN p$i)""".stripMargin
     }
-    val sel = (1 to n)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, " +
-        s"l || r AS merged, pc AS pair_cnt FROM p$i")
-      .mkString("\nUNION ALL ")
-    (base +: steps).mkString("WITH ", ",\n", "") +
-      s"\nSELECT * FROM (\n$sel\n) ORDER BY step"
+    (base +: steps).mkString("WITH ", ",\n", "")
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -291,6 +297,10 @@ object SparkEntry {
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), k = 30)),
     "bpe_learn" -> ((s, dir) =>
       TextAnalysis.bpeLearn(Tables.documents(s, dir), nMerges = 6)),
+    "doc_bpe_segment" -> ((s, dir) =>
+      TextAnalysis.bpeSegment(Tables.documents(s, dir), nMerges = 6)),
+    "events_zorder_stats" -> ((s, dir) =>
+      Layout.zorderStats(Tables.events(s, dir), bits = 16, bucketShift = 8)),
     // --- dedup
     "dedup_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
@@ -724,6 +734,25 @@ object SparkEntry {
          |  WHERE length(word) >= 2)
          |GROUP BY 1 ORDER BY pair_cnt DESC, pair LIMIT 30""".stripMargin,
     "bpe_learn" -> sqlBpeLearn(6),
+    "doc_bpe_segment" ->
+      (sqlBpeCtes(6) +
+        s""",
+           |vocab AS (SELECT replace(ts, '/', '') AS word,
+           |  len(list_filter(string_split(ts, '/'), x -> x != ''))::BIGINT AS n_sub FROM w6)
+           |SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+           |FROM (${sqlWords(" doc_id,")}) dw JOIN vocab USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "events_zorder_stats" ->
+      s"""SELECT zval >> 8 AS zbucket, count(*)::BIGINT AS n,
+         |  min(user_id) AS min_user, max(user_id) AS max_user,
+         |  min(epoch_day) AS min_day, max(epoch_day) AS max_day
+         |FROM (
+         |  SELECT user_id, epoch_day,
+         |    CAST(list_sum(list_transform(range(16), i ->
+         |      (((user_id >> i) & 1) << (2*i + 1)) + (((epoch_day >> i) & 1) << (2*i)))) AS BIGINT) AS zval
+         |  FROM (SELECT CAST(user_id AS BIGINT) AS user_id,
+         |          epoch_ms(ts) // 86400000 AS epoch_day FROM events))
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_dup_spans" ->
       s"""WITH sp AS (${sqlShingles(8, distinct = false)}),
          |c AS (SELECT shingle, count(*)::BIGINT AS c FROM sp GROUP BY 1),

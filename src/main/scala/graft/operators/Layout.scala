@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Morton (z-order) interleaving, the
+  * standard technique for making ONE sorted file order serve range
+  * filters on TWO columns. At 100 TB this is what turns "scan
+  * everything" into "skip most row groups": parquet min/max stats on a
+  * z-sorted layout prune files for predicates on either interleaved
+  * dimension, where a plain sort only prunes on its leading column.
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of two non-negative
+    * integer columns (`x` takes the odd bit positions, `y` the even).
+    * The bit loop is unrolled at plan-build time into plain shift/and/or
+    * arithmetic — whole-stage codegen, no UDF, and the very same math
+    * runs in the DuckDB oracle.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Inverse of [[zValue]] for one dimension: gather every second bit
+    * starting at `offset` (1 = the x dimension, 0 = y). Used by the
+    * round-trip spec; handy for debugging a layout.
+    */
+  def zExtract(z: Column, offset: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(z, 2 * i + offset).bitwiseAND(lit(1L)), i)
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-bucket summary of (user, day) events: per aligned z-range
+    * bucket, the row count and the bounding rectangle of the two
+    * dimensions. This IS the file-skipping story made visible: each
+    * bucket (≈ one file / row group after [[zorderWrite]]) covers a
+    * tight (user, day) rectangle, so a predicate on either dimension
+    * eliminates most buckets by min/max alone. Single shuffle on the
+    * bucket key; per-row math is codegen'd integer ops.
+    */
+  def zorderStats(events: DataFrame, bits: Int, bucketShift: Int): DataFrame =
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("ts_ms div 86400000").as("epoch_day"))
+      .select(col("user_id"), col("epoch_day"),
+        zValue(col("user_id"), col("epoch_day"), bits).as("zval"))
+      .groupBy(shiftright(col("zval"), bucketShift).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("epoch_day").as("min_day"), max("epoch_day").as("max_day"))
+      .orderBy("zbucket")
+
+  /** Write `df` z-ordered on (xCol, yCol): range-partition by z-value
+    * (balanced output files via range exchange, not hash), sort rows
+    * within each partition, drop the helper column. The result is a
+    * parquet layout whose per-file min/max on BOTH columns is tight —
+    * the scale path for multi-dimension point/range lookups.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  partitions: Int, path: String): Unit =
+    df.withColumn("zval",
+        zValue(col(xCol).cast("long"), col(yCol).cast("long"), bits))
+      .repartitionByRange(partitions, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+}

@@ -174,6 +174,32 @@ object TextAnalysis {
   def bpeLearn(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLoop(docs, nMerges)._1.toDF("step", "lhs", "rhs", "merged", "pair_cnt")
+      .orderBy("step")
+  }
+
+  /** Per-document token count under the tokenizer [[bpeLearn]] just
+    * learned: segment every vocabulary word with the merge table, then
+    * roll the per-word subword counts back onto the per-doc word
+    * stream. The expensive part (learning) touches only the vocab; the
+    * per-doc rollup is the wordcount spine plus one vocabulary join.
+    */
+  def bpeSegment(docs: DataFrame, nMerges: Int): DataFrame = {
+    val vocab = bpeLoop(docs, nMerges)._2
+      .select(replace(col("ts"), lit("/"), lit("")).as("word"),
+        size(expr("filter(split(ts, '/'), x -> x != '')")).cast("long").as("n_sub"))
+    WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .join(vocab, Seq("word"))
+      .groupBy("doc_id").agg(sum(col("c") * col("n_sub")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared merge loop: returns the learned merge list and the final
+    * token-string vocabulary (ts, cnt).
+    */
+  private def bpeLoop(docs: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var words = WordCount.wordCount(docs)
       .select(regexp_replace(col("word"), "(.)", "$1/").as("ts"), col("cnt"))
       .localCheckpoint()
@@ -203,7 +229,7 @@ object TextAnalysis {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_cnt").orderBy("step")
+    (merges.toSeq, words)
   }
 
   /** Content fingerprint for exact dedup: md5 of the

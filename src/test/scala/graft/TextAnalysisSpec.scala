@@ -166,6 +166,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "b", "ab", 5L), (2L, "ab", "ab", "abab", 2L)))
   }
 
+  test("bpeSegment: per-doc token counts under the learned merges") {
+    // after 2 merges ("ab", then "abab") vocab is {abab:1 tok, ab:1 tok};
+    // doc1 = abab abab ab -> 3 tokens; doc2 = ab ab -> 2
+    val got = TextAnalysis.bpeSegment(
+        docs(1L -> "abab abab ab", 2L -> "ab ab"), nMerges = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 2L)))
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
