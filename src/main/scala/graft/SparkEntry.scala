@@ -299,6 +299,10 @@ object SparkEntry {
       TextAnalysis.bpeLearn(Tables.documents(s, dir), nMerges = 6)),
     "doc_bpe_segment" -> ((s, dir) =>
       TextAnalysis.bpeSegment(Tables.documents(s, dir), nMerges = 6)),
+    "bigram_pmi" -> ((s, dir) =>
+      TextAnalysis.bigramPmi(Tables.documents(s, dir), minCnt = 5, k = 25)),
+    "doc_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(Tables.documents(s, dir), n = 30)),
     "events_zorder_stats" -> ((s, dir) =>
       Layout.zorderStats(Tables.events(s, dir), bits = 16, bucketShift = 8)),
     // --- dedup
@@ -734,6 +738,29 @@ object SparkEntry {
          |  WHERE length(word) >= 2)
          |GROUP BY 1 ORDER BY pair_cnt DESC, pair LIMIT 30""".stripMargin,
     "bpe_learn" -> sqlBpeLearn(6),
+    "bigram_pmi" ->
+      s"""WITH uni AS (SELECT word, count(*)::BIGINT AS uc FROM (${sqlWords()}) GROUP BY 1),
+         |n AS (SELECT CAST(sum(uc) AS BIGINT) AS n_total FROM uni),
+         |bi AS (SELECT ngram, count(*)::BIGINT AS cnt FROM (
+         |  SELECT array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS ngram
+         |  FROM (SELECT $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |  WHERE len(ws) >= 2) GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT ngram, cnt, u1.uc AS c1, u2.uc AS c2,
+         |  cnt * n_total * 1000 // (u1.uc * u2.uc) AS pmi_x1000
+         |FROM bi, n,
+         |  uni u1, uni u2
+         |WHERE u1.word = string_split(ngram, ' ')[1]
+         |  AND u2.word = string_split(ngram, ' ')[2]
+         |ORDER BY pmi_x1000 DESC, ngram LIMIT 25""".stripMargin,
+    "doc_weighted_sample" ->
+      s"""SELECT doc_id, n_tokens, h // (n_tokens + 1) AS priority FROM (
+         |  SELECT doc_id, len($SqlWs)::BIGINT AS n_tokens,
+         |    list_sum(list_transform(range(15), i ->
+         |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+         |        << (4*(14-i)))) AS h
+         |  FROM documents)
+         |ORDER BY priority, doc_id LIMIT 30""".stripMargin,
     "doc_bpe_segment" ->
       (sqlBpeCtes(6) +
         s""",

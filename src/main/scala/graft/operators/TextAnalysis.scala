@@ -493,6 +493,58 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** PMI-ranked bigram collocations: score each adjacent word pair by
+    * pointwise mutual information, computed as the integer
+    * cross-multiplication `cnt_ab · N · 1000 div (cnt_a · cnt_b)`
+    * (monotone in PMI, so the RANKING is exact — no cross-engine float
+    * log drift). Three aggregations over the token stream (unigrams,
+    * bigrams, the scalar N), one broadcast of the 1-row total, top-k
+    * via TakeOrderedAndProject. Validity window: products must stay
+    * under 2^63 — cnt_ab·N·1000 caps N around 3·10^9 tokens; beyond
+    * that, rank in log-space doubles (ordering-stable, oracle-free) or
+    * rescale the ×1000.
+    */
+  def bigramPmi(docs: DataFrame, minCnt: Int, k: Int): DataFrame = {
+    val words = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+    val uni = words.groupBy("word").agg(count(lit(1)).as("uc"))
+    val n = uni.agg(sum("uc").as("n_total"))
+    val bi = docs.select(WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', slice(ws, i + 1, 2)))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCnt)
+      .select(col("ngram"), col("cnt"),
+        split(col("ngram"), " ").getItem(0).as("w1"),
+        split(col("ngram"), " ").getItem(1).as("w2"))
+    bi.join(uni.select(col("word").as("w1"), col("uc").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("uc").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("ngram"), col("cnt"), col("c1"), col("c2"),
+        expr("cnt * n_total * 1000L div (c1 * c2)").as("pmi_x1000"))
+      .orderBy(col("pmi_x1000").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /** Deterministic weighted sample: priority = hash div (weight + 1),
+    * keep the `n` smallest — heavier documents (more tokens) draw
+    * proportionally smaller priorities, the integer-arithmetic cousin
+    * of exponential-jitter weighted reservoir sampling (Efraimidis-
+    * Spirakis), exact on both engines because no floats are involved.
+    * Plans as TakeOrderedAndProject over per-row codegen math: no
+    * global sort, no shuffle beyond the top-n merge.
+    */
+  def weightedSample(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        expr("cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
+          .as("h"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("h div (n_tokens + 1)").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(n)
+
   /** Marker-word lists for the language-ID heuristic. Real systems use
     * character-n-gram profiles (the testdata vocabulary is uniform
     * across langs, so any profile degenerates); the *operator* is the

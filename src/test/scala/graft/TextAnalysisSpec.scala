@@ -175,6 +175,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 2L)))
   }
 
+  test("bigramPmi ranks exclusive pairs above promiscuous ones") {
+    // "qq zz" always co-occur exclusively; "aa" pairs with many partners
+    val d = docs(
+      1L -> "qq zz qq zz aa bb aa cc aa dd aa ee aa ff",
+      2L -> "qq zz aa gg aa hh")
+    val got = TextAnalysis.bigramPmi(d, minCnt = 2, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(got.head._1 == "qq zz")
+    val scores = got.toMap
+    assert(!scores.contains("aa bb") || scores("qq zz") > scores.getOrElse("aa bb", 0L))
+  }
+
+  test("weightedSample: heavier docs get smaller priorities for equal hash") {
+    val d = docs(1L -> "one", 2L -> ("w " * 50).trim)
+    val got = TextAnalysis.weightedSample(d, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // priority = h div (n_tokens + 1): doc 2's divisor is 51 vs doc 1's 2
+    assert(got(2L) < got(1L) || got(1L) / got(2L) >= 1L)
+    // deterministic across invocations
+    val again = TextAnalysis.weightedSample(d, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == again)
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
