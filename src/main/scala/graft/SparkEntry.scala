@@ -305,6 +305,11 @@ object SparkEntry {
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 30)),
     "events_zorder_stats" -> ((s, dir) =>
       Layout.zorderStats(Tables.events(s, dir), bits = 16, bucketShift = 8)),
+    "events_range_join" -> ((s, dir) =>
+      RangeJoin.sessionClickCounts(Tables.events(s, dir), gapSec = 1800,
+        bucketMs = 600000)),
+    "events_value_outliers" -> ((s, dir) =>
+      Relational.valueOutliers(Tables.events(s, dir), k = 3)),
     // --- dedup
     "dedup_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
@@ -769,6 +774,34 @@ object SparkEntry {
            |SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
            |FROM (${sqlWords(" doc_id,")}) dw JOIN vocab USING (word)
            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "events_range_join" ->
+      s"""WITH s AS (
+         |  SELECT user_id, session_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         |  FROM (
+         |    SELECT user_id, ts_ms,
+         |      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |    FROM (
+         |      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |        CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+         |          OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+         |        THEN 1 ELSE 0 END AS is_new
+         |      FROM events)
+         |  ) GROUP BY 1, 2),
+         |c AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'click')
+         |SELECT s.user_id, s.session_id, count(c.event_id)::BIGINT AS n_clicks
+         |FROM s LEFT JOIN c ON c.ts_ms BETWEEN s.start_ms AND s.end_ms
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_value_outliers" ->
+      s"""WITH v AS (SELECT event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+         |s AS (SELECT event_type, count(*)::BIGINT AS n, CAST(sum(value_c) AS BIGINT) AS s1,
+         |      CAST(sum(value_c * value_c) AS BIGINT) AS s2 FROM v GROUP BY 1)
+         |SELECT event_id, event_type, value_c,
+         |  s1 // n AS mu_c, s2 // n - (s1 // n) * (s1 // n) AS var_c
+         |FROM v JOIN s USING (event_type)
+         |WHERE (value_c - s1 // n) * (value_c - s1 // n) > 9 * (s2 // n - (s1 // n) * (s1 // n))
+         |ORDER BY event_id""".stripMargin,
     "events_zorder_stats" ->
       s"""SELECT zval >> 8 AS zbucket, count(*)::BIGINT AS n,
          |  min(user_id) AS min_user, max(user_id) AS max_user,

@@ -952,6 +952,27 @@ object Relational {
         sum(col("c") * col("c")).as("sumsq_cents"))
       .orderBy("event_type")
 
+  /** Integer-exact z-score outlier flagging per event type: flag rows
+    * where (x − μ)² > k²·σ², with μ and σ² computed as FLOOR divisions
+    * of the integer-cents moment sums — deterministic on both engines,
+    * no float drift, and only one broadcast of the 5-row per-type stats
+    * (zero extra shuffle over the fact side). Validity window: Σc²
+    * must stay under 2^63, i.e. ~10^8 rows per group at 1000.00-unit
+    * values — beyond that, switch the moment sums to decimal(38,0).
+    */
+  def valueOutliers(events: DataFrame, k: Int): DataFrame = {
+    val v = events.select(col("event_id"), col("event_type"),
+      cents("value").as("value_c"))
+    val s = v.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum("value_c").as("s1"), sum(col("value_c") * col("value_c")).as("s2"))
+    v.join(broadcast(s), "event_type")
+      .select(col("event_id"), col("event_type"), col("value_c"),
+        expr("s1 div n").as("mu_c"),
+        expr("s2 div n - (s1 div n) * (s1 div n)").as("var_c"))
+      .where(expr(s"(value_c - mu_c) * (value_c - mu_c) > ${k.toLong * k}L * var_c"))
+      .orderBy("event_id")
+  }
+
   /** One event as a typed row — the `Dataset[T]` surface. */
   final case class Event(event_id: Long, user_id: Long, ts_ms: Long,
                          event_type: String, value_c: Long)

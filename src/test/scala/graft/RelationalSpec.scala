@@ -253,6 +253,17 @@ class RelationalSpec extends SparkSpec {
       got("n_view") == 1L && got("n_error") == 0L && got.size == 6)
   }
 
+  test("valueOutliers flags the far point and nothing else") {
+    import spark.implicits._
+    // 10 values at 1.00 plus one at 100.00: only the spike deviates
+    val e = ((1L to 10L).map(i => (i, 1L, i * 1000, "view", 1.0)) :+
+      (11L, 1L, 11000L, "view", 100.0))
+      .toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+    val got = Relational.valueOutliers(e, k = 3).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(11L))
+    assert(got.head.getAs[Long]("value_c") == 10000L)
+  }
+
   test("q2/q11/q16/q20/q21 return sane shapes on sf0.001") {
     val q2 = Relational.q2MinCostSupplier(spark, sf0001)
     assert(q2.count() > 0 && q2.count() <= 100)
