@@ -133,8 +133,8 @@ object SparkEntry {
          |    LATERAL (SELECT unnest(range(1, len(toks))) AS j) rr
          |  WHERE len(toks) >= 2)
          |GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1),
-         |w$i AS (SELECT replace(ts, l || '/' || r || '/', l || r || '/') AS ts, cnt
-         |  FROM w${i - 1} CROSS JOIN p$i)""".stripMargin
+         |w$i AS (SELECT coalesce(replace(ts, l || '/' || r || '/', l || r || '/'), ts) AS ts, cnt
+         |  FROM w${i - 1} LEFT JOIN p$i ON TRUE)""".stripMargin
     }
     (base +: steps).mkString("WITH ", ",\n", "")
   }
@@ -759,7 +759,7 @@ object SparkEntry {
          |  AND u2.word = string_split(ngram, ' ')[2]
          |ORDER BY pmi_x1000 DESC, ngram LIMIT 25""".stripMargin,
     "doc_weighted_sample" ->
-      s"""SELECT doc_id, n_tokens, h // (n_tokens + 1) AS priority FROM (
+      s"""SELECT doc_id, n_tokens, CAST(h // (n_tokens + 1) AS BIGINT) AS priority FROM (
          |  SELECT doc_id, len($SqlWs)::BIGINT AS n_tokens,
          |    list_sum(list_transform(range(15), i ->
          |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
@@ -1487,7 +1487,7 @@ object SparkEntry {
          |      << (4*(14-i)))) AS h
          |  FROM documents) WHERE h % 100 < 10 ORDER BY doc_id""".stripMargin,
     "doc_pack_sequences" ->
-      s"""SELECT source, doc_id, n_tokens, (cum - n_tokens) // 256 AS seq_id FROM (
+      s"""SELECT source, doc_id, n_tokens, CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id FROM (
          |  SELECT source, doc_id, n_tokens,
          |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM (SELECT source, doc_id, CAST(len($SqlWs) AS BIGINT) AS n_tokens FROM documents))
