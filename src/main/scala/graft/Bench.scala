@@ -43,8 +43,14 @@ object Bench {
     // compact headline FIRST: a tail-truncated capture of the big
     // per-query line (it happened to BENCH_r02.json) must still retain
     // the total + failure list
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    println(headline)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // ...and AGAIN after it: BENCH_r04.json was tail-captured (kept the
+    // END of output), which lost the leading headline — emitting it on
+    // both sides survives truncation from either direction.
+    println(headline)
     spark.stop()
   }
 }

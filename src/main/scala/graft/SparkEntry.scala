@@ -301,6 +301,12 @@ object SparkEntry {
       TextAnalysis.bpeSegment(Tables.documents(s, dir), nMerges = 6)),
     "bigram_pmi" -> ((s, dir) =>
       TextAnalysis.bigramPmi(Tables.documents(s, dir), minCnt = 5, k = 25)),
+    "bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(Tables.documents(s, dir), minCnt = 5)),
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), k = 100)),
+    "doc_mixture_sample" -> ((s, dir) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, dir), budget = 200)),
     "doc_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 30)),
     "events_zorder_stats" -> ((s, dir) =>
@@ -310,9 +316,13 @@ object SparkEntry {
         bucketMs = 600000)),
     "events_value_outliers" -> ((s, dir) =>
       Relational.valueOutliers(Tables.events(s, dir), k = 3)),
+    "events_value_mad" -> ((s, dir) =>
+      Relational.valueMad(Tables.events(s, dir), k = 3)),
     // --- dedup
     "dedup_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
+    "dedup_crossdoc_spans" -> ((s, dir) =>
+      Dedup.crossDocSpans(Tables.documents(s, dir), w = 8)),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -492,6 +502,13 @@ object SparkEntry {
     // typed Dataset[T] groupByKey/mapGroups surface
     "typed_user_spend" -> ((s, dir) =>
       Relational.typedUserSpend(Tables.events(s, dir))),
+    // SCD2 full-history dimension build (versioned validity intervals)
+    "events_scd2" -> ((s, dir) =>
+      Relational.scd2(Tables.events(s, dir))),
+    // typed KeyValueGroupedDataset.cogroup two-sided per-key merge
+    "cogroup_user_activity" -> ((s, dir) =>
+      Relational.cogroupUserActivity(Tables.events(s, dir),
+        Tables.orders(s, dir))),
     // percent_rank/cume_dist distribution positions, keyed windows
     "events_percent_rank" -> ((s, dir) =>
       Relational.eventsPercentRank(Tables.events(s, dir))),
@@ -758,6 +775,45 @@ object SparkEntry {
          |WHERE u1.word = string_split(ngram, ' ')[1]
          |  AND u2.word = string_split(ngram, ' ')[2]
          |ORDER BY pmi_x1000 DESC, ngram LIMIT 25""".stripMargin,
+    "bigram_lm" ->
+      s"""WITH uni AS (SELECT word, count(*)::BIGINT AS c1 FROM (${sqlWords()}) GROUP BY 1),
+         |v AS (SELECT count(*)::BIGINT AS vocab FROM uni),
+         |bi AS (SELECT ngram, count(*)::BIGINT AS cnt FROM (
+         |  SELECT array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS ngram
+         |  FROM (SELECT $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |  WHERE len(ws) >= 2) GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT ngram, cnt, c1, vocab,
+         |  (cnt + 1) * 1000000 // (c1 + vocab) AS p_x1e6
+         |FROM bi, v, uni
+         |WHERE uni.word = string_split(ngram, ' ')[1]
+         |ORDER BY ngram""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH w AS (${sqlWords(extra = " doc_id,")}),
+         |vocab AS (SELECT word FROM w GROUP BY 1
+         |          ORDER BY count(*) DESC, word LIMIT 100),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM w GROUP BY 1),
+         |oov AS (SELECT doc_id, count(*)::BIGINT AS n_oov FROM w
+         |        WHERE word NOT IN (SELECT word FROM vocab) GROUP BY 1)
+         |SELECT tot.doc_id, n_tokens, coalesce(n_oov, 0) AS n_oov,
+         |  coalesce(n_oov, 0) * 1000 // n_tokens AS oov_x1000
+         |FROM tot LEFT JOIN oov ON tot.doc_id = oov.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+    "doc_mixture_sample" ->
+      s"""WITH s AS (SELECT source, count(*)::BIGINT AS n_src,
+         |             CAST(1 + CAST(regexp_extract(source, '[0-9]+', 0) AS INT) % 4
+         |               AS BIGINT) AS w
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM s),
+         |q AS (SELECT source, least(n_src, 200 * w // w_tot) AS quota FROM s, t),
+         |r AS (SELECT doc_id, source,
+         |        CAST(row_number() OVER (PARTITION BY source ORDER BY
+         |          list_sum(list_transform(range(15), i ->
+         |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+         |              << (4*(14-i)))), doc_id) AS BIGINT) AS rk
+         |      FROM documents)
+         |SELECT r.source, doc_id, rk FROM r JOIN q ON r.source = q.source
+         |WHERE rk <= quota ORDER BY r.source, doc_id""".stripMargin,
     "doc_weighted_sample" ->
       s"""SELECT doc_id, n_tokens, CAST(h // (n_tokens + 1) AS BIGINT) AS priority FROM (
          |  SELECT doc_id, len($SqlWs)::BIGINT AS n_tokens,
@@ -802,6 +858,22 @@ object SparkEntry {
          |FROM v JOIN s USING (event_type)
          |WHERE (value_c - s1 // n) * (value_c - s1 // n) > 9 * (s2 // n - (s1 // n) * (s1 // n))
          |ORDER BY event_id""".stripMargin,
+    "events_value_mad" ->
+      s"""WITH v AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+         |m AS (SELECT event_type,
+         |        CAST(2.0 * quantile_cont(value_c, 0.5) AS BIGINT) AS med_x2
+         |      FROM v GROUP BY 1),
+         |d AS (SELECT v.event_type, med_x2,
+         |        abs(value_c * 2 - med_x2) AS dev2
+         |      FROM v JOIN m USING (event_type)),
+         |md AS (SELECT event_type,
+         |         CAST(2.0 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad_x4
+         |       FROM d GROUP BY 1)
+         |SELECT d.event_type, med_x2, mad_x4, count(*)::BIGINT AS n,
+         |  CAST(count(*) FILTER (WHERE dev2 * 2 > mad_x4 * 3) AS BIGINT) AS n_outliers
+         |FROM d JOIN md USING (event_type)
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "events_zorder_stats" ->
       s"""SELECT zval >> 8 AS zbucket, count(*)::BIGINT AS n,
          |  min(user_id) AS min_user, max(user_id) AS max_user,
@@ -822,6 +894,25 @@ object SparkEntry {
          |SELECT doc_id, n_spans, n_dup_spans,
          |  n_dup_spans * 1000 // n_spans AS dup_ratio_x1000
          |FROM per ORDER BY doc_id""".stripMargin,
+    "dedup_crossdoc_spans" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS span
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 7)) AS i) r
+         |  WHERE len(ws) >= 8),
+         |dup AS (SELECT span FROM sp GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+         |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (span)),
+         |b AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM m),
+         |isl AS (SELECT doc_id, pos,
+         |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |        FROM b)
+         |SELECT doc_id, min(pos) AS tok_start, max(pos) + 7 AS tok_end,
+         |  count(*)::BIGINT AS n_windows
+         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(lower(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1232,6 +1323,36 @@ object SparkEntry {
       s"""SELECT user_id, count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_scd2" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+         |           FROM events),
+         |c AS (SELECT user_id, event_type, ts_ms, event_id FROM (
+         |        SELECT *, lag(event_type) OVER
+         |          (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+         |        FROM e)
+         |      WHERE prev_type IS NULL OR prev_type <> event_type)
+         |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+         |  event_type AS state, ts_ms AS valid_from_ms,
+         |  coalesce(lead(ts_ms) OVER w, 253402300799999) AS valid_to_ms
+         |FROM c
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         |ORDER BY user_id, version""".stripMargin,
+    "cogroup_user_activity" ->
+      s"""WITH e AS (SELECT user_id AS k, count(*)::BIGINT AS n_events,
+         |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |               AS events_cents
+         |           FROM events GROUP BY 1),
+         |o AS (SELECT o_custkey AS k, count(*)::BIGINT AS n_orders,
+         |        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |          AS orders_cents
+         |      FROM orders GROUP BY 1)
+         |SELECT k AS user_id,
+         |  coalesce(n_events, 0) AS n_events,
+         |  coalesce(events_cents, 0) AS events_cents,
+         |  coalesce(n_orders, 0) AS n_orders,
+         |  coalesce(orders_cents, 0) AS orders_cents
+         |FROM e FULL JOIN o USING (k)
+         |ORDER BY user_id""".stripMargin,
     "events_percent_rank" ->
       s"""SELECT event_type,
          |  count(*) FILTER (WHERE pr <= 0.25) AS n_bottom_quartile,

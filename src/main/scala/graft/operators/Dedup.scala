@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, over the
@@ -96,6 +97,53 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
       .withColumn("dup_ratio_x1000", expr("n_dup_spans * 1000 div n_spans"))
       .orderBy("doc_id")
+  }
+
+  /** Maximal cross-document duplicated token ranges — the "cut these
+    * spans out" output of substring-level dedup (Lee et al.), one step
+    * past [[dupSpanRatio]]'s per-document coverage number: every
+    * `w`-token window whose text also appears in at least one OTHER
+    * document is marked, and runs of marked windows are merged into
+    * maximal `[tok_start, tok_end]` intervals per document
+    * (gaps-and-islands over window positions: two marked windows chain
+    * while the gap between their starts is ≤ `w`, i.e. their token
+    * ranges overlap or touch).
+    *
+    * Cross-document test is `min(doc_id) <> max(doc_id)` per span —
+    * one map-side-combinable agg, NO count-distinct expansion.
+    *
+    * Scale shape: windows materialized once (localCheckpoint) and
+    * consumed by the dup-set agg and the mark semi-join; one shuffle on
+    * span text for the agg, one for the semi-join (dup spans are
+    * corpus-sized worst-case — not broadcastable), one shuffle on
+    * doc_id for the islands window + rollup. At 100 TB carry
+    * xxhash64(span) so shuffles move 8-byte keys, and raise `w` to keep
+    * the marked set selective.
+    */
+  def crossDocSpans(docs: DataFrame, w: Int): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $w), i -> concat_ws(' ', slice(ws, i + 1, $w)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("span"))
+      .localCheckpoint()
+    val dup = spans.groupBy("span")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .where(col("d0") =!= col("d1"))
+      .select("span")
+    val marked = spans.join(dup, Seq("span"), "left_semi").select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byPos) > w, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(byPos))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("tok_start"),
+        (max("pos") + lit(w.toLong - 1)).as("tok_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "tok_start", "tok_end", "n_windows")
+      .orderBy("doc_id", "tok_start")
   }
 
   /** Within-document repetition stats (the Gopher-style duplicate

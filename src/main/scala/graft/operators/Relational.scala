@@ -973,6 +973,37 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Median-absolute-deviation outliers per event_type — the robust
+    * sibling of [[valueOutliers]]'s z-score (a single extreme value
+    * drags a mean+variance gate, but not a median+MAD one).
+    * Integer-exact across engines by working in DOUBLED units: cents
+    * are integers, so 2·median(cents) and 4·MAD-quarters are exact
+    * BIGINTs on both sides (medians of integers land on halves at
+    * worst), and the outlier test |x−med| > 3·MAD becomes the pure
+    * integer comparison 4·|2x−med2| > 3·mad4.
+    *
+    * Scale note: exact `percentile` keeps O(rows) sort state per group
+    * — fine for a bounded set of event types; at an unbounded group key
+    * use the KLL sketch route ([[graft.functions.KllQuantiles]]) like
+    * `events_value_quantiles_sketch` does.
+    */
+  def valueMad(events: DataFrame, k: Int = 3): DataFrame = {
+    val base = events.select(col("event_type"), cents("value").as("value_c"))
+    val med = base.groupBy("event_type")
+      .agg(expr("cast(2.0D * percentile(value_c, 0.5D) AS bigint)").as("med_x2"))
+    val dev = base.join(med, "event_type")
+      .withColumn("dev2", abs(col("value_c") * 2 - col("med_x2")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("cast(2.0D * percentile(dev2, 0.5D) AS bigint)").as("mad_x4"))
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"), col("med_x2"), col("mad_x4"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev2") * 2 > col("mad_x4") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select("event_type", "med_x2", "mad_x4", "n", "n_outliers")
+      .orderBy("event_type")
+  }
+
   /** One event as a typed row — the `Dataset[T]` surface. */
   final case class Event(event_id: Long, user_id: Long, ts_ms: Long,
                          event_type: String, value_c: Long)
@@ -997,6 +1028,75 @@ object Relational {
         (uid, n, s)
       }
       .toDF("user_id", "n_events", "spend_cents")
+      .orderBy("user_id")
+  }
+
+  /** Slowly-changing-dimension type-2 history from the event stream:
+    * per user, consecutive runs of the same `event_type` collapse into
+    * one versioned validity interval `[valid_from_ms, valid_to_ms)`.
+    * Change rows are `event_type <> lag(event_type)` over the total
+    * order (ts_ms, event_id); each change closes the previous interval
+    * (valid_to = next change's valid_from) and the open current row
+    * carries the 9999-12-31 sentinel instead of NULL so downstream
+    * range predicates (`valid_from <= t AND t < valid_to`) need no
+    * null branch.
+    *
+    * Scale shape: both windows and the change filter share the
+    * hash(user_id) partitioning — ONE exchange total; state per
+    * partition is one lag row. The MERGE-style alternative (join
+    * against the previous snapshot) is [[snapshotUpsert]]; this is the
+    * full-history form.
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(byTs))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(byTs).cast("long"))
+      .withColumn("valid_to_ms",
+        coalesce(lead("ts_ms", 1).over(byTs), lit(253402300799999L)))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"))
+      .orderBy("user_id", "version")
+  }
+
+  /** One keyed cent amount — the cogroup input shape on both sides. */
+  final case class KeyCents(k: Long, c: Long)
+
+  /** Per-customer merge of the order history and the event stream via
+    * the TYPED `KeyValueGroupedDataset.cogroup` — both sides' rows for
+    * one key arrive in a single closure invocation, the API for
+    * per-key reconciliation logic that doesn't decompose into
+    * join+agg (here it does — that's what makes it oracle-able; the
+    * value is exercising the surface). Keys present on either side
+    * appear once, with zero counts for the absent side.
+    *
+    * Scale shape: cogroup plans one hash exchange per side on the key
+    * (same as a shuffle join) and streams each side's iterator — no
+    * per-key materialization beyond the running sums here. Skewed keys
+    * hit the same limits as any keyed shuffle (salt upstream if one
+    * user dominates).
+    */
+  def cogroupUserActivity(events: DataFrame, orders: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id").as("k"), cents("value").as("c"))
+      .as[KeyCents].groupByKey(_.k)
+    val od = orders
+      .select(col("o_custkey").cast("long").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .as[KeyCents].groupByKey(_.k)
+    ev.cogroup(od) { (k, evs, ods) =>
+        var ne = 0L; var se = 0L
+        evs.foreach { e => ne += 1; se += e.c }
+        var no = 0L; var so = 0L
+        ods.foreach { o => no += 1; so += o.c }
+        Iterator((k, ne, se, no, so))
+      }
+      .toDF("user_id", "n_events", "events_cents", "n_orders", "orders_cents")
       .orderBy("user_id")
   }
 

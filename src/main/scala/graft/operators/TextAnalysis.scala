@@ -545,6 +545,88 @@ object TextAnalysis {
       .orderBy(col("priority"), col("doc_id"))
       .limit(n)
 
+  /** Add-one (Laplace) smoothed bigram language model: conditional
+    * probability P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + |V|) as an
+    * integer-exact fixed-point `p_x1e6` — no float division, so both
+    * engines agree bit-for-bit. The |V| scalar rides a 1-row broadcast;
+    * the bigram and unigram counts are each one map-side-combined
+    * shuffle, and the unigram join is a broadcast at any realistic
+    * vocab size (words, not documents).
+    */
+  def bigramLm(docs: DataFrame, minCnt: Int): DataFrame = {
+    val words = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+    val uni = words.groupBy("word").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val bi = docs.select(ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', slice(ws, i + 1, 2)))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCnt)
+      .select(col("ngram"), col("cnt"),
+        split(col("ngram"), " ").getItem(0).as("w1"))
+    bi.join(uni.select(col("word").as("w1"), col("c1")), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("ngram"), col("cnt"), col("c1"), col("vocab"),
+        expr("(cnt + 1) * 1000000L div (c1 + vocab)").as("p_x1e6"))
+      .orderBy("ngram")
+  }
+
+  /** Tokenizer-vocabulary coverage: per-document OOV token count and
+    * rate against the top-`k` corpus vocabulary (ordered by count desc,
+    * word — a total order, so the vocab set is deterministic on both
+    * engines). The vocab is broadcast (k rows) and OOV tokens are a
+    * broadcast LEFT ANTI probe — the corpus never shuffles on word for
+    * the probe, only the per-doc rollup shuffles on doc_id. The
+    * pre-training use: pick the tokenizer vocab budget by watching this
+    * rate, then route high-OOV documents to byte-fallback handling.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int): DataFrame = {
+    val words = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(k).select("word")
+    val tot = words.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val oov = words.join(broadcast(vocab), Seq("word"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    tot.join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_x1000", expr("n_oov * 1000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic domain-mixture sampling: draw a corpus whose source
+    * composition matches target weights (here w = 1 + src_number mod 4,
+    * a stand-in for externally supplied mixture weights à la
+    * DoReMi-style static reweighting). Per source the quota is
+    * `min(n_src, budget·w/Σw)`; rows are ranked inside each source by
+    * (md5(doc_id), doc_id) — a total order — and the first `quota`
+    * survive, so the sample is reproducible run-to-run and engine-to-
+    * engine. Scale shape: quotas are a 20-row broadcast; ranking is one
+    * window shuffle on source (salt or pre-bucket if one source
+    * dominates); no global sort.
+    */
+  def mixtureSample(docs: DataFrame, budget: Int): DataFrame = {
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        expr("cast(1 + cast(regexp_extract(source, '[0-9]+', 0) AS int) % 4 AS bigint)"))
+    val tot = perSrc.agg(sum("w").as("w_tot"))
+    val quota = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(col("n_src"), expr(s"${budget}L * w div w_tot")).as("quota"))
+    val bySrc = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        expr("cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
+          .as("h"))
+      .withColumn("rk", row_number().over(bySrc).cast("long"))
+      .join(broadcast(quota), "source")
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Marker-word lists for the language-ID heuristic. Real systems use
     * character-n-gram profiles (the testdata vocabulary is uniform
     * across langs, so any profile degenerates); the *operator* is the

@@ -143,6 +143,26 @@ class DedupSpec extends SparkSpec {
     assert(got(2)._2 == 6L && got(2)._3 == 6L && got(2)._4 == 1000L)
   }
 
+  test("crossDocSpans merges marked windows into maximal intervals, cross-doc only") {
+    val d = docs(
+      1L -> "a b c d e f g h",       // shares "a b c d e" with doc 2
+      2L -> "x y a b c d e q",
+      3L -> "m m m m m")             // within-doc repeats only -> no mark
+    val got = Dedup.crossDocSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: windows at 0,1,2 merge -> tokens [0,4]; doc 2: 2,3,4 -> [2,6]
+    assert(got.toSeq == Seq((1L, 0L, 4L, 3L), (2L, 2L, 6L, 3L)))
+  }
+
+  test("crossDocSpans keeps runs apart when the gap exceeds w") {
+    val d = docs(
+      4L -> "p q r zz ww vv uu tt ss s t u",  // two shared runs, far apart
+      5L -> "p q r one two three four five six s t u")
+    val got = Dedup.crossDocSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((4L, 0L, 2L), (4L, 9L, 11L), (5L, 0L, 2L), (5L, 9L, 11L)))
+  }
+
   test("simhash: identical docs collide, near docs within hamming 3") {
     val d = docs(1L -> base, 2L -> base, 3L -> "completely different words here now")
     val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -278,6 +278,46 @@ class RelationalSpec extends SparkSpec {
     assert(q21.count() > 0)
   }
 
+  test("scd2 collapses runs, versions intervals, sentinels the open row") {
+    val e = events(
+      (1L, 1L, 1000L, "view", 0.0, "{}"),
+      (2L, 1L, 2000L, "view", 0.0, "{}"),   // same state: no new version
+      (3L, 1L, 3000L, "click", 0.0, "{}"),
+      (4L, 1L, 5000L, "view", 0.0, "{}"),   // back to view: NEW version
+      (5L, 2L, 100L, "buy", 0.0, "{}"))
+    val got = Relational.scd2(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "view", 1000L, 3000L),
+      (1L, 2L, "click", 3000L, 5000L),
+      (1L, 3L, "view", 5000L, 253402300799999L),
+      (2L, 1L, "buy", 100L, 253402300799999L)))
+  }
+
+  test("cogroup merges both sides per key with zeros for absent sides") {
+    val e = events((1L, 1L, 0L, "a", 2.50, "{}"), (2L, 2L, 0L, "a", 1.00, "{}"))
+    val o = Seq((10L, 2L, 3.00), (11L, 3L, 4.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val got = Relational.cogroupUserActivity(e, o).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 250L, 0L, 0L),
+      (2L, 1L, 100L, 1L, 300L),
+      (3L, 0L, 0L, 1L, 400L)))
+  }
+
+  test("valueMad: doubled-unit median/MAD are exact, far point flagged") {
+    val e = events(
+      (1L, 1L, 0L, "x", 1.00, "{}"), (2L, 1L, 0L, "x", 2.00, "{}"),
+      (3L, 1L, 0L, "x", 3.00, "{}"), (4L, 1L, 0L, "x", 4.00, "{}"),
+      (5L, 1L, 0L, "x", 100.00, "{}"))
+    val r = Relational.valueMad(e).collect().head
+    // cents 100..400,10000: med=300 -> med_x2=600; dev2={400,200,0,200,19400},
+    // median(dev2)=200 -> mad_x4=400; outlier test dev2*2>1200 -> only 19400
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((600L, 400L, 5L, 1L)))
+  }
+
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)

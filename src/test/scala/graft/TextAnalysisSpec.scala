@@ -199,6 +199,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("bigramLm: add-one smoothed fixed-point conditionals") {
+    val d = docs(1L -> "a b a b", 2L -> "a b")
+    // c(a b)=3, c(b a)=1; c1(a)=c1(b)=3; |V|=2
+    val got = TextAnalysis.bigramLm(d, minCnt = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got == Seq(("a b", 3L, 800000L), ("b a", 1L, 400000L)))
+  }
+
+  test("vocabCoverage: OOV counted against the top-k vocab") {
+    val d = docs(1L -> "a a b", 2L -> "c")
+    // counts a:2 b:1 c:1 -> top-1 vocab = {a}
+    val got = TextAnalysis.vocabCoverage(d, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 1L, 333L), (2L, 1L, 1L, 1000L)))
+  }
+
+  test("mixtureSample: per-source quotas follow the weights, capped at n_src") {
+    import spark.implicits._
+    val d = (1L to 4L).map(i => (i, "src0")) ++ Seq((5L, "src1"), (6L, "src1"))
+    val df = d.toDF("doc_id", "source")
+    // w(src0)=1, w(src1)=2, w_tot=3; budget 3 -> quotas: src0 1, src1 min(2,2)=2
+    val got = TextAnalysis.mixtureSample(df, budget = 3).collect()
+      .map(r => r.getString(0))
+    assert(got.count(_ == "src0") == 1 && got.count(_ == "src1") == 2)
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
