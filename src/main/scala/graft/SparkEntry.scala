@@ -594,6 +594,9 @@ object SparkEntry {
     // the production file sink: checkpointed parquet append, batch read
     "streaming_file_sink" -> ((s, dir) =>
       graft.streaming.Streams.fileSinkWordCount(s, docsAsTextDir(s, dir))),
+    // foreachBatch MERGE-style upsert into versioned parquet snapshots
+    "streaming_foreachbatch_upsert" -> ((s, dir) =>
+      graft.streaming.Streams.foreachBatchUpsertAvailableNow(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1729,6 +1732,14 @@ object SparkEntry {
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "streaming_foreachbatch_upsert" ->
+      s"""SELECT user_id, ts_ms AS last_ts_ms, event_type AS last_type,
+         |  CAST(round(value * 100) AS BIGINT) AS last_value_c
+         |FROM (SELECT *, epoch_ms(ts) AS ts_ms, row_number() OVER (
+         |        PARTITION BY user_id
+         |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+         |      FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q4_order_priority" ->
       s"""SELECT o_orderpriority, count(*) AS order_count
          |FROM orders o

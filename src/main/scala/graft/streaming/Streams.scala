@@ -323,6 +323,79 @@ object Streams {
       .orderBy("word")
   }
 
+  /** Latest row per user over a frame with the full event columns —
+    * the per-batch MERGE step of [[foreachBatchUpsertAvailableNow]].
+    * (ts_ms, event_id) is a total order, so the winner is independent
+    * of how rows were split across micro-batches.
+    */
+  private def latestPerUser(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** Staged copy of the events table split into TWO parquet files (by
+    * event_id parity) so `maxFilesPerTrigger=1` replays it as two
+    * micro-batches. Cached per sf dir; checkpoints are NOT cached (a
+    * fresh run must reprocess).
+    */
+  private def stagedEventsSplit(spark: SparkSession, dir: String): String =
+    streamDirCache.computeIfAbsent(s"$dir#split", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_fbu_src_").toString
+      val ev = graft.Tables.events(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(out)
+      ev.where(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(out)
+      out
+    })
+
+  /** foreachBatch MERGE-style upsert: each micro-batch folds its rows
+    * into a versioned parquet snapshot of the latest state per user —
+    * the production sink shape when the target store has no native
+    * streaming writer (JDBC, a plain lake table). Each batch writes
+    * `v<batchId>` from union(previous version, batch) — never
+    * overwriting the file it is reading, the overwrite-while-read trap
+    * — and the final version equals the batch latest-per-user query no
+    * matter how the stream was micro-batched, because keep-latest over
+    * the total order (ts_ms, event_id) is associative.
+    *
+    * Scale note: the cumulative rewrite is O(users) per batch — the
+    * right shape while the dimension fits a partition set; past that,
+    * the target becomes a partitioned/bucketed table and each batch
+    * rewrites only the touched buckets.
+    */
+  def foreachBatchUpsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEventsSplit(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fbu_ckpt_").toString
+    val targetRoot = java.nio.file.Files.createTempDirectory("graft_fbu_tgt_").toString
+    @volatile var lastPath: String = null
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = lastPath
+        val all =
+          if (prev == null) batch
+          else batch.sparkSession.read.parquet(prev).unionByName(batch)
+        val out = s"$targetRoot/v$batchId"
+        latestPerUser(all).write.mode("overwrite").parquet(out)
+        lastPath = out
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(lastPath)
+      .select(col("user_id"), col("ts_ms").as("last_ts_ms"),
+        col("event_type").as("last_type"),
+        round(col("value") * 100).cast("long").as("last_value_c"))
+      .orderBy("user_id")
+  }
+
   /** Stream-static join: the event stream enriched against a BATCH
     * dimension (customer → nation) then aggregated. The static side is
     * broadcast — each micro-batch probes it with zero shuffle and zero

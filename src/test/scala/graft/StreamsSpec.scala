@@ -117,6 +117,22 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("foreachBatch upsert converges to batch latest-per-user across 2 batches") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, round, row_number}
+    val got = Streams.foreachBatchUpsertAvailableNow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val want = Tables.events(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("ts_ms"), col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("availableNow session counts equal batch sessionization") {
     import org.apache.spark.sql.functions.{col, max}
     val got = Streams.sessionCountsAvailableNow(spark, sf0001)
