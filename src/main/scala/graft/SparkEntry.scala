@@ -318,6 +318,11 @@ object SparkEntry {
       Relational.valueOutliers(Tables.events(s, dir), k = 3)),
     "events_value_mad" -> ((s, dir) =>
       Relational.valueMad(Tables.events(s, dir), k = 3)),
+    "events_gap_fill" -> ((s, dir) =>
+      Relational.gapFillDaily(Tables.events(s, dir))),
+    // entity resolution: blocked candidates + banded edit-distance verify
+    "fuzzy_name_pairs" -> ((s, dir) =>
+      Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 1)),
     // --- dedup
     "dedup_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
@@ -861,6 +866,34 @@ object SparkEntry {
          |FROM v JOIN s USING (event_type)
          |WHERE (value_c - s1 // n) * (value_c - s1 // n) > 9 * (s2 // n - (s1 // n) * (s1 // n))
          |ORDER BY event_id""".stripMargin,
+    "events_gap_fill" ->
+      s"""WITH daily AS (SELECT user_id, epoch_ms(ts) // 86400000 AS epoch_day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_c
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(epoch_day) AS d0, max(epoch_day) AS d1 FROM daily),
+         |spine AS (SELECT user_id, d.epoch_day
+         |  FROM (SELECT DISTINCT user_id FROM daily),
+         |       (SELECT unnest(generate_series((SELECT d0 FROM b), (SELECT d1 FROM b)))
+         |          AS epoch_day) d)
+         |SELECT s.user_id, s.epoch_day,
+         |  CAST(coalesce(last_value(day_c IGNORE NULLS) OVER (
+         |    PARTITION BY s.user_id ORDER BY s.epoch_day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+         |    AS filled_c,
+         |  CAST(CASE WHEN day_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
+         |FROM spine s LEFT JOIN daily dl
+         |  ON s.user_id = dl.user_id AND s.epoch_day = dl.epoch_day
+         |ORDER BY s.user_id, s.epoch_day""".stripMargin,
+    "fuzzy_name_pairs" ->
+      s"""WITH b AS (SELECT c_custkey, c_name, c_nationkey, length(c_name) AS ln
+         |           FROM customer)
+         |SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
+         |  CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS dist
+         |FROM b a JOIN b c
+         |  ON a.c_nationkey = c.c_nationkey AND a.ln = c.ln
+         |    AND a.c_custkey < c.c_custkey
+         |WHERE levenshtein(a.c_name, c.c_name) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
     "events_value_mad" ->
       s"""WITH v AS (SELECT event_type,
          |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),

@@ -146,6 +146,35 @@ object Dedup {
       .orderBy("doc_id", "tok_start")
   }
 
+  /** Blocked fuzzy-match pairs — the entity-resolution primitive:
+    * candidate pairs are generated ONLY inside a blocking key
+    * (nationkey, name length), then verified with edit distance
+    * ≤ `maxDist`. The verify uses Spark's 3-arg
+    * `levenshtein(a, b, threshold)` — the banded O(k·n) form that
+    * abandons a pair as soon as the running distance exceeds the
+    * threshold (Ukkonen's band), NOT the full O(n²) DP; at 100 TB the
+    * verify loop is the hot path and the band is the difference
+    * between a feasible join and not.
+    *
+    * Scale shape: one shuffle per side on the blocking key; candidate
+    * count is Σ block² — the blocking key is the knob (add a name
+    * prefix to split a hot block; a skewed block is a salting problem
+    * like any other join skew).
+    */
+  def blockedFuzzyPairs(customer: DataFrame, maxDist: Int): DataFrame = {
+    val b = customer.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey").cast("long").as("nk"),
+      length(col("c_name")).as("ln"))
+    b.as("a").join(b.as("b"),
+        col("a.nk") === col("b.nk") && col("a.ln") === col("b.ln") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        levenshtein(col("a.c_name"), col("b.c_name"), maxDist).as("d"))
+      .where(col("d") >= 0)  // -1 = band abandoned above maxDist
+      .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Within-document repetition stats (the Gopher-style duplicate
     * n-gram quality signal): total vs distinct n-grams per document,
     * integer-exact. High (total − distinct) flags boilerplate/looping

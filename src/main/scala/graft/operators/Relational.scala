@@ -1004,6 +1004,37 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Gap-filled daily spend per user: a dense (user × day) spine with
+    * missing days forward-filled from the last observed value (the
+    * time-series "carry last observation forward" op; `is_filled`
+    * marks synthesized rows, and leading gaps before a user's first
+    * observation fill with 0). Spine days are the GLOBAL [min, max]
+    * day range — a 1-row broadcast — so every user gets the same
+    * calendar; the fill itself is one window over hash(user_id), the
+    * same single exchange the daily rollup already needed.
+    *
+    * Scale note: the spine is users × days rows. Dense output is the
+    * point of the operator; if the calendar is years-long, bound it
+    * with a date filter BEFORE gap-filling, not after.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events.select(col("user_id"),
+        expr("ts_ms div 86400000").as("epoch_day"), cents("value").as("vc"))
+      .groupBy("user_id", "epoch_day").agg(sum("vc").as("day_c"))
+    val bounds = daily.agg(min("epoch_day").as("d0"), max("epoch_day").as("d1"))
+    val spine = daily.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("epoch_day"))
+    val w = Window.partitionBy("user_id").orderBy("epoch_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "epoch_day"), "left")
+      .withColumn("filled_c",
+        coalesce(last("day_c", ignoreNulls = true).over(w), lit(0L)))
+      .withColumn("is_filled", when(col("day_c").isNull, 1L).otherwise(0L))
+      .select("user_id", "epoch_day", "filled_c", "is_filled")
+      .orderBy("user_id", "epoch_day")
+  }
+
   /** One event as a typed row — the `Dataset[T]` surface. */
   final case class Event(event_id: Long, user_id: Long, ts_ms: Long,
                          event_type: String, value_c: Long)

@@ -163,6 +163,19 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((4L, 0L, 2L), (4L, 9L, 11L), (5L, 0L, 2L), (5L, 9L, 11L)))
   }
 
+  test("blockedFuzzyPairs: verify inside blocks only, banded distance") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, "Customer#001", 5),   // dist 1 from #002, same block
+      (2L, "Customer#002", 5),
+      (3L, "Customer#003", 7),   // other nation: blocked out
+      (4L, "Cust#004", 5))       // other length: blocked out
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val got = Dedup.blockedFuzzyPairs(c, maxDist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("simhash: identical docs collide, near docs within hamming 3") {
     val d = docs(1L -> base, 2L -> base, 3L -> "completely different words here now")
     val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

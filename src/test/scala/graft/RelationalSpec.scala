@@ -318,6 +318,19 @@ class RelationalSpec extends SparkSpec {
       ((600L, 400L, 5L, 1L)))
   }
 
+  test("gapFillDaily: dense spine, forward fill, leading gap = 0") {
+    val day = 86400000L
+    val e = events(
+      (1L, 1L, 0L * day, "a", 1.00, "{}"),
+      (2L, 1L, 2L * day, "a", 2.00, "{}"),   // day 1 missing -> carry 100
+      (3L, 2L, 2L * day, "a", 5.00, "{}"))   // days 0,1 missing -> lead 0
+    val got = Relational.gapFillDaily(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 100L, 0L), (1L, 1L, 100L, 1L), (1L, 2L, 200L, 0L),
+      (2L, 0L, 0L, 1L), (2L, 1L, 0L, 1L), (2L, 2L, 500L, 0L)))
+  }
+
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)
