@@ -10,6 +10,13 @@ object BenchOne {
     val spark = GraftSession.builder("graft-benchone", "local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // SPARK_GRAFT_EXPLAIN=1: dump the formatted physical plan once per
+    // query before timing (the plan-audit loop of the build workflow)
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      for (name <- args) {
+        println(s"==== PLAN $name ====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

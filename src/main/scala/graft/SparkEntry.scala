@@ -303,6 +303,9 @@ object SparkEntry {
       TextAnalysis.bigramPmi(Tables.documents(s, dir), minCnt = 5, k = 25)),
     "bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(Tables.documents(s, dir), minCnt = 5)),
+    "doc_sparse_pairs" -> ((s, dir) =>
+      TextAnalysis.sparseDotPairs(Tables.documents(s, dir), maxDf = 100,
+        minDot = 2L)),
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir), k = 100)),
     "doc_mixture_sample" -> ((s, dir) =>
@@ -796,6 +799,16 @@ object SparkEntry {
          |FROM bi, v, uni
          |WHERE uni.word = string_split(ngram, ' ')[1]
          |ORDER BY ngram""".stripMargin,
+    "doc_sparse_pairs" ->
+      s"""WITH w AS (${sqlWords(extra = " doc_id,")}),
+         |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+         |keep AS (SELECT word FROM tf GROUP BY 1 HAVING count(*) <= 100),
+         |p AS (SELECT tf.* FROM tf JOIN keep USING (word))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |FROM p a JOIN p b ON a.word = b.word AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING sum(a.tf * b.tf) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     "vocab_coverage" ->
       s"""WITH w AS (${sqlWords(extra = " doc_id,")}),
          |vocab AS (SELECT word FROM w GROUP BY 1

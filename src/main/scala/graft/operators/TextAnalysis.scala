@@ -493,6 +493,36 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Sparse bag-of-words similarity join through the inverted index:
+    * pairs of documents scored by the integer dot product of their
+    * term-frequency vectors, restricted to terms with document
+    * frequency ≤ `maxDf` — the standard df-pruning (prefix-filter)
+    * trick that makes the self-join tractable: a stopword-df term
+    * would contribute O(df²) candidate pairs and near-zero signal, so
+    * it is cut BEFORE the join, not filtered after. This is the
+    * text-side sibling of the embedding kNN family: exact, integer,
+    * no vectors needed.
+    *
+    * Scale shape: one shuffle on word for the index, candidate pairs
+    * bounded by Σ df² over KEPT terms (the maxDf knob), one shuffle on
+    * the pair key for the dot rollup. At 100 TB lower maxDf (absolute
+    * or as a corpus fraction) until Σ df² fits — recall loss is
+    * confined to ubiquitous terms, which carry no similarity signal.
+    */
+  def sparseDotPairs(docs: DataFrame, maxDf: Int, minDot: Long): DataFrame = {
+    val tf = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("word")
+    val pruned = tf.join(keep, Seq("word"), "left_semi")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      .where(col("dot") >= minDot)
+      .orderBy("id_a", "id_b")
+  }
+
   /** PMI-ranked bigram collocations: score each adjacent word pair by
     * pointwise mutual information, computed as the integer
     * cross-multiplication `cnt_ab · N · 1000 div (cnt_a · cnt_b)`

@@ -225,6 +225,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.count(_ == "src0") == 1 && got.count(_ == "src1") == 2)
   }
 
+  test("sparseDotPairs: df pruning removes ubiquitous terms before the join") {
+    val d = docs(
+      1L -> "rare shared words here",
+      2L -> "rare shared tokens there",
+      3L -> "common common common stuff")
+    // "rare"+"shared" overlap docs 1,2 -> dot 2; with maxDf=2 every
+    // term survives except none reach df>2; dropping maxDf to 1 kills
+    // all shared terms -> no pairs
+    val got = TextAnalysis.sparseDotPairs(d, maxDf = 2, minDot = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)))
+    assert(TextAnalysis.sparseDotPairs(d, maxDf = 1, minDot = 1).count() == 0)
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
