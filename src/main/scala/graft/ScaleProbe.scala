@@ -89,6 +89,12 @@ object ScaleProbe {
           num = 4, den = 5),
         operators.Dedup.minhashPairs(docsBig, n = 3, b = 32, r = 4,
           num = 4, den = 5)),
+      ("crossdoc_spans",
+        operators.Dedup.crossDocSpans(docsBase, w = 8),
+        operators.Dedup.crossDocSpans(docsBig, w = 8)),
+      ("sparse_dot_pairs",
+        operators.TextAnalysis.sparseDotPairs(docsBase, maxDf = 100, minDot = 2L),
+        operators.TextAnalysis.sparseDotPairs(docsBig, maxDf = 100, minDot = 2L)),
       ("peak_window",
         operators.Relational.peakWindowSpend(eventsBase),
         operators.Relational.peakWindowSpend(eventsBig)),

@@ -898,13 +898,10 @@ object SparkEntry {
          |  ON s.user_id = dl.user_id AND s.epoch_day = dl.epoch_day
          |ORDER BY s.user_id, s.epoch_day""".stripMargin,
     "fuzzy_name_pairs" ->
-      s"""WITH b AS (SELECT c_custkey, c_name, c_nationkey, length(c_name) AS ln
-         |           FROM customer)
-         |SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
+      s"""SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
          |  CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS dist
-         |FROM b a JOIN b c
-         |  ON a.c_nationkey = c.c_nationkey AND a.ln = c.ln
-         |    AND a.c_custkey < c.c_custkey
+         |FROM customer a JOIN customer c
+         |  ON a.c_nationkey = c.c_nationkey AND a.c_custkey < c.c_custkey
          |WHERE levenshtein(a.c_name, c.c_name) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
     "events_value_mad" ->

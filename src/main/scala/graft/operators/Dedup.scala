@@ -146,30 +146,47 @@ object Dedup {
       .orderBy("doc_id", "tok_start")
   }
 
-  /** Blocked fuzzy-match pairs — the entity-resolution primitive:
-    * candidate pairs are generated ONLY inside a blocking key
-    * (nationkey, name length), then verified with edit distance
-    * ≤ `maxDist`. The verify uses Spark's 3-arg
-    * `levenshtein(a, b, threshold)` — the banded O(k·n) form that
-    * abandons a pair as soon as the running distance exceeds the
-    * threshold (Ukkonen's band), NOT the full O(n²) DP; at 100 TB the
-    * verify loop is the hot path and the band is the difference
-    * between a feasible join and not.
+  /** Fuzzy-match pairs within a nation (entity resolution) via
+    * SYMMETRIC-DELETE blocking (the SymSpell scheme): every name emits
+    * itself plus each string obtained by deleting one character; two
+    * names within edit distance 1 ALWAYS share a variant (substitution
+    * → delete the differing position from both; insertion/deletion →
+    * the longer's deletion equals the shorter), so the variant
+    * equi-join generates a candidate set that is complete AND
+    * proportional to the true-pair count — not to Σ block² like naive
+    * attribute blocking. A first cut of this operator blocked on
+    * (nation, name length) and spent 25 s at sf0.1 running banded
+    * levenshtein over ~9M block pairs; deletion blocking runs the
+    * verify on ~8k candidates instead.
     *
-    * Scale shape: one shuffle per side on the blocking key; candidate
-    * count is Σ block² — the blocking key is the knob (add a name
-    * prefix to split a hot block; a skewed block is a salting problem
-    * like any other join skew).
+    * Verify = Spark's 3-arg `levenshtein(a, b, threshold)` (Ukkonen
+    * band, returns -1 past the threshold), evaluated once per DISTINCT
+    * candidate pair.
+    *
+    * Scale shape: one shuffle on (nation, variant) — a (len+1)×
+    * row explosion of the name column only — one shuffle to distinct
+    * the pair ids, both map-side combinable. For maxDist = k the
+    * neighborhood generalizes to k-deletion variants (C(len,k)
+    * explosion); this implementation covers the k = 1 hot case.
     */
   def blockedFuzzyPairs(customer: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist == 1,
+      "symmetric-delete blocking is implemented for maxDist = 1")
     val b = customer.select(col("c_custkey"), col("c_name"),
-      col("c_nationkey").cast("long").as("nk"),
-      length(col("c_name")).as("ln"))
-    b.as("a").join(b.as("b"),
-        col("a.nk") === col("b.nk") && col("a.ln") === col("b.ln") &&
+      col("c_nationkey").cast("long").as("nk"))
+    val variants = b.select(col("c_custkey"), col("c_name"), col("nk"),
+      explode(expr(
+        "array_union(array(c_name), transform(sequence(1, length(c_name)), " +
+          "i -> concat(substr(c_name, 1, i - 1), substr(c_name, i + 1, length(c_name)))))"))
+        .as("v"))
+    val cand = variants.as("a").join(variants.as("b"),
+        col("a.nk") === col("b.nk") && col("a.v") === col("b.v") &&
           col("a.c_custkey") < col("b.c_custkey"))
       .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
-        levenshtein(col("a.c_name"), col("b.c_name"), maxDist).as("d"))
+        col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b"), maxDist).as("d"))
       .where(col("d") >= 0)  // -1 = band abandoned above maxDist
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
       .orderBy("id_a", "id_b")

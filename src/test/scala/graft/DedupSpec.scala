@@ -163,17 +163,18 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((4L, 0L, 2L), (4L, 9L, 11L), (5L, 0L, 2L), (5L, 9L, 11L)))
   }
 
-  test("blockedFuzzyPairs: verify inside blocks only, banded distance") {
+  test("blockedFuzzyPairs: deletion blocking finds subs AND indels, nation-blocked") {
     import spark.implicits._
     val c = Seq(
-      (1L, "Customer#001", 5),   // dist 1 from #002, same block
+      (1L, "Customer#001", 5),   // dist 1 (substitution) from #002
       (2L, "Customer#002", 5),
-      (3L, "Customer#003", 7),   // other nation: blocked out
-      (4L, "Cust#004", 5))       // other length: blocked out
+      (3L, "Customer#003", 7),   // dist 1 from both but other nation
+      (4L, "Cust#004", 5),       // far from everything
+      (5L, "Customer#0015", 5))  // dist 1 (insertion) from id 1
       .toDF("c_custkey", "c_name", "c_nationkey")
     val got = Dedup.blockedFuzzyPairs(c, maxDist = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq((1L, 2L, 1L)))
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 5L, 1L)))
   }
 
   test("simhash: identical docs collide, near docs within hamming 3") {

@@ -200,6 +200,39 @@ class PlanAuditSpec extends SparkSpec {
       s"pruned column must not reappear as a row filter:\n$p")
   }
 
+  test("vocab coverage: OOV probe is a broadcast anti join, not a shuffle join") {
+    val p = planOf("vocab_coverage")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      (p.contains("LeftAnti") && p.contains("BroadcastExchange")),
+      s"top-k vocab must broadcast for the anti probe:\n$p")
+  }
+
+  test("mixture sample: quota join broadcast — fact side shuffles only for its window") {
+    val p = planOf("doc_mixture_sample")
+    assert(p.contains("BroadcastExchange"), s"quota side must broadcast:\n$p")
+    // the fact (documents) side must reach its rank window through ONE
+    // hashpartitioning(source) exchange and the quota join must add none:
+    // every BroadcastHashJoin keeps the streamed side's partitioning
+    assert(p.contains("BroadcastHashJoin"),
+      s"quota join must be broadcast, not shuffled:\n$p")
+  }
+
+  test("scd2: change filter and both windows share ONE user_id exchange") {
+    val p = planOf("events_scd2")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"scd2 must plan exactly one keyed exchange, got $hashEx:\n$p")
+  }
+
+  test("sparse pairs: df prune lands before the pair join") {
+    val p = planOf("doc_sparse_pairs")
+    // the semi join against kept terms must sit under the self-join,
+    // not above it (pruning AFTER pairing would defeat the point)
+    val semiIdx = p.indexOf("LeftSemi")
+    val pairAggIdx = p.indexOf("partial_sum")
+    assert(semiIdx >= 0 && pairAggIdx >= 0 && semiIdx > pairAggIdx,
+      s"semi prune must be below (after in text) the pair aggregation:\n$p")
+  }
+
   test("partitioned corpus write prunes to one split on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.operators.TextAnalysis.writeCorpus(
