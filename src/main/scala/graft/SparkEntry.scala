@@ -306,6 +306,10 @@ object SparkEntry {
     "doc_sparse_pairs" -> ((s, dir) =>
       TextAnalysis.sparseDotPairs(Tables.documents(s, dir), maxDf = 100,
         minDot = 2L)),
+    "phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(Tables.documents(s, dir))),
+    "events_cohort_matrix" -> ((s, dir) =>
+      Relational.cohortMatrix(Tables.events(s, dir))),
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir), k = 100)),
     "doc_mixture_sample" -> ((s, dir) =>
@@ -799,6 +803,29 @@ object SparkEntry {
          |FROM bi, v, uni
          |WHERE uni.word = string_split(ngram, ' ')[1]
          |ORDER BY ngram""".stripMargin,
+    "phrase_search" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, i AS pos, ws[i + 1] AS word
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws))) AS i) r),
+         |top1 AS (SELECT string_split(ngram, ' ')[1] AS w1,
+         |           string_split(ngram, ' ')[2] AS w2
+         |  FROM (SELECT array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS ngram
+         |        FROM (SELECT $SqlWs AS ws FROM documents),
+         |             LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |        WHERE len(ws) >= 2)
+         |  GROUP BY ngram ORDER BY count(*) DESC, ngram LIMIT 1)
+         |SELECT a.doc_id, count(*)::BIGINT AS n_hits
+         |FROM w a JOIN top1 t ON a.word = t.w1
+         |JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.word = t.w2
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_cohort_matrix" ->
+      s"""WITH wk AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+         |f AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1)
+         |SELECT cohort_wk, wk.wk - cohort_wk AS offset_wk,
+         |  count(DISTINCT wk.user_id)::BIGINT AS n_users
+         |FROM wk JOIN f ON wk.user_id = f.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_sparse_pairs" ->
       s"""WITH w AS (${sqlWords(extra = " doc_id,")}),
          |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),

@@ -1035,6 +1035,23 @@ object Relational {
       .orderBy("user_id", "epoch_day")
   }
 
+  /** Cohort activity matrix: users grouped by first-activity week
+    * (the cohort), counted per week-offset since that cohort — the
+    * full retention triangle behind [[retention]]'s single-day rates.
+    * Two shuffles: first-week per user (map-side combinable min), then
+    * the (cohort, offset) distinct-user rollup; the user→cohort join
+    * rides the first shuffle's partitioning.
+    */
+  def cohortMatrix(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      expr("ts_ms div 604800000").as("wk"))
+    val firstWk = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    weeks.join(firstWk, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
   /** One event as a typed row — the `Dataset[T]` surface. */
   final case class Event(event_id: Long, user_id: Long, ts_ms: Long,
                          event_type: String, value_c: Long)

@@ -523,6 +523,43 @@ object TextAnalysis {
       .orderBy("id_a", "id_b")
   }
 
+  /** Phrase retrieval through a POSITIONAL inverted index: per-doc
+    * occurrence counts of the corpus's top bigram, found by
+    * intersecting the two words' postings at adjacent positions
+    * (`pos_b = pos_a + 1`) — the index mechanics behind quoted-phrase
+    * search, distinct from [[invertedIndex]]'s document-level
+    * postings. The phrase itself is computed inside the query (top
+    * bigram by count desc, ngram — a total order), so there is no
+    * data-dependent literal to drift between engines or scale factors.
+    *
+    * Scale shape: postings shuffle once on (doc_id, pos±) for the
+    * adjacency join; the 1-row phrase is a broadcast. For an n-word
+    * phrase, chain n−1 adjacency joins — each intersection shrinks the
+    * posting stream, so join the rarest word first in a real engine.
+    */
+  def phraseSearch(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+    val top1 = docs.select(ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', slice(ws, i + 1, 2)))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(1)
+      .select(split(col("ngram"), " ").getItem(0).as("w1"),
+        split(col("ngram"), " ").getItem(1).as("w2"))
+    words.as("a").join(broadcast(top1), col("a.word") === col("w1"))
+      .join(words.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .where(col("b.word") === col("w2"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** PMI-ranked bigram collocations: score each adjacent word pair by
     * pointwise mutual information, computed as the integer
     * cross-multiplication `cnt_ab · N · 1000 div (cnt_a · cnt_b)`

@@ -331,6 +331,18 @@ class RelationalSpec extends SparkSpec {
       (2L, 0L, 0L, 1L), (2L, 1L, 0L, 1L), (2L, 2L, 500L, 0L)))
   }
 
+  test("cohortMatrix: first-week cohorts, distinct users per offset") {
+    val wk = 604800000L
+    val e = events(
+      (1L, 1L, 0L, "a", 0.0, "{}"),
+      (2L, 1L, 2 * wk, "a", 0.0, "{}"),
+      (3L, 1L, 2 * wk + 1, "a", 0.0, "{}"),  // same user+week: 1 distinct
+      (4L, 2L, 2 * wk, "a", 0.0, "{}"))
+    val got = Relational.cohortMatrix(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
+  }
+
   test("q1/q3/window queries return sane shapes on sf0.001") {
     assert(Relational.q1Pricing(spark, sf0001).count() > 0)
     assert(Relational.q3Revenue(spark, sf0001).count() <= 10)

@@ -239,6 +239,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.sparseDotPairs(d, maxDf = 1, minDot = 1).count() == 0)
   }
 
+  test("phraseSearch: adjacency intersection counts top-bigram occurrences") {
+    val d = docs(1L -> "a b a b c", 2L -> "a b", 3L -> "c c")
+    // "a b" count 3 wins; doc 1 has it at pos 0 and 2, doc 2 once
+    val got = TextAnalysis.phraseSearch(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
