@@ -102,6 +102,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(up.length == 1 && up.head.getLong(0) == 7L)
   }
 
+  test("round-5 operators on empty and degenerate input") {
+    assert(Dedup.crossDocSpans(emptyDocs, 8).count() == 0)
+    assert(Dedup.blockedFuzzyPairs(
+      emptyDocs.select($"doc_id".as("c_custkey"), $"text".as("c_name"))
+        .withColumn("c_nationkey", org.apache.spark.sql.functions.lit(0)),
+      maxDist = 1).count() == 0)
+    assert(Relational.scd2(emptyEvents).count() == 0)
+    assert(Relational.cohortMatrix(emptyEvents).count() == 0)
+    assert(Relational.valueMad(emptyEvents).count() == 0)
+    assert(Relational.gapFillDaily(emptyEvents).count() == 0)
+    assert(Relational.cogroupUserActivity(emptyEvents,
+      emptyEvents.select($"event_id".as("o_orderkey"), $"user_id".as("o_custkey"),
+        $"value".as("o_totalprice"))).count() == 0)
+    assert(TextAnalysis.bigramLm(emptyDocs, 1).count() == 0)
+    assert(TextAnalysis.vocabCoverage(emptyDocs, 10).count() == 0)
+    assert(TextAnalysis.sparseDotPairs(emptyDocs, 100, 1).count() == 0)
+    assert(TextAnalysis.phraseSearch(emptyDocs).count() == 0)
+    // single-token docs: no bigrams anywhere -> phrase search is empty
+    val tiny = Seq((1L, "solo"), (2L, "word")).toDF("doc_id", "text")
+    assert(TextAnalysis.phraseSearch(tiny).count() == 0)
+    // one event: scd2 emits one open interval
+    val one = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 7L, 1000L, "view", 1.0, "{}")), emptyEvents.schema)
+    val s = Relational.scd2(one).collect()
+    assert(s.length == 1 && s.head.getLong(4) == 253402300799999L)
+  }
+
   test("custom topk plan on empty input") {
     val empty = emptyDocs.select($"doc_id".as("g"), $"text".as("w"))
       .withColumn("cnt", org.apache.spark.sql.functions.lit(1L))
