@@ -2,7 +2,9 @@ package graft
 
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints the per-query JSON line, BRACKETED by
+  * an identical compact headline line before and after it (captures
+  * truncated from either direction keep the total + failure list).
   * Queries are fully materialized through the noop sink (not count(),
   * which lets Catalyst prune most of the work); a small warmup query
   * absorbs JVM/session startup so measured numbers are steady-state.

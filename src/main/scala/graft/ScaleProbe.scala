@@ -77,37 +77,41 @@ object ScaleProbe {
     val liBase = Tables.lineitem(spark, sfDir)
     val liBig = spark.read.parquet(li)
 
-    val probes: Seq[(String, DataFrame, DataFrame)] = Seq(
+    // thunks, NOT pre-built DataFrames: operators with eager side
+    // effects at construction (crossDocSpans's localCheckpoint fires
+    // the span-explode job immediately) must run INSIDE time(), or the
+    // probe measures only the post-checkpoint tail
+    val probes: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("wordcount",
-        operators.WordCount.wordCount(docsBase),
-        operators.WordCount.wordCount(docsBig)),
+        () => operators.WordCount.wordCount(docsBase),
+        () => operators.WordCount.wordCount(docsBig)),
       ("boilerplate_scrub",
-        operators.TextAnalysis.boilerplateScrub(docsBase),
-        operators.TextAnalysis.boilerplateScrub(docsBig)),
+        () => operators.TextAnalysis.boilerplateScrub(docsBase),
+        () => operators.TextAnalysis.boilerplateScrub(docsBig)),
       ("minhash_pairs",
-        operators.Dedup.minhashPairs(docsBase, n = 3, b = 32, r = 4,
+        () => operators.Dedup.minhashPairs(docsBase, n = 3, b = 32, r = 4,
           num = 4, den = 5),
-        operators.Dedup.minhashPairs(docsBig, n = 3, b = 32, r = 4,
+        () => operators.Dedup.minhashPairs(docsBig, n = 3, b = 32, r = 4,
           num = 4, den = 5)),
       ("crossdoc_spans",
-        operators.Dedup.crossDocSpans(docsBase, w = 8),
-        operators.Dedup.crossDocSpans(docsBig, w = 8)),
+        () => operators.Dedup.crossDocSpans(docsBase, w = 8),
+        () => operators.Dedup.crossDocSpans(docsBig, w = 8)),
       ("sparse_dot_pairs",
-        operators.TextAnalysis.sparseDotPairs(docsBase, maxDf = 100, minDot = 2L),
-        operators.TextAnalysis.sparseDotPairs(docsBig, maxDf = 100, minDot = 2L)),
+        () => operators.TextAnalysis.sparseDotPairs(docsBase, maxDf = 100, minDot = 2L),
+        () => operators.TextAnalysis.sparseDotPairs(docsBig, maxDf = 100, minDot = 2L)),
       ("peak_window",
-        operators.Relational.peakWindowSpend(eventsBase),
-        operators.Relational.peakWindowSpend(eventsBig)),
+        () => operators.Relational.peakWindowSpend(eventsBase),
+        () => operators.Relational.peakWindowSpend(eventsBig)),
       ("q1_style_agg",
-        liBase.groupBy("l_returnflag", "l_linestatus")
+        () => liBase.groupBy("l_returnflag", "l_linestatus")
           .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"),
             count(lit(1)).as("n")),
-        liBig.groupBy("l_returnflag", "l_linestatus")
+        () => liBig.groupBy("l_returnflag", "l_linestatus")
           .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"),
             count(lit(1)).as("n"))))
 
     val results = probes.map { case (name, base, big) =>
-      val tb = time(base); val tg = time(big)
+      val tb = time(base()); val tg = time(big())
       (name, tb, tg)
     }
     val json = results.map { case (n, tb, tg) =>

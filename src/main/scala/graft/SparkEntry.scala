@@ -849,8 +849,8 @@ object SparkEntry {
          |ORDER BY tot.doc_id""".stripMargin,
     "doc_mixture_sample" ->
       s"""WITH s AS (SELECT source, count(*)::BIGINT AS n_src,
-         |             CAST(1 + CAST(regexp_extract(source, '[0-9]+', 0) AS INT) % 4
-         |               AS BIGINT) AS w
+         |             CAST(1 + coalesce(TRY_CAST(regexp_extract(source, '[0-9]+', 0)
+         |               AS INT), 0) % 4 AS BIGINT) AS w
          |           FROM documents GROUP BY 1),
          |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM s),
          |q AS (SELECT source, least(n_src, 200 * w // w_tot) AS quota FROM s, t),

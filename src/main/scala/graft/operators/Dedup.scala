@@ -160,8 +160,11 @@ object Dedup {
     * verify on ~8k candidates instead.
     *
     * Verify = Spark's 3-arg `levenshtein(a, b, threshold)` (Ukkonen
-    * band, returns -1 past the threshold), evaluated once per DISTINCT
-    * candidate pair.
+    * band, returns -1 past the threshold). Catalyst pushes the `d >= 0`
+    * filter below the `distinct()` into the variant join, so the band
+    * runs once per variant-candidate ROW — up to (len+1)× per true
+    * pair, still ∝ true pairs, and the pushdown prunes non-matches
+    * BEFORE the distinct shuffle, which is the better trade.
     *
     * Scale shape: one shuffle on (nation, variant) — a (len+1)×
     * row explosion of the name column only — one shuffle to distinct

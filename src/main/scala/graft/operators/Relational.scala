@@ -1135,7 +1135,7 @@ object Relational {
       .as[KeyCents].groupByKey(_.k)
     val od = orders
       .select(col("o_custkey").cast("long").as("k"),
-        round(col("o_totalprice") * 100).cast("long").as("c"))
+        cents("o_totalprice").as("c"))
       .as[KeyCents].groupByKey(_.k)
     ev.cogroup(od) { (k, evs, ods) =>
         var ne = 0L; var se = 0L

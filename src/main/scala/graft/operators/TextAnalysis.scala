@@ -675,10 +675,12 @@ object TextAnalysis {
     * dominates); no global sort.
     */
   def mixtureSample(docs: DataFrame, budget: Int): DataFrame = {
+    // try_cast + coalesce: a digit-less source value must fall back to
+    // weight 1, not throw under ANSI mode (cast('' AS int) does)
     val perSrc = docs.groupBy("source")
       .agg(count(lit(1)).as("n_src"))
       .withColumn("w",
-        expr("cast(1 + cast(regexp_extract(source, '[0-9]+', 0) AS int) % 4 AS bigint)"))
+        expr("cast(1 + coalesce(try_cast(regexp_extract(source, '[0-9]+', 0) AS int), 0) % 4 AS bigint)"))
     val tot = perSrc.agg(sum("w").as("w_tot"))
     val quota = perSrc.crossJoin(broadcast(tot))
       .select(col("source"),
