@@ -56,6 +56,31 @@ object SparkEntry {
 
   private val SqlShingles = sqlShingles(3)
 
+  /** DuckDB CTE chain mirroring [[operators.Dedup.crossDocSpans]] at
+    * w = 8: `isl` holds the merged (doc_id, tok_start, tok_end,
+    * n_windows) islands; shared by the span-detection and span-cutting
+    * oracles.
+    */
+  private val SqlCrossDocCtes =
+    s"""sp AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS span
+       |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+       |       LATERAL (SELECT unnest(range(0, len(ws) - 7)) AS i) r
+       |  WHERE len(ws) >= 8),
+       |dup AS (SELECT span FROM sp GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+       |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (span)),
+       |b AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM m),
+       |isl0 AS (SELECT doc_id, pos,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM b),
+       |isl AS (SELECT doc_id, min(pos) AS tok_start, max(pos) + 7 AS tok_end,
+       |          count(*)::BIGINT AS n_windows
+       |        FROM isl0 GROUP BY doc_id, island)""".stripMargin
+
   /** DuckDB: exact 3-gram Jaccard pairs above num/den — the oracle for
     * BOTH the brute-force jaccard query and the MinHash+LSH query (the
     * LSH path must converge to the exact answer after verification).
@@ -335,6 +360,10 @@ object SparkEntry {
       Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
     "dedup_crossdoc_spans" -> ((s, dir) =>
       Dedup.crossDocSpans(Tables.documents(s, dir), w = 8)),
+    "dedup_cut_spans" -> ((s, dir) =>
+      Dedup.cutSpans(Tables.documents(s, dir), w = 8)),
+    "doc_shard_assign" -> ((s, dir) =>
+      TextAnalysis.shardAssign(Tables.documents(s, dir), nShards = 4)),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -968,24 +997,35 @@ object SparkEntry {
          |  n_dup_spans * 1000 // n_spans AS dup_ratio_x1000
          |FROM per ORDER BY doc_id""".stripMargin,
     "dedup_crossdoc_spans" ->
-      s"""WITH sp AS (
-         |  SELECT doc_id, i AS pos,
-         |    array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS span
-         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
-         |       LATERAL (SELECT unnest(range(0, len(ws) - 7)) AS i) r
-         |  WHERE len(ws) >= 8),
-         |dup AS (SELECT span FROM sp GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
-         |m AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (span)),
-         |b AS (SELECT doc_id, pos,
-         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-         |             THEN 1 ELSE 0 END AS brk
-         |      FROM m),
-         |isl AS (SELECT doc_id, pos,
-         |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |        FROM b)
-         |SELECT doc_id, min(pos) AS tok_start, max(pos) + 7 AS tok_end,
-         |  count(*)::BIGINT AS n_windows
-         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start""".stripMargin,
+      s"""WITH $SqlCrossDocCtes
+         |SELECT doc_id, tok_start, tok_end, n_windows FROM isl
+         |ORDER BY doc_id, tok_start""".stripMargin,
+    "dedup_cut_spans" ->
+      s"""WITH $SqlCrossDocCtes,
+         |toks AS (SELECT doc_id, i AS pos, ws[i + 1] AS tok
+         |         FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |              LATERAL (SELECT unnest(range(0, len(ws))) AS i) r),
+         |kept AS (SELECT t.* FROM toks t WHERE NOT EXISTS (
+         |           SELECT 1 FROM isl i WHERE i.doc_id = t.doc_id
+         |             AND t.pos BETWEEN i.tok_start AND i.tok_end)),
+         |ag AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+         |       FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM toks GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_kept, 0) AS n_kept,
+         |  coalesce(n_toks, 0) - coalesce(n_kept, 0) AS n_cut,
+         |  coalesce(clean_fp, md5('')) AS clean_fp
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "doc_shard_assign" ->
+      s"""SELECT doc_id, n_tokens, band,
+         |  CAST((row_number() OVER (PARTITION BY band
+         |    ORDER BY n_tokens DESC, doc_id) - 1) % 4 AS BIGINT) AS shard
+         |FROM (SELECT doc_id, len($SqlWs)::BIGINT AS n_tokens,
+         |        length(bin(len($SqlWs)))::BIGINT AS band FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(lower(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,

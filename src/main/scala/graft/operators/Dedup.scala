@@ -195,6 +195,47 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The corpus AFTER span-level dedup — applies [[crossDocSpans]]'s
+    * intervals by dropping every token they cover and reassembling the
+    * survivors in position order (the `string_agg ORDER BY` /
+    * sort_array-transform idiom, exact on both engines). Emits per-doc
+    * kept/cut counts and the md5 of the cleaned text, which is what a
+    * pipeline would fingerprint next. Docs too short to window (or
+    * fully covered) survive with n_kept = 0 rather than vanishing.
+    *
+    * Scale shape: adds to crossDocSpans one anti join of the token
+    * stream against the islands — equi on doc_id with the range
+    * predicate as the join condition (hash anti join, NOT a nested
+    * loop) — and one doc_id rollup for the reassembly; both ride the
+    * same hash(doc_id) partitioning.
+    */
+  def cutSpans(docs: DataFrame, w: Int): DataFrame = {
+    val islands = crossDocSpans(docs, w)
+      .select(col("doc_id").as("i_doc"), col("tok_start"), col("tok_end"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(WordCount.cleanWords(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    val kept = toks.join(islands,
+      toks("doc_id") === islands("i_doc") &&
+        col("pos").between(col("tok_start"), col("tok_end")), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("clean_fp"))
+    val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_toks"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_cut"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition stats (the Gopher-style duplicate
     * n-gram quality signal): total vs distinct n-grams per document,
     * integer-exact. High (total − distinct) flags boilerplate/looping

@@ -523,6 +523,27 @@ object TextAnalysis {
       .orderBy("id_a", "id_b")
   }
 
+  /** Token-balanced shard assignment for training output: documents
+    * are banded by token-count magnitude (`length(bin(n))` =
+    * ⌊log2 n⌋+1 — pure integer on both engines, no float log) and
+    * round-robined across `nShards` WITHIN each band, so every shard
+    * receives the same mix of long and short documents without any
+    * global sort: the rank window partitions by band, never by the
+    * whole corpus (a single-partition `row_number() OVER (ORDER BY
+    * ...)` is the anti-pattern this replaces). Deterministic: band
+    * rank orders by (n_tokens desc, doc_id), a total order.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
+    val byBand = Window.partitionBy("band")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    docs.select(col("doc_id"), size(ws).cast("long").as("n_tokens"))
+      .withColumn("band", expr("length(bin(n_tokens))").cast("long"))
+      .withColumn("shard",
+        ((row_number().over(byBand) - 1) % nShards).cast("long"))
+      .select("doc_id", "n_tokens", "band", "shard")
+      .orderBy("doc_id")
+  }
+
   /** Phrase retrieval through a POSITIONAL inverted index: per-doc
     * occurrence counts of the corpus's top bigram, found by
     * intersecting the two words' postings at adjacent positions

@@ -177,6 +177,23 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 5L, 1L)))
   }
 
+  test("cutSpans drops exactly the duplicated token ranges") {
+    val d = docs(
+      1L -> "a b c d e f g h",   // shares [0,4] with doc 2 at w=3
+      2L -> "x y a b c d e q",
+      3L -> "u v w")             // untouched
+    val got = Dedup.cutSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // doc 1 keeps "f g h", doc 2 keeps "x y" + "q", doc 3 keeps all
+    import org.apache.spark.sql.functions.md5
+    def fp(s: String) = spark.range(1)
+      .select(md5(org.apache.spark.sql.functions.lit(s))).collect().head.getString(0)
+    assert(got == Seq(
+      (1L, 3L, 5L, fp("f g h")),
+      (2L, 3L, 5L, fp("x y q")),
+      (3L, 3L, 0L, fp("u v w"))))
+  }
+
   test("simhash: identical docs collide, near docs within hamming 3") {
     val d = docs(1L -> base, 2L -> base, 3L -> "completely different words here now")
     val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

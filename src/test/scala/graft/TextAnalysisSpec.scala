@@ -247,6 +247,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("shardAssign: round-robin within token-magnitude bands") {
+    val d = docs(
+      1L -> "a b c d e",      // 5 tokens, band 3
+      2L -> "f g h i j",      // 5 tokens, band 3
+      3L -> "k l m n o",      // 5 tokens, band 3
+      4L -> "p")              // 1 token, band 1
+    val got = TextAnalysis.shardAssign(d, nShards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // band 3 ranks by (n desc, doc_id): 1,2,3 -> shards 0,1,0; band 1: doc 4 -> 0
+    assert(got == Seq((1L, 3L, 0L), (2L, 3L, 1L), (3L, 3L, 0L), (4L, 1L, 0L)))
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
