@@ -355,6 +355,15 @@ object SparkEntry {
     // entity resolution: blocked candidates + banded edit-distance verify
     "fuzzy_name_pairs" -> ((s, dir) =>
       Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 1)),
+    // ...and the full ER story: cluster the verified pairs (block ->
+    // verify -> cluster), reusing the iterative CC operator
+    "fuzzy_entity_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.components(
+          Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 1))
+        .select(col("doc_id").as("custkey"), col("comp"))
+        .orderBy("custkey")
+    }),
     // --- dedup
     "dedup_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
@@ -960,6 +969,22 @@ object SparkEntry {
          |  ON a.c_nationkey = c.c_nationkey AND a.c_custkey < c.c_custkey
          |WHERE levenshtein(a.c_name, c.c_name) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
+    "fuzzy_entity_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.c_custkey AS id_a, c.c_custkey AS id_b
+         |  FROM customer a JOIN customer c
+         |    ON a.c_nationkey = c.c_nationkey AND a.c_custkey < c.c_custkey
+         |  WHERE levenshtein(a.c_name, c.c_name) <= 1),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT id AS custkey, min(r) AS comp FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_value_mad" ->
       s"""WITH v AS (SELECT event_type,
          |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
