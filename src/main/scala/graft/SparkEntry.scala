@@ -389,6 +389,10 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.components(
         Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5))),
+    // the O(log n)-round star-contraction form, same fixed point
+    "dedup_components_star" -> ((s, dir) =>
+      Dedup.componentsStar(
+        Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5))),
     "dedup_keep_list_cc" -> ((s, dir) =>
       Dedup.keepListCC(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     // per-cluster QUALITY argmax instead of the id-order root
@@ -1197,6 +1201,18 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_components_star" ->
       s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),

@@ -352,6 +352,69 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 
+  /** Connected components in O(log n) ROUNDS via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — same fixed point as
+    * [[components]] (every node labeled with its component's minimum
+    * id) but exponentially fewer rounds: min-label propagation needs
+    * O(diameter) iterations, which on a chain-shaped component (the
+    * worst case near-dup chains actually produce) means thousands of
+    * jobs at 100 TB; star contraction collapses the same chain in
+    * ~log₂ rounds. The spec drives a 65-node chain (diameter 64)
+    * through in well under 20 rounds.
+    *
+    * Round = large-star (attach each strictly-larger neighbor of u to
+    * min(N(u) ∪ {u})) then small-star (attach each down-neighbor of u,
+    * and u itself, to the minimum down-neighbor). Connectivity is
+    * preserved because every edge is re-emitted from its lower
+    * endpoint's group; at the fixed point the edge set is exactly the
+    * (member → root) stars, which IS the label table.
+    */
+  def componentsStar(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val gmin = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // large-star: v > u ≥ m, so (v, m) is already (hi, lo)-canonical
+      val large = sym.join(gmin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+      val smin = large.groupBy("hi").agg(min("lo").as("m"))
+      val joined = large.join(smin, "hi")
+      // small-star: attach every down-neighbor AND the center to m
+      val next = joined.select(col("lo").as("a"), col("m").as("b"))
+        .union(joined.select(col("hi").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .distinct()
+        .localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.componentsStar did not converge within $maxIter rounds — " +
+          "raise maxIter (log-round contraction should never need this)")
+    edges.select(col("hi").as("doc_id"), col("lo").as("comp"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("comp")))
+      .distinct()
+      .orderBy("doc_id")
+  }
+
   /** Component-correct keep list: exact-dup representatives minus every
     * near-dup cluster member that is not its component's minimum —
     * handles transitive chains that pair-wise [[keepList]] misses.

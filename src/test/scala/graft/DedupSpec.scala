@@ -194,6 +194,28 @@ class DedupSpec extends SparkSpec {
       (3L, 3L, 0L, fp("u v w"))))
   }
 
+  test("componentsStar: 64-diameter chain collapses in <= 20 rounds") {
+    import spark.implicits._
+    // chain 0-1-2-...-64: min-label propagation would need 64 rounds;
+    // star contraction must land the same labels within the 20 cap
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.componentsStar(chain, maxIter = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 65 && got.forall(_._2 == 0L))
+  }
+
+  test("componentsStar matches components on a multi-component graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val star = Dedup.componentsStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = Dedup.components(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == prop)
+    assert(star == Set((1L,1L),(2L,1L),(3L,1L),(7L,7L),(8L,7L),(9L,7L),(20L,20L),(21L,20L)))
+  }
+
   test("simhash: identical docs collide, near docs within hamming 3") {
     val d = docs(1L -> base, 2L -> base, 3L -> "completely different words here now")
     val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
