@@ -359,7 +359,10 @@ object SparkEntry {
     // verify -> cluster), reusing the iterative CC operator
     "fuzzy_entity_clusters" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      Dedup.components(
+      // star CC, not propagation: the digit-substitution name graph
+      // builds deep chain components (measured 8.0 s propagating at
+      // sf0.1 vs ~3.5 s in log rounds — see NOTES round-5)
+      Dedup.componentsStar(
           Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 1))
         .select(col("doc_id").as("custkey"), col("comp"))
         .orderBy("custkey")
