@@ -980,7 +980,8 @@ object Relational {
     * are integers, so 2·median(cents) and 4·MAD-quarters are exact
     * BIGINTs on both sides (medians of integers land on halves at
     * worst), and the outlier test |x−med| > 3·MAD becomes the pure
-    * integer comparison 4·|2x−med2| > 3·mad4.
+    * integer comparison 2·|2x−med2| > 3·mad4 (dev2 = 2·|x−med| and
+    * mad4 = 4·MAD, so both sides carry the same 4× unit).
     *
     * Scale note: exact `percentile` keeps O(rows) sort state per group
     * — fine for a bounded set of event types; at an unbounded group key
