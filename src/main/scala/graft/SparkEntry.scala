@@ -396,6 +396,13 @@ object SparkEntry {
     "dedup_components_star" -> ((s, dir) =>
       Dedup.componentsStar(
         Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5))),
+    // the adaptive front door itself, gated against the same CC oracle
+    // with propRounds = 1 so the contraction fallback path is the one
+    // under test at every scale factor (the sf graphs converge fast)
+    "dedup_components_adaptive" -> ((s, dir) =>
+      Dedup.componentsAdaptive(
+        Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5),
+        propRounds = 1)),
     "dedup_keep_list_cc" -> ((s, dir) =>
       Dedup.keepListCC(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     // per-cluster QUALITY argmax instead of the id-order root
@@ -407,9 +414,11 @@ object SparkEntry {
       Dedup.decontaminateStrict(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     // the full scale path: LSH candidates → exact verify → connected
     // components (same recursive-CTE oracle as dedup_components, since
-    // verified minhash pairs converge to the exact jaccard pair set)
+    // verified minhash pairs converge to the exact jaccard pair set);
+    // adaptive front door: propagation speed on shallow graphs, star
+    // contraction bound when the diameter runs away — the 100 TB shape
     "dedup_components_minhash" -> ((s, dir) =>
-      Dedup.components(
+      Dedup.componentsAdaptive(
         Dedup.minhashPairs(Tables.documents(s, dir), n = 3, b = 32, r = 4,
           num = 4, den = 5))),
     // --- similarity search
@@ -1216,6 +1225,18 @@ object SparkEntry {
          |SELECT id AS doc_id, min(r) AS comp FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_components_star" ->
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_components_adaptive" ->
       s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),

@@ -26,4 +26,16 @@ object GraftColumnBridge {
   def plannerStrategies(ext: SparkSessionExtensions,
                         spark: SparkSession): Seq[execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
+  /** Executor-side memory page size for external sorters
+    * (`SparkEnv.memoryManager` is `private[spark]`). Callable inside a
+    * task closure — `SparkEnv.get` resolves per-JVM.
+    */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
+  /** SQL metric factory for custom physical operators. */
+  def createMetric(sc: org.apache.spark.SparkContext,
+                   name: String): execution.metric.SQLMetric =
+    execution.metric.SQLMetrics.createMetric(sc, name)
 }

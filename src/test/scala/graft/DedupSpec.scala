@@ -204,6 +204,39 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 65 && got.forall(_._2 == 0L))
   }
 
+  test("componentsStar per-round job count dropped (signature probe, not exceptAll)") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val labels = Dedup.componentsStar(chain, maxIter = 20)
+      Thread.sleep(1000)  // listener events are async; bound is one-sided
+      // one ACTION per round (the signature head()), though AQE splits
+      // each action into one job per shuffle stage: measured 68 jobs on
+      // this fixture vs 102 for the count+exceptAll probe it replaced
+      // (which added two counts and a set-difference — all edge-scale —
+      // per round)
+      assert(jobs.get() <= 80, s"expected ≤ 80 pre-collect jobs, saw ${jobs.get()}")
+      assert(labels.collect().forall(_.getLong(1) == 0L))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("componentsStar frees prior rounds' checkpoint blocks") {
+    import spark.implicits._
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.componentsStar(chain, maxIter = 20).collect()
+    // only the final round's edge checkpoint may stay live (the result
+    // frame still reads it); earlier rounds must have been unpersisted
+    val added = spark.sparkContext.getPersistentRDDs.size - before
+    assert(added <= 1, s"expected ≤ 1 new live checkpoint RDD, saw $added")
+  }
+
   test("componentsStar matches components on a multi-component graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
@@ -214,6 +247,26 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(star == prop)
     assert(star == Set((1L,1L),(2L,1L),(3L,1L),(7L,7L),(8L,7L),(9L,7L),(20L,20L),(21L,20L)))
+  }
+
+  test("componentsAdaptive: converged-early path matches components") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val adaptive = Dedup.componentsAdaptive(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive ==
+      Set((1L,1L),(2L,1L),(3L,1L),(7L,7L),(8L,7L),(9L,7L),(20L,20L),(21L,20L)))
+  }
+
+  test("componentsAdaptive: star fallback fires on a deep chain and is exact") {
+    import spark.implicits._
+    // diameter 64 ≫ propRounds 2: propagation cannot converge, the
+    // label-contracted remainder must route through componentsStar
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.componentsAdaptive(chain, propRounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 65 && got.forall(_._2 == 0L))
   }
 
   test("simhash: identical docs collide, near docs within hamming 3") {
