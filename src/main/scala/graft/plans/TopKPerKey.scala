@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Grouped top-k as a first-class operator: logical node + planner
   * strategy + two physical operators with per-partition bounded heaps.
@@ -32,13 +33,27 @@ import org.apache.spark.sql.types.LongType
   *   final (reduce side): O(m log k) on the surviving m, then one
   *                        k-sized sort per key to assign ranks.
   *
-  * Memory per task is O(#keys-in-partition × k) with no spill path —
-  * the contract is k ≪ rows/key (the top-k regime; for k ~ rows/key
-  * use the window operator instead), and it is ENFORCED: each task
-  * counts the rows its heaps retain and fails fast with a clear
-  * remediation message when `maxRetained` is exceeded, instead of
-  * silently OOM-ing the executor. The budget is per partition, rows
-  * retained ≤ #keys × k.
+  * Memory per task is O(#keys-in-partition × k) — the contract is
+  * k ≪ rows/key (the top-k regime), and it is ENFORCED with a
+  * DEGRADED-BUT-CORRECT fallback instead of an executor OOM: each
+  * task counts the rows its heaps retain against `maxRetained`
+  * (budget trips on heap CREATION, before the memory is owed), and
+  * when an unexpectedly wide key domain trips it,
+  *
+  *   - the PARTIAL operator stops combining and streams the rest of
+  *     the partition through unchanged (what a disabled map-side
+  *     combiner would do — the final operator re-ranks everything);
+  *   - the FINAL operator drains its heaps plus the rest of the
+  *     partition into a SPILLABLE external sort on (key, order) and
+  *     assigns ranks in one streaming pass with O(1) group state —
+  *     exactly the window operator's sort-based plan, chosen at
+  *     runtime only for the partitions that need it.
+  *
+  * Rows a heap already evicted are never re-surfaced, which stays
+  * correct: eviction only happens once k better same-key rows are
+  * retained in this partition, so the evicted row can never reach
+  * rank ≤ k. Fallback activations are counted in the
+  * `budget fallback partitions` SQL metric.
   */
 case class TopKPerKey(
     keyExprs: Seq[Expression],
@@ -56,10 +71,16 @@ case class TopKPerKey(
 private[plans] object TopKHeaps {
   /** Per-key bounded heaps over an iterator; heap head = worst kept
     * row (reverse ordering), so admission is an O(1) compare.
+    *
+    * Returns the heaps built so far plus, when the retained-rows
+    * budget tripped, the row whose (new) key would have exceeded it —
+    * the iterator is left positioned after that row so callers can
+    * switch to their degraded path without losing data. `null` pending
+    * row = the whole input was consumed within budget.
     */
   def build(it: Iterator[InternalRow], keyProj: UnsafeProjection,
             ord: Ordering[InternalRow], k: Int, maxRetained: Long)
-      : mutable.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]] = {
+      : (mutable.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]], InternalRow) = {
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, JPriorityQueue[InternalRow]]
     while (it.hasNext) {
       val row = it.next()
@@ -67,14 +88,9 @@ private[plans] object TopKHeaps {
       val heap = heaps.getOrElse(key, null) match {
         case null =>
           // worst case this new heap fills to k: charge it up front so
-          // the guard fires on heap CREATION, before the memory is owed
+          // the budget trips on heap CREATION, before the memory is owed
           if ((heaps.size + 1).toLong * k > maxRetained) {
-            throw new IllegalStateException(
-              s"TopKPerKey retained-rows budget exceeded: > ${heaps.size} " +
-                s"keys x k=$k rows in one partition (budget $maxRetained). " +
-                "This operator is for the k << rows/key regime; raise " +
-                "maxRetained, repartition by key first, or use the " +
-                "row_number() window formulation.")
+            return (heaps, row)
           }
           val h = new JPriorityQueue[InternalRow](k + 1, ord.reverse)
           heaps.put(key.copy(), h)
@@ -84,12 +100,23 @@ private[plans] object TopKHeaps {
       if (heap.size < k) heap.add(row.copy())
       else if (ord.lt(row, heap.peek())) { heap.poll(); heap.add(row.copy()) }
     }
-    heaps
+    (heaps, null)
   }
+
+  def drain(heaps: mutable.LinkedHashMap[UnsafeRow, JPriorityQueue[InternalRow]])
+      : Iterator[InternalRow] =
+    heaps.valuesIterator.flatMap { h =>
+      new Iterator[InternalRow] {
+        def hasNext = !h.isEmpty; def next() = h.poll()
+      }
+    }
 }
 
 /** Map-side partial top-k: emits each key's ≤ k best rows of this
   * partition, unordered. Schema-preserving; no distribution needs.
+  * Budget fallback: past `maxRetained` the partition streams through
+  * un-combined (correct — the final operator re-ranks), like a
+  * combiner that stops combining under memory pressure.
   */
 case class PartialTopKPerKeyExec(
     keyExprs: Seq[Expression],
@@ -98,24 +125,26 @@ case class PartialTopKPerKeyExec(
     maxRetained: Long,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  override lazy val metrics = Map(
+    "numFallbacks" -> GraftColumnBridge.createMetric(sparkContext,
+      "budget fallback partitions"))
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keys = keyExprs
     val order = sortOrder
     val kk = k
     val budget = maxRetained
+    val fallbacks = longMetric("numFallbacks")
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ord = new LazilyGeneratedOrdering(order, childOutput)
-      TopKHeaps.build(it, keyProj, ord, kk, budget).valuesIterator
-        .flatMap(h => h.iterator().asInstanceOf[java.util.Iterator[InternalRow]]
-          .asScala)
+      val (heaps, pending) = TopKHeaps.build(it, keyProj, ord, kk, budget)
+      if (pending == null) TopKHeaps.drain(heaps)
+      else {
+        fallbacks += 1
+        TopKHeaps.drain(heaps) ++ Iterator.single(pending) ++ it
+      }
     }, preservesPartitioning = true)
-  }
-  private implicit class JIter[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
   }
   override protected def withNewChildInternal(c: SparkPlan) = copy(child = c)
 }
@@ -123,6 +152,10 @@ case class PartialTopKPerKeyExec(
 /** Reduce-side final top-k: requires co-location by key (Exchange
   * inserted by EnsureRequirements), re-runs the bounded heaps over the
   * partial results, sorts each key's ≤ k survivors, appends rank.
+  * Budget fallback: past `maxRetained` the partition's retained rows
+  * plus its remaining input drain into a SPILLABLE external sort on
+  * (key, order) and ranks are assigned in one streaming pass — the
+  * window operator's plan, selected at runtime per partition.
   */
 case class FinalTopKPerKeyExec(
     keyExprs: Seq[Expression],
@@ -133,9 +166,16 @@ case class FinalTopKPerKeyExec(
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  // empty keys = GLOBAL top-k: the final pass must see every partial
+  // survivor in one place (AllTuples), not rank per partition
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keyExprs.isEmpty) Seq(UnspecifiedDistribution)
+    if (keyExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(keyExprs))
+  override lazy val metrics = Map(
+    "numFallbacks" -> GraftColumnBridge.createMetric(sparkContext,
+      "budget fallback partitions"),
+    "spillSize" -> GraftColumnBridge.createMetric(sparkContext,
+      "fallback sort peak memory"))
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keys = keyExprs
@@ -143,19 +183,59 @@ case class FinalTopKPerKeyExec(
     val kk = k
     val budget = maxRetained
     val outAttrs = output
+    val fallbacks = longMetric("numFallbacks")
+    val spillSize = longMetric("spillSize")
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ord = new LazilyGeneratedOrdering(order, childOutput)
       // downstream operators require UnsafeRow: project the joined
       // (row ++ rank) back into the unsafe format
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      TopKHeaps.build(it, keyProj, ord, kk, budget).valuesIterator.flatMap { h =>
-        val arr = new Array[InternalRow](h.size)
-        var i = arr.length - 1
-        while (i >= 0) { arr(i) = h.poll(); i -= 1 }  // heap pops worst-first
-        arr.iterator.zipWithIndex.map { case (row, idx) =>
-          outProj(new JoinedRow(row,
-            new GenericInternalRow(Array[Any]((idx + 1).toLong)))): InternalRow
+      val (heaps, pending) = TopKHeaps.build(it, keyProj, ord, kk, budget)
+      if (pending == null) {
+        heaps.valuesIterator.flatMap { h =>
+          val arr = new Array[InternalRow](h.size)
+          var i = arr.length - 1
+          while (i >= 0) { arr(i) = h.poll(); i -= 1 }  // heap pops worst-first
+          arr.iterator.zipWithIndex.map { case (row, idx) =>
+            outProj(new JoinedRow(row,
+              new GenericInternalRow(Array[Any]((idx + 1).toLong)))): InternalRow
+          }
+        }
+      } else {
+        fallbacks += 1
+        // spill path: everything still alive — heap survivors, the row
+        // that tripped the budget, the unread rest of the partition —
+        // goes through Spark's external (disk-backed) sorter keyed by
+        // (key, order); ranks then stream with one comparison per row.
+        // Heap-evicted rows are NOT needed: eviction implies k better
+        // same-key rows are retained, so the evicted row outranks k.
+        val schema = org.apache.spark.sql.types.StructType(childOutput.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+        val fullOrder = keys.map(SortOrder(_, Ascending)) ++ order
+        val sortOrd = new LazilyGeneratedOrdering(fullOrder, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow) = zero
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, sortOrd, PrefixComparators.LONG, prefixComputer,
+          GraftColumnBridge.pageSizeBytes, false)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        TopKHeaps.drain(heaps).foreach(r => sorter.insertRow(toUnsafe(r)))
+        sorter.insertRow(toUnsafe(pending))
+        while (it.hasNext) sorter.insertRow(toUnsafe(it.next()))
+        spillSize += sorter.getPeakMemoryUsage
+        var curKey: UnsafeRow = null
+        var rank = 0L
+        sorter.sort().flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); rank = 1L }
+          else rank += 1L
+          if (rank <= kk)
+            Iterator.single(outProj(new JoinedRow(row,
+              new GenericInternalRow(Array[Any](rank)))): InternalRow)
+          else Iterator.empty
         }
       }
     }, preservesPartitioning = true)
@@ -243,7 +323,9 @@ object TopK {
     */
   /** `maxRetained`: per-partition retained-row budget (#keys × k must
     * stay under it — default 8M rows ≈ low hundreds of MB of retained
-    * UnsafeRows, well inside an executor's task memory).
+    * UnsafeRows, well inside an executor's task memory). Past the
+    * budget the operator degrades per partition instead of OOM-ing:
+    * partial stops combining, final spill-sorts and stream-ranks.
     */
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
              k: Int, rankName: String = "rn",
