@@ -333,12 +333,19 @@ object SparkEntry {
         minDot = 2L)),
     "phrase_search" -> ((s, dir) =>
       TextAnalysis.phraseSearch(Tables.documents(s, dir))),
+    // n-word generalization: top trigram, one-shuffle offset-vote plan
+    "phrase_search_3" -> ((s, dir) =>
+      TextAnalysis.phraseSearchN(Tables.documents(s, dir), n = 3)),
     "events_cohort_matrix" -> ((s, dir) =>
       Relational.cohortMatrix(Tables.events(s, dir))),
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir), k = 100)),
     "doc_mixture_sample" -> ((s, dir) =>
       TextAnalysis.mixtureSample(Tables.documents(s, dir), budget = 200)),
+    // two-phase salted quota ranking — same rows, same ranks, same oracle
+    "doc_mixture_sample_salted" -> ((s, dir) =>
+      TextAnalysis.mixtureSampleSalted(Tables.documents(s, dir), budget = 200,
+        salts = 16)),
     "doc_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 30)),
     "events_zorder_stats" -> ((s, dir) =>
@@ -355,6 +362,9 @@ object SparkEntry {
     // entity resolution: blocked candidates + banded edit-distance verify
     "fuzzy_name_pairs" -> ((s, dir) =>
       Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 1)),
+    // lev <= 2 via the k-deletion SymSpell neighborhood (C(len,2) variants)
+    "fuzzy_name_pairs_d2" -> ((s, dir) =>
+      Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 2)),
     // ...and the full ER story: cluster the verified pairs (block ->
     // verify -> cluster), reusing the iterative CC operator
     "fuzzy_entity_clusters" -> ((s, dir) => {
@@ -376,6 +386,9 @@ object SparkEntry {
       Dedup.cutSpans(Tables.documents(s, dir), w = 8)),
     "doc_shard_assign" -> ((s, dir) =>
       TextAnalysis.shardAssign(Tables.documents(s, dir), nShards = 4)),
+    // rank-refined band window — bit-identical shards, same oracle
+    "doc_shard_assign_refined" -> ((s, dir) =>
+      TextAnalysis.shardAssignRefined(Tables.documents(s, dir), nShards = 4)),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -671,7 +684,17 @@ object SparkEntry {
     * dual-engine md5-prefix token hash, and `media_feature_stats`
     * aggregates header-byte decode fields a SQL oracle can mirror).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // salted / refined window variants are oracle-EQUIVALENT to their
+    // unsalted siblings by construction — alias the SQL instead of
+    // duplicating it (the wordcount_salted pattern, made systematic)
+    val aliases = Map(
+      "doc_mixture_sample_salted" -> "doc_mixture_sample",
+      "doc_shard_assign_refined" -> "doc_shard_assign")
+    oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
     "wordcount_rdd" ->
@@ -873,6 +896,24 @@ object SparkEntry {
          |FROM w a JOIN top1 t ON a.word = t.w1
          |JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.word = t.w2
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "phrase_search_3" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, i AS pos, ws[i + 1] AS word
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws))) AS i) r),
+         |top1 AS (SELECT ngram
+         |  FROM (SELECT array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS ngram
+         |        FROM (SELECT $SqlWs AS ws FROM documents),
+         |             LATERAL (SELECT unnest(range(0, len(ws) - 2)) AS i) r
+         |        WHERE len(ws) >= 3)
+         |  GROUP BY ngram ORDER BY count(*) DESC, ngram LIMIT 1),
+         |pw AS (SELECT i AS idx, string_split(ngram, ' ')[i + 1] AS word
+         |       FROM top1, LATERAL (SELECT unnest(range(0, 3)) AS i) r),
+         |occ AS (SELECT w.doc_id, w.pos - pw.idx AS base
+         |        FROM w JOIN pw ON w.word = pw.word
+         |        GROUP BY 1, 2 HAVING count(*) = 3)
+         |SELECT doc_id, count(*)::BIGINT AS n_hits FROM occ
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_cohort_matrix" ->
       s"""WITH wk AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
          |f AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1)
@@ -984,6 +1025,13 @@ object SparkEntry {
          |FROM customer a JOIN customer c
          |  ON a.c_nationkey = c.c_nationkey AND a.c_custkey < c.c_custkey
          |WHERE levenshtein(a.c_name, c.c_name) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+    "fuzzy_name_pairs_d2" ->
+      s"""SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
+         |  CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS dist
+         |FROM customer a JOIN customer c
+         |  ON a.c_nationkey = c.c_nationkey AND a.c_custkey < c.c_custkey
+         |WHERE levenshtein(a.c_name, c.c_name) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
     "fuzzy_entity_clusters" ->
       s"""WITH RECURSIVE pairs AS (

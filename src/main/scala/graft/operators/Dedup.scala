@@ -167,32 +167,78 @@ object Dedup {
     * BEFORE the distinct shuffle, which is the better trade.
     *
     * Scale shape: one shuffle on (nation, variant) — a (len+1)×
-    * row explosion of the name column only — one shuffle to distinct
-    * the pair ids, both map-side combinable. For maxDist = k the
-    * neighborhood generalizes to k-deletion variants (C(len,k)
-    * explosion); this implementation covers the k = 1 hot case.
+    * row explosion of the name column only for maxDist = 1, C(len,2)×
+    * for maxDist = 2 — one shuffle to distinct the pair ids, both
+    * map-side combinable.
+    *
+    * maxDist = 2 uses the k-deletion neighborhood: every string
+    * reachable by deleting UP TO two characters. Completeness is the
+    * SymSpell invariant at k = 2: align an edit script of cost ≤ 2
+    * between a and b; each substitution deletes the differing position
+    * from both sides, each insertion/deletion deletes one character
+    * from the longer side — ≤ 2 deletions per side land both on the
+    * aligned common string, so the variant equi-join cannot miss a
+    * true pair. Repeated characters collapse (array_distinct), which
+    * only removes duplicate join rows, never a needed variant.
     */
   def blockedFuzzyPairs(customer: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist == 1,
-      "symmetric-delete blocking is implemented for maxDist = 1")
+    require(maxDist == 1 || maxDist == 2,
+      "symmetric-delete blocking is implemented for maxDist in {1, 2}")
     val b = customer.select(col("c_custkey"), col("c_name"),
       col("c_nationkey").cast("long").as("nk"))
-    val variants = b.select(col("c_custkey"), col("c_name"), col("nk"),
-      explode(expr(
-        "array_union(array(c_name), transform(sequence(1, length(c_name)), " +
-          "i -> concat(substr(c_name, 1, i - 1), substr(c_name, i + 1, length(c_name)))))"))
-        .as("v"))
-    val cand = variants.as("a").join(variants.as("b"),
-        col("a.nk") === col("b.nk") && col("a.v") === col("b.v") &&
-          col("a.c_custkey") < col("b.c_custkey"))
-      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
-        col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
-      .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        levenshtein(col("name_a"), col("name_b"), maxDist).as("d"))
-      .where(col("d") >= 0)  // -1 = band abandoned above maxDist
-      .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
-      .orderBy("id_a", "id_b")
+    // native expression (one tight loop per row) — the declarative
+    // transform × flatten × array_distinct tree interprets every lambda
+    // and cost ~3 s per join side at sf0.1 just to build variants
+    val neighborhood =
+      graft.functions.functions.deletion_neighborhood(col("c_name"), maxDist)
+    if (maxDist == 1) {
+      // k = 1 shape (measured 1.9 s at sf0.1): names ride the variant
+      // join and Catalyst pushes the banded-lev filter BELOW the
+      // distinct — cheap here because a dist-1 pair shares only 1-2
+      // variants, so the join emits few duplicate rows per pair
+      val variants = b.select(col("c_custkey"), col("c_name"), col("nk"),
+        explode(neighborhood).as("v"))
+      val cand = variants.as("a").join(variants.as("b"),
+          col("a.nk") === col("b.nk") && col("a.v") === col("b.v") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+          col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
+        .distinct()
+      cand.select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b"), maxDist).as("d"))
+        .where(col("d") >= 0)  // -1 = band abandoned above maxDist
+        .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    } else {
+      // k = 2 shape: the C(len,2) neighborhood makes variant-join
+      // multiplicity EXPLODE (a dist-1 pair shares ~len exact-2-delete
+      // variants; near-sequential ids collide at deletion distance up
+      // to 4), so running lev per join row is the bottleneck — instead
+      // the join stays NARROW (8-byte ids + the variant), the pair set
+      // is distinct'd first (map-side-combinable agg over two longs),
+      // and names are re-fetched for ONE banded lev per candidate pair
+      // (the name side auto-broadcasts locally; at dictionary scale the
+      // optimizer falls back to a candidate-sized shuffle join)
+      val slim = b.select(col("c_custkey"), col("nk"),
+        explode(neighborhood).as("v"))
+      val candIds = slim.as("a").join(slim.as("b"),
+          col("a.nk") === col("b.nk") && col("a.v") === col("b.v") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"))
+        .distinct()
+      val names = b.select(col("c_custkey"), col("c_name"))
+      candIds
+        .join(names.as("na"), col("id_a") === col("na.c_custkey"))
+        .join(names.as("nb"), col("id_b") === col("nb.c_custkey"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("na.c_name"), col("nb.c_name"), maxDist).as("d"))
+        .where(col("d") >= 0)
+        .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
+        // materialize before the sort: RangePartitioner's sampling pass
+        // would otherwise re-execute the variant join a second time
+        .localCheckpoint()
+        .orderBy("id_a", "id_b")
+    }
   }
 
   /** The corpus AFTER span-level dedup — applies [[crossDocSpans]]'s

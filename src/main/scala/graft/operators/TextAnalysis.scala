@@ -544,6 +544,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[shardAssign]] with the per-band rank window REFINED — the
+    * dominant-band fix. A shard id depends on the row's FULL rank
+    * within its band (a permutation, not a top-k), so quota salting
+    * can't reproduce it; rank refinement can, exactly: partition the
+    * heavy window one sort key deeper — (band, n_tokens), ordered by
+    * doc_id — then recover the global band rank as
+    * `offset(band, n_tokens) + fine_rank`, where the offset (rows of
+    * the band with strictly more tokens) is a prefix sum over the TINY
+    * distinct-(band, n_tokens) frame, broadcast back. The heavy
+    * window's partition count now scales with distinct token lengths,
+    * not 1-per-band; output is bit-identical to [[shardAssign]] (the
+    * gate shares its oracle).
+    */
+  def shardAssignRefined(docs: DataFrame, nShards: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), size(ws).cast("long").as("n_tokens"))
+      .withColumn("band", expr("length(bin(n_tokens))").cast("long"))
+    val fine = Window.partitionBy("band", "n_tokens").orderBy("doc_id")
+    val byBandDesc = Window.partitionBy("band").orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("band", "n_tokens").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(byBandDesc), lit(0L)))
+      .select("band", "n_tokens", "off")
+    base.withColumn("rk_fine", row_number().over(fine).cast("long"))
+      .join(broadcast(offsets), Seq("band", "n_tokens"))
+      .withColumn("shard", (col("off") + col("rk_fine") - 1) % nShards)
+      .select("doc_id", "n_tokens", "band", "shard")
+      .orderBy("doc_id")
+  }
+
   /** Phrase retrieval through a POSITIONAL inverted index: per-doc
     * occurrence counts of the corpus's top bigram, found by
     * intersecting the two words' postings at adjacent positions
@@ -578,6 +607,47 @@ object TextAnalysis {
       .where(col("b.word") === col("w2"))
       .groupBy(col("a.doc_id").as("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** n-word phrase retrieval through the same positional index, ONE
+    * shuffle total — the generalization [[phraseSearch]]'s doc comment
+    * promises, but better than chaining n−1 adjacency joins: the
+    * corpus's top n-gram is exploded to (idx, word) and broadcast; the
+    * posting stream is pruned to phrase words by that broadcast join
+    * (non-phrase postings never shuffle — the prune subsumes
+    * rarest-word-first, since EVERY word's postings are cut before the
+    * shuffle, not just the first join's); each surviving posting votes
+    * for the phrase start it would belong to (`base = pos − idx`), and
+    * a (doc_id, base) group holding all n offsets is a full occurrence.
+    *
+    * The occurrence test is a plain count: (doc_id, base, idx) rows
+    * are unique by construction (pos = base + idx pins pos given base
+    * and idx), so `count(*) = n` ⇔ all n offsets matched — no
+    * count-distinct expansion. Repeated words in the phrase are exact:
+    * a posting matching two offsets emits two votes at two bases.
+    */
+  def phraseSearchN(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "a phrase has at least two words")
+    val words = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+    val topN = docs.select(ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(1)
+      .select(posexplode(split(col("ngram"), " ")))
+      .select(col("pos").cast("long").as("idx"), col("col").as("word"))
+    words.join(broadcast(topN), "word")
+      .select(col("doc_id"), (col("pos") - col("idx")).as("base"))
+      .groupBy("doc_id", "base")
+      .agg(count(lit(1)).as("n_off"))
+      .where(col("n_off") === n)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
 
@@ -712,6 +782,46 @@ object TextAnalysis {
           .as("h"))
       .withColumn("rk", row_number().over(bySrc).cast("long"))
       .join(broadcast(quota), "source")
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** [[mixtureSample]] with the per-source rank window SALTED — the
+    * dominant-source fix: ranking ALL of a source's rows in one window
+    * partition makes the top source a single-task hot spot at 100 TB.
+    * Two-phase quota ranking: phase 1 ranks within (source, salt) —
+    * `salts`× smaller partitions — and keeps each bucket's top
+    * `quota` rows (a row whose bucket rank exceeds the quota cannot be
+    * in the source's global top-quota: its global rank is ≥ its bucket
+    * rank under the same total order); phase 2 re-ranks only the
+    * survivors, ≤ salts × quota rows per source, so the second window
+    * is quota-bounded, not data-bounded. Selected rows AND their ranks
+    * equal [[mixtureSample]]'s exactly — the gate shares its oracle.
+    */
+  def mixtureSampleSalted(docs: DataFrame, budget: Int, salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be positive")
+    // try_cast + coalesce as in mixtureSample: digit-less source → weight 1
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        expr("cast(1 + coalesce(try_cast(regexp_extract(source, '[0-9]+', 0) AS int), 0) % 4 AS bigint)"))
+    val tot = perSrc.agg(sum("w").as("w_tot"))
+    val quota = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(col("n_src"), expr(s"${budget}L * w div w_tot")).as("quota"))
+    val byBucket = Window.partitionBy("source", "salt")
+      .orderBy(col("h"), col("doc_id"))
+    val survivors = docs.select(col("doc_id"), col("source"),
+        expr("cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
+          .as("h"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      .withColumn("rk1", row_number().over(byBucket).cast("long"))
+      .join(broadcast(quota), "source")
+      .where(col("rk1") <= col("quota"))
+    val bySrc = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    survivors
+      .withColumn("rk", row_number().over(bySrc).cast("long"))
       .where(col("rk") <= col("quota"))
       .select(col("source"), col("doc_id"), col("rk"))
       .orderBy("source", "doc_id")

@@ -369,15 +369,15 @@ object Streams {
   def foreachBatchUpsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEventsSplit(spark, dir)
     val schema = spark.read.parquet(staged).schema
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_fbu_ckpt_").toString
-    val targetRoot = java.nio.file.Files.createTempDirectory("graft_fbu_tgt_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fbu_ckpt_")
+    val targetRoot = java.nio.file.Files.createTempDirectory("graft_fbu_tgt_")
     @volatile var lastPath: String = null
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prev = lastPath
         val all =
@@ -389,12 +389,36 @@ object Streams {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(lastPath)
+    // the checkpoint is dead once the AvailableNow run terminates; the
+    // snapshot dir must outlive this call (the returned frame reads it
+    // lazily), so it is reaped at JVM exit instead
+    deleteRecursively(ckpt)
+    deleteAtExit(targetRoot)
+    val latest =
+      if (lastPath == null) {
+        // zero micro-batches staged (empty input): empty state table,
+        // NOT an NPE — same schema as the populated path
+        import spark.implicits._
+        spark.emptyDataset[(Long, Long, String, Double)]
+          .toDF("user_id", "ts_ms", "event_type", "value")
+      } else spark.read.parquet(lastPath)
+    latest
       .select(col("user_id"), col("ts_ms").as("last_ts_ms"),
         col("event_type").as("last_type"),
         round(col("value") * 100).cast("long").as("last_value_c"))
       .orderBy("user_id")
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def deleteAtExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
 
   /** Stream-static join: the event stream enriched against a BATCH
     * dimension (customer → nation) then aggregated. The static side is

@@ -177,6 +177,41 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 5L, 1L)))
   }
 
+  test("blockedFuzzyPairs maxDist=2: 2-deletion neighborhood finds every edit combo") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, "Customer#001", 5),
+      (2L, "Customer#022", 5),   // 2 substitutions from 1
+      (3L, "Customer#1", 5),     // 2 deletions from 1
+      (4L, "Customer#00122", 5), // 2 insertions from 1, 2 insertions from 2
+      (5L, "Xustomer#002", 5),   // sub+sub from 1 AND from 2
+      (6L, "Customer#001", 7))   // identical to 1 but other nation
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val got = Dedup.blockedFuzzyPairs(c, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (1L, 5L, 2L), (2L, 4L, 2L), (2L, 5L, 2L)))
+  }
+
+  test("blockedFuzzyPairs maxDist=2 matches the exact nation-blocked join on testdata") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val c = Tables.customer(spark, sf0001)
+    val got = Dedup.blockedFuzzyPairs(c, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey"), col("b.c_custkey"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("d"))
+      .where(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact && got.nonEmpty)
+    // and it strictly contains the maxDist=1 pair set
+    val d1 = Dedup.blockedFuzzyPairs(c, maxDist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d1.subsetOf(got))
+  }
+
   test("cutSpans drops exactly the duplicated token ranges") {
     val d = docs(
       1L -> "a b c d e f g h",   // shares [0,4] with doc 2 at w=3

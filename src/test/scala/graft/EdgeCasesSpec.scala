@@ -129,6 +129,25 @@ class EdgeCasesSpec extends SparkSpec {
     assert(s.length == 1 && s.head.getLong(4) == 253402300799999L)
   }
 
+  test("round-6 operators on empty and degenerate input") {
+    import org.apache.spark.sql.functions.lit
+    assert(TextAnalysis.phraseSearchN(emptyDocs, 3).count() == 0)
+    // two-token docs: no trigram anywhere -> 3-word phrase search is empty
+    val tiny = Seq((1L, "two words"), (2L, "more text")).toDF("doc_id", "text")
+    assert(TextAnalysis.phraseSearchN(tiny, 3).count() == 0)
+    assert(TextAnalysis.mixtureSampleSalted(
+      emptyDocs.withColumn("source", lit("s")), budget = 10, salts = 4).count() == 0)
+    assert(TextAnalysis.shardAssignRefined(emptyDocs, 4).count() == 0)
+    assert(Dedup.blockedFuzzyPairs(
+      emptyDocs.select($"doc_id".as("c_custkey"), $"text".as("c_name"))
+        .withColumn("c_nationkey", lit(0)), maxDist = 2).count() == 0)
+    // 1-char names: the 2-deletion CASE guards must not emit descending
+    // sequences; "a" and "b" share the "" variant -> all 3 pairs found
+    val shorties = Seq((1L, "a", 0), (2L, "b", 0), (3L, "a", 0))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    assert(Dedup.blockedFuzzyPairs(shorties, maxDist = 2).count() == 3)
+  }
+
   test("custom topk plan on empty input") {
     val empty = emptyDocs.select($"doc_id".as("g"), $"text".as("w"))
       .withColumn("cnt", org.apache.spark.sql.functions.lit(1L))

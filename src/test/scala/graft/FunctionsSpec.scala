@@ -7,6 +7,39 @@ import graft.functions.functions._
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("deletion_neighborhood: same SET as the declarative SQL formulation") {
+    val names = Seq("Customer#001", "abc", "aa", "a", "").toDF("c_name")
+    val del1 =
+      "CASE WHEN length(c_name) >= 1 THEN " +
+        "transform(sequence(1, length(c_name)), " +
+        "i -> concat(substr(c_name, 1, i - 1), substr(c_name, i + 1, length(c_name)))) " +
+        "ELSE cast(array() AS array<string>) END"
+    val del2 =
+      "CASE WHEN length(c_name) >= 2 THEN " +
+        "flatten(transform(sequence(1, length(c_name) - 1), i -> " +
+        "  transform(sequence(i + 1, length(c_name)), j -> " +
+        "    concat(substr(c_name, 1, i - 1), substr(c_name, i + 1, j - i - 1), " +
+        "           substr(c_name, j + 1, length(c_name)))))) " +
+        "ELSE cast(array() AS array<string>) END"
+    for (k <- Seq(1, 2)) {
+      val sql =
+        if (k == 1) s"array_distinct(concat(array(c_name), $del1))"
+        else s"array_distinct(concat(array(c_name), $del1, $del2))"
+      val got = names.select(col("c_name"),
+          deletion_neighborhood(col("c_name"), k).as("fast"),
+          expr(sql).as("slow"))
+        .as[(String, Seq[String], Seq[String])].collect()
+      got.foreach { case (n, f, s) =>
+        assert(f.toSet == s.toSet, s"k=$k name='$n'")
+        assert(f.length == f.distinct.length, s"k=$k name='$n' not distinct")
+      }
+    }
+    // spot-check content: "aa" at k=2 reaches "", "a", "aa"
+    val aa = names.where(col("c_name") === "aa")
+      .select(deletion_neighborhood(col("c_name"), 2)).as[Seq[String]].collect().head
+    assert(aa.toSet == Set("aa", "a", ""))
+  }
+
   test("dot_d equals the declarative aggregate(zip_with) fold bit-for-bit") {
     val df = Tables.embeddings(spark, sf0001).limit(50)
       .select(col("embedding").cast("array<double>").as("e"))

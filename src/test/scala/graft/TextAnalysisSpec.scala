@@ -247,6 +247,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("phraseSearchN(3): offset votes count top-trigram occurrences") {
+    val d = docs(1L -> "a b c a b c", 2L -> "a b c", 3L -> "b c a")
+    // trigram "a b c" wins with 3 (doc 1 twice, doc 2 once); doc 3 lacks it
+    val got = TextAnalysis.phraseSearchN(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("phraseSearchN: repeated words and overlapping occurrences are exact") {
+    // top trigram is "a a a"; in "a a a a" it occurs at base 0 and 1 —
+    // every posting votes for all three offsets, only complete bases count
+    val d = docs(1L -> "a a a a")
+    val got = TextAnalysis.phraseSearchN(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("phraseSearchN(2) equals phraseSearch on testdata") {
+    val d = Tables.documents(spark, sf0001)
+    val a = TextAnalysis.phraseSearch(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TextAnalysis.phraseSearchN(d, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("mixtureSampleSalted: same rows AND ranks as the unsalted window") {
+    val d = Tables.documents(spark, sf0001)
+    val a = TextAnalysis.mixtureSample(d, budget = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = TextAnalysis.mixtureSampleSalted(d, budget = 50, salts = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("shardAssignRefined: bit-identical shards to the single-window form") {
+    val d = Tables.documents(spark, sf0001)
+    val a = TextAnalysis.shardAssign(d, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val b = TextAnalysis.shardAssignRefined(d, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("shardAssign: round-robin within token-magnitude bands") {
     val d = docs(
       1L -> "a b c d e",      // 5 tokens, band 3
