@@ -234,9 +234,11 @@ object Dedup {
           levenshtein(col("na.c_name"), col("nb.c_name"), maxDist).as("d"))
         .where(col("d") >= 0)
         .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
-        // materialize before the sort: RangePartitioner's sampling pass
-        // would otherwise re-execute the variant join a second time
-        .localCheckpoint()
+        // materialize before the sort (lazily — no job at plan-build
+        // time): RangePartitioner's sampling pass triggers the
+        // checkpoint and the sort itself reuses it; without the barrier
+        // the variant join would execute twice
+        .localCheckpoint(eager = false)
         .orderBy("id_a", "id_b")
     }
   }

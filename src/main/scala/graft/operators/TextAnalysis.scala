@@ -610,16 +610,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** n-word phrase retrieval through the same positional index, ONE
-    * shuffle total — the generalization [[phraseSearch]]'s doc comment
-    * promises, but better than chaining n−1 adjacency joins: the
-    * corpus's top n-gram is exploded to (idx, word) and broadcast; the
-    * posting stream is pruned to phrase words by that broadcast join
-    * (non-phrase postings never shuffle — the prune subsumes
-    * rarest-word-first, since EVERY word's postings are cut before the
-    * shuffle, not just the first join's); each surviving posting votes
-    * for the phrase start it would belong to (`base = pos − idx`), and
-    * a (doc_id, base) group holding all n offsets is a full occurrence.
+  /** n-word phrase retrieval through the same positional index, with
+    * ONE posting-scale shuffle — the generalization [[phraseSearch]]'s
+    * doc comment promises, but better than chaining n−1 adjacency
+    * joins: the corpus's top n-gram is exploded to (idx, word) and
+    * broadcast; the posting stream is pruned to phrase words by that
+    * broadcast join (non-phrase postings never shuffle — the prune
+    * subsumes rarest-word-first, since EVERY word's postings are cut
+    * before the shuffle, not just the first join's); each surviving
+    * posting votes for the phrase start it would belong to
+    * (`base = pos − idx`), and a (doc_id, base) group holding all n
+    * offsets is a full occurrence. (The per-doc rollup after the
+    * having-n filter re-shuffles only occurrence rows — negligible
+    * next to the posting stream.)
     *
     * The occurrence test is a plain count: (doc_id, base, idx) rows
     * are unique by construction (pos = base + idx pins pos given base

@@ -53,6 +53,23 @@ class PlanAuditSpec extends SparkSpec {
       s"final should sit above partial in the tree:\n$p")
   }
 
+  test("phraseSearchN: postings pruned by a broadcast join, no sort-merge") {
+    val p = planOf("phrase_search_3")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1-row phrase must broadcast so non-phrase postings never shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"posting-scale sort-merge join means the prune was lost:\n$p")
+  }
+
+  test("fuzzy d2: verified pairs hit a checkpoint barrier before the sort") {
+    val p = planOf("fuzzy_name_pairs_d2")
+    // the final orderBy must read materialized rows (LogicalRDD scan) —
+    // without the barrier, RangePartitioner's sampling pass re-executes
+    // the whole variant join a second time
+    assert(p.contains("Sort") && p.contains("ExistingRDD"),
+      s"sort should consume the checkpointed verify output:\n$p")
+  }
+
   test("minhash verify prunes shingles to LSH candidates via semi join") {
     val p = planOf("dedup_minhash")
     assert(p.contains("LeftSemi"),
