@@ -377,6 +377,23 @@ object Dedup {
     * [[componentsAdaptive]] (which falls back to star contraction).
     * Returns (labels(id, comp), symmetric edge set, converged).
     */
+  /** Free a materialized (checkpointed) frame that has been superseded:
+    * drop its block-manager blocks, and in reliable mode delete its
+    * checkpoint files — iterative loops otherwise grow storage linearly
+    * with rounds.
+    */
+  private def release(df: DataFrame, reliable: Boolean): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        if (reliable) l.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      case _ => // not a checkpointed frame; nothing to free
+    }
+
   private def propagate(pairs: DataFrame, maxIter: Int, reliable: Boolean)
       : (DataFrame, DataFrame, Boolean) = {
     require(!reliable || pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
@@ -386,8 +403,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = materialize(
       edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = materialize(sym.select(col("src").as("id")).distinct()
+    // labelsM tracks the materialized frame (labels wraps it with a
+    // projection) so superseded rounds can be released
+    var labelsM = materialize(sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
+    var labels = labelsM
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -405,6 +425,8 @@ object Dedup {
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
       val updatedM = materialize(updated)
       converged = updatedM.where(col("changed")).isEmpty
+      release(labelsM, reliable)
+      labelsM = updatedM
       labels = updatedM.drop("changed")
       iter += 1
     }
@@ -432,8 +454,9 @@ object Dedup {
     * bounding the deep-chain worst case at propRounds + O(log n)
     * rounds instead of O(diameter).
     */
-  def componentsAdaptive(pairs: DataFrame, propRounds: Int = 8): DataFrame = {
-    val (labels, sym, converged) = propagate(pairs, propRounds, reliable = false)
+  def componentsAdaptive(pairs: DataFrame, propRounds: Int = 8,
+                         reliable: Boolean = false): DataFrame = {
+    val (labels, sym, converged) = propagate(pairs, propRounds, reliable)
     if (converged) {
       labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
     } else {
@@ -442,7 +465,7 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("cb")), "dst")
         .where(col("ca") =!= col("cb"))
         .select(col("ca").as("id_a"), col("cb").as("id_b"))
-      val roots = componentsStar(contracted)
+      val roots = componentsStar(contracted, reliable = reliable)
         .select(col("doc_id").as("lbl"), col("comp").as("root"))
       labels.join(roots, col("comp") === col("lbl"), "left")
         .select(col("id").as("doc_id"),
@@ -482,23 +505,33 @@ object Dedup {
     * rounds.) The previous round's checkpoint blocks are unpersisted as
     * soon as the next round is materialized, so block-manager storage
     * holds at most two rounds of edges, not O(rounds).
+    *
+    * `reliable = true` (requires `setCheckpointDir`) swaps the
+    * per-round materialization to reliable `checkpoint` — the mode for
+    * a real cluster where an executor loss mid-run must not kill a
+    * many-round contraction (localCheckpoint blocks die with their
+    * executor). Costs one extra job per round (Spark re-runs the round
+    * to write the checkpoint files); the prior round's files are
+    * deleted once the next round lands, so the dir holds ≤ 2 rounds.
     */
-  def componentsStar(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
+  def componentsStar(pairs: DataFrame, maxIter: Int = 60,
+                     reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.execution.LogicalRDD
-    // lazy localCheckpoint + signature head(): the ONE action per round
+    val sc = pairs.sparkSession.sparkContext
+    require(!reliable || sc.getCheckpointDir.isDefined,
+      "reliable checkpointing needs spark.sparkContext.setCheckpointDir(...)")
+    // lazy checkpoint + signature head(): the ONE action per round
+    // (plus Spark's checkpoint-write job in reliable mode)
     def signed(df: DataFrame): (DataFrame, Row) = {
-      val cp = df.localCheckpoint(eager = false)
+      val cp = if (reliable) df.checkpoint(eager = false)
+               else df.localCheckpoint(eager = false)
       val s = cp.agg(
         count(lit(1)),
         expr("bit_xor(xxhash64(hi, lo))"),
         expr("bit_xor(xxhash64(lo, hi))")).head()
       (cp, s)
     }
-    def unpersistEdges(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => // not a checkpointed frame; nothing to free
-    }
+    def unpersistEdges(df: DataFrame): Unit = release(df, reliable)
     var (edges, sig) = signed(pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))

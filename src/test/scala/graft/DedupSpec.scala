@@ -239,6 +239,35 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 65 && got.forall(_._2 == 0L))
   }
 
+  test("componentsStar reliable mode: same labels, prior rounds' files reaped") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    def rddDirs(root: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(root).iterator().asScala
+        .count(p => p.toFile.isDirectory && p.getFileName.toString.startsWith("rdd-"))
+    def deleteAll(root: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = Dedup.componentsStar(chain, maxIter = 20, reliable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 65 && got.forall(_._2 == 0L))
+      // every superseded round's checkpoint was deleted: only the final
+      // round's rdd-* dir may remain after the run
+      assert(rddDirs(ckpt) <= 1L,
+        s"checkpoint dir holds ${rddDirs(ckpt)} rdd dirs; prior rounds leaked")
+      // adaptive's fallback path threads the flag through
+      val adaptive = Dedup.componentsAdaptive(chain, propRounds = 1,
+        reliable = true).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(adaptive.length == 65 && adaptive.forall(_._2 == 0L))
+    } finally {
+      deleteAll(ckpt)
+    }
+  }
+
   test("componentsStar per-round job count dropped (signature probe, not exceptAll)") {
     import spark.implicits._
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
