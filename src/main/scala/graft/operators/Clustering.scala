@@ -123,6 +123,7 @@ object Clustering {
         .localCheckpoint()
       moved = next.join(prev, Seq("cluster"))
         .where(col("cv") =!= col("pcv")).limit(1).count() > 0
+      Dedup.release(cents) // superseded round's blocks (prev read it above)
       cents = next
       iter += 1
     }

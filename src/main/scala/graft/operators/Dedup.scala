@@ -380,9 +380,10 @@ object Dedup {
   /** Free a materialized (checkpointed) frame that has been superseded:
     * drop its block-manager blocks, and in reliable mode delete its
     * checkpoint files — iterative loops otherwise grow storage linearly
-    * with rounds.
+    * with rounds. Shared by every iterative operator (CC, PageRank,
+    * Lloyd, BPE).
     */
-  private def release(df: DataFrame, reliable: Boolean): Unit =
+  private[operators] def release(df: DataFrame, reliable: Boolean = false): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

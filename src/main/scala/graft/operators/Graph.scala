@@ -59,11 +59,13 @@ object Graph {
         .join(outdeg, "src")
         .select(col("dst"), expr("rank div odeg").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
+      val prev = ranks
       ranks = nodes.join(inflow, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(jump) + expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
         .localCheckpoint()
+      Dedup.release(prev) // superseded iteration's blocks
       i += 1
     }
     ranks.orderBy(col("rank").desc, col("node"))

@@ -222,10 +222,12 @@ object TextAnalysis {
         merges += ((step.toLong, l, r, l + r, pc))
         // Column-API replace: tokens may contain quote/backslash chars,
         // so never splice them into an expr string
+        val prev = words
         words = words
           .select(org.apache.spark.sql.functions.replace(col("ts"),
             lit(s"$l/$r/"), lit(s"$l$r/")).as("ts"), col("cnt"))
           .localCheckpoint()
+        Dedup.release(prev) // superseded merge round's blocks
         step += 1
       }
     }
