@@ -421,6 +421,10 @@ object SparkEntry {
     // per-cluster QUALITY argmax instead of the id-order root
     "dedup_keep_best_quality" -> ((s, dir) =>
       Dedup.keepBestQuality(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+    // nightly-increment dedup: incoming docs vs base, base never re-paired
+    "dedup_increment" -> ((s, dir) =>
+      Dedup.dedupIncrement(Tables.documents(s, dir), baseMaxId = 250,
+        n = 3, b = 32, r = 4, num = 4, den = 5)),
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     "decontaminate_strict" -> ((s, dir) =>
@@ -1026,6 +1030,18 @@ object SparkEntry {
          |  ON a.c_nationkey = c.c_nationkey AND a.c_custkey < c.c_custkey
          |WHERE levenshtein(a.c_name, c.c_name) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_increment" ->
+      s"""WITH pairs AS (${sqlJaccard(4, 5)}),
+         |ex AS (SELECT b.doc_id FROM documents a JOIN documents b
+         |       ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+         |       WHERE b.doc_id > 250),
+         |nr AS (SELECT id_b AS doc_id FROM pairs WHERE id_b > 250),
+         |drops AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_id FROM ex UNION SELECT doc_id FROM nr))
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM ex)
+         |       THEN 'exact' ELSE 'near' END AS reason
+         |FROM drops ORDER BY doc_id""".stripMargin,
     "fuzzy_name_pairs_d2" ->
       s"""SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
          |  CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS dist

@@ -633,12 +633,12 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.functions.minhash_sig(col("hs"), k, seed).as("sig"))
 
-  /** LSH candidate pairs from banded signatures: b bands of r rows
-    * (k = b*r). One shuffle on (band, bucket-hash); a pair collides iff
-    * some band of the signatures is identical.
+  /** (doc_id, band, bucket) banding of signatures: b bands of r rows
+    * (k = b*r); two documents collide in a band iff that slice of the
+    * signatures is identical.
     */
-  def lshCandidates(sigs: DataFrame, b: Int, r: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
+  private def bandedSigs(sigs: DataFrame, b: Int, r: Int): DataFrame =
+    sigs.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${b - 1}), i -> struct(
            |  i AS band,
@@ -647,23 +647,27 @@ object Dedup {
            |              x -> cast(x AS string)))) AS bucket))""".stripMargin))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** LSH candidate pairs from banded signatures. One shuffle on
+    * (band, bucket-hash); a pair collides iff some band of the
+    * signatures is identical.
+    */
+  def lshCandidates(sigs: DataFrame, b: Int, r: Int): DataFrame = {
+    val banded = bandedSigs(sigs, b, r)
     banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
 
-  /** MinHash near-duplicate pairs: LSH candidates verified by exact
-    * shingle Jaccard (integer threshold num/den). The 100 TB path:
-    * candidate generation is the only quadratic step and is bounded by
-    * band collisions, not corpus size.
+  /** Exact shingle-Jaccard verification of candidate (id_a, id_b)
+    * pairs — emits the survivors of `jaccard > num/den` with their
+    * integer evidence, unsorted. Semi-join prune: only candidate
+    * documents' shingles enter the verify joins — non-candidate docs
+    * (the vast majority at scale) never shuffle their shingle sets.
     */
-  def minhashPairs(docs: DataFrame, n: Int, b: Int, r: Int,
-                   num: Int, den: Int, seed: Long = 42L): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(docs, n, b * r, seed), b, r)
-    // semi-join prune: only candidate documents' shingles enter the
-    // verify joins — non-candidate docs (the vast majority at scale)
-    // never shuffle their shingle sets
+  private def verifyJaccard(docs: DataFrame, cands: DataFrame, n: Int,
+                            num: Int, den: Int): DataFrame = {
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val sh = shingles(docs, n).join(candIds, Seq("doc_id"), "left_semi")
@@ -678,7 +682,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sa.n_sh") + col("sb.n_sh") - col("inter")).as("uni"))
       .where(col("inter") * den > col("uni") * num)
+  }
+
+  /** MinHash near-duplicate pairs: LSH candidates verified by exact
+    * shingle Jaccard (integer threshold num/den). The 100 TB path:
+    * candidate generation is the only quadratic step and is bounded by
+    * band collisions, not corpus size.
+    */
+  def minhashPairs(docs: DataFrame, n: Int, b: Int, r: Int,
+                   num: Int, den: Int, seed: Long = 42L): DataFrame =
+    verifyJaccard(docs,
+      lshCandidates(minhashSignatures(docs, n, b * r, seed), b, r),
+      n, num, den)
       .orderBy("id_a", "id_b")
+
+  /** Incremental dedup — the nightly-increment production shape: which
+    * INCOMING documents (doc_id > baseMaxId) duplicate the existing
+    * corpus or an earlier-id incoming doc, WITHOUT ever re-pairing the
+    * base against itself. Output: (doc_id, reason) with reason `exact`
+    * (fingerprint already exists at a smaller id) taking priority over
+    * `near` (verified MinHash near-duplicate of a smaller id).
+    *
+    * Scale shape: the exact probe is one shuffle on the 128-bit
+    * fingerprint (min-id per group rides the same agg). The near probe
+    * bands ALL signatures but restricts the bucket join to pairs whose
+    * RIGHT side is incoming — candidate volume ∝ increment size ×
+    * collision rate, never base²; in production the base's banded
+    * index and shingle sizes are precomputed once and reused across
+    * increments (bucket by (band, bucket) at write time), so each
+    * nightly run shuffles only the increment.
+    */
+  def dedupIncrement(docs: DataFrame, baseMaxId: Long, n: Int, b: Int, r: Int,
+                     num: Int, den: Int, seed: Long = 42L): DataFrame = {
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val exactDrops = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      .join(fp, "fp")
+      .where(col("doc_id") > baseMaxId && col("doc_id") > col("keep_id"))
+      .select("doc_id")
+    val banded = bandedSigs(minhashSignatures(docs, n, b * r, seed), b, r)
+    val cands = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("b.doc_id") > baseMaxId && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val nearDrops = verifyJaccard(docs, cands, n, num, den)
+      .select(col("id_b").as("doc_id")).distinct()
+    exactDrops.select(col("doc_id"), lit("exact").as("reason"))
+      .union(nearDrops.join(exactDrops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("near").as("reason")))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- SimHash

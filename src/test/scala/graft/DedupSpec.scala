@@ -177,6 +177,19 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 5L, 1L)))
   }
 
+  test("dedupIncrement: incoming exact/near dups flagged, base never re-paired") {
+    val d = docs(
+      1L -> base,                 // base
+      2L -> (base + " more"),     // base — near-dup of 1, must NOT emit
+      3L -> base,                 // incoming exact dup of 1
+      4L -> (base + " extra"),    // incoming near-dup of 1 and 2
+      5L -> "totally different text here entirely")
+    val got = Dedup.dedupIncrement(d, baseMaxId = 2, n = 3, b = 32, r = 4,
+        num = 4, den = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((3L, "exact"), (4L, "near")))
+  }
+
   test("blockedFuzzyPairs maxDist=2: 2-deletion neighborhood finds every edit combo") {
     import spark.implicits._
     val c = Seq(
