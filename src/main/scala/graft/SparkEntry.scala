@@ -425,6 +425,11 @@ object SparkEntry {
     "dedup_increment" -> ((s, dir) =>
       Dedup.dedupIncrement(Tables.documents(s, dir), baseMaxId = 250,
         n = 3, b = 32, r = 4, num = 4, den = 5)),
+    // ...and the same report probing the PERSISTED bucketed index:
+    // base indexed once per (session, dir), increments pay only their
+    // own computation — equivalent by construction, shared oracle
+    "dedup_increment_indexed" -> ((s, dir) =>
+      graft.sources.DedupIndex.incrementReport(s, dir, baseMaxId = 250)),
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     "decontaminate_strict" -> ((s, dir) =>
@@ -694,7 +699,8 @@ object SparkEntry {
     // duplicating it (the wordcount_salted pattern, made systematic)
     val aliases = Map(
       "doc_mixture_sample_salted" -> "doc_mixture_sample",
-      "doc_shard_assign_refined" -> "doc_shard_assign")
+      "doc_shard_assign_refined" -> "doc_shard_assign",
+      "dedup_increment_indexed" -> "dedup_increment")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

@@ -637,7 +637,7 @@ object Dedup {
     * (k = b*r); two documents collide in a band iff that slice of the
     * signatures is identical.
     */
-  private def bandedSigs(sigs: DataFrame, b: Int, r: Int): DataFrame =
+  private[graft] def bandedSigs(sigs: DataFrame, b: Int, r: Int): DataFrame =
     sigs.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${b - 1}), i -> struct(
@@ -667,10 +667,18 @@ object Dedup {
     * (the vast majority at scale) never shuffle their shingle sets.
     */
   private def verifyJaccard(docs: DataFrame, cands: DataFrame, n: Int,
-                            num: Int, den: Int): DataFrame = {
+                            num: Int, den: Int): DataFrame =
+    verifyJaccardSh(shingles(docs, n), cands, num, den)
+
+  /** [[verifyJaccard]] over a PRE-BUILT (doc_id, shingle) frame — the
+    * entry point for index-backed callers whose base shingles are
+    * persisted rather than recomputed.
+    */
+  private[graft] def verifyJaccardSh(shAll: DataFrame, cands: DataFrame,
+                                     num: Int, den: Int): DataFrame = {
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val sh = shingles(docs, n).join(candIds, Seq("doc_id"), "left_semi")
+    val sh = shAll.join(candIds, Seq("doc_id"), "left_semi")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cands
       .join(sh.as("a"), col("id_a") === col("a.doc_id"))

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Persisted dedup index: the write-once layout an incremental dedup
+  * pipeline probes nightly. [[Dedup.dedupIncrement]] recomputes the
+  * base's fingerprints, signatures and shingles on every run; at 100 TB
+  * the base side is the entire corpus, so a real pipeline materializes
+  * those three artifacts ONCE, bucketed on their probe keys, and each
+  * increment pays only its own computation plus bucket-local joins:
+  *
+  *  - `fp`   (doc_id, fp)             bucketed by fp      — exact probe
+  *  - `band` (doc_id, band, bucket)   bucketed by bucket  — LSH probe
+  *  - `sh`   (doc_id, shingle)        bucketed by doc_id  — verify side
+  *
+  * The shuffle that builds each table happens at write time and is
+  * amortized over every subsequent increment (the [[Bucketing]]
+  * argument, applied to dedup). Probing shuffles ONLY the increment:
+  * Spark plans the bucketed side of each join without an Exchange.
+  */
+object DedupIndex {
+
+  private def tables(tag: String): (String, String, String) =
+    (s"graft_ddx_fp_$tag", s"graft_ddx_band_$tag", s"graft_ddx_sh_$tag")
+
+  /** Materialize the base corpus's dedup index as bucketed tables.
+    * Base doc_ids must all be smaller than any future increment's ids
+    * (the watermark contract incremental dedup already assumes).
+    */
+  def writeIndex(base: DataFrame, tag: String, n: Int, b: Int, r: Int,
+                 seed: Long = 42L, buckets: Int = 8): Unit = {
+    val (fpT, bandT, shT) = tables(tag)
+    base.select(col("doc_id"), md5(col("text")).as("fp"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "fp").saveAsTable(fpT)
+    Dedup.bandedSigs(Dedup.minhashSignatures(base, n, b * r, seed), b, r)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "bucket").saveAsTable(bandT)
+    Dedup.shingles(base, n)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_id").saveAsTable(shT)
+  }
+
+  /** [[Dedup.dedupIncrement]] semantics against the PERSISTED index:
+    * which incoming documents exact- or near-duplicate the base (read
+    * from the index — base text is never re-tokenized) or an
+    * earlier-id incoming document. Output (doc_id, reason), `exact`
+    * outranking `near`, identical to the recompute-based operator —
+    * the gate shares its oracle.
+    */
+  def incrementAgainstIndex(spark: SparkSession, tag: String,
+                            incoming: DataFrame, n: Int, b: Int, r: Int,
+                            num: Int, den: Int, seed: Long = 42L): DataFrame = {
+    val (fpT, bandT, shT) = tables(tag)
+    val baseFp = spark.table(fpT)
+    val baseBand = spark.table(bandT)
+    val baseSh = spark.table(shT)
+    // exact: fingerprint already in the base index, or an earlier
+    // incoming doc carries the same fingerprint
+    val inFp = incoming.select(col("doc_id"), md5(col("text")).as("fp"))
+    val exVsBase = inFp.join(baseFp.select("fp"), Seq("fp"), "left_semi")
+      .select("doc_id")
+    val exVsEarlier = inFp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      .join(inFp, "fp")
+      .where(col("doc_id") > col("keep_id"))
+      .select("doc_id")
+    val exactDrops = exVsBase.union(exVsEarlier).distinct()
+    // near: incoming bands probe the index (base-new) and each other
+    // (new-new); base-base pairs are structurally impossible
+    val inBand = Dedup.bandedSigs(
+      Dedup.minhashSignatures(incoming, n, b * r, seed), b, r)
+    val candBaseNew = baseBand.as("a").join(inBand.as("b"), Seq("band", "bucket"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val candNewNew = inBand.as("a").join(inBand.as("b"), Seq("band", "bucket"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cands = candBaseNew.union(candNewNew).distinct()
+    // verify: base shingles come from the index, incoming computed fresh
+    val shAll = baseSh.union(Dedup.shingles(incoming, n))
+    val nearDrops = Dedup.verifyJaccardSh(shAll, cands, num, den)
+      .select(col("id_b").as("doc_id")).distinct()
+    exactDrops.select(col("doc_id"), lit("exact").as("reason"))
+      .union(nearDrops.join(exactDrops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("near").as("reason")))
+      .orderBy("doc_id")
+  }
+
+  private val staged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Gate query: the incremental dedup report through the persisted
+    * index — base (doc_id ≤ baseMaxId) indexed ONCE per (session,
+    * sf dir), every rerun probes it. Equivalent by construction to
+    * [[Dedup.dedupIncrement]] over the full table, which is what the
+    * shared oracle asserts.
+    */
+  def incrementReport(spark: SparkSession, dir: String,
+                      baseMaxId: Long): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    if (staged.add(dir))
+      writeIndex(docs.where(col("doc_id") <= baseMaxId), tag,
+        n = 3, b = 32, r = 4)
+    incrementAgainstIndex(spark, tag, docs.where(col("doc_id") > baseMaxId),
+      n = 3, b = 32, r = 4, num = 4, den = 5)
+  }
+}

@@ -190,6 +190,26 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, "exact"), (4L, "near")))
   }
 
+  test("DedupIndex: persisted-index increment equals the recompute operator") {
+    val d = docs(
+      1L -> base,
+      2L -> (base + " more"),
+      3L -> base,
+      4L -> (base + " extra"),
+      5L -> "totally different text here entirely")
+    val direct = Dedup.dedupIncrement(d, baseMaxId = 2, n = 3, b = 32, r = 4,
+        num = 4, den = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.sources.DedupIndex.writeIndex(
+      d.where(org.apache.spark.sql.functions.col("doc_id") <= 2),
+      tag = "spec", n = 3, b = 32, r = 4)
+    val indexed = graft.sources.DedupIndex.incrementAgainstIndex(spark, "spec",
+        d.where(org.apache.spark.sql.functions.col("doc_id") > 2),
+        n = 3, b = 32, r = 4, num = 4, den = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(indexed == direct && direct == Seq((3L, "exact"), (4L, "near")))
+  }
+
   test("blockedFuzzyPairs maxDist=2: 2-deletion neighborhood finds every edit combo") {
     import spark.implicits._
     val c = Seq(
