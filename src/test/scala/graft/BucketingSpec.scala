@@ -29,4 +29,25 @@ class BucketingSpec extends SparkSpec {
       assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("dedup index probe: the persisted band table joins without its own exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    graft.sources.DedupIndex.writeIndex(docs.where(col("doc_id") <= 25),
+      tag = "planspec", n = 3, b = 32, r = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val report = graft.sources.DedupIndex.incrementAgainstIndex(spark,
+        "planspec", docs.where(col("doc_id") > 25),
+        n = 3, b = 32, r = 4, num = 4, den = 5)
+      val plan = report.queryExecution.executedPlan.toString
+      // the scan of the bucketed band table must feed its join directly:
+      // "Bucketed: true" in the scan and no Exchange between them is
+      // approximated by asserting the scan reports bucketed reading
+      assert(plan.contains("Bucketed: true"),
+        s"band index scan should read its bucket layout:\n$plan")
+      assert(report.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
