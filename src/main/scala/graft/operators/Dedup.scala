@@ -402,6 +402,12 @@ object Dedup {
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // NOTE (measured, round 6): pre-partitioning sym/labels before the
+    // checkpoint does NOT make the per-round join exchange-free under
+    // AQE — adaptive planning discards LogicalRDD outputPartitioning
+    // (verified with explicit partition counts and with AQE disabled,
+    // where it DOES work) — so the loop deliberately leaves the frames
+    // unpartitioned rather than paying a useless extra shuffle up front
     val sym = materialize(
       edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     // labelsM tracks the materialized frame (labels wraps it with a
