@@ -31,7 +31,7 @@ object GraftSession {
       // managed tables (the bucketed-join path) land in a temp dir, not
       // the process cwd; callers may override
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+        TempDirs.scratchString("graft_wh_"))
       // testdata `events` stores TIMESTAMP(NANOS), which Spark 4 only
       // reads as bigint nanos via this legacy flag (Tables.events then
       // normalizes to epoch-ms)

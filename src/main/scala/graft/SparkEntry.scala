@@ -177,7 +177,7 @@ object SparkEntry {
   private val textDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docsAsTextDir(s: SparkSession, dir: String): String =
     textDirCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_textdir_").toString
+      val out = TempDirs.scratchString("graft_textdir_")
       Tables.documents(s, dir)
         .select(org.apache.spark.sql.functions.col("text"))
         .write.mode("overwrite").text(out)
@@ -191,7 +191,7 @@ object SparkEntry {
   private val fmtDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docsAsFormat(s: SparkSession, dir: String, fmt: String): String =
     fmtDirCache.computeIfAbsent(s"$dir:$fmt", _ => {
-      val out = java.nio.file.Files.createTempDirectory(s"graft_${fmt}_").toString
+      val out = TempDirs.scratchString(s"graft_${fmt}_")
       val docs = Tables.documents(s, dir)
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))

@@ -21,7 +21,7 @@ object PartitionedLake {
     */
   def eventsByTypeLake(spark: SparkSession, dir: String): String =
     staged.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_lake_").toString
+      val out = graft.TempDirs.scratchString("graft_lake_")
       graft.Tables.events(spark, dir)
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
       out

@@ -94,7 +94,7 @@ object Streams {
     */
   private def stagedFileDir(path: String): String =
     streamDirCache.computeIfAbsent(path, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      val d = graft.TempDirs.scratch("graft_stream_src_")
       java.nio.file.Files.createSymbolicLink(
         d.resolve(java.nio.file.Paths.get(path).getFileName.toString),
         java.nio.file.Paths.get(path))
@@ -307,8 +307,8 @@ object Streams {
     * count-after-read equals the batch word count.
     */
   def fileSinkWordCount(spark: SparkSession, textDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_fsink_out_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ckpt_").toString
+    val out = graft.TempDirs.scratchString("graft_fsink_out_")
+    val ckpt = graft.TempDirs.scratchString("graft_fsink_ckpt_")
     val q = spark.readStream.text(textDir)
       .select(explode(WordCount.cleanWords(col("value"))).as("word"))
       .writeStream.format("parquet")
@@ -342,7 +342,7 @@ object Streams {
     */
   private def stagedEventsSplit(spark: SparkSession, dir: String): String =
     streamDirCache.computeIfAbsent(s"$dir#split", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_fbu_src_").toString
+      val out = graft.TempDirs.scratchString("graft_fbu_src_")
       val ev = graft.Tables.events(spark, dir)
       ev.where(col("event_id") % 2 === 0)
         .coalesce(1).write.mode("append").parquet(out)
@@ -369,8 +369,8 @@ object Streams {
   def foreachBatchUpsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEventsSplit(spark, dir)
     val schema = spark.read.parquet(staged).schema
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_fbu_ckpt_")
-    val targetRoot = java.nio.file.Files.createTempDirectory("graft_fbu_tgt_")
+    val ckpt = graft.TempDirs.scratch("graft_fbu_ckpt_")
+    val targetRoot = graft.TempDirs.scratch("graft_fbu_tgt_")
     @volatile var lastPath: String = null
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -392,8 +392,9 @@ object Streams {
     // the checkpoint is dead once the AvailableNow run terminates; the
     // snapshot dir must outlive this call (the returned frame reads it
     // lazily), so it is reaped at JVM exit instead
+    // targetRoot is already registered for exit-time deletion by
+    // TempDirs.scratch; the dead checkpoint goes now
     deleteRecursively(ckpt)
-    deleteAtExit(targetRoot)
     val latest =
       if (lastPath == null) {
         // zero micro-batches staged (empty input): empty state table,
@@ -409,16 +410,8 @@ object Streams {
       .orderBy("user_id")
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
-
-  private def deleteAtExit(p: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.TempDirs.deleteRecursively(p)
 
   /** Stream-static join: the event stream enriched against a BATCH
     * dimension (customer → nation) then aggregated. The static side is

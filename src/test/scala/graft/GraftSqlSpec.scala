@@ -82,4 +82,12 @@ class GraftSqlSpec extends SparkSpec {
         |)""".stripMargin).collect().head.getLong(0)
     assert(n > 0)
   }
+
+  test("deletion neighborhood is a first-class SQL function") {
+    GraftSql.registerViews(spark, sf0001)
+    val got = spark.sql(
+      "SELECT graft_deletion_neighborhood('ab', 2) AS v")
+      .collect().head.getSeq[String](0).toSet
+    assert(got == Set("ab", "a", "b", ""))
+  }
 }
