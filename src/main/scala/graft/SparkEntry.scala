@@ -569,6 +569,9 @@ object SparkEntry {
       TextAnalysis.freqOfFreq(Tables.documents(s, dir))),
     "doc_bigram_familiarity" -> ((s, dir) =>
       TextAnalysis.bigramFamiliarity(Tables.documents(s, dir))),
+    // CCNet-style per-language head/middle/tail LM-score buckets
+    "doc_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
     "doc_editdist_next" -> ((s, dir) =>
       TextAnalysis.editDistanceToNext(Tables.documents(s, dir))),
     // resize pipeline: images re-stamped to 4x3, others untouched
@@ -656,6 +659,19 @@ object SparkEntry {
     // the index build is cached per (session, dir) — build once, query many
     "ann_ivf_kmeans" -> ((s, dir) =>
       Similarity.annIvfKmeansIndexed(s, dir, nQueries = 10, k = 5)),
+    // SemDeDup: k-means cells bound the pairwise-cosine dedup quadratic;
+    // keep-list drops any vector with a similar lower-id cell-mate
+    "semdedup_keep" -> ((s, dir) =>
+      Similarity.semDedupKeep(s, dir, threshold = 0.45)),
+    // SSL-prototypes pruning: each cluster's nKeep most-central members
+    // by exact scaled-integer centroid distance (bounded-heap top-k)
+    "emb_prototypes" -> ((s, dir) =>
+      Clustering.prototypesKeep(Tables.embeddings(s, dir),
+        k = 8, maxIters = 5, nKeep = 40)),
+    // int8 scalar-quantized ANN: ranking entirely on quantized codes
+    // with exact integer distances — the 4×-smaller-index lever
+    "ann_sq8" -> ((s, dir) =>
+      Similarity.annSq8(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
     // watermark+window streaming under the driver's oracle: the events
     // parquet as a file stream, tumbling windows, run to completion
     "streaming_events_windows" -> ((s, dir) =>
@@ -1443,6 +1459,50 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
          |ORDER BY 1, 2""".stripMargin,
+    // same converged-centroid chain as ann_ivf_kmeans; the dedup drops
+    // any vector with a cosine-similar LOWER-id vector in its own cell
+    "semdedup_keep" ->
+      s"""${sqlKmeansCents(8, 5)},
+         |cells AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.45)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""".stripMargin,
+    "emb_prototypes" ->
+      s"""${sqlKmeansCents(8, 5)},
+         |best AS (SELECT vec_id, cluster, d2 FROM (
+         |  SELECT e.vec_id, c.cluster, ${sqlD2("e", "c")} AS d2,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1)
+         |SELECT vec_id, cluster, d2 FROM (
+         |  SELECT vec_id, cluster, d2,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS r
+         |  FROM best) WHERE r <= 40 ORDER BY vec_id""".stripMargin,
+    // the quantized code IS the contract: round((x-mn)*255/(mx-mn)) per
+    // dim (identical IEEE expression tree on both engines), constant
+    // dims -> 0, then exact integer squared-L2 ranking
+    "ann_sq8" ->
+      s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |st AS (SELECT r.i AS pos, min(e[r.i]) AS mn, max(e[r.i]) AS mx
+         |  FROM d, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) r GROUP BY 1),
+         |s1 AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st),
+         |qv AS (SELECT vec_id, list_transform(range(1, len(e) + 1), i ->
+         |    CASE WHEN mxs[i] = mns[i] THEN 0
+         |         ELSE CAST(round((e[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT) END) AS q
+         |  FROM d, s1)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, len(a.q) + 1), i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))),
+         |      b.vec_id) AS rank
+         |  FROM qv a JOIN qv b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "emb_neardup_lsh" ->
       s"""WITH emb2 AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -1849,6 +1909,18 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(gcnt) AS BIGINT) AS familiarity
          |FROM g JOIN gc USING (shingle)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer LM-score bucketing: familiarity // n_bigrams (truncating
+    // div on both engines), ntile over the (score DESC, doc_id) total
+    // order — bucket boundaries are deterministic
+    "doc_perplexity_buckets" ->
+      s"""WITH g AS (${sqlShingles(2, distinct = false)}),
+         |gc AS (SELECT shingle, count(*) AS gcnt FROM g GROUP BY 1),
+         |fam AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(gcnt) AS BIGINT) AS familiarity
+         |  FROM g JOIN gc USING (shingle) GROUP BY 1)
+         |SELECT doc_id, lang, familiarity // n_bigrams AS fam_per_bigram,
+         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY familiarity // n_bigrams DESC, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS bucket
+         |FROM fam JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin,
     "doc_sample_hash" ->
       s"""SELECT doc_id FROM (
          |  SELECT doc_id, list_sum(list_transform(range(15), i ->

@@ -137,6 +137,29 @@ object Clustering {
     assignAgainst(scaledView(embs), cents)
       .select(col("vec_id"), col("cluster").as("cell"))
 
+  /** Prototypicality pruning (the SSL-prototypes selection of Sorscher
+    * et al. 2022, arXiv:2206.14486): keep each cluster's `nKeep` most
+    * prototypical members — smallest exact scaled-integer distance to
+    * the converged centroid, ties to the lowest id. The d2 values are
+    * the same bigints the assignment step produces, so the rank order
+    * (and the output) is engine-exact with no float anywhere.
+    *
+    * Plan shape: assignment is broadcast-argmin (shuffle-free); the
+    * per-cluster top-k runs through [[graft.plans.TopK]] bounded heaps
+    * — ≤ nKeep rows per (cluster, partition) ever shuffle, so a 100 TB
+    * corpus with a handful of clusters still moves only k·nKeep rows.
+    */
+  def prototypesKeep(embs: DataFrame, k: Int, maxIters: Int,
+                     nKeep: Int): DataFrame = {
+    val assigned = assignAgainst(scaledView(embs),
+        lloydCentroids(embs, k, maxIters))
+      .select("vec_id", "cluster", "d2")
+    graft.plans.TopK.perKey(assigned, Seq("cluster"),
+        Seq(("d2", false), ("vec_id", false)), nKeep, "r")
+      .select("vec_id", "cluster", "d2")
+      .orderBy("vec_id")
+  }
+
   /** Gate shape for [[lloydCentroids]]: the converged centroids
     * unpacked to (cluster, dim, v) rows with a total ordering.
     */

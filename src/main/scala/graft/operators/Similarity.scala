@@ -243,6 +243,97 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup semantic-duplicate keep-list (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with k-means, then
+    * WITHIN each cluster drop every vector that has a cosine-similar
+    * neighbor with a lower id — pairwise similarity is only ever
+    * computed between same-cluster vectors, which is the whole point
+    * of the method: the quadratic is bounded by the largest cluster,
+    * not the corpus. Keeping the lowest id of a similar pair is the
+    * deterministic representative choice (the paper keeps a
+    * per-group exemplar; lowest-id is the engine-reproducible one).
+    *
+    * Plan shape: centroid learn (cached, k·d rows) → per-row argmin
+    * cell assignment (broadcast, shuffle-free) → ONE shuffle on cell
+    * for the self-join → distinct drop ids → broadcast-able anti-join.
+    * At 100 TB the knob is `nClusters`: more cells = smaller
+    * quadratic blocks; a skew-heavy corpus would cap cell size by
+    * splitting oversized cells on a secondary sign-bit, the
+    * [[lshNearDup]] banding trick.
+    */
+  def semDedupKeep(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   threshold: Double, nClusters: Int = 8,
+                   iters: Int = 5): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cents = ivfIndexCache.computeIfAbsent(s"$dir:$nClusters:$iters",
+      _ => Clustering.lloydCentroids(emb, nClusters, iters))
+    val pre = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .join(Clustering.cellAssignments(emb, cents), "vec_id")
+    val a = pre.select(col("cell"), col("vec_id").as("id_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = pre.select(col("cell"), col("vec_id").as("id_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val drops = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        dot(col("ea"), col("eb")) / (col("na") * col("nb")) > threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    emb.select("vec_id")
+      .join(drops, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** Scalar-quantized (int8) approximate top-k — the memory-side ANN
+    * lever: each dimension is affinely mapped to 0..255 by its
+    * corpus-wide [min, max], and ALL ranking runs on the quantized
+    * codes with exact integer squared-L2 — a 4× smaller index that
+    * never touches the float vectors at query time. The quantized
+    * distance IS the operator's contract (not an approximation of a
+    * float rank), so the result is bit-reproducible on any engine.
+    *
+    * Plan shape: one posexplode partial-agg for the d per-dim
+    * (min, max) pairs (k·d rows global), broadcast back as two
+    * arrays; quantization is per-row; ranking is the
+    * [[knnBruteForce]] broadcast shape. The transform/aggregate
+    * lambdas are interpreted — at 100 TB the quantize + distance
+    * loops would move into a native codegen Expression, the
+    * [[dot]]/NearestCentroidL2 treatment (NOTES: 40–100× on exactly
+    * this kind of hot loop).
+    */
+  def annSq8(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val d = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // per-dim corpus min/max -> ONE row of (mns, mxs) arrays
+    val stats = d.select(posexplode(col("e")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+          x => x.getField("mn")).as("mns"),
+        transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
+          x => x.getField("mx")).as("mxs"))
+    // q_i = round((x_i - mn_i) * 255 / (mx_i - mn_i)); constant dims -> 0.
+    // The expression tree (subtract, times, divide, round) is mirrored
+    // verbatim in the oracle so the IEEE doubles agree bit-for-bit.
+    val quant = d.join(broadcast(stats))
+      .select(col("vec_id"), expr(
+        """transform(sequence(1, size(e)), i ->
+          |  IF(element_at(mxs, i) = element_at(mns, i), 0L,
+          |     CAST(round((element_at(e, i) - element_at(mns, i)) * 255.0D
+          |                / (element_at(mxs, i) - element_at(mns, i))) AS BIGINT)))"""
+          .stripMargin).as("q"))
+    val qs = quant.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = quant.join(broadcast(qs), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(qq, q, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .as("d2"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("d2", false), ("neighbor_id", false)), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-vector stats via higher-order array functions — `filter`,
     * `transform`, `aggregate` with no UDF and no explode (the array
     * never becomes rows, so a 100 TB scan stays one pass with zero

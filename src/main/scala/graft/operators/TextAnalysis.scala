@@ -355,6 +355,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): split each language's documents into
+    * head/middle/tail thirds by LM score. The score here is
+    * [[bigramFamiliarity]]'s integer corpus-bigram-frequency sum
+    * normalized per bigram (`familiarity div n_bigrams` — truncating
+    * integer division, identical on both engines), with HIGHER
+    * familiarity = more conventional text = `head`; CCNet's real
+    * 5-gram KenLM score orders the same way with the sign flipped.
+    * The ntile runs over a total order (score desc, doc_id), so
+    * bucket boundaries are deterministic.
+    *
+    * Plan shape: the familiarity join-against-global-stats (two aggs,
+    * one shuffle join) plus ONE per-language window. Languages are
+    * bounded, but one language dominating a crawl is the norm — at
+    * 100 TB the window would go through the two-phase
+    * prefix-sum-offset refinement [[shardAssignRefined]] uses, which
+    * recovers the exact per-lang permutation without a single-reducer
+    * sort.
+    */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    val fam = bigramFamiliarity(docs)
+    val scored = fam.join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("fam_per_bigram", expr("familiarity div n_bigrams"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("fam_per_bigram").desc, col("doc_id"))
+    scored
+      .withColumn("nt", ntile(nBuckets).over(win))
+      .withColumn("bucket",
+        when(col("nt") === 1, "head")
+          .when(col("nt") === nBuckets, "tail")
+          .otherwise("middle"))
+      .select("doc_id", "lang", "fam_per_bigram", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash sample: keep ~pct% of documents by a stable
     * content-independent hash of the id (the dual-engine md5-prefix
     * hash — NOT `rand()`, so the sample is reproducible across runs,

@@ -66,4 +66,27 @@ class ClusteringSpec extends SparkSpec {
       .join(counts, "cluster")
     assert(joined.where(col("cnt") =!= col("n")).isEmpty)
   }
+
+  test("prototypesKeep keeps each cluster's nKeep closest members") {
+    val nKeep = 10
+    val kept = Clustering.prototypesKeep(embs, k = 8, maxIters = 5, nKeep = nKeep)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._2).foreach { case (_, rs) => assert(rs.length <= nKeep) }
+    // the nKeep-unbounded run is the full assignment in the same output
+    // shape: every kept (d2, id) must precede every non-kept in-cluster
+    val all = Clustering.prototypesKeep(embs, k = 8, maxIters = 5, nKeep = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(all.length == embs.count())
+    val keptSet = kept.map(_._1).toSet
+    all.groupBy(_._2).foreach { case (cluster, rs) =>
+      val (in, out) = rs.partition(r => keptSet.contains(r._1))
+      if (out.nonEmpty && in.nonEmpty) {
+        val maxKept = in.map(r => (r._3, r._1)).max
+        val minOut = out.map(r => (r._3, r._1)).min
+        assert(Ordering[(Long, Long)].lteq(maxKept, minOut),
+          s"cluster $cluster: kept $maxKept beyond dropped $minOut")
+      }
+    }
+  }
 }

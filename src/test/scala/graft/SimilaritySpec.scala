@@ -92,4 +92,59 @@ class SimilaritySpec extends SparkSpec {
   private def Dedup2(d: org.apache.spark.sql.DataFrame) =
     Similarity.embeddingNearDup(d, 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("semDedupKeep drops exactly the vectors with a similar lower-id cell-mate") {
+    val d = Tables.embeddings(spark, sf0001)
+    val all = d.select("vec_id").as[Long].collect().toSet
+    val kept = Similarity.semDedupKeep(spark, sf0001, threshold = 0.45)
+      .as[Long].collect().toSet
+    assert(kept.subsetOf(all))
+    // non-vacuous: the threshold must actually drop something here
+    val dropped = all -- kept
+    assert(dropped.nonEmpty)
+    // brute-force recheck: dropped <=> has a cos>t neighbor with lower
+    // id in the same k-means cell
+    val cents = graft.operators.Clustering.lloydCentroids(d, 8, 5)
+    val cells = graft.operators.Clustering.cellAssignments(d, cents)
+      .as[(Long, Long)].collect().toMap
+    val vecs = d.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expectDropped = all.filter(id => all.exists(o =>
+      o < id && cells(o) == cells(id) && cos(vecs(o), vecs(id)) > 0.45))
+    assert(dropped == expectDropped)
+  }
+
+  test("annSq8 ranks by exact integer distance over the quantized codes") {
+    val d = Tables.embeddings(spark, sf0001)
+    val got = Similarity.annSq8(d, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // ranks are 1..k contiguous per query
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // independent quantize + brute-force rank in plain Scala
+    val vecs = d.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val dims = vecs.head._2.length
+    val mns = (0 until dims).map(i => vecs.map(_._2(i)).min)
+    val mxs = (0 until dims).map(i => vecs.map(_._2(i)).max)
+    def quant(v: Seq[Double]) = v.zipWithIndex.map { case (x, i) =>
+      if (mxs(i) == mns(i)) 0L
+      else math.round((x - mns(i)) * 255.0 / (mxs(i) - mns(i)))
+    }
+    val qv = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = (0L until 5L).flatMap { q =>
+      qv.keys.filter(_ != q).toSeq
+        .sortBy(n => (d2(qv(q), qv(n)), n)).take(3).zipWithIndex
+        .map { case (n, i) => (q, n, i + 1L) }
+    }.toSet
+    assert(got.toSet == expect)
+  }
 }

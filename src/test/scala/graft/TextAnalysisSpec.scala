@@ -303,6 +303,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 0L), (2L, 3L, 1L), (3L, 3L, 0L), (4L, 1L, 0L)))
   }
 
+  test("perplexityBuckets: per-lang head/middle/tail by integer LM score") {
+    // en: 4 docs with graded bigram conventionality; de: 2 docs.
+    // "x y" repeated makes that bigram globally frequent -> high score.
+    val d = Seq(
+      (1L, "x y x y x y", "en"),   // fam/bigram highest -> head
+      (2L, "x y q r", "en"),
+      (3L, "q r s t", "en"),
+      (4L, "u v w z", "en"),       // all-unique bigrams -> tail
+      (5L, "x y x y", "de"),
+      (6L, "m n o p", "de"),
+      (7L, "single", "en"))        // <2 words: excluded
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.perplexityBuckets(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(got.length == 6)                      // doc 7 excluded
+    val en = got.filter(_._2 == "en").map(x => x._1 -> x._3).toMap
+    assert(en(1L) == "head" && en(4L) == "tail")
+    // ntile(3) over 4 rows -> sizes 2,1,1
+    assert(got.filter(_._2 == "en").count(_._3 == "head") == 2)
+    // 2 de docs -> ntile buckets 1,2 -> head, middle (no tail)
+    val de = got.filter(_._2 == "de").map(x => x._1 -> x._3).toMap
+    assert(de(5L) == "head" && de(6L) == "middle")
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
