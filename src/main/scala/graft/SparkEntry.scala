@@ -664,10 +664,11 @@ object SparkEntry {
     "semdedup_keep" -> ((s, dir) =>
       Similarity.semDedupKeep(s, dir, threshold = 0.45)),
     // SSL-prototypes pruning: each cluster's nKeep most-central members
-    // by exact scaled-integer centroid distance (bounded-heap top-k)
+    // by exact scaled-integer centroid distance (bounded-heap top-k);
+    // centroids come from the shared cached k-means index
     "emb_prototypes" -> ((s, dir) =>
-      Clustering.prototypesKeep(Tables.embeddings(s, dir),
-        k = 8, maxIters = 5, nKeep = 40)),
+      Clustering.prototypesKeepWith(Tables.embeddings(s, dir),
+        Similarity.cachedCentroids(s, dir), nKeep = 40)),
     // int8 scalar-quantized ANN: ranking entirely on quantized codes
     // with exact integer distances — the 4×-smaller-index lever
     "ann_sq8" -> ((s, dir) =>

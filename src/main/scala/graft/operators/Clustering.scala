@@ -150,9 +150,16 @@ object Clustering {
     * corpus with a handful of clusters still moves only k·nKeep rows.
     */
   def prototypesKeep(embs: DataFrame, k: Int, maxIters: Int,
-                     nKeep: Int): DataFrame = {
-    val assigned = assignAgainst(scaledView(embs),
-        lloydCentroids(embs, k, maxIters))
+                     nKeep: Int): DataFrame =
+    prototypesKeepWith(embs, lloydCentroids(embs, k, maxIters), nKeep)
+
+  /** [[prototypesKeep]] against an already-learned centroid set —
+    * pair with [[Similarity.cachedCentroids]] so several curation
+    * passes over one corpus share one k-means run.
+    */
+  def prototypesKeepWith(embs: DataFrame, cents: DataFrame,
+                         nKeep: Int): DataFrame = {
+    val assigned = assignAgainst(scaledView(embs), cents)
       .select("vec_id", "cluster", "d2")
     graft.plans.TopK.perKey(assigned, Seq("cluster"),
         Seq(("d2", false), ("vec_id", false)), nKeep, "r")

@@ -190,12 +190,21 @@ object Similarity {
     */
   def annIvfKmeansIndexed(spark: org.apache.spark.sql.SparkSession,
                           dir: String, nQueries: Int, k: Int,
-                          nClusters: Int = 8, iters: Int = 5): DataFrame = {
-    val emb = graft.Tables.embeddings(spark, dir)
-    val cents = ivfIndexCache.computeIfAbsent(s"$dir:$nClusters:$iters",
-      _ => Clustering.lloydCentroids(emb, nClusters, iters))
-    annIvfWithCentroids(emb, cents, nQueries, k)
-  }
+                          nClusters: Int = 8, iters: Int = 5): DataFrame =
+    annIvfWithCentroids(graft.Tables.embeddings(spark, dir),
+      cachedCentroids(spark, dir, nClusters, iters), nQueries, k)
+
+  /** The shared converged-centroid index: built once per (source dir,
+    * nClusters, iters) and reused by every consumer (IVF ANN, SemDeDup,
+    * prototype pruning) — the amortization that makes running several
+    * embedding-curation passes over one corpus cost ONE k-means.
+    */
+  private[graft] def cachedCentroids(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, nClusters: Int = 8,
+                                     iters: Int = 5): DataFrame =
+    ivfIndexCache.computeIfAbsent(s"$dir:$nClusters:$iters",
+      _ => Clustering.lloydCentroids(
+        graft.Tables.embeddings(spark, dir), nClusters, iters))
 
   private def annIvfWithCentroids(emb: DataFrame, cents: DataFrame,
                                   nQueries: Int, k: Int): DataFrame = {
@@ -265,8 +274,7 @@ object Similarity {
                    threshold: Double, nClusters: Int = 8,
                    iters: Int = 5): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
-    val cents = ivfIndexCache.computeIfAbsent(s"$dir:$nClusters:$iters",
-      _ => Clustering.lloydCentroids(emb, nClusters, iters))
+    val cents = cachedCentroids(spark, dir, nClusters, iters)
     val pre = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
