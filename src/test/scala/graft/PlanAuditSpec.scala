@@ -250,6 +250,37 @@ class PlanAuditSpec extends SparkSpec {
       s"semi prune must be below (after in text) the pair aggregation:\n$p")
   }
 
+  test("semdedup: cell-keyed equi pair join, drops anti-joined away") {
+    val p = planOf("semdedup_keep")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must ride the cell equi-key:\n$p")
+    assert(p.contains("LeftAnti"), s"keep-list must anti-join the drops:\n$p")
+  }
+
+  test("prototypes: bounded-heap top-k per cluster, no window sort") {
+    val p = planOf("emb_prototypes")
+    assert(p.contains("PartialTopKPerKey") && p.contains("FinalTopKPerKey"),
+      s"per-cluster trim must use the bounded-heap operator:\n$p")
+    assert(!p.contains("Window"), s"rank window crept back in:\n$p")
+  }
+
+  test("ann_sq8: stats and query sides broadcast; heap top-k; no shuffled join") {
+    val p = planOf("ann_sq8")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row (mns,mxs) stats row and the query codes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle for the scoring join:\n$p")
+    assert(p.contains("PartialTopKPerKey"),
+      s"ranking must go through the bounded heaps:\n$p")
+  }
+
+  test("perplexity buckets: ntile window partitioned by lang, not global") {
+    val p = planOf("doc_perplexity_buckets")
+    assert(p.contains("Window"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"bucketing must stay per-language parallel:\n$p")
+  }
+
   test("partitioned corpus write prunes to one split on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.operators.TextAnalysis.writeCorpus(
