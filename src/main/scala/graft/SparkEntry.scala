@@ -572,6 +572,10 @@ object SparkEntry {
     // CCNet-style per-language head/middle/tail LM-score buckets
     "doc_perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
+    // DSIR-style selection: hashed-token target/raw importance ratio,
+    // fixed-point integers, top-n via TakeOrderedAndProject
+    "dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(Tables.documents(s, dir))),
     "doc_editdist_next" -> ((s, dir) =>
       TextAnalysis.editDistanceToNext(Tables.documents(s, dir))),
     // resize pipeline: images re-stamped to 4x3, others untouched
@@ -1910,6 +1914,23 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(gcnt) AS BIGINT) AS familiarity
          |FROM g JOIN gc USING (shingle)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hashed-bucket importance: the bucket-independent smoothing factor
+    // (R+B)/(T+B) is dropped (it scales every doc's sum equally); the
+    // kept per-token score is the fixed-point target/raw count ratio
+    "dsir_select" ->
+      s"""WITH tb AS (SELECT doc_id, lang,
+         |    list_sum(list_transform(range(15), i ->
+         |      (strpos('0123456789abcdef', substr(md5(word), i+1, 1)) - 1)::BIGINT
+         |        << (4*(14-i)))) % 1024 AS b
+         |  FROM (SELECT doc_id, lang, unnest(ws) AS word
+         |        FROM (SELECT doc_id, lang, $SqlWs AS ws FROM documents))),
+         |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+         |st AS (SELECT b, (COALESCE(ct, 0) + 1) * 1000000 // (cr + 1) AS s
+         |  FROM raw LEFT JOIN tgt USING (b))
+         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS importance, count(*) AS n_tokens
+         |FROM tb JOIN st USING (b)
+         |GROUP BY 1 ORDER BY importance DESC, doc_id LIMIT 100""".stripMargin,
     // integer LM-score bucketing: familiarity // n_bigrams (truncating
     // div on both engines), ntile over the (score DESC, doc_id) total
     // order — bucket boundaries are deterministic

@@ -391,6 +391,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * rank documents by an importance weight estimated from hashed
+    * token features — how much more likely each document's tokens are
+    * under the TARGET distribution (here: the `targetLang` slice) than
+    * under the raw corpus. Per hashed bucket b with add-one smoothing
+    * the true per-token ratio is `(ct(b)+1)/(cr(b)+1) · C` where
+    * `C = (R+B)/(T+B)` is bucket-independent — a global positive
+    * factor that scales every document's sum equally, so it is
+    * DROPPED and the score kept integer: per-token
+    * `s(b) = ((ct(b)+1)·10⁶) div (cr(b)+1)` (fixed-point, truncating
+    * div identical on both engines; DSIR proper sums log-ratios — the
+    * ratio-sum surrogate needs no transcendental math, so the gate is
+    * bit-exact). Output: the top `n` documents by (importance desc,
+    * doc_id) with their integer importance and token count.
+    *
+    * Plan shape: the corpus tokenizes ONCE and never shuffles by word
+    * — bucket counts are two partial-aggregated shuffles of ≤
+    * `nBuckets` rows each, the bucket score table (`nBuckets` rows)
+    * broadcasts back, and the per-doc sum shuffles by doc_id; the
+    * top-n is TakeOrderedAndProject, no global sort. That is scan +
+    * two tiny aggs + broadcast + one keyed shuffle at any corpus size.
+    */
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+                 nBuckets: Int = 1024, n: Int = 100): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(WordCount.cleanWords(col("text"))).as("word"))
+      .withColumn("b", pmod(
+        expr("cast(conv(substr(md5(word), 1, 15), 16, 10) AS bigint)"),
+        lit(nBuckets.toLong)))
+      .select("doc_id", "lang", "b")
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = toks.where(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val scores = raw.join(tgt, Seq("b"), "left").select(col("b"),
+      expr("(coalesce(ct, 0L) + 1L) * 1000000L div (cr + 1L)").as("s"))
+    toks.join(broadcast(scores), "b")
+      .groupBy("doc_id")
+      .agg(sum("s").as("importance"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(n)
+  }
+
   /** Deterministic hash sample: keep ~pct% of documents by a stable
     * content-independent hash of the id (the dual-engine md5-prefix
     * hash — NOT `rand()`, so the sample is reproducible across runs,

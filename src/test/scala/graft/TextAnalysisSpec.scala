@@ -327,6 +327,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de(5L) == "head" && de(6L) == "middle")
   }
 
+  test("dsirSelect ranks target-like docs above raw-typical ones") {
+    // en-only vocabulary {a b} vs de-only {x y}: buckets hit by en
+    // tokens have ct≈cr (ratio ~1e6); de-only buckets have ct=0
+    // (ratio ~1e6/(cr+1)) — so en docs must outrank de docs
+    val d = Seq(
+      (1L, "a b a b", "en"),
+      (2L, "a b", "en"),
+      (3L, "x y x y", "de"),
+      (4L, "x y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirSelect(d, targetLang = "en", n = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq.take(2).toSet == Set(1L, 2L))
+    // importance of an en doc strictly exceeds the same-length de doc
+    val imp = got.map(r => r._1 -> r._2).toMap
+    assert(imp(1L) > imp(3L) && imp(2L) > imp(4L))
+    // n_tokens carried through
+    assert(got.map(r => r._1 -> r._3).toMap == Map(1L -> 4L, 2L -> 2L, 3L -> 4L, 4L -> 2L))
+  }
+
   test("langId: deterministic argmax with alphabetical tie-break") {
     // doc with zero marker hits -> all scores 0 -> tie broken to 'de'
     val r = TextAnalysis.langId(docs(1L -> "nomarker words only")).collect().head
