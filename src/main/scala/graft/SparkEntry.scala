@@ -695,6 +695,10 @@ object SparkEntry {
     // sliding windows, both run to completion and batch-oracled
     "streaming_interval_join" -> ((s, dir) =>
       graft.streaming.Streams.intervalJoinAvailableNow(s, dir)),
+    // stream-stream LEFT OUTER interval join: unmatched purchases emit
+    // a -1 sentinel once the watermark (heartbeat-advanced) passes them
+    "streaming_interval_join_outer" -> ((s, dir) =>
+      graft.streaming.Streams.leftOuterIntervalJoinAvailableNow(s, dir)),
     "streaming_events_sliding" -> ((s, dir) =>
       graft.streaming.Streams.slidingWindowsAvailableNow(s, dir)),
     // stream-static enrichment join: broadcast batch dim, no join state
@@ -2057,6 +2061,14 @@ object SparkEntry {
       s"""SELECT p.event_id AS purchase_id, epoch_ms(v.ts) AS view_ms
          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id
+         |  AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 600000
+         |  AND epoch_ms(v.ts) < epoch_ms(p.ts)
+         |ORDER BY purchase_id, view_ms""".stripMargin,
+    "streaming_interval_join_outer" ->
+      s"""SELECT p.event_id AS purchase_id, COALESCE(epoch_ms(v.ts), -1) AS view_ms
+         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
          |  ON p.user_id = v.user_id
          |  AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 600000
          |  AND epoch_ms(v.ts) < epoch_ms(p.ts)

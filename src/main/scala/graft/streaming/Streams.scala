@@ -61,6 +61,12 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // SPARK_GRAFT_STREAM_DEBUG=1: dump per-batch progress (batch id,
+      // input rows, watermark) — the tool for diagnosing flush races
+      if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+        q.recentProgress.foreach(pr => println(
+          s"STREAMDEBUG $name batch=${pr.batchId} rows=${pr.numInputRows} " +
+            s"wm=${pr.eventTime.get("watermark")}"))
     } finally if (statePartitions.isDefined) spark.conf.set(key, saved)
     val out = spark.table(name).orderBy(orderCols.map(col): _*)
     // resolve the sink relation into the plan NOW, then drop the
@@ -174,6 +180,131 @@ object Streams {
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
         col("v_ts") < col("p_ts"))
       .select(col("purchase_id"), unix_millis(col("v_ts")).as("view_ms"))
+    runAvailableNow(joined, Seq("purchase_id", "view_ms"), mode = "append",
+      statePartitions = Some(8))
+  }
+
+  /** Staged events source for the OUTER join: the corpus file plus
+    * FOUR watermark-heartbeat sentinel files 2/4/6/8 h past the corpus
+    * max event time. Outer-join null rows only emit once the watermark
+    * PASSES their join window, and the commit of a batch's event-time
+    * max into the global watermark LAGS: eviction in micro-batch N
+    * runs against a watermark from batch N−1 — and, raced against
+    * back-to-back AvailableNow batches, sometimes N−2. Heartbeat 1
+    * advances the watermark past every real event; the extra
+    * heartbeats guarantee enough trailing batches that the final
+    * eviction runs with it even at the worst observed lag (measured:
+    * with only one trailing batch the run nondeterministically left
+    * the last unmatched purchase unflushed).
+    *
+    * Each sentinel file carries one `purchase` and one `view` row with
+    * `event_id = user_id = −1`: Catalyst pushes the event-type filters
+    * BELOW the `EventTimeWatermark` operator, so a row must pass its
+    * branch's filter to advance that branch's watermark (the global
+    * watermark is the min across branches) — a row of a type matching
+    * neither branch is invisible to both. The −1 key matches no real
+    * user, and the consumer drops heartbeat rows with a predicate ON
+    * THE WATERMARK COLUMN (a time cutoff between the corpus max and
+    * the first heartbeat), the one predicate shape Catalyst will not
+    * push below the watermark node.
+    * This is the standard idle-source heartbeat pattern, staged as
+    * data because the file source has no per-partition idle-timeout
+    * hook; file modification times are forced ascending so
+    * `maxFilesPerTrigger=1` batches corpus → hb1 → hb2 in order.
+    */
+  private def stagedEventsWithSentinel(spark: SparkSession, dir: String): String =
+    streamDirCache.computeIfAbsent(s"$dir#sentinel", _ => {
+      val out = graft.TempDirs.scratch("graft_loj_src_")
+      val path = s"$dir/events.parquet"
+      java.nio.file.Files.createSymbolicLink(
+        out.resolve("0_events.parquet"), java.nio.file.Paths.get(path))
+      val ev = spark.read.parquet(path)
+      // ts is TIMESTAMP(NANOS)-as-long under the session's legacy flag;
+      // handle a genuine timestamp too (same branch as eventsStream)
+      def bump(hours: Long) = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + lit(hours * 3600L * 1000 * 1000 * 1000)
+        case _ => col("ts") + expr(s"INTERVAL $hours HOURS")
+      }
+      for (i <- Seq(1, 2, 3, 4)) {
+        val tmp = graft.TempDirs.scratch("graft_loj_tmp_")
+        val base = ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", bump(2L * i))
+          .withColumn("event_id", lit(-1L))
+          .withColumn("user_id", lit(-1L))
+        base.withColumn("event_type", lit("purchase"))
+          .unionByName(base.withColumn("event_type", lit("view")))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val f = part.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(f, out.resolve(s"${i}_sentinel.parquet"))
+            moved = true
+          }
+        }
+        require(moved, s"sentinel $i parquet part file not produced")
+      }
+      // ascending mod times: corpus first, then heartbeats in order
+      val now = System.currentTimeMillis()
+      ("0_events.parquet" +: (1 to 4).map(i => s"${i}_sentinel.parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.setLastModifiedTime(out.resolve(f),
+            java.nio.file.attribute.FileTime.fromMillis(now + i * 2000L))
+        }
+      out.toString
+    })
+
+  /** Stream-stream LEFT OUTER interval join: every purchase joined to
+    * the views of the same user in the preceding `windowMs`, emitting
+    * `(purchase_id, -1)` for purchases with NO prior view once the
+    * watermark passes their window (the -1 sentinel keeps the column
+    * BIGINT on both engines). The watermark is assigned BEFORE the
+    * event-type filters so the staged heartbeat row advances it past
+    * every real purchase; the AvailableNow no-data final batch then
+    * flushes the remaining outer state, making the result equal the
+    * batch left join. State on both sides is watermark-bounded exactly
+    * as in [[intervalJoinAvailableNow]].
+    */
+  def leftOuterIntervalJoinAvailableNow(spark: SparkSession, dir: String,
+                                        windowMs: Long = 600000L): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val staged = stagedEventsWithSentinel(spark, dir)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+    val ev = raw.withColumn("ts_ms", tsMs)
+    // Heartbeat cutoff: real events end at the corpus max; heartbeats
+    // start 2 h past it. The heartbeat-dropping predicate MUST
+    // reference the watermark column — Catalyst pushes any predicate
+    // NOT referencing it below the EventTimeWatermark node
+    // (PushPredicateThroughNonJoin), and a heartbeat filtered below
+    // the watermark node never advances the watermark (measured: a
+    // `purchase_id != -1` guard left the watermark frozen at
+    // real-max − delay and the last unmatched purchase never flushed).
+    val cutoff = timestamp_millis(lit(spark.read.parquet(path)
+      .agg(max(tsMs.cast("long"))).head().getLong(0) + 3600000L))
+    val p = ev.withColumn("p_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("p_ts", "1 hour")
+      .where(col("event_type") === "purchase" && col("p_ts") < cutoff)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("p_ts"))
+    val v = ev.withColumn("v_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("v_ts", "1 hour")
+      .where(col("event_type") === "view" && col("v_ts") < cutoff)
+      .select(col("user_id").as("v_user"), col("v_ts"))
+    val joined = p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+          col("v_ts") < col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"),
+        coalesce(unix_millis(col("v_ts")), lit(-1L)).as("view_ms"))
     runAvailableNow(joined, Seq("purchase_id", "view_ms"), mode = "append",
       statePartitions = Some(8))
   }

@@ -133,6 +133,27 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("left-outer interval join equals the batch left join, -1 for no view") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val got = Streams.leftOuterIntervalJoinAvailableNow(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_ms").as("p_ms"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_ms").as("v_ms"))
+    val want = p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ms") >= col("p_ms") - 600000L && col("v_ms") < col("p_ms"),
+        "left_outer")
+      .select(col("purchase_id"), coalesce(col("v_ms"), lit(-1L)))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got.nonEmpty && got == want)
+    // the outer semantics must be exercised: some purchase has no view
+    assert(got.exists(_._2 == -1L))
+  }
+
   test("availableNow session counts equal batch sessionization") {
     import org.apache.spark.sql.functions.{col, max}
     val got = Streams.sessionCountsAvailableNow(spark, sf0001)
