@@ -516,6 +516,9 @@ object SparkEntry {
       Relational.eventsGroupingSets(Tables.events(s, dir))),
     "events_props_map" -> ((s, dir) =>
       Relational.propsMapStats(Tables.events(s, dir))),
+    // Spark 4 VariantType: parse_json -> VARIANT -> variant_get extract
+    "events_props_variant" -> ((s, dir) =>
+      Relational.propsVariantStats(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) =>
       Relational.funnel(Tables.events(s, dir))),
     "events_tumbling" -> ((s, dir) => Relational.eventsTumbling(s, dir)),
@@ -699,6 +702,9 @@ object SparkEntry {
     // a -1 sentinel once the watermark (heartbeat-advanced) passes them
     "streaming_interval_join_outer" -> ((s, dir) =>
       graft.streaming.Streams.leftOuterIntervalJoinAvailableNow(s, dir)),
+    // Spark 4 transformWithState: typed ValueState on RocksDB
+    "streaming_tws_user_spend" -> ((s, dir) =>
+      graft.streaming.Streams.twsUserSpendAvailableNow(s, dir)),
     "streaming_events_sliding" -> ((s, dir) =>
       graft.streaming.Streams.slidingWindowsAvailableNow(s, dir)),
     // stream-static enrichment join: broadcast batch dim, no join state
@@ -1755,6 +1761,13 @@ object SparkEntry {
          |  SELECT key, CAST(json_extract_string(props, '$$.' || key) AS BIGINT) AS v
          |  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events))
          |GROUP BY key ORDER BY key""".stripMargin,
+    "events_props_variant" ->
+      s"""SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+         |  min(k) AS min_k, max(k) AS max_k
+         |FROM (SELECT event_type,
+         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |      FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_funnel" ->
       s"""WITH fv AS (
          |  SELECT user_id, min(epoch_ms(ts)) AS v_ms FROM events
@@ -2065,6 +2078,10 @@ object SparkEntry {
          |  AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 600000
          |  AND epoch_ms(v.ts) < epoch_ms(p.ts)
          |ORDER BY purchase_id, view_ms""".stripMargin,
+    "streaming_tws_user_spend" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "streaming_interval_join_outer" ->
       s"""SELECT p.event_id AS purchase_id, COALESCE(epoch_ms(v.ts), -1) AS view_ms
          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -307,6 +307,25 @@ object Relational {
         min("v").as("min_v"), max("v").as("max_v"))
       .orderBy("key")
 
+  /** Spark 4 VariantType surface: `props` parsed into a VARIANT (the
+    * binary-encoded semi-structured type) and field-extracted with
+    * `variant_get` — the modern path for JSON columns, replacing
+    * per-query string re-parsing ([[propsMapStats]] is the map-typed
+    * sibling, [[jsonStats]] the fixed-schema one). At 100 TB the
+    * variant column is parsed ONCE at ingest and stored shredded in
+    * parquet; extraction is then a binary field lookup, not a JSON
+    * scan — here parse and extract share the query to keep the gate
+    * self-contained.
+    */
+  def propsVariantStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Revenue by part brand: lineitem ⋈ broadcast(part). Completes
     * coverage of every testdata table; the broadcast keeps the fact
     * scan shuffle-free up to the final per-brand aggregation.

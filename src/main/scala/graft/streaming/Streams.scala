@@ -155,6 +155,37 @@ object Streams {
     runAvailableNow(sessionCounts(spark, eventsStream(spark, dir)),
       Seq("user_id"), mode = "update")
 
+  /** Spark 4 `transformWithState` (the arbitrary-stateful-processing
+    * API superseding mapGroupsWithState): a [[UserSpendProcessor]]
+    * with a typed ValueState accumulating each user's event count and
+    * integer-cents spend. Runs on the RocksDB state-store provider —
+    * the API requires it; the conf is read at query start, so scoping
+    * it around the run is safe (same pattern as the shuffle-partition
+    * scoping in [[runAvailableNow]]). One staged file = one batch, so
+    * update mode emits each user exactly once with the final totals,
+    * equal to the batch per-user aggregate.
+    */
+  def twsUserSpendAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .as[(Long, Long)]
+    val out = ev.groupByKey(_._1)
+      .transformWithState(new UserSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "cents")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runAvailableNow(out, Seq("user_id"), mode = "update")
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case scala.None => spark.conf.unset(key)
+    }
+  }
+
   /** Stream-stream interval join: purchases ⋈ views by user within the
     * preceding `windowMs`, both sides watermarked (the time-range
     * condition is what lets Spark bound each side's join state — an
@@ -559,5 +590,33 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
     runAvailableNow(enriched, Seq("nationkey"))
+  }
+}
+
+/** [[Streams.twsUserSpendAvailableNow]]'s StatefulProcessor: per-user
+  * (count, cents) in a single typed ValueState, the new-API
+  * counterpart of the mapGroupsWithState session counter. State lives
+  * in RocksDB on the executors; no TTL (the gate runs to completion —
+  * a production counter would set one).
+  */
+private class UserSpendProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("agg",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { case (_, c) => n += 1; cents += c }
+    st.update((n, cents))
+    Iterator.single((key, n, cents))
   }
 }

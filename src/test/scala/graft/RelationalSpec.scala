@@ -37,6 +37,16 @@ class RelationalSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 42L, 10L, 32L)))
   }
 
+  test("propsVariantStats: VARIANT parse + typed field extract") {
+    val e = events(
+      (1L, 1L, 0L, "a", 1.0, """{"k": 10}"""),
+      (2L, 1L, 0L, "a", 1.0, """{"k": 32}"""),
+      (3L, 1L, 0L, "b", 1.0, """{"k": 5}"""))
+    val got = Relational.propsVariantStats(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 2L, 42L, 10L, 32L), ("b", 1L, 5L, 5L, 5L)))
+  }
+
   test("asof join: most recent strictly-prior view per purchase") {
     val e = events(
       (1L, 1L, 100L, "view", 0.0, "{}"),

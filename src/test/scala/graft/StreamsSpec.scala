@@ -154,6 +154,18 @@ class StreamsSpec extends SparkSpec {
     assert(got.exists(_._2 == -1L))
   }
 
+  test("transformWithState user spend equals the batch per-user aggregate") {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    val got = Streams.twsUserSpendAvailableNow(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got.nonEmpty && got == want)
+  }
+
   test("availableNow session counts equal batch sessionization") {
     import org.apache.spark.sql.functions.{col, max}
     val got = Streams.sessionCountsAvailableNow(spark, sf0001)
