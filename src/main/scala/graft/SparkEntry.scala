@@ -238,6 +238,10 @@ object SparkEntry {
     // hive-partitioned lake: the filter prunes to one partition dir
     "partitioned_pruned_scan" -> ((s, dir) =>
       graft.sources.PartitionedLake.prunedDailySpend(s, dir)),
+    // schema evolution: mergeSchema over a two-generation lake; gen-1
+    // rows read NULL for the column generation 2 added
+    "lake_schema_evolution" -> ((s, dir) =>
+      graft.sources.PartitionedLake.schemaEvolutionStats(s, dir)),
     "distinct_words" -> ((s, dir) =>
       WordCount.distinctWords(Tables.documents(s, dir))),
     // same count through the KMV TypedImperativeAggregate sketch
@@ -264,6 +268,22 @@ object SparkEntry {
         .select(explode(col("s")).as("e"))
         .select(col("e.word").as("word"), col("e.cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(20)
+    }),
+    // point frequencies through the count-min sketch: build once (one
+    // scan, depth×width longs), broadcast the 1-row sketch, probe the
+    // top words with the codegen builtin-expression estimator (exact
+    // here: collision needs a shared cell in EVERY depth row)
+    "topk_words_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val words = WordCount.explodeWords(Tables.documents(s, dir), "text", Nil)
+      val cms = words.agg(
+        graft.functions.CountMinAgg.cms_agg(col("word")).as("cms"))
+      words.groupBy("word").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("word")).limit(20)
+        .crossJoin(broadcast(cms))
+        .select(col("word"),
+          graft.functions.CountMinAgg.estimate(col("cms"), col("word")).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
     }),
     "topk_words" -> ((s, dir) =>
       WordCount.topK(Tables.documents(s, dir), 20)),
@@ -564,6 +584,9 @@ object SparkEntry {
     // degree-oriented wedge-join triangle count of the same word graph
     "word_triangles" -> ((s, dir) =>
       Graph.triangleCount(Tables.documents(s, dir))),
+    // BFS hop distances from the smallest word (frontier expansion)
+    "word_bfs_dist" -> ((s, dir) =>
+      Graph.bfsDistances(Tables.documents(s, dir))),
     // CCNet-style cross-doc boilerplate chunk removal
     "doc_boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
@@ -680,6 +703,9 @@ object SparkEntry {
     // with exact integer distances — the 4×-smaller-index lever
     "ann_sq8" -> ((s, dir) =>
       Similarity.annSq8(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+    // JL ±1 random projection to 16 dims, exact integer coordinates
+    "emb_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(Tables.embeddings(s, dir))),
     // watermark+window streaming under the driver's oracle: the events
     // parquet as a file stream, tumbling windows, run to completion
     "streaming_events_windows" -> ((s, dir) =>
@@ -760,6 +786,14 @@ object SparkEntry {
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lake_schema_evolution" ->
+      s"""SELECT event_type, count(*) AS n, count(value_cents) AS n_v2,
+         |  CAST(sum(value_cents) AS BIGINT) AS sum_cents
+         |FROM (SELECT event_type,
+         |        CASE WHEN event_id % 2 = 1
+         |             THEN CAST(round(value * 100) AS BIGINT) END AS value_cents
+         |      FROM events)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_ntile" ->
       s"""SELECT event_type, tile, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_cents FROM (
          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c,
@@ -791,6 +825,9 @@ object SparkEntry {
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "topk_words_sketch" ->
+      s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "topk_words_cms" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "word_length_hist" ->
@@ -1499,6 +1536,26 @@ object SparkEntry {
          |  SELECT vec_id, cluster, d2,
          |    row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS r
          |  FROM best) WHERE r <= 40 ORDER BY vec_id""".stripMargin,
+    // ±1 signs from the dual-engine md5 parity of "j:i"; projection is
+    // an exact integer fold over the scaled embedding
+    "emb_random_projection" ->
+      s"""WITH nd AS (SELECT max(len(embedding)) AS nd FROM embeddings),
+         |sm AS (SELECT list_transform(range(0, 16), j ->
+         |    list_transform(range(1, nd + 1), i ->
+         |      CASE WHEN list_sum(list_transform(range(15), q ->
+         |          (strpos('0123456789abcdef',
+         |             substr(md5(j::VARCHAR || ':' || i::VARCHAR), q+1, 1)) - 1)::BIGINT
+         |            << (4*(14-q)))) % 2 = 0
+         |        THEN 1::BIGINT ELSE -1::BIGINT END)) AS sm
+         |  FROM nd),
+         |ev AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(j + 1 AS BIGINT) AS dim,
+         |  CAST(list_sum(list_transform(range(1, len(ev) + 1),
+         |    i -> sm[j + 1][i] * ev[i])) AS BIGINT) AS v
+         |FROM ev, sm, LATERAL (SELECT unnest(range(0, 16)) AS j) r
+         |ORDER BY vec_id, dim""".stripMargin,
     // the quantized code IS the contract: round((x-mn)*255/(mx-mn)) per
     // dim (identical IEEE expression tree on both engines), constant
     // dims -> 0, then exact integer squared-L2 ranking
@@ -1972,6 +2029,23 @@ object SparkEntry {
          |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM (SELECT source, doc_id, CAST(len($SqlWs) AS BIGINT) AS n_tokens FROM documents))
          |ORDER BY source, doc_id""".stripMargin,
+    // recursive-CTE BFS: UNION (not UNION ALL) dedups (word, dist)
+    // rows per step, so paths collapse and the recursion is bounded by
+    // nodes × maxHops; min(dist) per word = first-reach depth
+    "word_bfs_dist" ->
+      s"""WITH RECURSIVE e0 AS (SELECT DISTINCT ws[i+1] AS s, ws[i+2] AS t
+         |  FROM (SELECT $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |  WHERE len(ws) >= 2),
+         |edges AS (SELECT s AS src, t AS dst FROM e0
+         |          UNION SELECT t, s FROM e0),
+         |bfs AS (
+         |  SELECT (SELECT min(src) FROM edges) AS word, 0 AS dist
+         |  UNION
+         |  SELECT e.dst, b.dist + 1 FROM bfs b
+         |  JOIN edges e ON e.src = b.word WHERE b.dist < 20)
+         |SELECT word, CAST(min(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
     "word_triangles" ->
       s"""WITH edges AS (SELECT DISTINCT ws[i+1] AS s, ws[i+2] AS t
          |  FROM (SELECT $SqlWs AS ws FROM documents),

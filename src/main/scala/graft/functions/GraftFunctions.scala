@@ -51,6 +51,9 @@ object GraftFunctions {
     // aggregates: the sketches are usable directly in SQL GROUP BYs
     "graft_kmv_distinct" -> (args => KmvDistinct(args(0),
       intLit(args(1), "k")).toAggregateExpression()),
+    "graft_cms" -> (args => CountMinAgg(args(0),
+      intLit(args(1), "depth"), intLit(args(2), "width"))
+      .toAggregateExpression()),
     "graft_topk_sketch" -> (args => TopKFreqSketch(args(0),
       intLit(args(1), "m")).toAggregateExpression()),
     // the sketch consumes longs; cast like the Column entry point does

@@ -110,4 +110,49 @@ object Graph {
       .join(e3, col("v") === col("v3") && col("w2") === col("w3"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** BFS hop distances over the UNDIRECTED word graph from the
+    * lexicographically smallest word — the traversal primitive
+    * (single-source shortest path on unit weights) next to the
+    * connectivity ([[Dedup.components]]) and centrality ([[pageRank]])
+    * operators. Frontier expansion: each round joins the current
+    * frontier to the edges, anti-joins the visited set, stamps
+    * `dist = round`; a word therefore gets the FIRST (minimal) depth
+    * it is reached at. Words not reached within `maxHops` are absent
+    * (the oracle walks the identical horizon).
+    *
+    * Scale shape: one edge-keyed join + one anti-join per round, both
+    * frontier-sized; rounds = graph diameter (word graphs are
+    * shallow — the star-contraction escape hatch in [[Dedup]] exists
+    * for the deep-chain case). The source is a 1-row aggregate
+    * cross-joined in, NOT a driver-side fetch; superseded rounds'
+    * checkpoints are released like every other iterative loop here.
+    */
+  def bfsDistances(docs: DataFrame, maxHops: Int = 20): DataFrame = {
+    val e0 = bigramEdges(docs)
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var visited = edges.agg(min(col("src")).as("word"))
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var d = 0L
+    var more = true
+    while (more && d < maxHops) {
+      val next = frontier.join(edges, col("word") === col("src"))
+        .select(col("dst").as("word")).distinct()
+        .join(visited.select("word"), Seq("word"), "left_anti")
+        .withColumn("dist", lit(d + 1L)).localCheckpoint()
+      more = next.limit(1).count() > 0
+      if (more) {
+        val prevVisited = visited
+        visited = visited.unionByName(next).localCheckpoint()
+        Dedup.release(prevVisited)
+        Dedup.release(frontier)
+        frontier = next
+        d += 1
+      } else Dedup.release(next)
+    }
+    visited.orderBy("word")
+  }
 }

@@ -342,6 +342,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Johnson–Lindenstrauss random projection with a ±1 (Achlioptas
+    * 2003) matrix: scaled-integer embeddings projected to `outDims`
+    * dimensions, every output coordinate an EXACT bigint
+    * `Σᵢ sign(j,i)·evᵢ` — distances are preserved in expectation while
+    * the vector shrinks 4× here (64→16 dims), the standard cheap
+    * dimensionality reduction in front of clustering/LSH. The sign
+    * matrix is deterministic — `sign(j,i)` = parity of the dual-engine
+    * md5 hash of "j:i" — and is evaluated ONCE in a one-row frame that
+    * broadcasts; per-row work is the `outDims × d` integer fold. (The
+    * lambdas are interpreted; the 100 TB hot path would move the fold
+    * into a native codegen Expression — the NearestCentroidL2
+    * treatment.) Output exploded to (vec_id, dim, v) rows.
+    */
+  def randomProjection(emb: DataFrame, outDims: Int = 16): DataFrame = {
+    val signs = emb
+      .agg(max(size(col("embedding"))).as("nd"))
+      .select(expr(
+        s"""transform(sequence(0, ${outDims - 1}), j ->
+           |  transform(sequence(1, nd), i ->
+           |    IF(pmod(cast(conv(substr(md5(concat(cast(j AS string), ':',
+           |                                        cast(i AS string))), 1, 15),
+           |                  16, 10) AS bigint), 2) = 0, 1L, -1L)))"""
+          .stripMargin).as("sm"))
+    emb.select(col("vec_id"), Clustering.scaledVec(col("embedding")).as("ev"))
+      .join(broadcast(signs))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${outDims - 1}), j ->
+           |  aggregate(sequence(1, size(ev)), 0L, (acc, i) ->
+           |    acc + element_at(element_at(sm, j + 1), i) * element_at(ev, i)))"""
+          .stripMargin)))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("v"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** Per-vector stats via higher-order array functions — `filter`,
     * `transform`, `aggregate` with no UDF and no explode (the array
     * never becomes rows, so a 100 TB scan stays one pass with zero

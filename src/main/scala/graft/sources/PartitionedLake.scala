@@ -27,6 +27,42 @@ object PartitionedLake {
       out
     })
 
+  /** Two-generation parquet lake for schema-evolution reads:
+    * generation 1 (even event_ids) wrote (event_id, user_id,
+    * event_type); generation 2 (odd event_ids) added `value_cents`.
+    * The real-lake situation every long-lived pipeline hits — old
+    * files keep their narrow schema forever, only new writes carry the
+    * added column.
+    */
+  def schemaEvolutionLake(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent(s"$dir#evolve", _ => {
+      val out = graft.TempDirs.scratchString("graft_evolve_")
+      val ev = graft.Tables.events(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "event_type")
+        .write.mode("append").parquet(out)
+      ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .write.mode("append").parquet(out)
+      out
+    })
+
+  /** Read the evolved lake with `mergeSchema` — the footer-merge that
+    * unions all generations' schemas; generation-1 rows surface NULL
+    * for the added column, so count/sum aggregate only the new data.
+    * (Without mergeSchema the scan schema is whichever footer Spark
+    * samples — a silent column drop; the option is the contract.)
+    */
+  def schemaEvolutionStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(schemaEvolutionLake(spark, dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("value_cents")).as("n_v2"),
+        sum(col("value_cents")).as("sum_cents"))
+      .orderBy("event_type")
+
   /** Daily spend for ONE event type through the partitioned lake — the
     * `event_type = t` predicate is a partition filter (directory
     * prune), not a row filter; `PlanAuditSpec` asserts the scan's

@@ -48,4 +48,17 @@ class FormatsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(salted == plain)
   }
+
+  test("schema evolution: mergeSchema unions generations, gen-1 reads NULL") {
+    val lake = graft.sources.PartitionedLake.schemaEvolutionLake(spark, sf0001)
+    val merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(merged.columns.contains("value_cents"))
+    // generation-1 (even ids) rows surface NULL for the added column
+    assert(merged.where(col("event_id") % 2 === 0)
+      .where(col("value_cents").isNotNull).isEmpty)
+    assert(merged.where(col("event_id") % 2 === 1)
+      .where(col("value_cents").isNull).isEmpty)
+    // row count preserved across generations
+    assert(merged.count() == Tables.events(spark, sf0001).count())
+  }
 }

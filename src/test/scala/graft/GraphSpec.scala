@@ -23,4 +23,20 @@ class GraphSpec extends SparkSpec {
     val n = Graph.triangleCount(d).collect().head.getLong(0)
     assert(n == 4L)
   }
+
+  test("bfsDistances: first-reach depths on a chain with a shortcut") {
+    // chain a-b-c-d plus shortcut a-d: d is 1 hop via the shortcut
+    val d = docs(1L -> "a b", 2L -> "b c", 3L -> "c d", 4L -> "a d")
+    val got = Graph.bfsDistances(d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("bfsDistances: maxHops bounds the horizon; unreached words absent") {
+    val d = docs(1L -> "a b", 2L -> "b c", 3L -> "c d", 4L -> "x y")
+    val got = Graph.bfsDistances(d, maxHops = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // d is 3 hops away -> outside the horizon; x/y disconnected
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
 }

@@ -118,6 +118,23 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped == expectDropped)
   }
 
+  test("randomProjection: exact integer linear map, deterministic signs") {
+    val d = emb(
+      (0L, Seq(0.5f, -0.25f, 1f, 0f), 0),
+      (1L, Seq(1.0f, -0.5f, 2f, 0f), 0),   // 2x vector 0
+      (2L, Seq(0.5f, -0.25f, 1f, 0f), 0))  // copy of vector 0
+    val got = Similarity.randomProjection(d, outDims = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 12)
+    val byVec = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // linearity: proj(2x) = 2*proj(x), exactly (integer arithmetic)
+    assert(byVec(1L) == byVec(0L).map(_ * 2))
+    // determinism: identical vectors project identically
+    assert(byVec(2L) == byVec(0L))
+    // the signs actually mix dimensions: some coordinate is nonzero
+    assert(byVec(0L).exists(_ != 0L))
+  }
+
   test("annSq8 ranks by exact integer distance over the quantized codes") {
     val d = Tables.embeddings(spark, sf0001)
     val got = Similarity.annSq8(d, nQueries = 5, k = 3).collect()
