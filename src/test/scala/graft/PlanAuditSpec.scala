@@ -281,6 +281,23 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketing must stay per-language parallel:\n$p")
   }
 
+  test("dsir: score table broadcast; top-n is TakeOrderedAndProject") {
+    val p = planOf("dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nBuckets-row score table must broadcast back onto tokens:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-n must not plan a global sort:\n$p")
+  }
+
+  test("cms: one-row sketch broadcast to the probe side") {
+    val p = planOf("topk_words_cms")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row sketch must broadcast:\n$p")
+    assert(p.contains("partial_countminagg") ||
+      p.linesIterator.exists(l => l.contains("partial") && l.contains("countmin")),
+      s"sketch build must combine map-side:\n$p")
+  }
+
   test("partitioned corpus write prunes to one split on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.operators.TextAnalysis.writeCorpus(
