@@ -598,6 +598,34 @@ object SparkEntry {
     // CCNet-style per-language head/middle/tail LM-score buckets
     "doc_perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
+    // modern SQL aggregate surface: count_if + listagg WITHIN GROUP
+    // (deterministic: DISTINCT + explicit order), run via spark.sql
+    // over the registered views — the SQL-first entry point under gate
+    "docs_modern_agg" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql("""SELECT source,
+              |  count(*) AS n_docs,
+              |  count_if(n_chars > 200) AS n_long,
+              |  listagg(DISTINCT lang, ',') WITHIN GROUP (ORDER BY lang) AS langs
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    }),
+    // recursive CTE (Spark 4.1 WITH RECURSIVE, UNION ALL form): the
+    // day spine generated by recursion instead of sequence(), zero-
+    // filled against per-day purchase counts — the linear-recursion
+    // shape that cannot blow up (one row begets one row)
+    "sql_recursive_spine" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql("""WITH RECURSIVE spine(d) AS (
+              |  SELECT (SELECT min(ts_ms div 86400000) FROM events)
+              |  UNION ALL
+              |  SELECT d + 1 FROM spine
+              |  WHERE d < (SELECT max(ts_ms div 86400000) FROM events))
+              |SELECT d AS epoch_day, count(e.event_id) AS n_purchases
+              |FROM spine LEFT JOIN
+              |  (SELECT event_id, ts_ms div 86400000 AS ed FROM events
+              |   WHERE event_type = 'purchase') e ON e.ed = spine.d
+              |GROUP BY d ORDER BY d""".stripMargin)
+    }),
     // DSIR-style selection: hashed-token target/raw importance ratio,
     // fixed-point integers, top-n via TakeOrderedAndProject
     "dsir_select" -> ((s, dir) =>
@@ -1988,6 +2016,22 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(gcnt) AS BIGINT) AS familiarity
          |FROM g JOIN gc USING (shingle)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "docs_modern_agg" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  count_if(n_chars > 200) AS n_long,
+         |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "sql_recursive_spine" ->
+      s"""WITH RECURSIVE spine(d) AS (
+         |  SELECT (SELECT min(epoch_ms(ts) // 86400000) FROM events)
+         |  UNION ALL
+         |  SELECT d + 1 FROM spine
+         |  WHERE d < (SELECT max(epoch_ms(ts) // 86400000) FROM events))
+         |SELECT d AS epoch_day, count(e.event_id) AS n_purchases
+         |FROM spine LEFT JOIN
+         |  (SELECT event_id, epoch_ms(ts) // 86400000 AS ed FROM events
+         |   WHERE event_type = 'purchase') e ON e.ed = spine.d
+         |GROUP BY d ORDER BY d""".stripMargin,
     // hashed-bucket importance: the bucket-independent smoothing factor
     // (R+B)/(T+B) is dropped (it scales every doc's sum equally); the
     // kept per-token score is the fixed-point target/raw count ratio

@@ -83,6 +83,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("named-parameter SQL binds values without string splicing") {
+    GraftSql.registerViews(spark, sf0001)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM documents WHERE n_chars > :minChars",
+      Map("minChars" -> 100)).collect().head.getLong(0)
+    val want = spark.sql(
+      "SELECT count(*) AS n FROM documents WHERE n_chars > 100")
+      .collect().head.getLong(0)
+    assert(n == want && n > 0)
+  }
+
+  test("recursive CTE (UNION ALL) runs on the Spark SQL surface") {
+    val got = spark.sql(
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10)
+        |SELECT sum(n) AS s FROM t""".stripMargin)
+      .collect().head.getLong(0)
+    assert(got == 55L)
+  }
+
   test("deletion neighborhood is a first-class SQL function") {
     GraftSql.registerViews(spark, sf0001)
     val got = spark.sql(
