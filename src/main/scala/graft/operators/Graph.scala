@@ -133,7 +133,10 @@ object Graph {
     val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    // min over an EMPTY edge set is one NULL row — drop it, or an
+    // empty graph would report a phantom (null, 0) source
     var visited = edges.agg(min(col("src")).as("word"))
+      .where(col("word").isNotNull)
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = visited
     var d = 0L

@@ -148,6 +148,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.blockedFuzzyPairs(shorties, maxDist = 2).count() == 3)
   }
 
+  test("round-6 late operators on empty input") {
+    import org.apache.spark.sql.functions.lit
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.annSq8(emptyEmb, 5, 3).count() == 0)
+    assert(Similarity.randomProjection(emptyEmb).count() == 0)
+    val emptyLangDocs = emptyDocs.withColumn("lang", lit("en"))
+    assert(TextAnalysis.dsirSelect(emptyLangDocs).count() == 0)
+    assert(TextAnalysis.perplexityBuckets(emptyLangDocs).count() == 0)
+    assert(graft.operators.Graph.bfsDistances(emptyDocs).count() == 0)
+    // single doc with one word: no bigram edges -> BFS finds nothing
+    assert(graft.operators.Graph.bfsDistances(
+      Seq((1L, "lonely")).toDF("doc_id", "text")).count() == 0)
+  }
+
   test("custom topk plan on empty input") {
     val empty = emptyDocs.select($"doc_id".as("g"), $"text".as("w"))
       .withColumn("cnt", org.apache.spark.sql.functions.lit(1L))
