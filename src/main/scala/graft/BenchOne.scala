@@ -19,8 +19,16 @@ object BenchOne {
       }
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"BENCHONE $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // SPARK_GRAFT_METRICS=1: measured shuffle volume of the run —
+      // the number behind every "this plan shuffles less" claim
+      val metrics = if (sys.env.get("SPARK_GRAFT_METRICS").contains("1")) {
+        val (bytes, recs) = PlanMetrics.shuffleTotals(df)
+        f" shuffleMB=${bytes / 1e6}%.1f shuffleRecs=$recs"
+      } else ""
+      println(f"BENCHONE $name run$i $secs%.2f s$metrics")
     }
     spark.stop()
   }

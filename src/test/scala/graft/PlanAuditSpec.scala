@@ -289,6 +289,17 @@ class PlanAuditSpec extends SparkSpec {
       s"top-n must not plan a global sort:\n$p")
   }
 
+  test("dsir: MEASURED shuffle volume is bucket+doc scale, not token scale") {
+    val df = SparkEntry.queries("dsir_select")(spark, sf0001)
+    val (_, recs) = PlanMetrics.shuffleTotals(df)
+    val tokens = graft.operators.WordCount
+      .explodeWords(Tables.documents(spark, sf0001), "text", Nil).count()
+    // the token stream must never shuffle: only the ≤nBuckets-row
+    // count aggregations and the per-doc partial sums move
+    assert(recs > 0 && recs < tokens / 2,
+      s"dsir shuffled $recs records against $tokens tokens")
+  }
+
   test("cms: one-row sketch broadcast to the probe side") {
     val p = planOf("topk_words_cms")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
