@@ -324,6 +324,18 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    // unicode canonicalization: a decomposed suffix (e + combining
+    // acute) is planted on every doc, NFC composes it back to é —
+    // delta = 1 proves the composition ran; fp hashes the normalized
+    // text (the pre-dedup canonicalization pass)
+    "doc_nfc_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val planted = concat(col("text"), lit("e\u0301"))
+      val norm = graft.functions.functions.nfc_normalize(planted)
+      Tables.documents(s, dir).select(col("doc_id"),
+        (length(planted) - length(norm)).cast("long").as("delta"),
+        md5(norm).as("fp")).orderBy("doc_id")
+    }),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) =>
@@ -717,6 +729,10 @@ object SparkEntry {
     // the index build is cached per (session, dir) — build once, query many
     "ann_ivf_kmeans" -> ((s, dir) =>
       Similarity.annIvfKmeansIndexed(s, dir, nQueries = 10, k = 5)),
+    // the same IVF search through the PERSISTED on-disk index: cell-
+    // bucketed postings, query reads only its own cells' buckets
+    "ann_ivf_disk" -> ((s, dir) =>
+      graft.sources.AnnIndex.annReport(s, dir, nQueries = 10, k = 5)),
     // SemDeDup: k-means cells bound the pairwise-cosine dedup quadratic;
     // keep-list drops any vector with a similar lower-id cell-mate
     "semdedup_keep" -> ((s, dir) =>
@@ -1233,6 +1249,14 @@ object SparkEntry {
          |FROM (SELECT doc_id, len($SqlWs)::BIGINT AS n_tokens,
          |        length(bin(len($SqlWs)))::BIGINT AS band FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // chr(101)=e, chr(769)=combining acute: the decomposed plant built
+    // from code points so no editor/encoding ambiguity enters the SQL
+    "doc_nfc_normalize" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text || chr(101) || chr(769))
+         |       - length(nfc_normalize(text || chr(101) || chr(769))) AS BIGINT) AS delta,
+         |  md5(nfc_normalize(text || chr(101) || chr(769))) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(lower(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -2487,6 +2511,23 @@ object SparkEntry {
          |FROM c5, LATERAL (SELECT unnest(range(1, len(cv) + 1)) AS i) r
          |ORDER BY cluster, dim""".stripMargin,
     "ann_ivf_kmeans" ->
+      s"""${sqlKmeansCents(8, 5)},
+         |cells AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+         |               n.vec_id) AS rank
+         |  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+         |  JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the persisted-index path computes the same centroids, cells and
+    // ranking — identical result by construction, same oracle
+    "ann_ivf_disk" ->
       s"""${sqlKmeansCents(8, 5)},
          |cells AS (SELECT vec_id, cluster AS cell FROM (
          |  SELECT e.vec_id, c.cluster,

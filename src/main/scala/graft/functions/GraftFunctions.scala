@@ -46,6 +46,7 @@ object GraftFunctions {
       intLit(args(1), "bits"),
       if (args.length > 2) longLit(args(2), "seed") else 7L)),
     "graft_nearest_centroid" -> (args => NearestCentroidL2(args(0), args(1))),
+    "graft_nfc" -> (args => NfcNormalize(args(0))),
     "graft_deletion_neighborhood" -> (args => DeletionNeighborhood(args(0),
       intLit(args(1), "maxDist"))),
     // aggregates: the sketches are usable directly in SQL GROUP BYs

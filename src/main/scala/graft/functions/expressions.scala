@@ -382,6 +382,29 @@ object DeletionNeighborhood {
   }
 }
 
+/** Unicode NFC normalization as a native codegen expression — the
+  * canonicalization pass a crawl corpus needs before hashing or
+  * deduplication (the same logical text arrives composed on one site
+  * and decomposed on another; fingerprints diverge unless normalized
+  * first). `java.text.Normalizer` is a static call, so the generated
+  * code stays inside whole-stage codegen; NFC of 'e'+U+0301 → 'é' is
+  * stable across Unicode versions (canonical compositions are frozen),
+  * which is what lets the DuckDB oracle (`nfc_normalize`) mirror it.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.NFC));""".stripMargin)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-level entry points for the expressions above. */
 object functions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
@@ -394,6 +417,7 @@ object functions {
   def sign_lsh(e: Column, bits: Int, seed: Long = 7L): Column =
     col(SignLsh(ex(e), bits, seed))
   def rolling_hash64(s: Column): Column = col(RollingHash64(ex(s)))
+  def nfc_normalize(s: Column): Column = col(NfcNormalize(ex(s)))
   def deletion_neighborhood(s: Column, maxDist: Int): Column =
     col(DeletionNeighborhood(ex(s), maxDist))
   def nearest_centroid_l2(vec: Column, cents: Column): Column =

@@ -172,4 +172,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0) != got(1))
     assert(got(2) == 0xcbf29ce484222325L) // offset basis for empty input
   }
+
+  test("nfc_normalize composes decomposed sequences, identity on NFC text") {
+    // "e" + U+0301 combining acute (2 chars) -> U+00E9 (1 char);
+    // explicit escapes so no editor normalization can corrupt the test
+    val decomposed = "e\u0301"
+    val composed = "\u00e9"
+    val got = Seq(decomposed, composed, "plain").toDF("s")
+      .select(nfc_normalize(col("s")), length(col("s")))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got(0)._1 == composed && got(0)._2 == 2) // composed, was 2 chars
+    assert(got(1)._1 == composed && got(1)._2 == 1) // already NFC: identity
+    assert(got(2)._1 == "plain")
+    // SQL surface
+    GraftSql.registerViews(spark, sf0001)
+    val viaSql = spark.sql("SELECT length(graft_nfc('e\u0301')) AS n")
+      .collect().head.getInt(0)
+    assert(viaSql == 1)
+  }
 }

@@ -118,6 +118,18 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped == expectDropped)
   }
 
+  test("persisted IVF index: bucket-pruned probe, same result as in-session") {
+    val df = graft.sources.AnnIndex.annReport(spark, sf0001, nQueries = 5, k = 3)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Similarity.annIvfKmeansIndexed(spark, sf0001, nQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == want)
+    // the postings scan must prune to the probed cells' buckets
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"cell IN filter should prune buckets:\n$plan")
+  }
+
   test("randomProjection: exact integer linear map, deterministic signs") {
     val d = emb(
       (0L, Seq(0.5f, -0.25f, 1f, 0f), 0),
