@@ -610,6 +610,10 @@ object SparkEntry {
     // CCNet-style per-language head/middle/tail LM-score buckets
     "doc_perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
+    // refined per-lang window (prefix-sum offset + closed-form ntile):
+    // bit-identical buckets, dominant-language-safe; shares the oracle
+    "doc_perplexity_buckets_refined" -> ((s, dir) =>
+      TextAnalysis.perplexityBucketsRefined(Tables.documents(s, dir))),
     // modern SQL aggregate surface: count_if + listagg WITHIN GROUP
     // (deterministic: DISTINCT + explicit order), run via spark.sql
     // over the registered views — the SQL-first entry point under gate
@@ -2073,6 +2077,16 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(s) AS BIGINT) AS importance, count(*) AS n_tokens
          |FROM tb JOIN st USING (b)
          |GROUP BY 1 ORDER BY importance DESC, doc_id LIMIT 100""".stripMargin,
+    // the refined form is provably the same permutation and bucketing
+    "doc_perplexity_buckets_refined" ->
+      s"""WITH g AS (${sqlShingles(2, distinct = false)}),
+         |gc AS (SELECT shingle, count(*) AS gcnt FROM g GROUP BY 1),
+         |fam AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(gcnt) AS BIGINT) AS familiarity
+         |  FROM g JOIN gc USING (shingle) GROUP BY 1)
+         |SELECT doc_id, lang, familiarity // n_bigrams AS fam_per_bigram,
+         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY familiarity // n_bigrams DESC, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS bucket
+         |FROM fam JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin,
     // integer LM-score bucketing: familiarity // n_bigrams (truncating
     // div on both engines), ntile over the (score DESC, doc_id) total
     // order — bucket boundaries are deterministic

@@ -434,6 +434,50 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** [[perplexityBuckets]] with the heavy per-language window REFINED
+    * for a dominant language — the promise in that operator's doc,
+    * delivered: the fine rank window partitions one sort key deeper
+    * (`(lang, score)`, ordered by doc_id), the global per-lang rank is
+    * recovered as prefix-sum offset + fine rank (the
+    * [[shardAssignRefined]] recipe), and ntile is replaced by its
+    * closed form over (rank, n): with `sz = n div k`, `rem = n mod k`,
+    * the first `rem` buckets hold `sz+1` rows — all integer, so the
+    * output is BIT-IDENTICAL to the single-window form and the gate
+    * shares its oracle verbatim.
+    */
+  def perplexityBucketsRefined(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    val scored = bigramFamiliarity(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("s", expr("familiarity div n_bigrams"))
+    val fine = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "s").orderBy("doc_id")
+    val byLangDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy("lang", "s").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(byLangDesc), lit(0L)))
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select("lang", "s", "off", "n")
+    scored.withColumn("rk_fine", row_number().over(fine).cast("long"))
+      .join(broadcast(offsets), Seq("lang", "s"))
+      .withColumn("r", col("off") + col("rk_fine"))
+      // closed-form ntile(k) from (r, n): first rem buckets get sz+1
+      .withColumn("nt", expr(
+        s"""CASE WHEN r <= (n % $nBuckets) * (n div $nBuckets + 1)
+           |     THEN (r - 1) div (n div $nBuckets + 1) + 1
+           |     ELSE n % $nBuckets
+           |          + (r - (n % $nBuckets) * (n div $nBuckets + 1) - 1)
+           |            div (n div $nBuckets) + 1 END""".stripMargin))
+      .withColumn("bucket",
+        when(col("nt") === 1, "head")
+          .when(col("nt") === nBuckets, "tail")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("lang"), col("s").as("fam_per_bigram"),
+        col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash sample: keep ~pct% of documents by a stable
     * content-independent hash of the id (the dual-engine md5-prefix
     * hash — NOT `rand()`, so the sample is reproducible across runs,

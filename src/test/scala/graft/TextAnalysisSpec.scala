@@ -327,6 +327,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de(5L) == "head" && de(6L) == "middle")
   }
 
+  test("perplexityBucketsRefined is bit-identical to the single-window form") {
+    val d = Tables.documents(spark, sf0001)
+    val a = TextAnalysis.perplexityBuckets(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    val b = TextAnalysis.perplexityBucketsRefined(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("dsirSelect ranks target-like docs above raw-typical ones") {
     // en-only vocabulary {a b} vs de-only {x y}: buckets hit by en
     // tokens have ct≈cr (ratio ~1e6); de-only buckets have ct=0
