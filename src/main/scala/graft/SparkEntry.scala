@@ -481,6 +481,10 @@ object SparkEntry {
     // same ranking through the custom TopKPerKey bounded-heap operator
     "knn_cosine_plan" -> ((s, dir) =>
       Similarity.knnTopKPlan(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+    // contrastive hard negatives: top-k inside the cosine annulus
+    // [0.05, 0.30) — confusable but not a disguised positive
+    "knn_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
     "ann_ivf" -> ((s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5, bits = 4)),
     "emb_neardup" -> ((s, dir) =>
@@ -572,6 +576,10 @@ object SparkEntry {
       Relational.dailyMomentum(Tables.events(s, dir))),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))),
+    // integer-exact BM25 over a corpus-derived 3-term query: postings
+    // semi-join-pruned before df, length norm in milli fixed-point
+    "doc_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(Tables.documents(s, dir))),
     "pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "doc_sample_hash" -> ((s, dir) =>
@@ -1546,6 +1554,19 @@ object SparkEntry {
          |  FROM embeddings q JOIN embeddings c
          |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // annulus filter BEFORE the rank — same cosine expression tree
+    "knn_hard_negatives" ->
+      s"""SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |  ) WHERE cos >= 0.05 AND cos < 0.30
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" ->
       s"""WITH cells AS (
          |  SELECT vec_id, embedding,
@@ -2002,6 +2023,27 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, word) AS rn FROM s
          |) WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // mirrors bm25TopDocs: same fixed-point scales, same division order
+    "doc_bm25_topk" ->
+      s"""WITH tf AS (SELECT doc_id, word, count(*) AS tf
+         |            FROM (${sqlWords(" doc_id,")}) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_milli FROM dl),
+         |q AS (SELECT word FROM (
+         |        SELECT word, CAST(sum(tf) AS BIGINT) AS gcnt FROM tf GROUP BY 1)
+         |      ORDER BY gcnt DESC, word LIMIT 3),
+         |p AS (SELECT tf.* FROM tf JOIN q USING (word)),
+         |dfq AS (SELECT word, count(*) AS df FROM p GROUP BY 1),
+         |sc AS (SELECT p.doc_id,
+         |         (n_docs * 1000000 // df)
+         |           * ((tf * 2200 * 1000000)
+         |              // (tf * 1000
+         |                  + (1200 * (250 + (750000 * dl) // avgdl_milli)) // 1000))
+         |           // 1000000 AS c
+         |       FROM p JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro, count(*) AS n_terms
+         |FROM sc GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin,
     "streaming_events_windows" ->
       s"""SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms, event_type,
          |  count(*) AS n_events,

@@ -100,6 +100,36 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * curation step): for each query vector, the top-k most similar
+    * candidates INSIDE a cosine annulus [floor, ceiling) — above the
+    * floor so the negative is confusable (carries gradient), below the
+    * ceiling so it is not a disguised positive/near-duplicate (the
+    * false-negative trap). Same broadcast-query scan shape as
+    * [[knnTopKPlan]]: the corpus is read once shuffle-free, the
+    * annulus filter drops most rows BEFORE the top-k operator, and the
+    * bounded heaps shuffle ≤ k rows per (query, partition). At 100 TB
+    * the same annulus composes with the IVF cell restriction
+    * ([[annIvf]]) to prune the scan side too.
+    */
+  def hardNegatives(emb: DataFrame, nQueries: Int, k: Int,
+                    floor: Double = 0.05, ceiling: Double = 0.30): DataFrame = {
+    val pre = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = pre.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+      .where(col("query_id") < nQueries)
+    val scored = pre.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+      .where(col("cos") >= floor && col("cos") < ceiling)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cos", true), ("neighbor_id", false)), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-dup via banded sign-LSH — the 100 TB path for
     * [[embeddingNearDup]]: one shuffle on (band, 16-bit signature
     * chunk); only bucket-colliding pairs get an exact cosine check.

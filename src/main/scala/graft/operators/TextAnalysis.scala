@@ -618,6 +618,54 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, k1 = 1.2,
+    * b = 0.75) in pure INTEGER arithmetic: every factor carries an
+    * explicit fixed-point scale (idf in micro, the length norm in
+    * milli), so both engines agree bit-for-bit — the [[tfidfTopTerms]]
+    * treatment, extended to the full scorer. The idf is the monotone
+    * integer surrogate `n_docs·10⁶ div df` (no float log, same
+    * precedent); the tf saturation and length normalization are the
+    * real BM25 shape: `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`.
+    *
+    * The query is DERIVED from the corpus (top `nTerms` words by
+    * global count, ties by word) — the [[phraseSearch]]
+    * no-data-dependent-literal property. Plan shape for 100 TB: tf is
+    * the one corpus-scale aggregation; the query is an `nTerms`-row
+    * broadcast; postings are semi-join-pruned to query terms BEFORE
+    * df is counted, so the full vocabulary never enters a join; the
+    * doc-length join touches only posting docs; the final ranking is
+    * TakeOrderedAndProject. Validity window: idf_micro·tfpart_micro
+    * must stay under 2⁶³ — fine to ~10⁹ docs; beyond that drop idf to
+    * milli scale.
+    */
+  def bm25TopDocs(docs: DataFrame, nTerms: Int = 3, k: Int = 100): DataFrame = {
+    val tf = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) * 1000L div count(1)").as("avgdl_milli"))
+    val q = tf.groupBy("word").agg(sum("tf").as("gcnt"))
+      .orderBy(col("gcnt").desc, col("word")).limit(nTerms)
+      .select("word")
+    val postings = tf.join(broadcast(q), "word")
+    val dfq = postings.groupBy("word").agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), expr(
+        """(n_docs * 1000000L div df)
+          |  * ((tf * 2200L * 1000000L)
+          |     div (tf * 1000L
+          |          + (1200L * (250L + (750000L * dl) div avgdl_milli))
+          |            div 1000L))
+          |  div 1000000L""".stripMargin).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Sparse bag-of-words similarity join through the inverted index:
     * pairs of documents scored by the integer dot product of their
     * term-frequency vectors, restricted to terms with document

@@ -42,6 +42,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("hardNegatives: annulus excludes self, positives, and easy negatives") {
+    val d = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0.05f), 0),    // cos ~0.999 -> above ceiling, excluded
+      (2L, Seq(0.3f, 1f), 0),     // cos ~0.287 -> in annulus
+      (3L, Seq(0.15f, 1f), 0),    // cos ~0.148 -> in annulus
+      (4L, Seq(0f, 1f), 0),       // cos 0 -> below floor, excluded
+      (5L, Seq(-1f, 0.1f), 0))    // negative cos -> excluded
+    val got = Similarity.hardNegatives(d, 1, 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 1L), (3L, 2L)))
+  }
+
+  test("bm25: higher-tf doc outranks lower-tf at equal length") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "spark spark spark fast fast slow", "en", "a", 1L),
+      (1L, "spark fast slow slow gc gc", "en", "a", 1L),
+      (2L, "gc gc gc gc gc gc", "en", "a", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // global top-3 terms: gc(8), spark(4), fast(3) -> all three docs hit
+    val got = TextAnalysis.bm25TopDocs(docs, nTerms = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 3)
+    // tf SATURATION is the point of BM25: doc 1 matches all three query
+    // terms and outranks doc 2's six-fold repetition of one term, which
+    // saturates at tf/(tf + k1·norm) -> 1
+    val scores = got.map(t => t._1 -> t._2).toMap
+    assert(scores(1L) > scores(2L))
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+  }
+
   test("ann_ivf results are a same-cell subset with correct local ranking") {
     val d = Tables.embeddings(spark, sf0001)
     val cells = d.select(col("vec_id"),
