@@ -356,6 +356,10 @@ object SparkEntry {
       TextAnalysis.bpeLearn(Tables.documents(s, dir), nMerges = 6)),
     "doc_bpe_segment" -> ((s, dir) =>
       TextAnalysis.bpeSegment(Tables.documents(s, dir), nMerges = 6)),
+    // per-language subwords/word and chars/subword under the learned
+    // merges — which languages the tokenizer under-serves
+    "vocab_fertility" -> ((s, dir) =>
+      TextAnalysis.vocabFertility(Tables.documents(s, dir), nMerges = 6)),
     "bigram_pmi" -> ((s, dir) =>
       TextAnalysis.bigramPmi(Tables.documents(s, dir), minCnt = 5, k = 25)),
     "bigram_lm" -> ((s, dir) =>
@@ -450,6 +454,10 @@ object SparkEntry {
         propRounds = 1)),
     "dedup_keep_list_cc" -> ((s, dir) =>
       Dedup.keepListCC(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+    // split assigned by hash of the near-dup COMPONENT, not the doc id —
+    // near-duplicates can never straddle train/test (leakage-proof)
+    "dataset_split_leakproof" -> ((s, dir) =>
+      Dedup.splitLeakproof(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     // per-cluster QUALITY argmax instead of the id-order root
     "dedup_keep_best_quality" -> ((s, dir) =>
       Dedup.keepBestQuality(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
@@ -1107,6 +1115,22 @@ object SparkEntry {
            |SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
            |FROM (${sqlWords(" doc_id,")}) dw JOIN vocab USING (word)
            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // same merge-table CTEs; rollup keyed by language with milli ratios
+    "vocab_fertility" ->
+      (sqlBpeCtes(6) +
+        s""",
+           |vocab AS (SELECT replace(ts, '/', '') AS word,
+           |  len(list_filter(string_split(ts, '/'), x -> x != ''))::BIGINT AS n_sub FROM w6),
+           |lw AS (SELECT lang, word, count(*) AS c
+           |       FROM (${sqlWords(" lang,")}) GROUP BY 1, 2),
+           |agg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+           |          CAST(sum(c * n_sub) AS BIGINT) AS n_bpe_tokens,
+           |          CAST(sum(c * length(word)) AS BIGINT) AS n_chars
+           |        FROM lw JOIN vocab USING (word) GROUP BY 1)
+           |SELECT lang, n_words, n_bpe_tokens,
+           |  n_bpe_tokens * 1000 // n_words AS fertility_milli,
+           |  n_chars * 1000 // n_bpe_tokens AS chars_per_token_milli
+           |FROM agg ORDER BY lang""".stripMargin),
     "events_range_join" ->
       s"""WITH s AS (
          |  SELECT user_id, session_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
@@ -1426,6 +1450,28 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS comp FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // group-wise split: same recursive-CTE CC, then the md5-prefix hash
+    // of the component label decides the split for every member at once
+    "dataset_split_leakproof" ->
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |),
+         |cc AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+         |lbl AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS comp
+         |        FROM documents d LEFT JOIN cc USING (doc_id)),
+         |hs AS (SELECT doc_id, comp, list_sum(list_transform(range(15), i ->
+         |    (strpos('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+         |      << (4*(14-i)))) AS h FROM lbl)
+         |SELECT doc_id, comp,
+         |  CASE WHEN h % 10 < 8 THEN 'train'
+         |       WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM hs ORDER BY doc_id""".stripMargin,
     "dedup_components_star" ->
       s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

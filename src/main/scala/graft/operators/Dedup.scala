@@ -620,6 +620,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Leakage-proof train/val/test split: the split is assigned by a
+    * deterministic hash of the NEAR-DUP COMPONENT id, not the doc id —
+    * so a document and all its near-duplicates land in the same split
+    * by construction. Splitting by doc id (the naive
+    * [[graft.operators.TextAnalysis.datasetSplit]]) silently leaks:
+    * two near-identical crawls of one page can straddle train and
+    * test, and the eval score measures memorization of the duplicate,
+    * not generalization — the classic contamination bug group-wise
+    * splitting exists to prevent. Docs in no near-dup pair are their
+    * own singleton group (comp = doc_id), so the split rates still
+    * hold corpus-wide. Plan: pair generation + adaptive CC (both
+    * existing scale paths) + one left join; the hash is the
+    * dual-engine md5-prefix used by every sampling operator.
+    */
+  def splitLeakproof(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val cc = componentsAdaptive(jaccardPairs(docs, n, num, den))
+    docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(cast(comp AS string)), 1, 15), 16, 10) AS bigint)"))
+      .select(col("doc_id"), col("comp"),
+        when(pmod(col("h"), lit(10L)) < 8, "train")
+          .when(pmod(col("h"), lit(10L)) === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signatures: (doc_id, sig: array<long> of length k).

@@ -195,6 +195,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language: subword tokens per whitespace
+    * word (`fertility_milli`) and characters per subword token
+    * (`chars_per_token_milli`) under the [[bpeLearn]] merge table —
+    * the standard diagnostic for how well a tokenizer serves each
+    * language (a high-fertility language pays more sequence length
+    * per word, i.e. the tokenizer under-serves it). All ratios in
+    * integer milli fixed-point. Cost shape: the learn loop touches
+    * only the vocabulary; the per-language rollup is one wordcount
+    * aggregation and one vocabulary join, output = one row per
+    * language.
+    */
+  def vocabFertility(docs: DataFrame, nMerges: Int): DataFrame = {
+    val vocab = bpeLoop(docs, nMerges)._2
+      .select(replace(col("ts"), lit("/"), lit("")).as("word"),
+        size(expr("filter(split(ts, '/'), x -> x != '')")).cast("long").as("n_sub"))
+    WordCount.explodeWords(docs, "text", Seq("lang"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .join(vocab, Seq("word"))
+      .groupBy("lang").agg(
+        sum("c").as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_bpe_tokens"),
+        sum(col("c") * length(col("word"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000L div n_words").as("fertility_milli"),
+        expr("n_chars * 1000L div n_bpe_tokens").as("chars_per_token_milli"))
+      .orderBy("lang")
+  }
+
   /** Shared merge loop: returns the learned merge list and the final
     * token-string vocabulary (ts, cnt).
     */

@@ -366,6 +366,19 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 65 && got.forall(_._2 == 0L))
   }
 
+  test("splitLeakproof: every member of a near-dup component shares its split") {
+    val d = Tables.documents(spark, sf0001)
+    val got = Dedup.splitLeakproof(d, n = 3, num = 4, den = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == d.count())
+    assert(got.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // the leakproof property itself: one split per component
+    val perComp = got.groupBy(_._2).values
+    assert(perComp.forall(_.map(_._3).toSet.size == 1))
+    // non-vacuous: at least one multi-member component exists
+    assert(perComp.exists(_.length > 1))
+  }
+
   test("simhash: identical docs collide, near docs within hamming 3") {
     val d = docs(1L -> base, 2L -> base, 3L -> "completely different words here now")
     val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

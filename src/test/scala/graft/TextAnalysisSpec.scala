@@ -336,6 +336,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("vocabFertility: per-lang subword/word and char/subword ratios") {
+    // en: "ab ab cd", de: "ab"; 6 merges fully merge both words ->
+    // every word is ONE token, so fertility = 1000 exactly and
+    // chars_per_token = total chars * 1000 / n words
+    val d = Seq(
+      (0L, "ab ab cd", "en", "s", 1L),
+      (1L, "ab", "de", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.vocabFertility(d, nMerges = 6).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("de", 1L, 1L, 1000L, 2000L),
+      ("en", 3L, 3L, 1000L, 2000L)))
+  }
+
   test("dsirSelect ranks target-like docs above raw-typical ones") {
     // en-only vocabulary {a b} vs de-only {x y}: buckets hit by en
     // tokens have ct≈cr (ratio ~1e6); de-only buckets have ct=0
