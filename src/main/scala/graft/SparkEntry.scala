@@ -609,6 +609,9 @@ object SparkEntry {
     // power iteration, 3 unrolled rounds in the oracle
     "word_pagerank" -> ((s, dir) =>
       Graph.wordPageRank(Tables.documents(s, dir))),
+    // seeded teleport: rank = proximity to the top-2 corpus words
+    "word_ppr" -> ((s, dir) =>
+      Graph.wordPpr(Tables.documents(s, dir))),
     // degree-oriented wedge-join triangle count of the same word graph
     "word_triangles" -> ((s, dir) =>
       Graph.triangleCount(Tables.documents(s, dir))),
@@ -749,6 +752,10 @@ object SparkEntry {
     // the index build is cached per (session, dir) — build once, query many
     "ann_ivf_kmeans" -> ((s, dir) =>
       Similarity.annIvfKmeansIndexed(s, dir, nQueries = 10, k = 5)),
+    // queries probe their 2 nearest cells — the IVF recall lever;
+    // shares the cached centroid index with the single-probe gates
+    "ann_ivf_multiprobe" -> ((s, dir) =>
+      Similarity.annIvfMultiprobe(s, dir, nQueries = 10, k = 5)),
     // the same IVF search through the PERSISTED on-disk index: cell-
     // bucketed postings, query reads only its own cells' buckets
     "ann_ivf_disk" -> ((s, dir) =>
@@ -2272,6 +2279,36 @@ object SparkEntry {
       (base +: iterCtes).mkString("WITH ", ",\n", "") +
         s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node"
     },
+    // personalized variant: same unrolled recurrence, teleport mass
+    // confined to the derived 2-word seed set
+    "word_ppr" -> {
+      val init = 1000000000000L
+      val jump = init * 15 / 100
+      val iters = 3
+      val base =
+        s"""edges AS (SELECT DISTINCT ws[i+1] AS src, ws[i+2] AS dst
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+           |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+           |seeds AS (SELECT word AS node FROM (
+           |  SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY 1)
+           |  ORDER BY cnt DESC, word LIMIT 2),
+           |r0 AS (SELECT node, CAST(CASE WHEN node IN (SELECT node FROM seeds)
+           |  THEN $init ELSE 0 END AS BIGINT) AS rank FROM nodes)""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |  CAST(CASE WHEN n.node IN (SELECT node FROM seeds) THEN $jump ELSE 0 END AS BIGINT)
+           |    + (85 * COALESCE(f.inflow, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(sum(r.rank // o.odeg) AS BIGINT) AS inflow
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           |    GROUP BY 1) f ON n.node = f.dst)""".stripMargin
+      }
+      (base +: iterCtes).mkString("WITH ", ",\n", "") +
+        s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node"
+    },
     "doc_stratified_sample" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, list_sum(list_transform(range(15), i ->
@@ -2624,6 +2661,27 @@ object SparkEntry {
          |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
          |               n.vec_id) AS rank
          |  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+         |  JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // multi-probe: queries rank candidates from their TWO nearest
+    // cells; candidates still join through their unique home cell
+    "ann_ivf_multiprobe" ->
+      s"""${sqlKmeansCents(8, 5)},
+         |cells AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1),
+         |probes AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c WHERE e.vec_id < 10) WHERE rn <= 2)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+         |               n.vec_id) AS rank
+         |  FROM probes q JOIN cells n ON q.cell = n.cell AND n.vec_id != q.vec_id
          |  JOIN embeddings qe ON qe.vec_id = q.vec_id
          |  JOIN embeddings ne ON ne.vec_id = n.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

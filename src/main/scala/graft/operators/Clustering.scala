@@ -137,6 +137,27 @@ object Clustering {
     assignAgainst(scaledView(embs), cents)
       .select(col("vec_id"), col("cluster").as("cell"))
 
+  /** Each vector's `nProbe` NEAREST cells by (d2, cluster) — the
+    * query-side assignment of a multi-probe IVF search. Meant for the
+    * QUERY set (small): the k-row centroid table broadcasts and the
+    * per-row work is a k-way explode + window, which is fine at query
+    * cardinality but would be the wrong plan for the corpus side
+    * (that stays on the single-cell codegen argmin of
+    * [[cellAssignments]]).
+    */
+  private[graft] def probeCells(embs: DataFrame, cents: DataFrame,
+                                nProbe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    scaledView(embs)
+      .crossJoin(broadcast(cents.select(col("cluster"), col("cv"))))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(ev, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nProbe)
+      .select(col("vec_id"), col("cluster").as("cell"))
+  }
+
   /** Prototypicality pruning (the SSL-prototypes selection of Sorscher
     * et al. 2022, arXiv:2206.14486): keep each cluster's `nKeep` most
     * prototypical members — smallest exact scaled-integer distance to

@@ -76,6 +76,67 @@ object Graph {
     pageRank(bigramEdges(docs), iters)
       .select(col("node"), col("rank"))
 
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed
+    * set — the rank measures proximity to the seeds rather than global
+    * centrality (the standard seeded-relevance primitive: quality
+    * propagation from trusted pages, related-entity expansion from a
+    * query node). Same integer-determinism contract as [[pageRank]]
+    * (`init`-scaled BIGINT mass, truncating div per step): initial
+    * mass `init` on each seed and 0 elsewhere, per-iteration rank =
+    * `jump·[node ∈ seeds] + (85·inflow) div 100`. The seed table is
+    * tiny by definition and broadcast; everything else is the
+    * [[pageRank]] per-iteration shape (one shuffle on dst, node-sized
+    * frames checkpointed and released per round).
+    */
+  def personalizedPageRank(rawEdges: DataFrame, seedsDf: DataFrame,
+                           iters: Int,
+                           init: Long = 1000000000000L): DataFrame = {
+    val jump = init * 15 / 100
+    val edges = rawEdges.localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .localCheckpoint()
+    val seeds = seedsDf.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1)).localCheckpoint()
+    var ranks = nodes.join(broadcast(seeds), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(init)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val inflow = edges
+        .join(ranks, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank div odeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      val prev = ranks
+      ranks = nodes.join(broadcast(seeds), Seq("node"), "left")
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(col("is_seed").isNotNull, lit(jump)).otherwise(lit(0L))
+            + expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+      Dedup.release(prev) // superseded iteration's blocks
+      i += 1
+    }
+    ranks.orderBy(col("rank").desc, col("node"))
+  }
+
+  /** Gate shape: personalized PageRank of the word-adjacency graph,
+    * seeded at the corpus' top `nSeeds` words by count (data-derived —
+    * no corpus-dependent literal in the query).
+    */
+  def wordPpr(docs: DataFrame, iters: Int = 3, nSeeds: Int = 2): DataFrame = {
+    val seeds = WordCount.wordCount(docs)
+      .orderBy(col("cnt").desc, col("word")).limit(nSeeds)
+      .select(col("word").as("node"))
+    personalizedPageRank(bigramEdges(docs), seeds, iters)
+      .select(col("node"), col("rank"))
+  }
+
   /** Triangle count of the undirected word-adjacency graph via
     * degree-ordered edge orientation: every edge points from its
     * (degree, word)-smaller endpoint to the larger, so each triangle

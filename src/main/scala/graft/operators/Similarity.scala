@@ -323,6 +323,46 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Multi-probe IVF top-k: each query scores candidates in its
+    * `nProbe` NEAREST cells instead of only its own — the standard
+    * recall lever of an IVF index (a query near a cell boundary has
+    * half its true neighbors on the other side; probing the runner-up
+    * cell recovers them for ~nProbe× scoring cost, still ~k/nProbe
+    * cheaper than exact). Corpus side is unchanged ([[cellAssignments]]
+    * codegen argmin, one home cell per vector), so each (query,
+    * candidate) pair arises at most once — via the candidate's home
+    * cell — and needs no dedup; the query side explodes into nProbe
+    * rows and broadcasts. Same output contract as [[knnBruteForce]].
+    */
+  def annIvfMultiprobe(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, nQueries: Int, k: Int, nProbe: Int = 2,
+                       nClusters: Int = 8, iters: Int = 5): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cents = cachedCentroids(spark, dir, nClusters, iters)
+    val pre = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .join(Clustering.cellAssignments(emb, cents), "vec_id")
+    val qp = Clustering.probeCells(emb.where(col("vec_id") < nQueries),
+        cents, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      .join(qp, "query_id")
+    val scored = pre.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Scalar-quantized (int8) approximate top-k — the memory-side ANN
     * lever: each dimension is affinely mapped to 0..255 by its
     * corpus-wide [min, max], and ALL ranking runs on the quantized

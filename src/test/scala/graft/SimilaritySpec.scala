@@ -74,6 +74,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
   }
 
+  test("multiprobe recall >= single-probe recall against brute force") {
+    val brute = Similarity.knnBruteForce(Tables.embeddings(spark, sf0001), 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.annIvfKmeansIndexed(spark, sf0001, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.annIvfMultiprobe(spark, sf0001, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = (single intersect brute).size
+    val rm = (multi intersect brute).size
+    // the candidate pool only grows, so true-neighbor recall cannot drop
+    // (a larger pool may displace a non-true candidate, so set inclusion
+    // of the top-k itself is NOT guaranteed — recall is the invariant)
+    assert(rm >= rs, s"multiprobe recall $rm < single-probe $rs")
+  }
+
   test("ann_ivf results are a same-cell subset with correct local ranking") {
     val d = Tables.embeddings(spark, sf0001)
     val cells = d.select(col("vec_id"),
