@@ -367,6 +367,11 @@ object SparkEntry {
     "doc_sparse_pairs" -> ((s, dir) =>
       TextAnalysis.sparseDotPairs(Tables.documents(s, dir), maxDf = 100,
         minDot = 2L)),
+    // cross-lingual candidate pairs by shared rare terms — the blocking
+    // stage of bitext mining (df-pruned before the join)
+    "doc_langpair_mining" -> ((s, dir) =>
+      TextAnalysis.langPairMining(Tables.documents(s, dir), "en", "de",
+        maxDf = 200, minShared = 1L)),
     "phrase_search" -> ((s, dir) =>
       TextAnalysis.phraseSearch(Tables.documents(s, dir))),
     // n-word generalization: top trigram, one-shuffle offset-vote plan
@@ -1079,6 +1084,17 @@ object SparkEntry {
          |  CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
          |FROM p a JOIN p b ON a.word = b.word AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING sum(a.tf * b.tf) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+    // distinct (doc, lang, word) postings; df-pruned; en x de pairs
+    "doc_langpair_mining" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, lang, word
+         |  FROM (${sqlWords(" doc_id, lang,")}) WHERE lang IN ('en', 'de')),
+         |keep AS (SELECT word FROM w GROUP BY 1 HAVING count(*) <= 200),
+         |p AS (SELECT w.* FROM w JOIN keep USING (word))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM p a JOIN p b ON a.word = b.word
+         |  AND a.lang = 'en' AND b.lang = 'de'
+         |GROUP BY 1, 2 HAVING count(*) >= 1
          |ORDER BY id_a, id_b""".stripMargin,
     "vocab_coverage" ->
       s"""WITH w AS (${sqlWords(extra = " doc_id,")}),

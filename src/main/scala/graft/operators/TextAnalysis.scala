@@ -646,6 +646,39 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Cross-lingual comparable-pair mining (bitext mining's blocking
+    * stage): pairs of documents in two DIFFERENT languages ranked by
+    * how many rare terms they share — names, numbers, and code-switch
+    * tokens survive translation verbatim, so shared low-df terms are
+    * the classic cheap signal for "these two pages say the same thing
+    * in different languages" (the candidate generator in front of an
+    * embedding-based verifier). Same df-pruned inverted-index shape as
+    * [[sparseDotPairs]]: terms with df > `maxDf` are cut BEFORE the
+    * self-join (a term every page shares carries no alignment signal
+    * and would explode candidates), and the lang-pair asymmetry
+    * (`langA` side < `langB` side has no meaning, so id order breaks
+    * the tie) keeps each pair once. Candidates ∝ Σ df² over kept
+    * terms — the maxDf knob is the 100 TB control.
+    */
+  def langPairMining(docs: DataFrame, langA: String, langB: String,
+                     maxDf: Int, minShared: Long): DataFrame = {
+    val tf = WordCount.explodeWords(docs, "text", Seq("doc_id", "lang"))
+      .where(col("lang").isin(langA, langB))
+      .select("doc_id", "lang", "word").distinct()
+    val keep = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("word")
+    val pruned = tf.join(keep, Seq("word"), "left_semi")
+    val a = pruned.where(col("lang") === langA)
+      .select(col("word"), col("doc_id").as("id_a"))
+    val b = pruned.where(col("lang") === langB)
+      .select(col("word"), col("doc_id").as("id_b"))
+    a.join(b, "word")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
+
   /** BM25 ranked retrieval (Robertson–Spärck Jones, k1 = 1.2,
     * b = 0.75) in pure INTEGER arithmetic: every factor carries an
     * explicit fixed-point scale (idf in micro, the length norm in

@@ -336,6 +336,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("langPairMining: rare shared terms pair en/de docs; hot terms cut") {
+    // "zurich" is rare (df 2) and shared en<->de -> pair (0, 10);
+    // "the" appears in every doc (df 4 > maxDf 3) -> contributes nothing;
+    // en-en and de-de co-occurrence must never pair
+    val d = Seq(
+      (0L, "the zurich report", "en", "s", 1L),
+      (1L, "the other page", "en", "s", 1L),
+      (10L, "the zurich bericht", "de", "s", 1L),
+      (11L, "the andere seite", "de", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.langPairMining(d, "en", "de", maxDf = 3, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 10L, 1L)))
+  }
+
   test("vocabFertility: per-lang subword/word and char/subword ratios") {
     // en: "ab ab cd", de: "ab"; 6 merges fully merge both words ->
     // every word is ONE token, so fertility = 1000 exactly and
