@@ -387,6 +387,9 @@ object SparkEntry {
     "doc_mixture_sample_salted" -> ((s, dir) =>
       TextAnalysis.mixtureSampleSalted(Tables.documents(s, dir), budget = 200,
         salts = 16)),
+    // α=0.75 temperature quotas via correctly-rounded sqrt composition
+    "doc_temperature_sample" -> ((s, dir) =>
+      TextAnalysis.temperatureSample(Tables.documents(s, dir), budget = 200)),
     "doc_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 30)),
     "events_zorder_stats" -> ((s, dir) =>
@@ -555,6 +558,12 @@ object SparkEntry {
         .orderBy("source")),
     "events_asof" -> ((s, dir) =>
       Relational.asofViewBeforePurchase(Tables.events(s, dir))),
+    // nearest-either-side asof variant (ties -> earlier view)
+    "events_asof_nearest" -> ((s, dir) =>
+      Relational.asofNearestView(Tables.events(s, dir))),
+    // RANGE-interval rolling window: last-7-days per-user aggregate
+    "events_rolling_7d" -> ((s, dir) =>
+      Relational.rollingUserWindow(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) =>
       Relational.eventTypePivot(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
@@ -623,6 +632,10 @@ object SparkEntry {
     // BFS hop distances from the smallest word (frontier expansion)
     "word_bfs_dist" -> ((s, dir) =>
       Graph.bfsDistances(Tables.documents(s, dir))),
+    // HITS hubs/authorities: integer max-normalized half-steps,
+    // 2 unrolled rounds in the oracle
+    "word_hits" -> ((s, dir) =>
+      Graph.wordHits(Tables.documents(s, dir))),
     // CCNet-style cross-doc boilerplate chunk removal
     "doc_boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
@@ -1111,6 +1124,23 @@ object SparkEntry {
       s"""WITH s AS (SELECT source, count(*)::BIGINT AS n_src,
          |             CAST(1 + coalesce(TRY_CAST(regexp_extract(source, '[0-9]+', 0)
          |               AS INT), 0) % 4 AS BIGINT) AS w
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM s),
+         |q AS (SELECT source, least(n_src, 200 * w // w_tot) AS quota FROM s, t),
+         |r AS (SELECT doc_id, source,
+         |        CAST(row_number() OVER (PARTITION BY source ORDER BY
+         |          list_sum(list_transform(range(15), i ->
+         |            (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+         |              << (4*(14-i)))), doc_id) AS BIGINT) AS rk
+         |      FROM documents)
+         |SELECT r.source, doc_id, rk FROM r JOIN q ON r.source = q.source
+         |WHERE rk <= quota ORDER BY r.source, doc_id""".stripMargin,
+    // α=0.75 weights as sqrt(n)·sqrt(sqrt(n)) — each factor IEEE
+    // correctly-rounded, so the milli-scaled floor is engine-exact
+    "doc_temperature_sample" ->
+      s"""WITH s AS (SELECT source, count(*)::BIGINT AS n_src,
+         |             CAST(floor((sqrt(CAST(count(*) AS DOUBLE))
+         |               * sqrt(sqrt(CAST(count(*) AS DOUBLE)))) * 1000.0) AS BIGINT) AS w
          |           FROM documents GROUP BY 1),
          |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM s),
          |q AS (SELECT source, least(n_src, 200 * w // w_tot) AS quota FROM s, t),
@@ -1815,6 +1845,40 @@ object SparkEntry {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          |) WHERE event_type = 'purchase' AND last_view_id IS NOT NULL
          |ORDER BY purchase_id""".stripMargin,
+    // nearest view on either side; ties prefer the earlier (prev) one
+    "events_asof_nearest" ->
+      s"""SELECT event_id AS purchase_id,
+         |  CASE WHEN nv_id IS NULL OR (pv_id IS NOT NULL AND ts_ms - pv_ts <= nv_ts - ts_ms)
+         |    THEN pv_id ELSE nv_id END AS nearest_view_id,
+         |  CASE WHEN nv_id IS NULL OR (pv_id IS NOT NULL AND ts_ms - pv_ts <= nv_ts - ts_ms)
+         |    THEN ts_ms - pv_ts ELSE nv_ts - ts_ms END AS gap_ms
+         |FROM (
+         |  SELECT event_id, event_type, ts_ms,
+         |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+         |      OVER wp AS pv_id,
+         |    last_value(CASE WHEN event_type = 'view' THEN ts_ms END IGNORE NULLS)
+         |      OVER wp AS pv_ts,
+         |    first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+         |      OVER wn AS nv_id,
+         |    first_value(CASE WHEN event_type = 'view' THEN ts_ms END IGNORE NULLS)
+         |      OVER wn AS nv_ts
+         |  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+         |        WHERE event_type IN ('view', 'purchase'))
+         |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |         wn AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         |) WHERE event_type = 'purchase' AND (pv_id IS NOT NULL OR nv_id IS NOT NULL)
+         |ORDER BY purchase_id""".stripMargin,
+    // RANGE frame bounded by the ts VALUE: 7 days = 604800000 ms
+    "events_rolling_7d" ->
+      s"""SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS roll_n,
+         |  CAST(coalesce(sum(v_c) OVER w, 0) AS BIGINT) AS roll_sum_cents
+         |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         |        CAST(round(value * 100) AS BIGINT) AS v_c FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+         |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
     "events_snapshot_upsert" ->
       s"""WITH ranked AS (
          |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
@@ -2324,6 +2388,35 @@ object SparkEntry {
       }
       (base +: iterCtes).mkString("WITH ", ",\n", "") +
         s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node"
+    },
+    // HITS: two half-steps per round (auth <- sum in-hub, hub <- sum
+    // out-auth), integer MAX-normalization after each — the scalar max
+    // is a subquery, mirroring the 1-row broadcast on the Spark side
+    "word_hits" -> {
+      val init = 1000000L
+      val iters = 2
+      val base =
+        s"""edges AS (SELECT DISTINCT ws[i+1] AS src, ws[i+2] AS dst
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+           |h0 AS (SELECT node, CAST($init AS BIGINT) AS hub FROM nodes)""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        s"""a${i}r AS (SELECT e.dst, CAST(sum(h.hub) AS BIGINT) AS a
+           |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+           |a$i AS (SELECT n.node,
+           |  COALESCE(r.a, 0) * $init // (SELECT max(a) FROM a${i}r) AS auth
+           |  FROM nodes n LEFT JOIN a${i}r r ON n.node = r.dst),
+           |h${i}r AS (SELECT e.src, CAST(sum(a.auth) AS BIGINT) AS h
+           |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+           |h$i AS (SELECT n.node,
+           |  COALESCE(r.h, 0) * $init // (SELECT max(h) FROM h${i}r) AS hub
+           |  FROM nodes n LEFT JOIN h${i}r r ON n.node = r.src)""".stripMargin
+      }
+      (base +: iterCtes).mkString("WITH ", ",\n", "") +
+        s"""\nSELECT a.node, a.auth, h.hub FROM a$iters a JOIN h$iters h USING (node)
+           |ORDER BY auth DESC, node""".stripMargin
     },
     "doc_stratified_sample" ->
       s"""SELECT doc_id, lang FROM (

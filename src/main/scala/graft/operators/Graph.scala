@@ -172,6 +172,72 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg) over (src, dst) edges —
+    * the bipartite-reinforcement centrality next to [[pageRank]]'s
+    * random-walk one: a node is a good AUTHORITY when good hubs point
+    * at it, a good HUB when it points at good authorities. Each
+    * iteration is the two half-steps `auth ← Σ_in hub` then
+    * `hub ← Σ_out auth`, renormalized after each half-step.
+    *
+    * Determinism contract: scores are `init`-scaled BIGINTs and the
+    * renormalization is MAX-normalization in integer arithmetic —
+    * `score · init div max(score)` — instead of the classical L2 norm
+    * (a float sqrt whose rounding the two engines need not share).
+    * Max-normalization keeps the same fixed-point direction as L2
+    * (both are scalar rescalings per half-step, and HITS' limit is
+    * scale-invariant) while staying bit-reproducible. The running max
+    * is a 1-row broadcast, the established scalar-frame pattern.
+    *
+    * Scale shape per iteration: two aggregations (one shuffle on dst,
+    * one on src) + two 1-row max aggregates; node-sized frames are
+    * checkpointed per half-step and superseded rounds released —
+    * the [[pageRank]] loop discipline. Overflow window: with
+    * `init = 10⁶`, an intermediate sum is ≤ n·init and the rescale
+    * multiplies by init — safe to ~10⁶ distinct nodes per the
+    * documented `n·init² < 2⁶³` bound; shrink init as n grows.
+    */
+  def hits(rawEdges: DataFrame, iters: Int, init: Long = 1000000L): DataFrame = {
+    val edges = rawEdges.localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var hubs = nodes.withColumn("hub", lit(init)).localCheckpoint()
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val rawAuth = edges.join(hubs, col("src") === col("node"))
+        .groupBy("dst").agg(sum("hub").as("a"))
+      val amax = rawAuth.agg(max("a").as("amax"))
+      val prevAuths = auths
+      auths = nodes.join(rawAuth, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("node"),
+          expr(s"coalesce(a, CAST(0 AS BIGINT)) * ${init}L div amax").as("auth"))
+        .localCheckpoint()
+      if (prevAuths != null) Dedup.release(prevAuths)
+      val rawHub = edges
+        .join(auths.select(col("node").as("anode"), col("auth")),
+          col("dst") === col("anode"))
+        .groupBy("src").agg(sum("auth").as("h"))
+      val hmax = rawHub.agg(max("h").as("hmax"))
+      val prevHubs = hubs
+      hubs = nodes.join(rawHub, col("node") === col("src"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("node"),
+          expr(s"coalesce(h, CAST(0 AS BIGINT)) * ${init}L div hmax").as("hub"))
+        .localCheckpoint()
+      Dedup.release(prevHubs)
+      i += 1
+    }
+    auths.join(hubs, "node")
+      .select(col("node"), col("auth"), col("hub"))
+      .orderBy(col("auth").desc, col("node"))
+  }
+
+  /** Gate shape: HITS of the corpus word-adjacency graph. */
+  def wordHits(docs: DataFrame, iters: Int = 2): DataFrame =
+    hits(bigramEdges(docs), iters)
+
   /** BFS hop distances over the UNDIRECTED word graph from the
     * lexicographically smallest word — the traversal primitive
     * (single-source shortest path on unit weights) next to the

@@ -363,6 +363,67 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Nearest as-of join: for each purchase, the view by the same user
+    * closest in time on EITHER side (ties → the earlier one) — the
+    * "nearest" asof-join direction next to [[asofViewBeforePurchase]]'s
+    * strictly-backward one. Same no-self-join shape: one shuffle on
+    * user_id; the prior view is a running `last(ignoreNulls)` over the
+    * rows-frame ending at -1 and the next view a `first(ignoreNulls)`
+    * over the frame starting at +1, so each event is touched once
+    * regardless of how far away its nearest view is (a range-join
+    * formulation would explode on sparse users).
+    */
+  def asofNearestView(events: DataFrame): DataFrame = {
+    val order = Seq(col("ts_ms"), col("event_id"))
+    val wPrev = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val viewId = when(col("event_type") === "view", col("event_id"))
+    val viewTs = when(col("event_type") === "view", col("ts_ms"))
+    val preferPrev = col("nv_id").isNull ||
+      (col("pv_id").isNotNull &&
+        col("ts_ms") - col("pv_ts") <= col("nv_ts") - col("ts_ms"))
+    events
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("pv_id", last(viewId, ignoreNulls = true).over(wPrev))
+      .withColumn("pv_ts", last(viewTs, ignoreNulls = true).over(wPrev))
+      .withColumn("nv_id", first(viewId, ignoreNulls = true).over(wNext))
+      .withColumn("nv_ts", first(viewTs, ignoreNulls = true).over(wNext))
+      .where(col("event_type") === "purchase" &&
+        (col("pv_id").isNotNull || col("nv_id").isNotNull))
+      .select(col("event_id").as("purchase_id"),
+        when(preferPrev, col("pv_id")).otherwise(col("nv_id"))
+          .as("nearest_view_id"),
+        when(preferPrev, col("ts_ms") - col("pv_ts"))
+          .otherwise(col("nv_ts") - col("ts_ms")).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  /** Rolling 7-day per-user aggregate via a RANGE window frame — the
+    * time-interval window surface (`RANGE BETWEEN <interval> PRECEDING
+    * AND CURRENT ROW`) as opposed to the rows-frames elsewhere in this
+    * module: the frame is bounded by the ORDER-BY VALUE (ts_ms), so
+    * gaps in a user's history shrink the window to whatever events
+    * actually fall in the last 7 days, and same-timestamp peers are
+    * all included (RANGE peer semantics on both engines). One shuffle
+    * on user_id; value in cents per the integer-exactness convention.
+    */
+  def rollingUserWindow(events: DataFrame, days: Int = 7): DataFrame = {
+    val span = days.toLong * 86400000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-span, 0L)
+    events
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+      .withColumn("roll_n", count(lit(1)).over(w).cast("long"))
+      .withColumn("roll_sum_cents",
+        coalesce(sum("v_c").over(w), lit(0L)))
+      .select("event_id", "roll_n", "roll_sum_cents")
+      .orderBy("event_id")
+  }
+
   /** Pivot: per-user event-type counts as columns (conditional
     * aggregation — one shuffle, no multi-pass pivot machinery).
     */

@@ -1064,6 +1064,39 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Temperature-based mixture sampling (the GPT-3/PaLM data-mixing
+    * scheme): per-source quotas proportional to `n_src^α` with
+    * α = 0.75 — upweighting small sources relative to proportional
+    * sampling without letting any source dominate. The α-power is
+    * computed as `sqrt(n) · sqrt(sqrt(n))` — each factor is an IEEE
+    * correctly-rounded sqrt and the products round identically on
+    * both engines, so the milli-scaled integer weight
+    * `floor((sqrt(n)·sqrt(sqrt(n)))·1000)` is bit-reproducible with
+    * NO float pow/log (pow's last-ulp rounding is libm-specific; sqrt
+    * is exact by IEEE 754). Quota and ranking machinery are
+    * [[mixtureSample]]'s: quotas broadcast, rows ranked per source by
+    * (md5(doc_id), doc_id), first `quota` survive.
+    */
+  def temperatureSample(docs: DataFrame, budget: Int): DataFrame = {
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w", expr(
+        "cast(floor((sqrt(cast(n_src AS double)) * sqrt(sqrt(cast(n_src AS double)))) * 1000.0) AS bigint)"))
+    val tot = perSrc.agg(sum("w").as("w_tot"))
+    val quota = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(col("n_src"), expr(s"${budget}L * w div w_tot")).as("quota"))
+    val bySrc = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        expr("cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
+          .as("h"))
+      .withColumn("rk", row_number().over(bySrc).cast("long"))
+      .join(broadcast(quota), "source")
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Marker-word lists for the language-ID heuristic. Real systems use
     * character-n-gram profiles (the testdata vocabulary is uniform
     * across langs, so any profile degenerates); the *operator* is the

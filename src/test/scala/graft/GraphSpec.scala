@@ -49,6 +49,22 @@ class GraphSpec extends SparkSpec {
     assert(pr.head._2 > 0L)
   }
 
+  test("hits: hub mass concentrates on the fan-out node, auth on the shared target") {
+    import org.apache.spark.sql.functions.col
+    // h -> {a,b,c}, d -> a: a is the strongest authority (two hubs),
+    // h the strongest hub (three authorities)
+    val edges = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("d", "a")).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // iter1: rawAuth a=2e6,b=c=1e6 -> max-norm a=1e6,b=c=5e5; rawHub
+    // h=2e6, d=1e6 -> h=1e6, d=5e5. iter2: rawAuth a=1.5e6, b=c=1e6 ->
+    // a=1e6, b=c=666666; rawHub h=2333332, d=1e6 -> h=1e6, d=428571.
+    assert(got("a") == ((1000000L, 0L)))
+    assert(got("b") == ((666666L, 0L)) && got("c") == ((666666L, 0L)))
+    assert(got("h") == ((0L, 1000000L)))
+    assert(got("d") == ((0L, 428571L)))
+  }
+
   test("bfsDistances: first-reach depths on a chain with a shortcut") {
     // chain a-b-c-d plus shortcut a-d: d is 1 hop via the shortcut
     val d = docs(1L -> "a b", 2L -> "b c", 3L -> "c d", 4L -> "a d")

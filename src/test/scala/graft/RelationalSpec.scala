@@ -59,6 +59,33 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 2L, 100L), (4L, 2L, 200L)))
   }
 
+  test("asof nearest: picks the closer side, prefers prev on ties") {
+    val e = events(
+      (1L, 1L, 100L, "view", 0.0, "{}"),
+      (2L, 1L, 150L, "purchase", 0.0, "{}"),   // prev 50 vs next 150 -> view 1
+      (3L, 1L, 300L, "view", 0.0, "{}"),
+      (4L, 1L, 400L, "purchase", 0.0, "{}"),   // prev 100 (view 3) vs next 100 (view 5): tie -> prev
+      (5L, 1L, 500L, "view", 0.0, "{}"),
+      (6L, 2L, 900L, "purchase", 0.0, "{}"),   // only a LATER view -> forward match
+      (7L, 2L, 1000L, "view", 0.0, "{}"),
+      (8L, 3L, 1L, "purchase", 0.0, "{}"))     // no view at all -> dropped
+    val got = Relational.asofNearestView(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 1L, 50L), (4L, 3L, 100L), (6L, 7L, 100L)))
+  }
+
+  test("rolling 7d window: value-bounded frame, inclusive boundary") {
+    val day = 86400000L
+    val e = events(
+      (1L, 1L, 0L, "view", 1.0, "{}"),
+      (2L, 1L, 3 * day, "view", 2.0, "{}"),
+      (3L, 1L, 10 * day, "view", 4.0, "{}"),   // 10d-7d = 3d: event 2 exactly on the boundary -> included
+      (4L, 2L, 0L, "view", 8.0, "{}"))
+    val got = Relational.rollingUserWindow(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 100L), (2L, 2L, 300L), (3L, 2L, 600L), (4L, 1L, 800L)))
+  }
+
   test("pivot: per-user conditional counts") {
     val e = events(
       (1L, 1L, 0L, "view", 0.0, "{}"),

@@ -225,6 +225,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.count(_ == "src0") == 1 && got.count(_ == "src1") == 2)
   }
 
+  test("temperatureSample: α=0.75 upweights the small source vs proportional") {
+    import spark.implicits._
+    val d = (1L to 16L).map(i => (i, "big")) ++ Seq((17L, "small"))
+    val df = d.toDF("doc_id", "source")
+    // w(big) = floor(sqrt(16)·sqrt(sqrt(16))·1000) = 4·2·1000 = 8000,
+    // w(small) = 1000; budget 9 -> quotas big 9·8000//9000 = 8,
+    // small min(1, 1) = 1 — proportional sampling would give 8.5:0.5
+    val got = TextAnalysis.temperatureSample(df, budget = 9).collect()
+      .map(r => r.getString(0))
+    assert(got.count(_ == "big") == 8 && got.count(_ == "small") == 1)
+  }
+
   test("sparseDotPairs: df pruning removes ubiquitous terms before the join") {
     val d = docs(
       1L -> "rare shared words here",
