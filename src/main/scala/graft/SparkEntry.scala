@@ -377,6 +377,9 @@ object SparkEntry {
     // n-word generalization: top trigram, one-shuffle offset-vote plan
     "phrase_search_3" -> ((s, dir) =>
       TextAnalysis.phraseSearchN(Tables.documents(s, dir), n = 3)),
+    // word2vec-style windowed co-occurrence via positional equi-join
+    "skipgram_counts" -> ((s, dir) =>
+      TextAnalysis.skipgramCounts(Tables.documents(s, dir))),
     "events_cohort_matrix" -> ((s, dir) =>
       Relational.cohortMatrix(Tables.events(s, dir))),
     "vocab_coverage" -> ((s, dir) =>
@@ -564,6 +567,12 @@ object SparkEntry {
     // RANGE-interval rolling window: last-7-days per-user aggregate
     "events_rolling_7d" -> ((s, dir) =>
       Relational.rollingUserWindow(Tables.events(s, dir))),
+    // exact running distinct via the first-day rewrite
+    "events_cumulative_users" -> ((s, dir) =>
+      Relational.cumulativeUsers(Tables.events(s, dir))),
+    // closed-form integer least-squares slope of daily volume
+    "events_daily_trend" -> ((s, dir) =>
+      Relational.dailyTrend(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) =>
       Relational.eventTypePivot(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
@@ -1063,6 +1072,16 @@ object SparkEntry {
          |FROM w a JOIN top1 t ON a.word = t.w1
          |JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.word = t.w2
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // windowed co-occurrence: the ±k condition as a position equi-join
+    "skipgram_counts" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, i AS pos, ws[i + 1] AS word
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws))) AS i) r)
+         |SELECT a.word AS w1, b.word AS w2, count(*)::BIGINT AS cnt
+         |FROM w a JOIN w b ON a.doc_id = b.doc_id
+         |  AND b.pos - a.pos BETWEEN 1 AND 3
+         |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
     "phrase_search_3" ->
       s"""WITH w AS (
          |  SELECT doc_id, i AS pos, ws[i + 1] AS word
@@ -1870,6 +1889,30 @@ object SparkEntry {
          |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
          |) WHERE event_type = 'purchase' AND (pv_id IS NOT NULL OR nv_id IS NOT NULL)
          |ORDER BY purchase_id""".stripMargin,
+    // a user enters the cumulative curve exactly at their first day
+    "events_cumulative_users" ->
+      s"""WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS first_day
+         |           FROM events GROUP BY 1),
+         |d AS (SELECT first_day, count(*)::BIGINT AS n_new FROM f GROUP BY 1)
+         |SELECT first_day AS day, n_new,
+         |  CAST(sum(n_new) OVER (ORDER BY first_day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         |FROM d ORDER BY day""".stripMargin,
+    // integer least-squares over (rebased day index, daily count)
+    "events_daily_trend" ->
+      s"""WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |                 count(*)::BIGINT AS c
+         |               FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, count(*)::BIGINT AS n_days,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+         |        CAST(sum(x * c) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM (SELECT event_type, day - (SELECT min(day) FROM daily) AS x, c
+         |            FROM daily)
+         |      GROUP BY 1)
+         |SELECT event_type, n_days,
+         |  (n_days * sxy - sx * sy) * 1000000 // nullif(n_days * sxx - sx * sx, 0)
+         |    AS slope_micro
+         |FROM m ORDER BY event_type""".stripMargin,
     // RANGE frame bounded by the ts VALUE: 7 days = 604800000 ms
     "events_rolling_7d" ->
       s"""SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS roll_n,

@@ -424,6 +424,54 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Cumulative distinct users per day WITHOUT a running
+    * count-distinct: a user contributes to the cumulative curve
+    * exactly at their FIRST day, so `min(day) per user → count per
+    * day → running sum` computes the exact distinct-to-date series
+    * with two map-side-combinable aggregations — the classic rewrite
+    * that turns an O(days·users) distinct-accumulation into two
+    * shuffles. The final window is global but over per-day rows
+    * (bounded, like [[dailyMomentum]]'s — documented safe).
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .groupBy("user_id").agg(min("day").as("first_day"))
+    val w = Window.orderBy("first_day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    firstDay.groupBy("first_day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum("n_new").over(w))
+      .select(col("first_day").as("day"), col("n_new"), col("cum_users"))
+      .orderBy("day")
+  }
+
+  /** Per-type linear trend of daily event volume by closed-form least
+    * squares over (day-index, count) — `slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²)` — entirely in INTEGER sums (slope in micro
+    * units, truncating div), so the regression is engine-exact with
+    * no float accumulation-order sensitivity. Day indices are rebased
+    * to the corpus minimum (1-row broadcast) to keep the moment sums
+    * small; one shuffle for the daily rollup, one for the per-type
+    * moments, both combinable. Single-day degenerate groups get NULL
+    * (nullif on the variance denominator), not a division error.
+    */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val d0 = daily.agg(min("day").as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("day") - col("d0")).as("x"), col("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("c").as("sy"),
+        sum(expr("x * c")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        expr("(n_days * sxy - sx * sy) * 1000000L div nullif(n_days * sxx - sx * sx, 0)")
+          .as("slope_micro"))
+      .orderBy("event_type")
+  }
+
   /** Pivot: per-user event-type counts as columns (conditional
     * aggregation — one shuffle, no multi-pass pivot machinery).
     */

@@ -821,6 +821,33 @@ object TextAnalysis {
     * phrase, chain n−1 adjacency joins — each intersection shrinks the
     * posting stream, so join the rarest word first in a real engine.
     */
+  /** Skip-gram co-occurrence counts — word pairs within `k` positions
+    * (ordered: w1 strictly before w2), the word2vec/GloVe
+    * co-occurrence-statistics preprocessing pass. The window
+    * condition is turned into an EQUI-join: each position emits its
+    * `k` following target positions (`sequence(pos+1, pos+k)`) and
+    * joins the postings back on (doc_id, pos) — the positional-index
+    * idiom of [[phraseSearch]], so Spark hash-joins instead of
+    * range-scanning a per-doc self-join. Row volume is exactly k× the
+    * token count (bounded, linear); one shuffle on (doc_id, pos), one
+    * combinable count on the pair, TakeOrderedAndProject for the
+    * top-`top`.
+    */
+  def skipgramCounts(docs: DataFrame, k: Int = 3, top: Int = 20): DataFrame = {
+    val words = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+    val targets = words.select(col("doc_id"), col("word").as("w1"),
+      explode(expr(s"sequence(pos + 1, pos + $k)")).as("pos"))
+    targets
+      .join(words.select(col("doc_id"), col("pos"), col("word").as("w2")),
+        Seq("doc_id", "pos"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(top)
+  }
+
   def phraseSearch(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), posexplode(col("ws")))

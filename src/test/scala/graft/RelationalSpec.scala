@@ -86,6 +86,34 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 100L), (2L, 2L, 300L), (3L, 2L, 600L), (4L, 1L, 800L)))
   }
 
+  test("cumulativeUsers: exact running distinct via first-day rewrite") {
+    val day = 86400000L
+    val e = events(
+      (1L, 1L, 0L, "view", 0.0, "{}"),
+      (2L, 2L, 0L, "view", 0.0, "{}"),
+      (3L, 1L, 1 * day, "view", 0.0, "{}"),      // returning user: no new
+      (4L, 3L, 2 * day, "view", 0.0, "{}"),
+      (5L, 1L, 2 * day, "view", 0.0, "{}"))
+    val got = Relational.cumulativeUsers(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2L, 2L), (2L, 1L, 3L)))
+  }
+
+  test("dailyTrend: integer least-squares slope; single-day group -> null") {
+    val day = 86400000L
+    // "view": counts 1,2,3 on days 0,1,2 -> slope exactly 1/day
+    val grows = (1L to 6L).map { i =>
+      val d = if (i <= 1) 0L else if (i <= 3) 1L else 2L
+      (i, 1L, d * day, "view", 0.0, "{}")
+    }
+    val flat = Seq((7L, 1L, 0L, "click", 0.0, "{}"))  // one day only
+    val got = Relational.dailyTrend(events(grows ++ flat: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == Seq(
+      ("click", 1L, None), ("view", 3L, Some(1000000L))))
+  }
+
   test("pivot: per-user conditional counts") {
     val e = events(
       (1L, 1L, 0L, "view", 0.0, "{}"),

@@ -237,6 +237,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.count(_ == "big") == 8 && got.count(_ == "small") == 1)
   }
 
+  test("skipgramCounts: pairs within k positions, ordered, windowed") {
+    val d = docs(1L -> "a b c d")
+    // k=3: (a,b) (a,c) (a,d) (b,c) (b,d) (c,d) each once
+    val got = TextAnalysis.skipgramCounts(d, k = 3, top = 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 1L), ("a", "c", 1L), ("a", "d", 1L),
+      ("b", "c", 1L), ("b", "d", 1L), ("c", "d", 1L)))
+    // k=1 degenerates to adjacent bigrams only
+    val adj = TextAnalysis.skipgramCounts(d, k = 1, top = 20).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(adj == Set(("a", "b"), ("b", "c"), ("c", "d")))
+  }
+
   test("sparseDotPairs: df pruning removes ubiquitous terms before the join") {
     val d = docs(
       1L -> "rare shared words here",
