@@ -573,6 +573,9 @@ object SparkEntry {
     // closed-form integer least-squares slope of daily volume
     "events_daily_trend" -> ((s, dir) =>
       Relational.dailyTrend(Tables.events(s, dir))),
+    // CDC change set between the split-point state and the log end
+    "events_snapshot_diff" -> ((s, dir) =>
+      Relational.snapshotDiff(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) =>
       Relational.eventTypePivot(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
@@ -645,6 +648,9 @@ object SparkEntry {
     // 2 unrolled rounds in the oracle
     "word_hits" -> ((s, dir) =>
       Graph.wordHits(Tables.documents(s, dir))),
+    // 24-core by iterative peeling (order-independent fixpoint)
+    "word_kcore" -> ((s, dir) =>
+      Graph.wordKCore(Tables.documents(s, dir))),
     // CCNet-style cross-doc boilerplate chunk removal
     "doc_boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
@@ -1889,6 +1895,22 @@ object SparkEntry {
          |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
          |) WHERE event_type = 'purchase' AND (pv_id IS NOT NULL OR nv_id IS NOT NULL)
          |ORDER BY purchase_id""".stripMargin,
+    // change set between split-point per-user state and log-end state
+    "events_snapshot_diff" ->
+      s"""WITH o AS (SELECT user_id, event_id FROM (
+         |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+         |    FROM events WHERE epoch_ms(ts) < 1705363200000) WHERE rn = 1),
+         |n AS (SELECT user_id, event_id FROM (
+         |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+         |    FROM events) WHERE rn = 1)
+         |SELECT coalesce(n.user_id, o.user_id) AS user_id,
+         |  CASE WHEN o.user_id IS NULL THEN 'added' ELSE 'changed' END AS status,
+         |  o.event_id AS old_event_id, n.event_id AS new_event_id
+         |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+         |WHERE o.event_id IS NULL OR o.event_id <> n.event_id
+         |ORDER BY user_id""".stripMargin,
     // a user enters the cumulative curve exactly at their first day
     "events_cumulative_users" ->
       s"""WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS first_day
@@ -2460,6 +2482,33 @@ object SparkEntry {
       (base +: iterCtes).mkString("WITH ", ",\n", "") +
         s"""\nSELECT a.node, a.auth, h.hub FROM a$iters a JOIN h$iters h USING (node)
            |ORDER BY auth DESC, node""".stripMargin
+    },
+    // k-core: 10 unrolled peel rounds; peeling is monotone, so the
+    // rounds past convergence are no-ops and the Spark side (which
+    // iterates to convergence, throwing past 10) lands identically.
+    // MATERIALIZED is load-bearing: each round references the prior
+    // edge CTE three times, and DuckDB's default inlining would
+    // re-expand the chain 3^rounds times
+    "word_kcore" -> {
+      val k = 24
+      val rounds = 10
+      val base =
+        s"""raw AS MATERIALIZED (SELECT DISTINCT ws[i+1] AS src, ws[i+2] AS dst
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2),
+           |p AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |      FROM raw WHERE src <> dst),
+           |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+           |       UNION ALL SELECT b AS src, a AS dst FROM p)""".stripMargin
+      val iterCtes = (1 to rounds).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY 1 HAVING count(*) >= $k),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           |  WHERE e.src IN (SELECT src FROM k$i)
+           |    AND e.dst IN (SELECT src FROM k$i))""".stripMargin
+      }
+      (base +: iterCtes).mkString("WITH ", ",\n", "") +
+        s"\nSELECT src AS node, count(*)::BIGINT AS deg FROM e$rounds GROUP BY 1 ORDER BY 1"
     },
     "doc_stratified_sample" ->
       s"""SELECT doc_id, lang FROM (

@@ -238,6 +238,65 @@ object Graph {
   def wordHits(docs: DataFrame, iters: Int = 2): DataFrame =
     hits(bigramEdges(docs), iters)
 
+  /** k-core decomposition of the UNDIRECTED graph by iterative
+    * peeling: repeatedly delete every node of degree < `k` (and its
+    * edges) until none remains — the standard graph-quality filter
+    * (a node's coreness survives only through mutually-supporting
+    * neighborhoods, so spam/orphan structures peel away). The
+    * fixpoint is unique regardless of deletion order, which is what
+    * makes the gate well-defined: the oracle unrolls `maxRounds`
+    * peel rounds, and since peeling is monotone (a converged graph
+    * is a no-op for every further round), Spark iterating to
+    * convergence within `maxRounds` lands on the identical edge set.
+    * THROWS if `maxRounds` isn't enough (like [[Dedup.components]] —
+    * returning a partial peel would overstate the core).
+    *
+    * Scale shape per round: one degree aggregation (shuffle on node)
+    * + two semi-joins pruning the edge list; the convergence probe is
+    * an `isEmpty` on the NODE-sized under-degree frame — no
+    * edge-scale set difference. Rounds are bounded by the degeneracy
+    * ordering depth, in practice shallow; superseded edge
+    * checkpoints are released per round.
+    */
+  def kCore(rawEdges: DataFrame, k: Int, maxRounds: Int = 10): DataFrame = {
+    val e0 = rawEdges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      converged = deg.where(col("d") < k).isEmpty
+      if (!converged) {
+        val keep = deg.where(col("d") >= k).select("src")
+        val prev = edges
+        edges = edges
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.toDF("dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .localCheckpoint()
+        Dedup.release(prev)
+        round += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Graph.kCore did not converge within $maxRounds rounds; raise " +
+          "maxRounds — a partial peel would overstate the k-core")
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
+  /** Gate shape: 24-core of the corpus word-adjacency graph (the
+    * vocabulary graph is dense, so the interesting peel threshold
+    * sits near the top of the degree distribution). */
+  def wordKCore(docs: DataFrame, k: Int = 24): DataFrame =
+    kCore(bigramEdges(docs), k)
+
   /** BFS hop distances over the UNDIRECTED word graph from the
     * lexicographically smallest word — the traversal primitive
     * (single-source shortest path on unit weights) next to the

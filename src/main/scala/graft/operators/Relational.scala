@@ -1050,6 +1050,38 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Snapshot diff (CDC between two materialization points): per-user
+    * latest-event state AT the split vs at the end of the log, joined
+    * full-outer and classified `added` (user first appears after the
+    * split) or `changed` (latest event differs) — `same` rows are
+    * dropped, so the output is exactly the change set an incremental
+    * consumer must apply. Both sides hash-partition on user_id
+    * (exchange reuse, the [[snapshotUpsert]] shape); the diff itself
+    * is column comparison, no hashing of whole rows needed since the
+    * latest event_id pins the state.
+    */
+  def snapshotDiff(events: DataFrame,
+                   splitMs: Long = 1705363200000L): DataFrame = {
+    def latest(df: DataFrame) = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      df.select(col("user_id"), col("event_id"), col("ts_ms"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("user_id", "event_id")
+    }
+    val old = latest(events.where(col("ts_ms") < splitMs))
+      .toDF("o_user", "o_event_id")
+    val neu = latest(events).toDF("n_user", "n_event_id")
+    old.join(neu, col("o_user") === col("n_user"), "full_outer")
+      .select(coalesce(col("n_user"), col("o_user")).as("user_id"),
+        when(col("o_user").isNull, "added").otherwise("changed").as("status"),
+        col("o_event_id").as("old_event_id"),
+        col("n_event_id").as("new_event_id"))
+      .where(col("old_event_id").isNull ||
+        col("old_event_id") =!= col("new_event_id"))
+      .orderBy("user_id")
+  }
+
   /** Incremental rollup: weekly aggregates derived from the DAILY
     * aggregate, not the raw rows — the aggregate-of-aggregates pattern
     * that lets a 100 TB pipeline maintain coarse grains from fine ones

@@ -65,6 +65,19 @@ class GraphSpec extends SparkSpec {
     assert(got("d") == ((0L, 428571L)))
   }
 
+  test("kCore: cascading peel removes the tail hanging off a triangle") {
+    import org.apache.spark.sql.functions.col
+    // triangle a-b-c plus a chain c-d-e: 2-core = the triangle only
+    // (e peels first, THEN d — the cascade needs two rounds)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k=3: the triangle itself dies -> empty core
+    assert(Graph.kCore(edges, k = 3).collect().isEmpty)
+  }
+
   test("bfsDistances: first-reach depths on a chain with a shortcut") {
     // chain a-b-c-d plus shortcut a-d: d is 1 hop via the shortcut
     val d = docs(1L -> "a b", 2L -> "b c", 3L -> "c d", 4L -> "a d")

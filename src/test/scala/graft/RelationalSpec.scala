@@ -114,6 +114,20 @@ class RelationalSpec extends SparkSpec {
       ("click", 1L, None), ("view", 3L, Some(1000000L))))
   }
 
+  test("snapshotDiff: added and changed users only, same dropped") {
+    val cut = 1705363200000L
+    val e = events(
+      (1L, 1L, cut - 100L, "view", 0.0, "{}"),
+      (2L, 1L, cut + 100L, "click", 0.0, "{}"),  // changed: 1 -> 2
+      (3L, 2L, cut - 50L, "view", 0.0, "{}"),    // same: latest still 3
+      (4L, 3L, cut + 50L, "view", 0.0, "{}"))    // added after the split
+    val got = Relational.snapshotDiff(e).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "changed", Some(1L), 2L), (3L, "added", None, 4L)))
+  }
+
   test("pivot: per-user conditional counts") {
     val e = events(
       (1L, 1L, 0L, "view", 0.0, "{}"),
