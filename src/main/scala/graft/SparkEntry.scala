@@ -521,6 +521,9 @@ object SparkEntry {
       Multimodal.mediaMeta(Tables.documents(s, dir))),
     "media_feature_stats" -> ((s, dir) =>
       Multimodal.mediaFeatureStats(s, Tables.documents(s, dir))),
+    // perceptual-hash (aHash) near-dup with planted clone pairs
+    "media_phash_neardup" -> ((s, dir) =>
+      Multimodal.phashNearDup(s, Tables.documents(s, dir))),
     // --- relational / events
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
@@ -1445,6 +1448,38 @@ object SparkEntry {
          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          |  octet_length(encode(text))::BIGINT AS n_bytes
          |FROM documents ORDER BY media_id""".stripMargin,
+    // aHash = 60 balanced byte blocks vs global mean (integer cross-
+    // multiply), 4x15-bit pigeonhole bands, bit_count(xor) verify;
+    // plants: exact clones at +10M (%97), last-byte 'z' at +20M (%101)
+    "media_phash_neardup" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id + 20000000, substr(text, 1, length(text) - 1) || 'z'
+         |    FROM documents WHERE doc_id % 101 = 0),
+         |m AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |        octet_length(encode(text))::BIGINT AS L FROM aug),
+         |b AS (SELECT doc_id, (i * 60) // L AS j,
+         |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS v, L
+         |      FROM m, LATERAL (SELECT unnest(range(0, L)) AS i) r),
+         |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS ts, any_value(L) AS L
+         |        FROM b GROUP BY 1),
+         |blk AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS s, count(*)::BIGINT AS c
+         |        FROM b GROUP BY 1, 2),
+         |hsh AS (SELECT blk.doc_id,
+         |          CAST(sum(CASE WHEN s * t.L > ts * c
+         |            THEN 1::BIGINT << CAST(59 - j AS INT) ELSE 0 END) AS BIGINT) AS ahash
+         |        FROM blk JOIN tot t ON blk.doc_id = t.doc_id GROUP BY 1),
+         |bd AS (SELECT doc_id, ahash, bb, (ahash >> CAST(15 * bb AS INT)) & 32767 AS key
+         |       FROM hsh, LATERAL (SELECT unnest(range(4)) AS bb) r),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |           a.ahash AS ha, c.ahash AS hb
+         |         FROM bd a JOIN bd c ON a.bb = c.bb AND a.key = c.key
+         |           AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // FakeCodec.decode is header-byte math (w = b0*256+b1, h = b2*256+b3,
     // frames = max(1, b4)); bytes come out of the payload blob via hex()
     "media_resize" ->

@@ -152,6 +152,85 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** 60-bit average hash (aHash) of a payload — the perceptual-hash
+    * primitive behind image near-dedup: partition the byte stream into
+    * 60 balanced blocks (`block(i) = i·60 div L`), set bit `59-j` when
+    * block `j`'s mean exceeds the global mean. The comparison is the
+    * integer cross-multiplication `s_j·L > total·c_j` (no float
+    * division), and 60 bits keeps the hash inside a positive BIGINT on
+    * both engines — the [[graft.operators.Dedup.simhashPairs]]
+    * convention. A real deployment computes this over decoded pixel
+    * luma; here it runs over the payload bytes the [[FakeCodec]]
+    * "decodes" (documented stub, same plumbing).
+    */
+  def aHash60(payload: Array[Byte]): Long = {
+    val len = payload.length
+    if (len == 0) return 0L
+    val sums = new Array[Long](60)
+    val cnts = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      val j = (i.toLong * 60 / len).toInt
+      val v = (payload(i) & 0xFF).toLong
+      sums(j) += v; cnts(j) += 1; total += v
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 60) {
+      if (sums(j) * len > total * cnts(j)) h |= 1L << (59 - j)
+      j += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash near-duplicate pairs over the media corpus —
+    * image-level dedup, the multimodal sibling of
+    * [[Dedup.simhashPairs]]: aHash per payload (codec-layer batch
+    * work, the mapPartitions path), then SimHash-style pigeonhole
+    * banding — 4 bands of 15 bits, Hamming ≤ `maxHam` = 3 pairs MUST
+    * collide on at least one band — and an integer `bit_count(xor)`
+    * verify on band-collision candidates only.
+    *
+    * The corpus is AUGMENTED with deterministic planted near-dups
+    * (exact clones at +10M for doc_id % 97 = 0, last-byte-perturbed
+    * copies at +20M for % 101 = 0) so the gate is non-vacuous at
+    * every SF — the `emb_neardup_lsh` planted-oracle pattern; a
+    * 1-byte change almost never moves a 60-block mean across the
+    * threshold, and the oracle computes the identical plant.
+    *
+    * Scale shape: one hash pass over payloads, one shuffle on
+    * (band, key), verify on candidates ∝ true pairs — never all-pairs.
+    */
+  def phashNearDup(spark: SparkSession, docs: DataFrame,
+                   maxHam: Int = 3): DataFrame = {
+    import spark.implicits._
+    val aug = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(101)) === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("z"))
+            .as("text")))
+    val hashes = syntheticMedia(aug).as[MediaRow]
+      .mapPartitions(_.map(m => (m.media_id, aHash60(m.payload))))
+      .toDF("media_id", "ahash")
+      .localCheckpoint()
+    val bands = hashes.select(col("media_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .select(col("media_id"), col("ahash"), col("b"),
+        expr("shiftright(ahash, cast(15 * b AS int)) & 32767").as("key"))
+    val cand = bands.toDF("id_a", "ha", "b", "key")
+      .join(bands.toDF("id_b", "hb", "b", "key"), Seq("b", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+    cand.select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(ha ^ hb) AS bigint)").as("hamming"))
+      .where(col("hamming") <= maxHam)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Oracle-checkable metadata query over the synthetic media table:
     * byte length + kind, all derivable in plain SQL on both engines.
     */

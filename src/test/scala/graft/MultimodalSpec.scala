@@ -42,6 +42,28 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq && a.length == 16 && a.exists(_ != 0f))
   }
 
+  test("aHash60: block-mean bits, integer threshold, empty payload") {
+    // 120 bytes: first 60 zero, last 60 = 0xFF -> blocks 0..29 below
+    // the global mean (bits 0), blocks 30..59 above (bits 1)
+    val p = Array.fill[Byte](60)(0) ++ Array.fill[Byte](60)(0xFF.toByte)
+    assert(Multimodal.aHash60(p) == (1L << 30) - 1)
+    // uniform payload: no block exceeds the mean -> hash 0
+    assert(Multimodal.aHash60(Array.fill[Byte](100)(7)) == 0L)
+    assert(Multimodal.aHash60(Array.empty[Byte]) == 0L)
+  }
+
+  test("phashNearDup finds the planted clone and perturbed pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Multimodal.phashNearDup(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every %97 doc pairs with its +10M exact clone at hamming 0
+    val clonePairs = got.filter { case (a, b, _) => b == a + 10000000L }
+    assert(clonePairs.nonEmpty && clonePairs.forall(_._3 == 0L))
+    // perturbed copies (+20M) are found too, within the threshold
+    val pert = got.filter { case (a, b, _) => b == a + 20000000L }
+    assert(pert.nonEmpty && pert.forall(_._3 <= 3L))
+  }
+
   test("syntheticMedia/mediaMeta plumbing over documents") {
     val docs = Tables.documents(spark, sf0001)
     val meta = Multimodal.mediaMeta(docs)
