@@ -309,6 +309,47 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch build must combine map-side:\n$p")
   }
 
+  test("asof nearest: FOUR windows share one user_id exchange") {
+    val p = planOf("events_asof_nearest")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"prev/next window pairs must reuse the same partitioning:\n$p")
+  }
+
+  test("rolling 7d: one user_id exchange feeds the RANGE window") {
+    val p = planOf("events_rolling_7d")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected exactly one keyed exchange:\n$p")
+  }
+
+  test("temperature sample: window partitioned by source, quota broadcast") {
+    val p = planOf("doc_temperature_sample")
+    assert(p.contains("hashpartitioning(source"),
+      s"the rank window must partition by source (no global window):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source quota table must broadcast:\n$p")
+  }
+
+  test("skipgram: top-k via TakeOrderedAndProject, no cartesian pairing") {
+    val p = planOf("skipgram_counts")
+    assert(p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct"))
+  }
+
+  test("phash near-dup: banded equi-join, never an all-pairs product") {
+    val p = planOf("media_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band collision candidates must come from an equi-join:\n$p")
+  }
+
+  test("snapshot diff: rank pushdown on both sides, exchange-reusing full outer") {
+    val p = planOf("events_snapshot_diff")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn = 1 must push a group-limit below the sort:\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 2,
+      s"the full-outer join must reuse the windows' user_id partitioning:\n$p")
+  }
+
   test("partitioned corpus write prunes to one split on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.operators.TextAnalysis.writeCorpus(
