@@ -102,6 +102,18 @@ object ScaleProbe {
       ("peak_window",
         () => operators.Relational.peakWindowSpend(eventsBase),
         () => operators.Relational.peakWindowSpend(eventsBig)),
+      ("skipgram_counts",
+        () => operators.TextAnalysis.skipgramCounts(docsBase),
+        () => operators.TextAnalysis.skipgramCounts(docsBig)),
+      ("phash_neardup",
+        () => operators.Multimodal.phashNearDup(spark, docsBase),
+        () => operators.Multimodal.phashNearDup(spark, docsBig)),
+      ("rolling_7d",
+        () => operators.Relational.rollingUserWindow(eventsBase),
+        () => operators.Relational.rollingUserWindow(eventsBig)),
+      ("word_hits",
+        () => operators.Graph.wordHits(docsBase),
+        () => operators.Graph.wordHits(docsBig)),
       ("q1_style_agg",
         () => liBase.groupBy("l_returnflag", "l_linestatus")
           .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"),
