@@ -197,6 +197,7 @@ object Graph {
     * documented `n·init² < 2⁶³` bound; shrink init as n grows.
     */
   def hits(rawEdges: DataFrame, iters: Int, init: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration (auth is undefined at round 0)")
     val edges = rawEdges.localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()

@@ -163,6 +163,23 @@ class EdgeCasesSpec extends SparkSpec {
       Seq((1L, "lonely")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("round-6 third-sweep operators on empty input") {
+    import org.apache.spark.sql.functions.lit
+    val emptyEvents = Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "user_id", "ts_ms", "event_type", "value", "props")
+    assert(Relational.asofNearestView(emptyEvents).count() == 0)
+    assert(Relational.rollingUserWindow(emptyEvents).count() == 0)
+    assert(Relational.cumulativeUsers(emptyEvents).count() == 0)
+    assert(Relational.dailyTrend(emptyEvents).count() == 0)
+    assert(Relational.snapshotDiff(emptyEvents).count() == 0)
+    assert(TextAnalysis.skipgramCounts(emptyDocs).count() == 0)
+    assert(TextAnalysis.temperatureSample(
+      emptyDocs.withColumn("source", lit("s")), budget = 10).count() == 0)
+    assert(graft.operators.Graph.wordHits(emptyDocs).count() == 0)
+    assert(graft.operators.Graph.wordKCore(emptyDocs).count() == 0)
+    assert(graft.operators.Multimodal.phashNearDup(spark, emptyDocs).count() == 0)
+  }
+
   test("custom topk plan on empty input") {
     val empty = emptyDocs.select($"doc_id".as("g"), $"text".as("w"))
       .withColumn("cnt", org.apache.spark.sql.functions.lit(1L))

@@ -350,6 +350,39 @@ class PlanAuditSpec extends SparkSpec {
       s"the full-outer join must reuse the windows' user_id partitioning:\n$p")
   }
 
+  test("dynamic partition pruning fires on the partitioned lake join") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val lake = graft.sources.PartitionedLake.eventsByTypeLake(spark, sf0001)
+    val facts = spark.read.parquet(lake)
+    // the filter lives ONLY on the dim side: the fact scan can prune
+    // its event_type partitions solely via runtime (dynamic) pruning.
+    // The sf0.001 lake is a few KB, so DPP's size-based benefit
+    // heuristic would veto it — scope it off (and restore) to assert
+    // the RULE fires; at real scale the stats say yes on their own
+    // the dim must be a FILE source: a filtered LocalRelation is
+    // constant-folded before the pruning rule looks for a selective
+    // predicate, and DPP never fires
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim_").toString
+    Seq(("purchase", 1L), ("view", 2L), ("click", 3L))
+      .toDF("event_type", "w").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("w") === 1L)
+    val statsKey = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val ratioKey = "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+    val (prevStats, prevRatio) = (spark.conf.get(statsKey), spark.conf.get(ratioKey))
+    try {
+      spark.conf.set(statsKey, "false")
+      spark.conf.set(ratioKey, "10")
+      val p = facts.join(broadcast(dim), "event_type")
+        .queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"the fact scan must carry a dynamic partition filter:\n$p")
+    } finally {
+      spark.conf.set(statsKey, prevStats)
+      spark.conf.set(ratioKey, prevRatio)
+    }
+  }
+
   test("partitioned corpus write prunes to one split on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.operators.TextAnalysis.writeCorpus(
