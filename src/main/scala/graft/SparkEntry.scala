@@ -654,6 +654,9 @@ object SparkEntry {
     // 24-core by iterative peeling (order-independent fixpoint)
     "word_kcore" -> ((s, dir) =>
       Graph.wordKCore(Tables.documents(s, dir))),
+    // rank flow proportional to bigram occurrence counts
+    "word_pagerank_weighted" -> ((s, dir) =>
+      Graph.wordPageRankWeighted(Tables.documents(s, dir))),
     // CCNet-style cross-doc boilerplate chunk removal
     "doc_boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
@@ -2454,6 +2457,30 @@ object SparkEntry {
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.dst, CAST(sum(r.rank // o.odeg) AS BIGINT) AS inflow
            |    FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           |    GROUP BY 1) f ON n.node = f.dst)""".stripMargin
+      }
+      (base +: iterCtes).mkString("WITH ", ",\n", "") +
+        s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node"
+    },
+    // weighted variant: inflow shares proportional to bigram counts
+    "word_pagerank_weighted" -> {
+      val init = 1000000000000L
+      val jump = init * 15 / 100
+      val iters = 3
+      val base =
+        s"""edges AS (SELECT ws[i+1] AS src, ws[i+2] AS dst, count(*)::BIGINT AS w
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2 GROUP BY 1, 2),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+           |r0 AS (SELECT node, CAST($init AS BIGINT) AS rank FROM nodes)""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |  CAST($jump AS BIGINT) + (85 * COALESCE(f.inflow, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN outw o ON e.src = o.src
            |    GROUP BY 1) f ON n.node = f.dst)""".stripMargin
       }
       (base +: iterCtes).mkString("WITH ", ",\n", "") +

@@ -76,6 +76,59 @@ object Graph {
     pageRank(bigramEdges(docs), iters)
       .select(col("node"), col("rank"))
 
+  /** Weighted PageRank over (src, dst, w) edges: rank flows in
+    * proportion to edge weight — `contribution = rank·w div Σw(src)`
+    * — the real-link-graph form (a page linked 100× from a hub should
+    * receive 100 shares, not 1). Same integer-determinism contract and
+    * per-iteration shape as [[pageRank]]; the only new overflow term
+    * is `rank·w`, safe while `init·w_max < 2⁶³` (init 10¹² leaves room
+    * for w up to ~9·10⁶ — shrink init for heavier multigraphs).
+    */
+  def pageRankWeighted(rawEdges: DataFrame, iters: Int,
+                       init: Long = 1000000000000L): DataFrame = {
+    val jump = init * 15 / 100
+    val edges = rawEdges.localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val inflow = edges
+        .join(ranks, col("src") === col("node"))
+        .join(outw, "src")
+        .select(col("dst"), expr("(rank * w) div ow").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      val prev = ranks
+      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(jump) + expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+      Dedup.release(prev)
+      i += 1
+    }
+    ranks.orderBy(col("rank").desc, col("node"))
+  }
+
+  /** Gate shape: weighted PageRank where the edge weight is the bigram
+    * OCCURRENCE count (how often the adjacency appears corpus-wide) —
+    * the multigraph the unweighted gate collapses with `distinct()`.
+    */
+  def wordPageRankWeighted(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val weighted = docs.select(WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS src, ws[i+1] AS dst))"))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    pageRankWeighted(weighted, iters)
+      .select(col("node"), col("rank"))
+  }
+
   /** Personalized PageRank: the teleport mass lands ONLY on the seed
     * set — the rank measures proximity to the seeds rather than global
     * centrality (the standard seeded-relevance primitive: quality

@@ -65,6 +65,19 @@ class GraphSpec extends SparkSpec {
     assert(got("d") == ((0L, 428571L)))
   }
 
+  test("pageRankWeighted: rank flows in proportion to edge weight") {
+    import org.apache.spark.sql.functions.col
+    // a splits its mass 3:1 between b and c; unweighted would split 1:1
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(edges, iters = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val init = 1000000000000L
+    val jump = init * 15 / 100
+    assert(got("b") == jump + 85L * (init * 3 / 4) / 100)
+    assert(got("c") == jump + 85L * (init / 4) / 100)
+    assert(got("a") == jump)
+  }
+
   test("kCore: cascading peel removes the tail hanging off a triangle") {
     import org.apache.spark.sql.functions.col
     // triangle a-b-c plus a chain c-d-e: 2-core = the triangle only
