@@ -657,6 +657,9 @@ object SparkEntry {
     // rank flow proportional to bigram occurrence counts
     "word_pagerank_weighted" -> ((s, dir) =>
       Graph.wordPageRankWeighted(Tables.documents(s, dir))),
+    // synchronous LPA communities, 2 deterministic rounds
+    "word_communities" -> ((s, dir) =>
+      Graph.wordCommunities(Tables.documents(s, dir))),
     // CCNet-style cross-doc boilerplate chunk removal
     "doc_boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
@@ -2461,6 +2464,32 @@ object SparkEntry {
       }
       (base +: iterCtes).mkString("WITH ", ",\n", "") +
         s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node"
+    },
+    // synchronous LPA: adopt the most frequent neighbor label, ties to
+    // the smallest — a pure function of the prior round, so 2 unrolled
+    // rounds land identically on both engines
+    "word_communities" -> {
+      val iters = 2
+      val base =
+        s"""raw AS (SELECT DISTINCT ws[i+1] AS src, ws[i+2] AS dst
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2),
+           |p AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |      FROM raw WHERE src <> dst),
+           |e0 AS (SELECT a AS src, b AS dst FROM p
+           |       UNION ALL SELECT b AS src, a AS dst FROM p),
+           |nodes AS (SELECT DISTINCT src AS node FROM e0),
+           |l0 AS (SELECT node, node AS lbl FROM nodes)""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.src, l.lbl, count(*) AS c
+           |  FROM e0 e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT src AS node, lbl FROM (
+           |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+           |    ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+      }
+      (base +: iterCtes).mkString("WITH ", ",\n", "") +
+        s"\nSELECT node, lbl AS community FROM l$iters ORDER BY node"
     },
     // weighted variant: inflow shares proportional to bigram counts
     "word_pagerank_weighted" -> {

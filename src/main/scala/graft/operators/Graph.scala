@@ -351,6 +351,52 @@ object Graph {
   def wordKCore(docs: DataFrame, k: Int = 24): DataFrame =
     kCore(bigramEdges(docs), k)
 
+  /** Synchronous label propagation (Raghavan et al.) over the
+    * UNDIRECTED graph — community detection next to [[Dedup.components]]'
+    * connectivity: each round every node adopts the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label, so the
+    * update is a pure function of the previous round and both engines
+    * land identically (classic async LPA is order-dependent — useless
+    * as a gate). Runs a FIXED `iters` rounds rather than to
+    * convergence: synchronous LPA can 2-cycle on bipartite structure,
+    * so "round-`iters` labels" is the well-defined contract, exactly
+    * unrolled by the oracle.
+    *
+    * The argmax is `min(struct(-count, label))` — one combinable
+    * aggregation, no per-node window sort; per round: one shuffle on
+    * dst (neighbor-label join) and one on (src, label). Node frames
+    * are checkpointed and released per round like every iterative
+    * loop here.
+    */
+  def labelPropagation(rawEdges: DataFrame, iters: Int): DataFrame = {
+    val e0 = rawEdges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val prev = labels
+      labels = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("src").as("node"), col("m.l").as("lbl"))
+        .localCheckpoint()
+      Dedup.release(prev)
+      i += 1
+    }
+    labels.select(col("node"), col("lbl").as("community")).orderBy("node")
+  }
+
+  /** Gate shape: 2-round label propagation on the word graph. */
+  def wordCommunities(docs: DataFrame, iters: Int = 2): DataFrame =
+    labelPropagation(bigramEdges(docs), iters)
+
   /** BFS hop distances over the UNDIRECTED word graph from the
     * lexicographically smallest word — the traversal primitive
     * (single-source shortest path on unit weights) next to the

