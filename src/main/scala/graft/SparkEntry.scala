@@ -579,6 +579,9 @@ object SparkEntry {
     // CDC change set between the split-point state and the log end
     "events_snapshot_diff" -> ((s, dir) =>
       Relational.snapshotDiff(Tables.events(s, dir))),
+    // exact positional p05/p95 clipping, raw vs winsorized sums
+    "events_winsorized" -> ((s, dir) =>
+      Relational.winsorizedStats(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) =>
       Relational.eventTypePivot(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
@@ -1952,6 +1955,25 @@ object SparkEntry {
          |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
          |WHERE o.event_id IS NULL OR o.event_id <> n.event_id
          |ORDER BY user_id""".stripMargin,
+    // positional order statistics: value at rank ceil(q*n), ties safe
+    // because tied positions hold the same value
+    "events_winsorized" ->
+      s"""WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+         |           FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, c,
+         |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS rn
+         |      FROM v),
+         |n AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1),
+         |cuts AS (SELECT r.event_type,
+         |           min(CASE WHEN rn = (5 * n.n + 99) // 100 THEN c END) AS lo_cents,
+         |           min(CASE WHEN rn = (95 * n.n + 99) // 100 THEN c END) AS hi_cents
+         |         FROM r JOIN n ON r.event_type = n.event_type GROUP BY 1)
+         |SELECT r.event_type, count(*)::BIGINT AS n,
+         |  min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
+         |  CAST(sum(c) AS BIGINT) AS sum_cents,
+         |  CAST(sum(greatest(lo_cents, least(hi_cents, c))) AS BIGINT) AS wins_sum_cents
+         |FROM r JOIN cuts ON r.event_type = cuts.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // a user enters the cumulative curve exactly at their first day
     "events_cumulative_users" ->
       s"""WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS first_day

@@ -1082,6 +1082,43 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Winsorized per-type value statistics: clip at the EXACT p05/p95
+    * order statistics — `value at rank ceil(q·n)` under the total
+    * order (c) — computed positionally, not via an interpolating
+    * float quantile whose rounding the engines need not share. Ties
+    * are safe: the VALUE at a rank is well-defined even though tie
+    * order isn't, because tied positions hold the same value. Output
+    * keeps raw and clipped sums side by side (the robust-mean
+    * before/after a pipeline actually compares).
+    *
+    * Scale note: the rank window totals-orders each type's values —
+    * the dominant-partition risk the refined/salted window patterns
+    * (shardAssignRefined) address; here a type holds ≤ n/5 rows.
+    */
+  def winsorizedStats(events: DataFrame): DataFrame = {
+    val vals = events.where(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val w = Window.partitionBy("event_type").orderBy(col("c"))
+    val ranked = vals.withColumn("rn", row_number().over(w).cast("long"))
+      .localCheckpoint()
+    val counts = ranked.groupBy("event_type").agg(max("rn").as("n"))
+    val cuts = ranked.join(broadcast(counts), "event_type")
+      .groupBy("event_type")
+      .agg(min(when(col("rn") === expr("(5 * n + 99) div 100"), col("c")))
+          .as("lo_cents"),
+        min(when(col("rn") === expr("(95 * n + 99) div 100"), col("c")))
+          .as("hi_cents"))
+    ranked.join(broadcast(cuts), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("lo_cents").as("lo_cents"), min("hi_cents").as("hi_cents"),
+        sum("c").as("sum_cents"),
+        sum(greatest(col("lo_cents"), least(col("hi_cents"), col("c"))))
+          .as("wins_sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** Incremental rollup: weekly aggregates derived from the DAILY
     * aggregate, not the raw rows — the aggregate-of-aggregates pattern
     * that lets a 100 TB pipeline maintain coarse grains from fine ones

@@ -128,6 +128,19 @@ class RelationalSpec extends SparkSpec {
       (1L, "changed", Some(1L), 2L), (3L, "added", None, 4L)))
   }
 
+  test("winsorizedStats: exact positional cuts clip the outlier") {
+    // 20 values 1..19 + one 1000-outlier: p05 rank = ceil(0.05*20) = 1
+    // -> lo = 1; p95 rank = ceil(0.95*20) = 19 -> hi = 19; the 1000
+    // clips to 19
+    val rows = (1L to 19L).map(i => (i, 1L, 0L, "view", i / 100.0, "{}")) :+
+      (20L, 1L, 0L, "view", 10.00, "{}")
+    val r = Relational.winsorizedStats(events(rows: _*)).collect().head
+    assert(r.getString(0) == "view" && r.getLong(1) == 20L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 19L)
+    assert(r.getLong(4) == (1L to 19L).sum + 1000L)
+    assert(r.getLong(5) == (1L to 19L).sum + 19L)
+  }
+
   test("pivot: per-user conditional counts") {
     val e = events(
       (1L, 1L, 0L, "view", 0.0, "{}"),
