@@ -582,6 +582,12 @@ object SparkEntry {
     // exact positional p05/p95 clipping, raw vs winsorized sums
     "events_winsorized" -> ((s, dir) =>
       Relational.winsorizedStats(Tables.events(s, dir))),
+    // linear interpolation between observed neighbors on the day spine
+    "events_gap_interp" -> ((s, dir) =>
+      Relational.gapInterpDaily(Tables.events(s, dir))),
+    // first-appearance novelty profile over 3-gram shingles
+    "doc_ngram_novelty" -> ((s, dir) =>
+      graft.operators.Dedup.ngramNovelty(Tables.documents(s, dir), n = 3)),
     "events_pivot" -> ((s, dir) =>
       Relational.eventTypePivot(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
@@ -1267,6 +1273,50 @@ object SparkEntry {
          |FROM spine s LEFT JOIN daily dl
          |  ON s.user_id = dl.user_id AND s.epoch_day = dl.epoch_day
          |ORDER BY s.user_id, s.epoch_day""".stripMargin,
+    // linear interpolation between the nearest observed neighbors;
+    // signed integer division truncates toward zero on both engines
+    "events_gap_interp" ->
+      s"""WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_c
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(epoch_day) AS d0, max(epoch_day) AS d1 FROM daily),
+         |spine AS (SELECT event_type, d.epoch_day
+         |  FROM (SELECT DISTINCT event_type FROM daily),
+         |       (SELECT unnest(generate_series((SELECT d0 FROM b), (SELECT d1 FROM b)))
+         |          AS epoch_day) d),
+         |j AS (SELECT s.event_type, s.epoch_day, day_c,
+         |    last_value(CASE WHEN day_c IS NOT NULL THEN s.epoch_day END IGNORE NULLS)
+         |      OVER wp AS pd,
+         |    last_value(day_c IGNORE NULLS) OVER wp AS pv,
+         |    first_value(CASE WHEN day_c IS NOT NULL THEN s.epoch_day END IGNORE NULLS)
+         |      OVER wn AS nd,
+         |    first_value(day_c IGNORE NULLS) OVER wn AS nv
+         |  FROM spine s LEFT JOIN daily dl
+         |    ON s.event_type = dl.event_type AND s.epoch_day = dl.epoch_day
+         |  WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.epoch_day
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (PARTITION BY s.event_type ORDER BY s.epoch_day
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, epoch_day,
+         |  CAST(CASE WHEN day_c IS NOT NULL THEN day_c
+         |       WHEN pv IS NULL THEN nv
+         |       WHEN nv IS NULL THEN pv
+         |       ELSE pv + (nv - pv) * (epoch_day - pd) // (nd - pd) END AS BIGINT)
+         |    AS interp_c,
+         |  CAST(CASE WHEN day_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_interp
+         |FROM j ORDER BY event_type, epoch_day""".stripMargin,
+    // a shingle is novel in exactly the doc where it first appears
+    "doc_ngram_novelty" ->
+      s"""WITH sh AS ($SqlShingles),
+         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM sh GROUP BY 1),
+         |nv AS (SELECT sh.doc_id, count(*)::BIGINT AS n_novel
+         |       FROM sh JOIN f ON sh.shingle = f.shingle
+         |       WHERE sh.doc_id = f.first_doc GROUP BY 1)
+         |SELECT tot.doc_id, n_grams, coalesce(n_novel, 0) AS n_novel,
+         |  coalesce(n_novel, 0) * 1000 // n_grams AS novelty_x1000
+         |FROM tot LEFT JOIN nv ON tot.doc_id = nv.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
     "fuzzy_name_pairs" ->
       s"""SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
          |  CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS dist

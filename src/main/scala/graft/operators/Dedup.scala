@@ -299,6 +299,29 @@ object Dedup {
         size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
       .orderBy("doc_id")
 
+  /** Per-document n-gram NOVELTY against everything earlier in the
+    * corpus (doc_id order): the fraction of a document's distinct
+    * n-grams whose FIRST corpus appearance is this document — the
+    * staleness profile a curation pipeline watches to decide when a
+    * crawl stops adding information (novelty decays as the corpus
+    * saturates). `min(doc_id)` per shingle is one map-side-combinable
+    * aggregation; a doc's novel count is a join back on (shingle,
+    * first = own id) — no ordered scan, no cross-doc window.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val sh = shingles(docs, n).localCheckpoint()
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = sh.join(first, "shingle")
+      .where(col("doc_id") === col("first_doc"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    tot.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_x1000", expr("n_novel * 1000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: corpus documents sharing any n-gram
     * with the benchmark set. The benchmark's distinct n-grams are tiny
     * relative to the corpus — broadcast them; the corpus side streams

@@ -1233,6 +1233,45 @@ object Relational {
       .orderBy("user_id", "epoch_day")
   }
 
+  /** Linear gap interpolation over the per-type daily series — the
+    * time-series REPAIR sibling of [[gapFillDaily]]'s carry-forward:
+    * a missing day gets `prev + (next − prev)·(d − pd) div (nd − pd)`
+    * between its nearest observed neighbors (clamped to the nearest
+    * value at the series edges). All integer: both engines truncate
+    * toward zero on signed division (verified −7//2 = −3 on DuckDB),
+    * so downward slopes interpolate identically. The prev/next
+    * observed (day, value) pairs are ignoreNulls window probes over
+    * the spine — one shuffle on event_type, no self-join against the
+    * observation set.
+    */
+  def gapInterpDaily(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"),
+        expr("ts_ms div 86400000").as("epoch_day"), cents("value").as("vc"))
+      .groupBy("event_type", "epoch_day").agg(sum("vc").as("day_c"))
+    val bounds = daily.agg(min("epoch_day").as("d0"), max("epoch_day").as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("epoch_day"))
+    val order = Window.partitionBy("event_type").orderBy("epoch_day")
+    val wPrev = order.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = order.rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("day_c").isNotNull, col("epoch_day"))
+    spine.join(daily, Seq("event_type", "epoch_day"), "left")
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last("day_c", ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("nv", first("day_c", ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("epoch_day"),
+        when(col("day_c").isNotNull, col("day_c"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + expr(
+            "(nv - pv) * (epoch_day - pd) div (nd - pd)"))
+          .as("interp_c"),
+        when(col("day_c").isNull, 1L).otherwise(0L).as("is_interp"))
+      .orderBy("event_type", "epoch_day")
+  }
+
   /** Cohort activity matrix: users grouped by first-activity week
     * (the cohort), counted per week-offset since that cohort — the
     * full retention triangle behind [[retention]]'s single-day rates.

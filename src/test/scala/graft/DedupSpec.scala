@@ -388,4 +388,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) || java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 3)
   }
+
+  test("ngramNovelty: first appearance wins, repeats score zero") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),   // 2 trigrams, both novel
+      (2L, "alpha beta gamma delta"),   // exact repeat: 0 novel
+      (3L, "alpha beta gamma epsilon")  // shares "alpha beta gamma"
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1000L), (2L, 2L, 0L, 0L), (3L, 2L, 1L, 500L)))
+  }
 }

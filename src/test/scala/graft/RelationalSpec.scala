@@ -141,6 +141,23 @@ class RelationalSpec extends SparkSpec {
     assert(r.getLong(5) == (1L to 19L).sum + 19L)
   }
 
+  test("gapInterpDaily: linear fill between neighbors, clamped edges") {
+    val day = 86400000L
+    // "view" observed on days 0 (100c) and 3 (400c): days 1,2 interp
+    // to 200/300; "click" observed only day 2 -> edges clamp to 50
+    val e = events(
+      (1L, 1L, 0L, "view", 1.0, "{}"),
+      (2L, 1L, 3 * day, "view", 4.0, "{}"),
+      (3L, 1L, 2 * day, "click", 0.5, "{}"))
+    val got = Relational.gapInterpDaily(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("click", 0L, 50L, 1L), ("click", 1L, 50L, 1L),
+      ("click", 2L, 50L, 0L), ("click", 3L, 50L, 1L),
+      ("view", 0L, 100L, 0L), ("view", 1L, 200L, 1L),
+      ("view", 2L, 300L, 1L), ("view", 3L, 400L, 0L)))
+  }
+
   test("pivot: per-user conditional counts") {
     val e = events(
       (1L, 1L, 0L, "view", 0.0, "{}"),
