@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata tables (TESTDATA.md). */
 object Tables {
@@ -12,20 +12,32 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
 
+  /** `ts` → epoch-milliseconds bigint, for every physical type the
+    * fixture has shipped as across rounds:
+    *  - INT64 TIMESTAMP(NANOS): readable only as a long under the
+    *    nanos-as-long legacy flag (set in [[GraftSession.builder]]) →
+    *    integer division to millis;
+    *  - TIMESTAMP_NTZ (timestamp[us] with no UTC adjustment — the
+    *    round-7 regeneration): `unix_millis` rejects NTZ, so cast to
+    *    the LTZ type first — the session timezone is pinned UTC, so
+    *    the wall clock IS the epoch, exactly what DuckDB's
+    *    `epoch_ms(ts)` yields for the same naive value;
+    *  - plain TIMESTAMP: `unix_millis` directly.
+    */
+  def tsMsExpr(dt: DataType): Column = dt match {
+    case LongType         => expr("ts div 1000000") // nanos → millis
+    case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+    case _                => unix_millis(col("ts"))
+  }
+
   /** `events` with `ts` normalized to a `ts_ms` epoch-milliseconds
-    * bigint. The testdata stores TIMESTAMP(NANOS), readable only under
-    * the nanos-as-long legacy flag — set in [[GraftSession.builder]]
-    * (the single source of session config), not here; epoch millis is
-    * also the representation every oracle query compares on
-    * (engine-native timestamp types don't round-trip identically).
+    * bigint — epoch millis is the representation every oracle query
+    * compares on (engine-native timestamp types don't round-trip
+    * identically).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val df = apply(s, dir, "events")
-    val tsMs = df.schema("ts").dataType match {
-      case LongType => expr("ts div 1000000")  // nanos → millis
-      case _        => unix_millis(col("ts"))
-    }
-    df.withColumn("ts_ms", tsMs).drop("ts")
+    df.withColumn("ts_ms", tsMsExpr(df.schema("ts").dataType)).drop("ts")
   }
   def lineitem(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "orders")

@@ -114,11 +114,8 @@ object Streams {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(stagedFileDir(path))
-    val tsMs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
-    }
-    raw.withColumn("ts_ms", tsMs).drop("ts")
+    raw.withColumn("ts_ms", graft.Tables.tsMsExpr(raw.schema("ts").dataType))
+      .drop("ts")
   }
 
   /** [[windowedEventCounts]] over the events file stream, driven to
@@ -305,10 +302,7 @@ object Streams {
     val staged = stagedEventsWithSentinel(spark, dir)
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
-    val tsMs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
-    }
+    val tsMs = graft.Tables.tsMsExpr(raw.schema("ts").dataType)
     val ev = raw.withColumn("ts_ms", tsMs)
     // Heartbeat cutoff: real events end at the corpus max; heartbeats
     // start 2 h past it. The heartbeat-dropping predicate MUST
