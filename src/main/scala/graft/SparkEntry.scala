@@ -669,6 +669,27 @@ object SparkEntry {
     // synchronous LPA communities, 2 deterministic rounds
     "word_communities" -> ((s, dir) =>
       Graph.wordCommunities(Tables.documents(s, dir))),
+    // market-basket support counting: part pairs co-bought in ≥2 orders
+    "part_copurchase" -> ((s, dir) =>
+      Graph.copurchaseEdges(Tables.lineitem(s, dir))
+        .orderBy(org.apache.spark.sql.functions.col("supp").desc,
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"))
+        .limit(100)
+        .withColumnRenamed("a", "part_a").withColumnRenamed("b", "part_b")),
+    // common-neighbors link prediction on the co-purchase graph:
+    // item-to-item recommendation over NON-adjacent part pairs
+    "part_link_pred" -> ((s, dir) =>
+      Graph.commonNeighborPairs(
+        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+    // Deequ-style declarative constraint audit over the warehouse
+    "dq_audit" -> ((s, dir) =>
+      DataQuality.audit(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // last-touch attribution: purchases credited to the latest prior
+    // click/view within 7 days (one window pass, no self-join)
+    "events_attribution" -> ((s, dir) =>
+      Relational.lastTouchAttribution(Tables.events(s, dir))),
     // CCNet-style cross-doc boilerplate chunk removal
     "doc_boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
@@ -2497,6 +2518,69 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles FROM o e1
          |JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
          |JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "part_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS supp
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, supp FROM e
+        |ORDER BY supp DESC, part_a, part_b LIMIT 100""".stripMargin,
+    "part_link_pred" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+        |    ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS w, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+        |cn AS (SELECT n1.n AS u, n2.n AS v, count(*) AS n_common
+        |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n GROUP BY 1, 2)
+        |SELECT u AS part_a, v AS part_b, n_common FROM cn
+        |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
+        |ORDER BY n_common DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "dq_audit" ->
+      """SELECT * FROM (
+        |SELECT 'customer.acctbal_nonneg' AS check_id, count(*)::BIGINT AS n_rows,
+        |  (count(*) FILTER (WHERE c_acctbal < 0))::BIGINT AS n_bad FROM customer
+        |UNION ALL SELECT 'customer.key_unique', count(*),
+        |  count(*) - count(DISTINCT c_custkey) FROM customer
+        |UNION ALL SELECT 'customer.name_complete', count(*),
+        |  count(*) FILTER (WHERE c_name IS NULL) FROM customer
+        |UNION ALL SELECT 'orders.key_unique', count(*),
+        |  count(*) - count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'orders.status_domain', count(*),
+        |  count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) FROM orders
+        |UNION ALL SELECT 'lineitem.qty_bounds', count(*),
+        |  count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50) FROM lineitem
+        |UNION ALL SELECT 'lineitem.returnflag_domain', count(*),
+        |  count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) FROM lineitem
+        |UNION ALL SELECT 'orders.fk_customer', (SELECT count(*) FROM orders),
+        |  count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'lineitem.fk_orders', (SELECT count(*) FROM lineitem),
+        |  count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'lineitem.ship_after_order', count(*),
+        |  count(*) FILTER (WHERE l_shipdate < o_orderdate)
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |) ORDER BY check_id""".stripMargin,
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |a AS (SELECT event_type, value, ts_ms,
+        |  last_value(CASE WHEN event_type IN ('click','view') THEN ts_ms END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ms,
+        |  last_value(CASE WHEN event_type IN ('click','view') THEN event_type
+        |      END IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type
+        |  FROM e)
+        |SELECT CASE WHEN lt_ms IS NOT NULL AND lt_ms >= ts_ms - 604800000
+        |    THEN lt_type ELSE 'direct' END AS channel,
+        |  count(*)::BIGINT AS n_purchases,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_boilerplate_scrub" ->
       s"""WITH ch AS (
          |  SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_idx,

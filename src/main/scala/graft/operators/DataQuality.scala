@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit (Deequ-style constraint checking) —
+  * the validation pass a corpus/warehouse ingest runs before anything
+  * downstream trusts the data. One result row per declared constraint:
+  * `(check_id, n_rows, n_bad)`, where `n_bad` is the number of
+  * violating rows (0 = constraint holds).
+  *
+  * Reference scope: the reference engine validates nothing — this is
+  * part of the pipeline-completeness surface around it (cf.
+  * `sendFileByFile.cpp:1` reading its inputs unchecked).
+  *
+  * Scale shape, by check class:
+  *  - completeness / domain / bounds: ONE full scan per table,
+  *    all checks on that table fused into a single conditional
+  *    aggregation (no shuffle — partial aggs combine map-side to one
+  *    row). Adding a check to a table adds a column, not a scan.
+  *  - key uniqueness: `count(*) − count(DISTINCT key)` — one hash
+  *    shuffle on the key, fused into the same scan's aggregate (Spark
+  *    plans distinct-aggregate via expand + two-phase hash agg).
+  *  - referential integrity: LEFT ANTI join child→parent on the key —
+  *    broadcast when the parent fits (nation/region), shuffle-hash
+  *    otherwise; orphan count only, no child payload moves.
+  *  - cross-table predicates (ship_after_order): an equi-join on the
+  *    shared key with the violation predicate evaluated post-join;
+  *    co-partitioning/bucketing both fact tables on the key makes
+  *    this exchange-free at 100 TB (see `bucketed_join_revenue`).
+  *
+  * The audit result is O(#checks) rows regardless of input size.
+  */
+object DataQuality {
+
+  def audit(customer: DataFrame, orders: DataFrame,
+            lineitem: DataFrame): DataFrame = {
+    // customer: one scan → uniqueness + non-negativity + completeness
+    val cust = customer.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("c_custkey")).as("nd"),
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("neg_bal"),
+        sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("null_name"))
+      .select(col("n").as("n_rows"), expr(
+        """stack(3,
+          |  'customer.key_unique',    n - nd,
+          |  'customer.acctbal_nonneg', neg_bal,
+          |  'customer.name_complete', null_name) AS (check_id, n_bad)
+          |""".stripMargin))
+
+    // orders: one scan → uniqueness + accepted-value domain
+    val ord = orders.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nd"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("bad_status"))
+      .select(col("n").as("n_rows"), expr(
+        """stack(2,
+          |  'orders.key_unique',    n - nd,
+          |  'orders.status_domain', bad_status) AS (check_id, n_bad)
+          |""".stripMargin))
+
+    // lineitem: one scan → bounds + domain
+    val li = lineitem.agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+          .as("bad_qty"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)).as("bad_flag"))
+      .select(col("n").as("n_rows"), expr(
+        """stack(2,
+          |  'lineitem.qty_bounds',        bad_qty,
+          |  'lineitem.returnflag_domain', bad_flag) AS (check_id, n_bad)
+          |""".stripMargin))
+
+    // referential integrity: orphan children (LEFT ANTI on the key)
+    def fk(name: String, child: DataFrame, childKey: String,
+           parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.select(col(childKey))
+        .join(parent.select(col(parentKey)),
+          col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+        .select(lit(name).as("check_id"), col("n_rows"), col("n_bad"))
+    }
+    val fkOrders   = fk("orders.fk_customer", orders, "o_custkey",
+      customer, "c_custkey")
+    val fkLineitem = fk("lineitem.fk_orders", lineitem, "l_orderkey",
+      orders, "o_orderkey")
+
+    // cross-table predicate: a lineitem must not ship before its order
+    val shipAfter = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("n_bad"))
+      .select(lit("lineitem.ship_after_order").as("check_id"),
+        col("n_rows"), col("n_bad"))
+
+    cust.select("check_id", "n_rows", "n_bad")
+      .unionByName(ord.select("check_id", "n_rows", "n_bad"))
+      .unionByName(li.select("check_id", "n_rows", "n_bad"))
+      .unionByName(fkOrders)
+      .unionByName(fkLineitem)
+      .unionByName(shipAfter)
+      .orderBy("check_id")
+  }
+}

@@ -444,4 +444,60 @@ object Graph {
     }
     visited.orderBy("word")
   }
+
+  /** Market-basket co-occurrence edges: undirected part pairs bought
+    * within the same order, kept at `minSupport` co-occurring orders —
+    * the support-counting core of frequent-itemset mining, and a
+    * naturally SPARSE similarity graph (unlike the corpus word graph,
+    * which is complete on this testdata).
+    *
+    * Shape: distinct (order, part), then a self-join per order —
+    * fan-out is items-per-basket², bounded by basket size, not corpus
+    * size (the classic market-basket bound; at 100 TB cap or sample
+    * mega-baskets, they're degenerate for support anyway). One shuffle
+    * on the order key for the self-join (both sides share it), one on
+    * the pair for support counting.
+    */
+  def copurchaseEdges(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    op.toDF("o", "a")
+      .join(op.toDF("o2", "b"), col("o") === col("o2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+      .where(col("supp") >= minSupport)
+  }
+
+  /** Common-neighbors link prediction over an undirected graph given
+    * as normalized edges `(a < b, distinct)`: for every NON-adjacent
+    * pair, the number of shared neighbors — the classic "who should be
+    * connected next" score — top `topK` by (count desc, a, b) (a total
+    * order: pairs are unique). On the co-purchase graph this is
+    * item-to-item recommendation ("bought together with the same
+    * third parts, never yet together").
+    *
+    * Shape: wedges are generated at their MIDDLE vertex (neighbor
+    * pairs u < v per node), counted per pair — cost Σ deg(w)², the
+    * inherent wedge bound — then adjacent pairs leave via LEFT ANTI
+    * against the edge set. Two shuffles: wedge keys, then the anti
+    * join. At 100 TB-scale graphs the standard mitigation applies
+    * unchanged: drop the top-degree hub nodes before the self-join
+    * (their wedges are noise), bounding fan-out the same way
+    * [[triangleCount]]'s orientation does; the oriented trick itself
+    * does NOT apply here — a common neighbor must see BOTH endpoints,
+    * whatever their degrees.
+    */
+  def commonNeighborPairs(e0: DataFrame, topK: Int = 50): DataFrame = {
+    val adj = e0.select(col("a").as("w"), col("b").as("n"))
+      .unionByName(e0.select(col("b").as("w"), col("a").as("n")))
+    val wedges = adj.toDF("w", "u")
+      .join(adj.toDF("w2", "v"), col("w") === col("w2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+    wedges
+      .join(e0, wedges("u") === e0("a") && wedges("v") === e0("b"),
+        "left_anti")
+      .select(col("u").as("part_a"), col("v").as("part_b"), col("n_common"))
+      .orderBy(col("n_common").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
 }

@@ -1581,4 +1581,41 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }
+
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the user's most recent PRIOR `click`/`view` within `windowMs`
+    * (else `direct`), then purchase count + cents revenue roll up per
+    * channel.
+    *
+    * Shape: ONE shuffle on user_id for the window pass — the carried
+    * "last marketing touch" is `last(..., ignoreNulls)` over
+    * `ROWS UNBOUNDED PRECEDING .. 1 PRECEDING` in (ts_ms, event_id)
+    * order (total, so deterministic), which Spark evaluates as a
+    * running frame in a single sorted sweep per user — no self-join of
+    * purchases against touch history (the naive formulation is a
+    * per-purchase range join). The two carried columns (`ts`, type)
+    * come from the same frame and the same non-null predicate, so they
+    * always describe the SAME touch row. Channel rollup is a
+    * three-row aggregate.
+    */
+  def lastTouchAttribution(events: DataFrame,
+                           windowMs: Long = 604800000L): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("ts_ms"))
+    val touchType =
+      when(col("event_type").isin("click", "view"), col("event_type"))
+    events
+      .withColumn("lt_ms", last(touch, ignoreNulls = true).over(w))
+      .withColumn("lt_type", last(touchType, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        when(col("lt_ms").isNotNull && col("lt_ms") >= col("ts_ms") - windowMs,
+          col("lt_type")).otherwise(lit("direct")).as("channel"),
+        cents("value").as("value_c"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("value_c").as("sum_cents"))
+      .orderBy("channel")
+  }
 }

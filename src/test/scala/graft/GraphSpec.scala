@@ -122,4 +122,29 @@ class GraphSpec extends SparkSpec {
     // d is 3 hops away -> outside the horizon; x/y disconnected
     assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
+
+  test("copurchaseEdges: per-order distinct, pair support thresholded") {
+    // orders 1,2 both contain {10,20}; order 1 lists part 10 twice
+    // (distinct collapses it); pair (10,30) appears in ONE order only
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+        (2L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.copurchaseEdges(li).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((10L, 20L) -> 2L))
+  }
+
+  test("commonNeighborPairs scores non-adjacent pairs by shared neighbors") {
+    // square a-b-c-d-a: diagonals (a,c) and (b,d) share 2 neighbors;
+    // pendant e off a: (b,e)/(d,e) share only a
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "e"))
+      .toDF("a", "b")
+    val got = Graph.commonNeighborPairs(e0).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(got.toMap == Map(("a", "c") -> 2L, ("b", "d") -> 2L,
+      ("b", "e") -> 1L, ("d", "e") -> 1L))
+    // ordering: count desc, then lexicographic pair
+    assert(got.map(_._1).toSeq ==
+      Seq(("a", "c"), ("b", "d"), ("b", "e"), ("d", "e")))
+  }
 }

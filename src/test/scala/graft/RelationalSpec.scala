@@ -460,4 +460,27 @@ class RelationalSpec extends SparkSpec {
     assert(w.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count"))
       .collect().head.getLong(0) <= 3)
   }
+
+  test("lastTouchAttribution credits the latest in-window touch") {
+    val day = 86400000L
+    // (user, event_id, type, value, ts_ms)
+    val ev = Seq(
+      // u1: click then purchase next day -> click
+      (1L, 1L, "click", 0.0, 0L), (1L, 2L, "purchase", 10.0, day),
+      // u2: view, purchase 8 days later -> outside 7d window -> direct
+      (2L, 3L, "view", 0.0, 0L), (2L, 4L, "purchase", 20.0, 8 * day),
+      // u3: no prior touch at all -> direct
+      (3L, 5L, "purchase", 30.0, day),
+      // u4: click then view then purchase -> LATEST touch (view) wins;
+      // a later click after the purchase must not count
+      (4L, 6L, "click", 0.0, 0L), (4L, 7L, "view", 0.0, day),
+      (4L, 8L, "purchase", 40.0, 2 * day), (4L, 9L, "click", 0.0, 3 * day))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_ms")
+    val got = Relational.lastTouchAttribution(ev).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "click" -> ((1L, 1000L)),
+      "direct" -> ((2L, 5000L)),
+      "view" -> ((1L, 4000L))))
+  }
 }
