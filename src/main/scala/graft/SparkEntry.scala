@@ -130,6 +130,61 @@ object SparkEntry {
     (base +: iterCtes).mkString("WITH ", ",\n", "")
   }
 
+  /** DuckDB mirror of [[operators.Similarity.annPq]]: per subspace a
+    * [[sqlKmeansCents]]-shaped unrolled Lloyd chain over the slice
+    * (`ev[(s·(d//m)+1) : ((s+1)·(d//m))]`), then corpus codes
+    * (argmin by (d2, cluster) — the NearestCentroidL2 tie rule), a
+    * per-query code→d2 LUT, and the ADC sum over the m subspace
+    * partials. Every value is a scaled-int BIGINT, so the comparison
+    * is exact.
+    */
+  private def sqlPqAdc(m: Int, codebookK: Int, iters: Int,
+                       nQ: Int, k: Int): String = {
+    val subCtes = (0 until m).flatMap { s =>
+      val src = s"ev$s"
+      val slice = s"ev[($s*(len(ev)//$m)+1):(($s+1)*(len(ev)//$m))]"
+      val base = Seq(
+        s"$src AS (SELECT vec_id, $slice AS ev FROM ev)",
+        s"c0_$s AS (SELECT vec_id AS cluster, ev AS cv FROM $src " +
+          s"ORDER BY vec_id LIMIT $codebookK)")
+      val iterC = (1 to iters).flatMap { i =>
+        Seq(
+          s"""a${i}_$s AS (SELECT vec_id, ev, cluster FROM (
+             |  SELECT e.vec_id, e.ev, c.cluster,
+             |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+             |  FROM $src e CROSS JOIN c${i - 1}_$s c) WHERE rn = 1)""".stripMargin,
+          s"""s${i}_$s AS (SELECT cluster, list(m ORDER BY dim) AS newcv FROM (
+             |  SELECT cluster, dim, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m FROM (
+             |    SELECT a.cluster, r.i AS dim, a.ev[r.i] AS v
+             |    FROM a${i}_$s a, LATERAL (SELECT unnest(range(1, len(a.ev) + 1)) AS i) r)
+             |  GROUP BY cluster, dim) GROUP BY cluster)""".stripMargin,
+          s"c${i}_$s AS (SELECT p.cluster, COALESCE(t.newcv, p.cv) AS cv " +
+            s"FROM c${i - 1}_$s p LEFT JOIN s${i}_$s t ON p.cluster = t.cluster)")
+      }
+      val post = Seq(
+        s"""codes$s AS (SELECT vec_id, cluster AS code FROM (
+           |  SELECT e.vec_id, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+           |  FROM $src e CROSS JOIN c${iters}_$s c) WHERE rn = 1)""".stripMargin,
+        s"""lut$s AS (SELECT e.vec_id AS query_id, c.cluster AS code, ${sqlD2("e", "c")} AS pd2
+           |  FROM $src e CROSS JOIN c${iters}_$s c WHERE e.vec_id < $nQ)""".stripMargin,
+        s"part$s AS (SELECT l.query_id, x.vec_id, l.pd2 " +
+          s"FROM codes$s x JOIN lut$s l ON l.code = x.code)")
+      base ++ iterC ++ post
+    }
+    val union = (0 until m).map(s => s"SELECT * FROM part$s")
+      .mkString(" UNION ALL ")
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev FROM embeddings),
+       |${subCtes.mkString(",\n")},
+       |adc AS (SELECT query_id, vec_id, CAST(sum(pd2) AS BIGINT) AS adc_d2
+       |  FROM ($union) GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_d2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+       |  FROM adc WHERE vec_id <> query_id) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB mirror of [[TextAnalysis.bpeLearn]]: `n` unrolled
     * count-argmax-merge rounds over the token-string vocabulary (same
     * trailing-`/` representation, same non-overlapping `replace`), one
@@ -733,6 +788,19 @@ object SparkEntry {
               |   WHERE event_type = 'purchase') e ON e.ed = spine.d
               |GROUP BY d ORDER BY d""".stripMargin)
     }),
+    // correlated LATERAL subquery (top-3 orders per customer by spend):
+    // Catalyst decorrelates the correlated ORDER BY+LIMIT into a ranked
+    // window join — the SQL surface beside top_orders_per_cust's
+    // explicit window formulation
+    "sql_lateral_topk" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql("""SELECT c_custkey, o_orderkey, cents FROM customer,
+              |LATERAL (SELECT o_orderkey,
+              |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              |  FROM orders WHERE o_custkey = c_custkey
+              |  ORDER BY cents DESC, o_orderkey LIMIT 3)
+              |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin)
+    }),
     // DSIR-style selection: hashed-token target/raw importance ratio,
     // fixed-point integers, top-n via TakeOrderedAndProject
     "dsir_select" -> ((s, dir) =>
@@ -846,6 +914,11 @@ object SparkEntry {
     // with exact integer distances — the 4×-smaller-index lever
     "ann_sq8" -> ((s, dir) =>
       Similarity.annSq8(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+    // product quantization + ADC (Jégou et al. 2011): m=4 subspace
+    // codebooks, corpus stored as codes, query distance = m LUT
+    // lookups — the 64× index-compression path
+    "ann_pq" -> ((s, dir) =>
+      Similarity.annPq(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
     // JL ±1 random projection to 16 dims, exact integer coordinates
     "emb_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(Tables.embeddings(s, dir))),
@@ -1875,6 +1948,7 @@ object SparkEntry {
     // the quantized code IS the contract: round((x-mn)*255/(mx-mn)) per
     // dim (identical IEEE expression tree on both engines), constant
     // dims -> 0, then exact integer squared-L2 ranking
+    "ann_pq" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3, nQ = 10, k = 5),
     "ann_sq8" ->
       s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |st AS (SELECT r.i AS pos, min(e[r.i]) AS mn, max(e[r.i]) AS mx
@@ -2423,6 +2497,13 @@ object SparkEntry {
          |  count_if(n_chars > 200) AS n_long,
          |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "sql_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, cents FROM customer,
+        |LATERAL (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey = c_custkey
+        |  ORDER BY cents DESC, o_orderkey LIMIT 3)
+        |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin,
     "sql_recursive_spine" ->
       s"""WITH RECURSIVE spine(d) AS (
          |  SELECT (SELECT min(epoch_ms(ts) // 86400000) FROM events)

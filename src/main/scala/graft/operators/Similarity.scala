@@ -472,4 +472,83 @@ object Similarity {
       .orderBy("vec_id")
       .limit(limit)
   }
+
+  /** Product-quantization ANN (the coding half of IVF-ADC, Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011): the vector splits into `m` subspaces, each subspace learns
+    * its own `codebookK`-centroid codebook (the same deterministic
+    * integer Lloyd as [[Clustering.lloydCentroids]], on the slice),
+    * and a vector is stored as just its m codes. Query-time ADC
+    * (asymmetric distance): the query precomputes, per subspace, the
+    * exact distance to EVERY centroid (an m×codebookK lookup table),
+    * and a candidate's distance is m table lookups summed — the
+    * uncompressed corpus vector is never touched again.
+    *
+    * This is the 100 TB memory lever in its real form: 64 float dims
+    * (256 B) become m=4 codes (4 B at codebookK ≤ 256) — 64× — so the
+    * index fits where the vectors can't; recall is traded via m and
+    * codebookK, not corpct. Every distance is an exact scaled-int
+    * BIGINT (codebooks, codes, and LUTs all integer), so the result is
+    * engine-reproducible and the DuckDB oracle replays it exactly.
+    *
+    * Plan shape: codebook learning is m small Lloyd runs; corpus
+    * encoding is ONE scan with m codegen-argmin expressions against m
+    * broadcast 1-row centroid arrays (no shuffle, no join of the
+    * corpus); the query LUT frame is nQueries rows (m maps of
+    * codebookK entries each), broadcast; ADC scoring is a shuffle-free
+    * map-side cross of corpus codes × query LUTs; ranking is the
+    * bounded-heap [[graft.plans.TopKPerKey]] — ≤ k rows per (query,
+    * partition) ever shuffle.
+    */
+  def annPq(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+            m: Int = 4, codebookK: Int = 8, iters: Int = 3): DataFrame = {
+    def sliced(s: Int): DataFrame = emb.select(col("vec_id"), expr(
+      s"slice(embedding, $s * (size(embedding) div $m) + 1, " +
+        s"size(embedding) div $m)").as("embedding"))
+    val books = (0 until m)
+      .map(s => Clustering.lloydCentroids(sliced(s), codebookK, iters))
+
+    // corpus encoding: one pass, m argmins; ties to the lowest
+    // centroid id (the NearestCentroidL2 contract, mirrored by the
+    // oracle's (d2, cluster) row_number order)
+    val coded = (0 until m).foldLeft(
+      emb.select(col("vec_id"), Clustering.scaledVec(col("embedding")).as("ev"))) {
+      (acc, s) =>
+        val centsArr = books(s).agg(
+          sort_array(collect_list(struct(col("cluster"), col("cv"))))
+            .as(s"cents$s"))
+        acc.join(broadcast(centsArr))
+          .withColumn(s"code$s", graft.functions.functions.nearest_centroid_l2(
+            expr(s"slice(ev, $s * (size(ev) div $m) + 1, size(ev) div $m)"),
+            col(s"cents$s")).getField("cluster"))
+          .drop(s"cents$s")
+    }
+    val codes = coded.select(
+      col("vec_id") +: (0 until m).map(s => col(s"code$s")): _*)
+
+    // per-query ADC lookup tables: code -> exact subspace d2, one map
+    // column per subspace (tiny: nQueries × m × codebookK entries)
+    val qlut = (0 until m).map { s =>
+      sliced(s).where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          Clustering.scaledVec(col("embedding")).as("qv"))
+        .crossJoin(broadcast(books(s).select(col("cluster"), col("cv"))))
+        .select(col("query_id"), col("cluster"), expr(
+          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
+            "0L, (acc, v) -> acc + v)").as("pd2"))
+        .groupBy("query_id")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("cluster"), col("pd2"))))).as(s"lut$s"))
+    }.reduce((a, b) => a.join(b, "query_id"))
+
+    val scored = codes
+      .join(broadcast(qlut), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (0 until m).map(s => element_at(col(s"lut$s"), col(s"code$s")))
+          .reduce(_ + _).as("adc_d2"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("adc_d2", false), ("neighbor_id", false)), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -110,4 +110,20 @@ class GraftSqlSpec extends SparkSpec {
       .collect().head.getSeq[String](0).toSet
     assert(got == Set("ab", "a", "b", ""))
   }
+
+  test("correlated LATERAL top-k decorrelates and matches the window form") {
+    val lat = SparkEntry.queries("sql_lateral_topk")(spark, sf0001)
+    // ≤ 3 orders per customer, and the same row count as the explicit
+    // window formulation (both drop order-less customers)
+    val perCust = lat.groupBy("c_custkey").count()
+    assert(perCust.agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0) <= 3L)
+    val win = graft.operators.Relational
+      .topOrdersPerCustomer(spark, sf0001, 3)
+    assert(lat.count() == win.count() && lat.count() > 0)
+    // the decorrelated plan must not contain a per-row subquery: Spark
+    // rewrites the correlated ORDER BY+LIMIT into a ranked window join
+    val plan = lat.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ScalarSubquery"))
+  }
 }

@@ -223,4 +223,45 @@ class SimilaritySpec extends SparkSpec {
     }.toSet
     assert(got.toSet == expect)
   }
+
+  test("annPq: with n ≤ codebookK every vector is its own centroid and " +
+    "ADC distance is EXACT") {
+    // 8 distinct vectors, dim 8, m=4 (2-dim subspaces), codebookK=8:
+    // the seed set is the whole corpus, every Lloyd iteration is a
+    // fixed point (each vector its own centroid), codes are identities
+    // and the ADC sum telescopes to the full scaled-int L2 distance
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat / 10f), 0)
+    }
+    val got = Similarity.annPq(emb(vecs: _*), nQueries = 2, k = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    def sv(s: Seq[Float]) = s.map(x => math.round(x.toDouble * 1000000))
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sc = vecs.map(v => v._1 -> sv(v._2)).toMap
+    for (q <- 0L to 1L) {
+      val exact = sc.keys.filter(_ != q).toSeq
+        .sortBy(n => (d2(sc(q), sc(n)), n)).take(3).zipWithIndex
+      for ((n, i) <- exact)
+        assert(got((q, n)) == ((d2(sc(q), sc(n)), i + 1L)))
+    }
+  }
+
+  test("annPq on testdata: k ranked rows per query, distances non-decreasing") {
+    val got = Similarity.annPq(Tables.embeddings(spark, sf0001),
+        nQueries = 4, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to 5L))
+      val ds = byRank.map(_._3).toSeq
+      assert(ds == ds.sorted)
+      // ADC against 8-centroid codebooks: distances are meaningful
+      // (nonnegative, and a self pair is excluded by construction)
+      assert(ds.forall(_ >= 0L) && rows.forall(r => r._1 != r._2))
+    }
+  }
 }
