@@ -139,49 +139,63 @@ object SparkEntry {
     * is exact.
     */
   private def sqlPqAdc(m: Int, codebookK: Int, iters: Int,
-                       nQ: Int, k: Int): String = {
+                       nQ: Int, k: Int, nCells: Int = 0,
+                       cellIters: Int = 0): String = {
+    // one unrolled-Lloyd chain c0_$sfx .. c$it_$sfx over `src`
+    def chain(src: String, sfx: String, kk: Int, it: Int): Seq[String] = {
+      val base = s"c0_$sfx AS (SELECT vec_id AS cluster, ev AS cv FROM $src " +
+        s"ORDER BY vec_id LIMIT $kk)"
+      base +: (1 to it).flatMap { i =>
+        Seq(
+          s"""a${i}_$sfx AS (SELECT vec_id, ev, cluster FROM (
+             |  SELECT e.vec_id, e.ev, c.cluster,
+             |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+             |  FROM $src e CROSS JOIN c${i - 1}_$sfx c) WHERE rn = 1)""".stripMargin,
+          s"""s${i}_$sfx AS (SELECT cluster, list(m ORDER BY dim) AS newcv FROM (
+             |  SELECT cluster, dim, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m FROM (
+             |    SELECT a.cluster, r.i AS dim, a.ev[r.i] AS v
+             |    FROM a${i}_$sfx a, LATERAL (SELECT unnest(range(1, len(a.ev) + 1)) AS i) r)
+             |  GROUP BY cluster, dim) GROUP BY cluster)""".stripMargin,
+          s"c${i}_$sfx AS (SELECT p.cluster, COALESCE(t.newcv, p.cv) AS cv " +
+            s"FROM c${i - 1}_$sfx p LEFT JOIN s${i}_$sfx t ON p.cluster = t.cluster)")
+      }
+    }
+    // argmin assignment of `src` rows against the chain's last centroids
+    def assign(name: String, src: String, sfx: String, it: Int,
+               outCol: String): String =
+      s"""$name AS (SELECT vec_id, cluster AS $outCol FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM $src e CROSS JOIN c${it}_$sfx c) WHERE rn = 1)""".stripMargin
     val subCtes = (0 until m).flatMap { s =>
       val src = s"ev$s"
       val slice = s"ev[($s*(len(ev)//$m)+1):(($s+1)*(len(ev)//$m))]"
-      val base = Seq(
-        s"$src AS (SELECT vec_id, $slice AS ev FROM ev)",
-        s"c0_$s AS (SELECT vec_id AS cluster, ev AS cv FROM $src " +
-          s"ORDER BY vec_id LIMIT $codebookK)")
-      val iterC = (1 to iters).flatMap { i =>
-        Seq(
-          s"""a${i}_$s AS (SELECT vec_id, ev, cluster FROM (
-             |  SELECT e.vec_id, e.ev, c.cluster,
-             |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
-             |  FROM $src e CROSS JOIN c${i - 1}_$s c) WHERE rn = 1)""".stripMargin,
-          s"""s${i}_$s AS (SELECT cluster, list(m ORDER BY dim) AS newcv FROM (
-             |  SELECT cluster, dim, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m FROM (
-             |    SELECT a.cluster, r.i AS dim, a.ev[r.i] AS v
-             |    FROM a${i}_$s a, LATERAL (SELECT unnest(range(1, len(a.ev) + 1)) AS i) r)
-             |  GROUP BY cluster, dim) GROUP BY cluster)""".stripMargin,
-          s"c${i}_$s AS (SELECT p.cluster, COALESCE(t.newcv, p.cv) AS cv " +
-            s"FROM c${i - 1}_$s p LEFT JOIN s${i}_$s t ON p.cluster = t.cluster)")
-      }
-      val post = Seq(
-        s"""codes$s AS (SELECT vec_id, cluster AS code FROM (
-           |  SELECT e.vec_id, c.cluster,
-           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
-           |  FROM $src e CROSS JOIN c${iters}_$s c) WHERE rn = 1)""".stripMargin,
+      Seq(s"$src AS (SELECT vec_id, $slice AS ev FROM ev)") ++
+        chain(src, s.toString, codebookK, iters) ++ Seq(
+        assign(s"codes$s", src, s.toString, iters, "code"),
         s"""lut$s AS (SELECT e.vec_id AS query_id, c.cluster AS code, ${sqlD2("e", "c")} AS pd2
            |  FROM $src e CROSS JOIN c${iters}_$s c WHERE e.vec_id < $nQ)""".stripMargin,
         s"part$s AS (SELECT l.query_id, x.vec_id, l.pd2 " +
           s"FROM codes$s x JOIN lut$s l ON l.code = x.code)")
-      base ++ iterC ++ post
     }
+    val cellCtes = if (nCells > 0)
+      chain("ev", "f", nCells, cellIters) ++
+        Seq(assign("cells", "ev", "f", cellIters, "cell"))
+    else Seq.empty
+    val cellJoin = if (nCells > 0)
+      " JOIN cells cq ON cq.vec_id = adc.query_id " +
+        "JOIN cells cn ON cn.vec_id = adc.vec_id AND cn.cell = cq.cell"
+    else ""
     val union = (0 until m).map(s => s"SELECT * FROM part$s")
       .mkString(" UNION ALL ")
     s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev FROM embeddings),
-       |${subCtes.mkString(",\n")},
+       |${(subCtes ++ cellCtes).mkString(",\n")},
        |adc AS (SELECT query_id, vec_id, CAST(sum(pd2) AS BIGINT) AS adc_d2
        |  FROM ($union) GROUP BY 1, 2)
        |SELECT query_id, neighbor_id, adc_d2, rank FROM (
-       |  SELECT query_id, vec_id AS neighbor_id, adc_d2,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
-       |  FROM adc WHERE vec_id <> query_id) WHERE rank <= $k
+       |  SELECT adc.query_id, adc.vec_id AS neighbor_id, adc.adc_d2,
+       |    row_number() OVER (PARTITION BY adc.query_id ORDER BY adc.adc_d2, adc.vec_id) AS rank
+       |  FROM adc$cellJoin WHERE adc.vec_id <> adc.query_id) WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
 
@@ -745,6 +759,14 @@ object SparkEntry {
     // click/view within 7 days (one window pass, no self-join)
     "events_attribution" -> ((s, dir) =>
       Relational.lastTouchAttribution(Tables.events(s, dir))),
+    // top opening event-type sequences per session (session id and
+    // in-session position from ONE user-keyed window pass)
+    "events_journey_paths" -> ((s, dir) =>
+      Relational.journeyPaths(Tables.events(s, dir))),
+    // per-join-key multiplicity profile: the pre-join skew diagnostic
+    "join_skew_profile" -> ((s, dir) =>
+      DataQuality.skewProfile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
     // CCNet-style cross-doc boilerplate chunk removal
     "doc_boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
@@ -919,6 +941,12 @@ object SparkEntry {
     // lookups — the 64× index-compression path
     "ann_pq" -> ((s, dir) =>
       Similarity.annPq(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+    // the full FAISS-style IVFx,PQy: cell-pruned candidates ranked by
+    // the same exact-integer ADC sum; coarse quantizer shared with the
+    // other IVF consumers via the session centroid cache
+    "ann_ivfpq" -> ((s, dir) =>
+      Similarity.annIvfPq(Tables.embeddings(s, dir), nQueries = 10, k = 5,
+        coarseCents = Some(Similarity.cachedCentroids(s, dir)))),
     // JL ±1 random projection to 16 dims, exact integer coordinates
     "emb_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(Tables.embeddings(s, dir))),
@@ -1949,6 +1977,8 @@ object SparkEntry {
     // dim (identical IEEE expression tree on both engines), constant
     // dims -> 0, then exact integer squared-L2 ranking
     "ann_pq" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3, nQ = 10, k = 5),
+    "ann_ivfpq" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3, nQ = 10, k = 5,
+      nCells = 8, cellIters = 5),
     "ann_sq8" ->
       s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |st AS (SELECT r.i AS pos, min(e[r.i]) AS mn, max(e[r.i]) AS mx
@@ -2662,6 +2692,44 @@ object SparkEntry {
         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_journey_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |w AS (SELECT user_id, event_id, event_type, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER ou IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER ou > 1800000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW ou AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts_ms, event_id) AS pos FROM s),
+        |p AS (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY pos) AS path,
+        |    count(*) AS n
+        |  FROM r WHERE pos <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_sessions FROM p WHERE n = 3
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "join_skew_profile" ->
+      """SELECT * FROM (
+        |SELECT 'l_orderkey' AS key_col, count(*)::BIGINT AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt)::BIGINT AS max_cnt,
+        |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm,
+        |  quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt
+        |FROM (SELECT count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_orderkey)
+        |UNION ALL
+        |SELECT 'l_partkey', count(*), CAST(sum(cnt) AS BIGINT), max(cnt),
+        |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT),
+        |  quantile_cont(cnt, 0.5), quantile_cont(cnt, 0.99)
+        |FROM (SELECT count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_partkey)
+        |UNION ALL
+        |SELECT 'l_suppkey', count(*), CAST(sum(cnt) AS BIGINT), max(cnt),
+        |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT),
+        |  quantile_cont(cnt, 0.5), quantile_cont(cnt, 0.99)
+        |FROM (SELECT count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_suppkey)
+        |) ORDER BY key_col""".stripMargin,
     "doc_boilerplate_scrub" ->
       s"""WITH ch AS (
          |  SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_idx,

@@ -106,4 +106,33 @@ object DataQuality {
       .unionByName(shipAfter)
       .orderBy("check_id")
   }
+
+  /** Join-key skew profile: per candidate key column, the shape of its
+    * per-key row-count distribution — key cardinality, max multiplicity,
+    * the heaviest key's row share (ppm, integer), and interpolated
+    * p50/p99 multiplicities (`percentile` == DuckDB `quantile_cont`
+    * bit-exactly on integer inputs).
+    *
+    * This is the diagnostic run BEFORE choosing a join strategy at
+    * 100 TB: max_cnt ≫ p99_cnt says salting / AQE skew-join, a tiny
+    * n_keys says broadcast the other side, top_share_ppm bounds the
+    * single-hottest-partition fraction. Cost per column is exactly one
+    * hash shuffle on that key — the same exchange the join itself
+    * would pay — and each profile aggregates to ONE row, so profiling
+    * is strictly cheaper than one bad join. The per-key percentile
+    * buffer is O(n_keys) on a single reducer here; at extreme key
+    * cardinality swap in the KLL sketch (`valueQuantilesSketch`
+    * pattern) — max/share/cardinality stay exact either way.
+    */
+  def skewProfile(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.map { kc =>
+      df.groupBy(col(kc).as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          expr("percentile(cnt, array(0.5D, 0.99D))").as("qs"))
+        .select(lit(kc).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_cnt"),
+          expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
+          col("qs")(0).as("p50_cnt"), col("qs")(1).as("p99_cnt"))
+    }.reduce(_ unionByName _).orderBy("key_col")
 }

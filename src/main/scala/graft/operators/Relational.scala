@@ -1598,6 +1598,50 @@ object Relational {
     * always describe the SAME touch row. Channel rollup is a
     * three-row aggregate.
     */
+  /** Customer-journey path mining: the top `topK` opening event-type
+    * sequences (length exactly `pathLen`, rendered `a>b>c`) across all
+    * sessions (gap rule as [[sessions]]).
+    *
+    * Shape: session id AND in-session position both come from ONE
+    * (user_id)-keyed window pass — position is recovered as
+    * `global_rn − rn_at_session_start + 1`, where the session start's
+    * global row number is carried by a running `last(..., ignoreNulls)`
+    * over the SAME partition+order (no second exchange on
+    * (user_id, session_id) for a row_number). Rows beyond `pathLen`
+    * drop BEFORE the per-session rollup, so the session aggregation
+    * sees ≤ pathLen rows per session; short sessions leave via
+    * `count = pathLen`. Path assembly is a sorted-struct transform
+    * (the collect_list order is made irrelevant), and the final path
+    * count is a tiny aggregate.
+    */
+  def journeyPaths(events: DataFrame, gapSec: Long = 1800,
+                   pathLen: Int = 3, topK: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = events
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("prev_ms", lag("ts_ms", 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ms").isNull ||
+        (col("ts_ms") - col("prev_ms") > gapSec * 1000), 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .withColumn("grn", row_number().over(byUser))
+      .withColumn("srn", last(when(col("is_new") === 1L, col("grn")),
+        ignoreNulls = true).over(run))
+      .withColumn("pos", col("grn") - col("srn") + 1L)
+      .where(col("pos") <= pathLen)
+    kept
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"),
+        concat_ws(">", transform(
+          sort_array(collect_list(struct(col("pos"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .where(col("n") === pathLen)
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   def lastTouchAttribution(events: DataFrame,
                            windowMs: Long = 604800000L): DataFrame = {
     val w = Window.partitionBy("user_id")

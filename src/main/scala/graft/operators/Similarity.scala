@@ -502,32 +502,95 @@ object Similarity {
     */
   def annPq(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
             m: Int = 4, codebookK: Int = 8, iters: Int = 3): DataFrame = {
+    val (codes, qlut) = pqCodesAndLut(emb, nQueries, m, codebookK, iters)
+    val scored = codes
+      .join(broadcast(qlut), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (0 until m).map(s => element_at(col(s"lut$s"), col(s"code$s")))
+          .reduce(_ + _).as("adc_d2"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("adc_d2", false), ("neighbor_id", false)), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ: [[annPq]]'s ADC coding composed with the IVF coarse
+    * quantizer of [[annIvfKmeans]] — the full FAISS-style `IVFx,PQy`
+    * index. Candidates are pruned to the query's home cell BEFORE any
+    * distance work, then ranked by the exact-integer ADC sum over the
+    * m code lookups. The cell id is computed in the SAME one-pass
+    * corpus encode as the m subspace codes (one more broadcast argmin
+    * column, not another scan or join), so the index build remains a
+    * single corpus scan after the small Lloyd runs.
+    *
+    * 100 TB shape: the serving index is (cell, m codes) per vector —
+    * bucket-partition by cell (the [[graft.sources.AnnIndex]] layout)
+    * and a query reads one bucket and does m map lookups per
+    * candidate; neither raw vectors nor float math appear at query
+    * time.
+    */
+  def annIvfPq(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+               m: Int = 4, codebookK: Int = 8, iters: Int = 3,
+               nCells: Int = 8, cellIters: Int = 5,
+               coarseCents: Option[DataFrame] = None): DataFrame = {
+    // the coarse quantizer is shareable (the cachedCentroids index the
+    // other IVF/SemDeDup/prototype passes reuse); built here if not
+    val cellCents = coarseCents.getOrElse(
+      Clustering.lloydCentroids(emb, nCells, cellIters))
+    val (codes, qlut) =
+      pqCodesAndLut(emb, nQueries, m, codebookK, iters, Some(cellCents))
+    val qcells = codes.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+    val scored = codes
+      .join(broadcast(qlut.join(qcells, "query_id")),
+        col("query_id") =!= col("vec_id") && col("cell") === col("qcell"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (0 until m).map(s => element_at(col(s"lut$s"), col(s"code$s")))
+          .reduce(_ + _).as("adc_d2"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("adc_d2", false), ("neighbor_id", false)), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared PQ index build: per-subspace integer-Lloyd codebooks, the
+    * one-pass corpus encode (m codegen argmins against broadcast
+    * centroid arrays; ties to the lowest centroid id — the
+    * NearestCentroidL2 contract, mirrored by the oracle's
+    * (d2, cluster) row_number order), and the per-query ADC lookup
+    * tables (code → exact subspace d2, one map column per subspace —
+    * tiny: nQueries × m × codebookK entries). With `cellCents` set,
+    * the same corpus pass also emits the IVF home-cell argmin as a
+    * `cell` column.
+    */
+  private def pqCodesAndLut(emb: DataFrame, nQueries: Int, m: Int,
+                            codebookK: Int, iters: Int,
+                            cellCents: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     def sliced(s: Int): DataFrame = emb.select(col("vec_id"), expr(
       s"slice(embedding, $s * (size(embedding) div $m) + 1, " +
         s"size(embedding) div $m)").as("embedding"))
     val books = (0 until m)
       .map(s => Clustering.lloydCentroids(sliced(s), codebookK, iters))
 
-    // corpus encoding: one pass, m argmins; ties to the lowest
-    // centroid id (the NearestCentroidL2 contract, mirrored by the
-    // oracle's (d2, cluster) row_number order)
-    val coded = (0 until m).foldLeft(
+    val specs = (0 until m).map { s =>
+      (s"code$s", books(s),
+        s"slice(ev, $s * (size(ev) div $m) + 1, size(ev) div $m)")
+    } ++ cellCents.map(cc => ("cell", cc, "ev")).toSeq
+    val coded = specs.foldLeft(
       emb.select(col("vec_id"), Clustering.scaledVec(col("embedding")).as("ev"))) {
-      (acc, s) =>
-        val centsArr = books(s).agg(
+      case (acc, (name, cents, sliceExpr)) =>
+        val centsArr = cents.agg(
           sort_array(collect_list(struct(col("cluster"), col("cv"))))
-            .as(s"cents$s"))
+            .as(s"__cents_$name"))
         acc.join(broadcast(centsArr))
-          .withColumn(s"code$s", graft.functions.functions.nearest_centroid_l2(
-            expr(s"slice(ev, $s * (size(ev) div $m) + 1, size(ev) div $m)"),
-            col(s"cents$s")).getField("cluster"))
-          .drop(s"cents$s")
+          .withColumn(name, graft.functions.functions.nearest_centroid_l2(
+            expr(sliceExpr), col(s"__cents_$name")).getField("cluster"))
+          .drop(s"__cents_$name")
     }
     val codes = coded.select(
-      col("vec_id") +: (0 until m).map(s => col(s"code$s")): _*)
+      col("vec_id") +: specs.map { case (name, _, _) => col(name) }: _*)
 
-    // per-query ADC lookup tables: code -> exact subspace d2, one map
-    // column per subspace (tiny: nQueries × m × codebookK entries)
     val qlut = (0 until m).map { s =>
       sliced(s).where(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"),
@@ -540,15 +603,6 @@ object Similarity {
         .agg(map_from_entries(sort_array(
           collect_list(struct(col("cluster"), col("pd2"))))).as(s"lut$s"))
     }.reduce((a, b) => a.join(b, "query_id"))
-
-    val scored = codes
-      .join(broadcast(qlut), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (0 until m).map(s => element_at(col(s"lut$s"), col(s"code$s")))
-          .reduce(_ + _).as("adc_d2"))
-    graft.plans.TopK.perKey(scored, Seq("query_id"),
-        Seq(("adc_d2", false), ("neighbor_id", false)), k, "rank")
-      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
-      .orderBy("query_id", "rank")
+    (codes, qlut)
   }
 }

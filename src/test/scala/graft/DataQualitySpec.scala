@@ -37,6 +37,20 @@ class DataQualitySpec extends SparkSpec {
     assert(got.size == 10)
   }
 
+  test("skewProfile: cardinality, max multiplicity, share, quantiles") {
+    // key a: 4 rows, b: 1, c: 1 -> counts [1, 1, 4]
+    val df = Seq("a", "a", "a", "a", "b", "c").toDF("k1")
+    val got = DataQuality.skewProfile(df, Seq("k1")).collect().head
+    assert(got.getString(0) == "k1")
+    assert(got.getLong(1) == 3L)         // n_keys
+    assert(got.getLong(2) == 6L)         // n_rows
+    assert(got.getLong(3) == 4L)         // max_cnt
+    assert(got.getLong(4) == 666666L)    // 4e6 div 6
+    assert(got.getDouble(5) == 1.0)      // p50 of [1,1,4]
+    // p99: pos = 0.99·(3−1) = 1.98 -> 1 + 0.98·(4−1)
+    assert(math.abs(got.getDouble(6) - (1.0 + 0.98 * 3.0)) < 1e-12)
+  }
+
   test("audit is all-zero-violations on a consistent mini-warehouse") {
     val customer = Seq((1L, "a", 1.0)).toDF("c_custkey", "c_name", "c_acctbal")
     val orders = Seq((10L, 1L, "O", "1998-01-10"))

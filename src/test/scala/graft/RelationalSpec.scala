@@ -461,6 +461,22 @@ class RelationalSpec extends SparkSpec {
       .collect().head.getLong(0) <= 3)
   }
 
+  test("journeyPaths: opening path per session, short sessions excluded") {
+    val h = 3600000L
+    // user 1: two sessions with the same 3-event opening (the second
+    // has a 4th event that must NOT extend the path); user 2: a 2-event
+    // session (excluded)
+    val ev = Seq(
+      (1L, 1L, "click", 0L), (1L, 2L, "view", 1000L), (1L, 3L, "purchase", 2000L),
+      (1L, 4L, "click", 10 * h), (1L, 5L, "view", 10 * h + 1000),
+      (1L, 6L, "purchase", 10 * h + 2000), (1L, 7L, "error", 10 * h + 3000),
+      (2L, 8L, "view", 0L), (2L, 9L, "click", 1000L))
+      .toDF("user_id", "event_id", "event_type", "ts_ms")
+    val got = Relational.journeyPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("click>view>purchase", 2L)))
+  }
+
   test("lastTouchAttribution credits the latest in-window touch") {
     val day = 86400000L
     // (user, event_id, type, value, ts_ms)

@@ -249,6 +249,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annIvfPq: every returned neighbor shares the query's home cell, " +
+    "ranks consistent with annPq on that cell") {
+    val e = Tables.embeddings(spark, sf0001)
+    val got = Similarity.annIvfPq(e, nQueries = 4, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val cells = graft.operators.Clustering
+      .cellAssignments(e, graft.operators.Clustering.lloydCentroids(e, 8, 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (q, n, _, _) =>
+      assert(q != n && cells(q) == cells(n))
+    }
+    // the unpruned ADC ranking restricted to the query's cell must
+    // agree: ann_ivfpq IS ann_pq over the cell-mates (k=200 > corpus
+    // size at sf0.001, so the pq ranking is complete)
+    val pqAll = Similarity.annPq(e, nQueries = 4, k = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (q <- got.map(_._1).distinct) {
+      val want = pqAll.filter(p => p._1 == q && cells(p._2) == cells(q))
+        .sortBy(p => (p._3, p._2)).take(5).map(_._2).toSeq
+      val have = got.filter(_._1 == q).sortBy(_._4).map(_._2).toSeq
+      assert(have == want)
+    }
+  }
+
   test("annPq on testdata: k ranked rows per query, distances non-decreasing") {
     val got = Similarity.annPq(Tables.embeddings(spark, sf0001),
         nQueries = 4, k = 5).collect()
