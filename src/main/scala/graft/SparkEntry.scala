@@ -130,6 +130,36 @@ object SparkEntry {
     (base +: iterCtes).mkString("WITH ", ",\n", "")
   }
 
+  /** DuckDB mirror of [[operators.Clustering.topDirection]]: `iters`
+    * unrolled integer power iterations (truncating-mean centering,
+    * `div 10⁶`-rescaled per-row scores, per-dim back-projection, and
+    * integer MAX-normalization) — every intermediate a BIGINT, so the
+    * final direction is engine-exact.
+    */
+  private def sqlTopDirection(iters: Int): String = {
+    val iterCtes = (1 to iters).flatMap { t =>
+      Seq(
+        s"""st$t AS (SELECT vec_id, cv,
+           |  CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * v[i])) AS BIGINT) // 1000000 AS s
+           |  FROM c, v${t - 1})""".stripMargin,
+        s"""w$t AS (SELECT list(w ORDER BY dim) AS ws FROM (
+           |  SELECT r.i AS dim, CAST(sum(cv[r.i] * s) AS BIGINT) AS w
+           |  FROM st$t, LATERAL (SELECT unnest(range(1, len(cv) + 1)) AS i) r GROUP BY 1))""".stripMargin,
+        s"""v$t AS (SELECT list_transform(ws, x -> x // greatest(mx // 1000000, 1)) AS v
+           |  FROM w$t, (SELECT greatest(list_max(list_transform(ws, y -> abs(y))), 1) AS mx FROM w$t))""".stripMargin)
+    }
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev FROM embeddings),
+       |mu AS (SELECT list(m ORDER BY dim) AS mus FROM (
+       |  SELECT r.i AS dim, CAST(sum(e.ev[r.i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+       |  FROM ev e, LATERAL (SELECT unnest(range(1, len(e.ev) + 1)) AS i) r GROUP BY 1)),
+       |c AS (SELECT vec_id, list_transform(range(1, len(ev) + 1), i -> ev[i] - mus[i]) AS cv FROM ev, mu),
+       |v0 AS (SELECT list_transform(cv, x -> CAST(1000000 AS BIGINT)) AS v FROM c ORDER BY vec_id LIMIT 1),
+       |${iterCtes.mkString(",\n")}
+       |SELECT CAST(r.i AS BIGINT) AS dim, v[r.i] AS v
+       |FROM v$iters, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r
+       |ORDER BY dim""".stripMargin
+  }
+
   /** DuckDB mirror of [[operators.Similarity.annPq]]: per subspace a
     * [[sqlKmeansCents]]-shaped unrolled Lloyd chain over the slice
     * (`ev[(s·(d//m)+1) : ((s+1)·(d//m))]`), then corpus codes
@@ -763,6 +793,14 @@ object SparkEntry {
     // in-session position from ONE user-keyed window pass)
     "events_journey_paths" -> ((s, dir) =>
       Relational.journeyPaths(Tables.events(s, dir))),
+    // day-of-week seasonal baseline outliers (doubled-unit medians,
+    // integer cross-multiplied thresholds)
+    "events_anomaly_dow" -> ((s, dir) =>
+      Relational.anomalyDow(Tables.events(s, dir))),
+    // dominant principal direction by integer power iteration — the
+    // all-but-the-top embedding debias primitive
+    "emb_top_direction" -> ((s, dir) =>
+      Clustering.topDirection(Tables.embeddings(s, dir))),
     // per-join-key multiplicity profile: the pre-join skew diagnostic
     "join_skew_profile" -> ((s, dir) =>
       DataQuality.skewProfile(Tables.lineitem(s, dir),
@@ -2712,6 +2750,20 @@ object SparkEntry {
         |  FROM r WHERE pos <= 3 GROUP BY 1, 2)
         |SELECT path, count(*)::BIGINT AS n_sessions FROM p WHERE n = 3
         |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "emb_top_direction" -> sqlTopDirection(2),
+    "events_anomaly_dow" ->
+      """SELECT * FROM (
+        |  WITH d AS (SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+        |      event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |  m AS (SELECT (epoch_day + 4) % 7 AS dow, event_type AS et,
+        |      CAST(quantile_cont(cnt * 2, 0.5) AS BIGINT) AS med2
+        |    FROM d GROUP BY 1, 2)
+        |  SELECT epoch_day, event_type, cnt, med2,
+        |    CASE WHEN 4 * cnt > 3 * med2 THEN 'high'
+        |         WHEN 2 * cnt < med2 THEN 'low' END AS anomaly
+        |  FROM d JOIN m ON (d.epoch_day + 4) % 7 = m.dow
+        |    AND d.event_type = m.et
+        |) WHERE anomaly IS NOT NULL ORDER BY epoch_day, event_type""".stripMargin,
     "join_skew_profile" ->
       """SELECT * FROM (
         |SELECT 'l_orderkey' AS key_col, count(*)::BIGINT AS n_keys,

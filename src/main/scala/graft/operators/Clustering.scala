@@ -197,4 +197,56 @@ object Clustering {
       .select(col("cluster"), (col("pos") + 1).cast("long").as("dim"),
         col("col").as("v"))
       .orderBy("cluster", "dim")
+
+  /** Dominant principal direction of the (mean-centered) embedding
+    * cloud by `iters` power iterations — the "all-but-the-top"
+    * (Mu & Viswanath 2018) debiasing/whitening primitive: retrieval
+    * quality improves when this direction is projected out, and it's
+    * the 1-component PCA a curation pipeline actually needs.
+    *
+    * Determinism contract (the HITS/PageRank treatment): everything is
+    * scaled-int BIGINT — truncating per-dim integer mean for
+    * centering; per-row scores `s = ⟨cv, v⟩ div 10⁶`; per-dim
+    * back-projection `w = Σ cv·s`; and integer MAX-normalization
+    * `v ← w div greatest(max|w| div 10⁶, 1)` instead of a libm L2
+    * norm — every iteration is bit-reproducible and the oracle unrolls
+    * the same recurrence. Overflow audit: |cv| ≲ 2·10⁶, so
+    * |s| ≤ d·10⁶ (6.4·10⁷ at d=64) and |w| ≤ n·2·10⁶·|s| ≈ n·10¹⁴ —
+    * safe to n ~ 10⁴ rows; at corpus scale the `s` rescale moves up
+    * (div 10⁹) and the same algebra holds.
+    *
+    * Shape: centering is one k·d-row aggregate broadcast back; each
+    * iteration is one corpus scan (per-row dot against the broadcast
+    * 1-row v) + one (dim)-keyed partial-aggregated shuffle of d rows;
+    * the centered frame is checkpointed once and reused.
+    */
+  def topDirection(embs: DataFrame, iters: Int = 2): DataFrame = {
+    val scaled = scaledView(embs)
+    val mean = scaled.select(posexplode(col("ev")))
+      .groupBy("pos").agg(expr("sum(col) div count(1)").as("mu"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
+        x => x.getField("mu")).as("mus"))
+    val centered = scaled.join(broadcast(mean))
+      .select(col("vec_id"), expr("zip_with(ev, mus, (x, m) -> x - m)").as("cv"))
+      .localCheckpoint()
+    var v = centered.limit(1)
+      .select(expr("transform(cv, x -> CAST(1000000 AS BIGINT))").as("v"))
+    for (_ <- 1 to iters) {
+      val st = centered.join(broadcast(v))
+        .select(col("cv"), expr(
+          "aggregate(zip_with(cv, v, (x, y) -> x * y), 0L, (a, b) -> a + b) div 1000000")
+          .as("s"))
+      val w = st.select(posexplode(expr("transform(cv, x -> x * s)")))
+        .groupBy("pos").agg(sum("col").as("w"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")).as("ws"))
+      v = w.select(expr(
+        """transform(ws, x -> x div
+          |  greatest(array_max(transform(ws, y -> abs(y))) div 1000000, 1L))"""
+          .stripMargin).as("v"))
+    }
+    v.select(posexplode(col("v")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
+      .orderBy("dim")
+  }
 }

@@ -1598,6 +1598,39 @@ object Relational {
     * always describe the SAME touch row. Channel rollup is a
     * three-row aggregate.
     */
+  /** Seasonal (day-of-week) anomaly detection on daily event volume:
+    * each (epoch_day, event_type) count compares against the MEDIAN
+    * count of its weekday×type cohort; days above 1.5× or below 0.5×
+    * the baseline flag `high`/`low`. Medians are exact interpolated
+    * positional medians carried in DOUBLED units (`2·cnt` midpoints of
+    * two even ints are integers — the events_value_mad trick), and the
+    * thresholds are integer cross-multiplications (`4·cnt > 3·med2`,
+    * `2·cnt < med2`) — no float anywhere in the decision.
+    *
+    * Shape: one shuffle to daily (day, type) counts — rows = days ×
+    * types regardless of event volume — then a tiny 7×types baseline
+    * aggregate broadcast back. The partial first/last days of a
+    * corpus genuinely flag `low`: a real pipeline-health signal, and
+    * what keeps this gate non-vacuous on the fixture.
+    */
+  def anomalyDow(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("ts_ms div 86400000").as("epoch_day"), col("event_type"))
+      .groupBy("epoch_day", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", expr("(epoch_day + 4) % 7"))
+    val base = daily
+      .groupBy(col("dow"), col("event_type").as("et"))
+      .agg(expr("CAST(percentile(cnt * 2, 0.5D) AS BIGINT)").as("med2"))
+    daily
+      .join(broadcast(base),
+        daily("dow") === base("dow") && col("event_type") === col("et"))
+      .select(col("epoch_day"), col("event_type"), col("cnt"), col("med2"),
+        when(col("cnt") * 4 > col("med2") * 3, lit("high"))
+          .when(col("cnt") * 2 < col("med2"), lit("low")).as("anomaly"))
+      .where(col("anomaly").isNotNull)
+      .orderBy("epoch_day", "event_type")
+  }
+
   /** Customer-journey path mining: the top `topK` opening event-type
     * sequences (length exactly `pathLen`, rendered `a>b>c`) across all
     * sessions (gap rule as [[sessions]]).

@@ -602,7 +602,9 @@ object Similarity {
         .groupBy("query_id")
         .agg(map_from_entries(sort_array(
           collect_list(struct(col("cluster"), col("pd2"))))).as(s"lut$s"))
-    }.reduce((a, b) => a.join(b, "query_id"))
+      // nQueries-row frames: assembling the m LUT columns must stay
+      // broadcast joins, not stats-blind sort-merges
+    }.reduce((a, b) => a.join(broadcast(b), "query_id"))
     (codes, qlut)
   }
 }

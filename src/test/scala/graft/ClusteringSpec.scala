@@ -89,4 +89,19 @@ class ClusteringSpec extends SparkSpec {
       }
     }
   }
+
+  test("topDirection finds the stretched axis of an anisotropic cloud") {
+    import spark.implicits._
+    // variance concentrated on dim 0; tiny jitter elsewhere
+    val rows = (0 until 8).map { i =>
+      (i.toLong, Seq(i * 2.0f, 0.01f * (i % 2), 0.02f * (i % 3), 0.01f), 0)
+    }
+    val got = Clustering
+      .topDirection(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mag = got.view.mapValues(math.abs).toMap
+    assert(mag(1L) == mag.values.max)   // dim 1 (1-based) dominates
+    assert(mag(1L) > 10L * (mag - 1L).values.max,
+      s"direction must concentrate on the stretched axis: $got")
+  }
 }

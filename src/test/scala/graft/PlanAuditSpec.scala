@@ -393,4 +393,32 @@ class PlanAuditSpec extends SparkSpec {
     val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("split"), s"partition filter must prune splits:\n$scan")
   }
+
+  test("attribution: both touch windows share ONE user_id exchange") {
+    val p = planOf("events_attribution")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // user_id window + channel rollup — a second window exchange or a
+    // purchase×touch join would push this past 2
+    assert(hashEx == 2, s"attribution must plan exactly 2 keyed exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"attribution must be join-free (window carry, not self-join):\n$p")
+  }
+
+  test("journey paths: session rollup reuses the user window exchange") {
+    val p = planOf("events_journey_paths")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one on user_id (three windows + the (user, session) rollup ride
+    // it — HashPartitioning(user_id) satisfies the wider clustering),
+    // one on path; top-k must not global-sort
+    assert(hashEx == 2, s"journey paths must plan exactly 2 keyed exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+  }
+
+  test("ann_pq: corpus encodes via broadcasts, ranks via bounded heaps") {
+    val p = planOf("ann_pq")
+    assert(p.contains("PartialTopKPerKey") && p.contains("FinalTopKPerKey"),
+      s"ADC ranking must be the bounded-heap top-k:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"codes/LUTs are broadcast-sized; nothing may sort-merge:\n$p")
+  }
 }

@@ -461,6 +461,21 @@ class RelationalSpec extends SparkSpec {
       .collect().head.getLong(0) <= 3)
   }
 
+  test("anomalyDow flags days breaking their weekday median") {
+    val day = 86400000L
+    // one event_type; same weekday over 3 weeks with daily counts
+    // 2/10/10 (day 0 -> low) and 10/10/40 on the next weekday
+    // (day 15 -> high); middle days are on-baseline
+    def burst(d: Long, n: Int, idBase: Long) = (0 until n).map(j =>
+      (1L, idBase + j, "click", 0.0, d * day + j * 1000L))
+    val ev = (burst(0, 2, 100) ++ burst(7, 10, 200) ++ burst(14, 10, 300) ++
+      burst(1, 10, 400) ++ burst(8, 10, 500) ++ burst(15, 40, 600))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_ms")
+    val got = Relational.anomalyDow(ev).collect()
+      .map(r => (r.getLong(0), r.getString(4))).toMap
+    assert(got == Map(0L -> "low", 15L -> "high"))
+  }
+
   test("journeyPaths: opening path per session, short sessions excluded") {
     val h = 3600000L
     // user 1: two sessions with the same 3-event opening (the second
