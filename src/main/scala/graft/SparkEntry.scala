@@ -797,6 +797,17 @@ object SparkEntry {
     // integer cross-multiplied thresholds)
     "events_anomaly_dow" -> ((s, dir) =>
       Relational.anomalyDow(Tables.events(s, dir))),
+    // per-stage funnel conversion delays (count/min/max/p50/p90)
+    "events_conversion_time" -> ((s, dir) =>
+      Relational.conversionTime(Tables.events(s, dir))),
+    // product families: O(log n)-round connected components over the
+    // support-thresholded co-purchase graph
+    "part_families" -> ((s, dir) =>
+      Dedup.componentsStar(Graph.copurchaseEdges(Tables.lineitem(s, dir))
+          .select(org.apache.spark.sql.functions.col("a").as("id_a"),
+            org.apache.spark.sql.functions.col("b").as("id_b")))
+        .withColumnRenamed("doc_id", "part_id")
+        .withColumnRenamed("comp", "family")),
     // dominant principal direction by integer power iteration — the
     // all-but-the-top embedding debias primitive
     "emb_top_direction" -> ((s, dir) =>
@@ -2751,6 +2762,41 @@ object SparkEntry {
         |SELECT path, count(*)::BIGINT AS n_sessions FROM p WHERE n = 3
         |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "emb_top_direction" -> sqlTopDirection(2),
+    "events_conversion_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+        |    FROM events),
+        |fv AS (SELECT user_id, min(ts_ms) AS v_ms FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fs AS (SELECT e.user_id, min(ts_ms) AS s_ms FROM e
+        |  JOIN fv ON e.user_id = fv.user_id
+        |  WHERE event_type = 'signup' AND ts_ms > v_ms GROUP BY 1),
+        |fp AS (SELECT e.user_id, min(ts_ms) AS p_ms FROM e
+        |  JOIN fs ON e.user_id = fs.user_id
+        |  WHERE event_type = 'purchase' AND ts_ms > s_ms GROUP BY 1),
+        |d AS (SELECT 'view>signup' AS stage, s_ms - v_ms AS delta
+        |    FROM fs JOIN fv USING (user_id)
+        |  UNION ALL SELECT 'signup>purchase', p_ms - s_ms
+        |    FROM fp JOIN fs USING (user_id))
+        |SELECT stage, count(*)::BIGINT AS n, min(delta) AS min_ms,
+        |  max(delta) AS max_ms, quantile_cont(delta, 0.5) AS p50_ms,
+        |  quantile_cont(delta, 0.9) AS p90_ms
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "part_families" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+        |    ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst FROM e0
+        |          UNION ALL SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        |)
+        |SELECT id AS part_id, min(r) AS family FROM reach
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_anomaly_dow" ->
       """SELECT * FROM (
         |  WITH d AS (SELECT epoch_ms(ts) // 86400000 AS epoch_day,

@@ -1598,6 +1598,39 @@ object Relational {
     * always describe the SAME touch row. Channel rollup is a
     * three-row aggregate.
     */
+  /** Funnel conversion-time distribution: for each adjacent stage pair
+    * of the [[funnel]] (first view → first subsequent signup → first
+    * subsequent purchase), the per-user conversion delay's count,
+    * min/max, and interpolated p50/p90 (`percentile` ==
+    * `quantile_cont` bit-exactly).
+    *
+    * Shape: three conditional-min aggregations over one user_id
+    * shuffle each (the funnel frames), then user-level joins and a
+    * two-row rollup — event volume only touches the first aggregation.
+    */
+  def conversionTime(events: DataFrame): DataFrame = {
+    val firstView = events.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("v_ms"))
+    val firstSignup = events.where(col("event_type") === "signup")
+      .join(firstView, "user_id").where(col("ts_ms") > col("v_ms"))
+      .groupBy("user_id").agg(min("ts_ms").as("s_ms"))
+    val firstPurchase = events.where(col("event_type") === "purchase")
+      .join(firstSignup, "user_id").where(col("ts_ms") > col("s_ms"))
+      .groupBy("user_id").agg(min("ts_ms").as("p_ms"))
+    val d1 = firstSignup.join(firstView, "user_id")
+      .select(lit("view>signup").as("stage"),
+        (col("s_ms") - col("v_ms")).as("delta"))
+    val d2 = firstPurchase.join(firstSignup, "user_id")
+      .select(lit("signup>purchase").as("stage"),
+        (col("p_ms") - col("s_ms")).as("delta"))
+    d1.unionByName(d2).groupBy("stage")
+      .agg(count(lit(1)).as("n"), min("delta").as("min_ms"),
+        max("delta").as("max_ms"),
+        expr("percentile(delta, 0.5D)").as("p50_ms"),
+        expr("percentile(delta, 0.9D)").as("p90_ms"))
+      .orderBy("stage")
+  }
+
   /** Seasonal (day-of-week) anomaly detection on daily event volume:
     * each (epoch_day, event_type) count compares against the MEDIAN
     * count of its weekday×type cohort; days above 1.5× or below 0.5×

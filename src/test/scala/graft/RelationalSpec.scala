@@ -461,6 +461,25 @@ class RelationalSpec extends SparkSpec {
       .collect().head.getLong(0) <= 3)
   }
 
+  test("conversionTime: per-stage delays, non-converters excluded") {
+    val day = 86400000L
+    val ev = Seq(
+      // u1 converts fully: view -> signup (+1d) -> purchase (+2d more)
+      (1L, 1L, "view", 0.0, 0L), (1L, 2L, "signup", 0.0, day),
+      (1L, 3L, "purchase", 0.0, 3 * day),
+      // u2 stalls after signup (+2d); purchase BEFORE view must not count
+      (2L, 4L, "purchase", 0.0, 0L), (2L, 5L, "view", 0.0, day),
+      (2L, 6L, "signup", 0.0, 3 * day))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_ms")
+    val got = Relational.conversionTime(ev).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // view>signup deltas: u1 = 1d, u2 = 2d -> p50 = 1.5d
+    assert(got("view>signup") == ((2L, day, 2 * day, 1.5 * day)))
+    // signup>purchase: only u1 (u2's purchase precedes its signup)
+    assert(got("signup>purchase") == ((1L, 2 * day, 2 * day, 2.0 * day)))
+  }
+
   test("anomalyDow flags days breaking their weekday median") {
     val day = 86400000L
     // one event_type; same weekday over 3 weeks with daily counts
