@@ -781,6 +781,9 @@ object SparkEntry {
     "part_link_pred" -> ((s, dir) =>
       Graph.commonNeighborPairs(
         Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+    // association rules: ppm confidence + lift over the directed pairs
+    "part_assoc_rules" -> ((s, dir) =>
+      Graph.associationRules(Tables.lineitem(s, dir))),
     // Deequ-style declarative constraint audit over the warehouse
     "dq_audit" -> ((s, dir) =>
       DataQuality.audit(Tables.customer(s, dir), Tables.orders(s, dir),
@@ -2696,6 +2699,21 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY n_common DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "part_assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |no AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM op),
+        |isupp AS (SELECT p, count(*)::BIGINT AS s FROM op GROUP BY 1),
+        |pairs AS (SELECT a.p AS a, b.p AS b, count(*)::BIGINT AS supp
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT a AS ante, b AS cons, supp FROM pairs
+        |  UNION ALL SELECT b, a, supp FROM pairs)
+        |SELECT ante, cons, supp,
+        |  supp * 1000000 // sa.s AS conf_ppm,
+        |  CAST(supp * n_orders * 1000000 // (sa.s * sb.s) AS BIGINT) AS lift_ppm
+        |FROM d JOIN isupp sa ON d.ante = sa.p JOIN isupp sb ON d.cons = sb.p
+        |  CROSS JOIN no
+        |ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 50""".stripMargin,
     "dq_audit" ->
       """SELECT * FROM (
         |SELECT 'customer.acctbal_nonneg' AS check_id, count(*)::BIGINT AS n_rows,

@@ -468,6 +468,44 @@ object Graph {
       .where(col("supp") >= minSupport)
   }
 
+  /** Association rules over the co-purchase pairs: for every directed
+    * rule `a → b` (both directions of each [[copurchaseEdges]] pair),
+    * integer fixed-point confidence `supp(ab)·10⁶ div supp(a)` and
+    * lift `supp(ab)·nOrders·10⁶ div (supp(a)·supp(b))` — the
+    * support/confidence/lift triple of classic market-basket mining,
+    * top `topK` by (confidence, lift, rule) — a total order.
+    *
+    * Shape: item supports are one (part)-keyed agg of the distinct
+    * (order, part) frame; rules join pair-support rows to the two
+    * item supports on the part keys; the order count is a 1-row
+    * broadcast. Overflow-safe while `supp(ab)·nOrders < 2⁶³/10⁶`
+    * (≈ 9·10¹² basket-pair incidences — far past 100 TB's realistic
+    * support counts after thresholding).
+    */
+  def associationRules(lineitem: DataFrame, minSupport: Long = 2L,
+                       topK: Int = 50): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nOrders = op.agg(countDistinct(col("o")).as("n_orders"))
+    val itemSupp = op.groupBy(col("p")).agg(count(lit(1)).as("s"))
+    val pairs = copurchaseEdges(lineitem, minSupport)
+    val directed = pairs
+      .select(col("a").as("ante"), col("b").as("cons"), col("supp"))
+      .unionByName(pairs
+        .select(col("b").as("ante"), col("a").as("cons"), col("supp")))
+    directed
+      .join(itemSupp.toDF("pa", "sa"), col("ante") === col("pa"))
+      .join(itemSupp.toDF("pb", "sb"), col("cons") === col("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("supp"),
+        expr("supp * 1000000 div sa").as("conf_ppm"),
+        expr("supp * n_orders * 1000000 div (sa * sb)").as("lift_ppm"))
+      .orderBy(col("conf_ppm").desc, col("lift_ppm").desc,
+        col("ante"), col("cons"))
+      .limit(topK)
+  }
+
   /** Common-neighbors link prediction over an undirected graph given
     * as normalized edges `(a < b, distinct)`: for every NON-adjacent
     * pair, the number of shared neighbors — the classic "who should be

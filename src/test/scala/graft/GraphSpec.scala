@@ -134,6 +134,24 @@ class GraphSpec extends SparkSpec {
     assert(got == Map((10L, 20L) -> 2L))
   }
 
+  test("associationRules: ppm confidence and lift, both directions") {
+    // baskets: {10,20}, {10,20}, {10,30}, {30} -> supports 10:3, 20:2,
+    // 30:2; only pair (10,20) reaches supp 2; nOrders = 4
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+        (3L, 10L), (3L, 30L), (4L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.associationRules(li).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    // 20→10: conf 2/2 = 1e6; 10→20: conf 2/3 = 666666 (truncated);
+    // lift both = 2·4·10⁶ / (3·2) = 1333333
+    assert(got.toMap == Map(
+      (20L, 10L) -> ((2L, 1000000L, 1333333L)),
+      (10L, 20L) -> ((2L, 666666L, 1333333L))))
+    // ordering: confidence desc first
+    assert(got.map(_._1).toSeq == Seq((20L, 10L), (10L, 20L)))
+  }
+
   test("commonNeighborPairs scores non-adjacent pairs by shared neighbors") {
     // square a-b-c-d-a: diagonals (a,c) and (b,d) share 2 neighbors;
     // pendant e off a: (b,e)/(d,e) share only a
