@@ -862,6 +862,28 @@ object SparkEntry {
               |   WHERE event_type = 'purchase') e ON e.ed = spine.d
               |GROUP BY d ORDER BY d""".stripMargin)
     }),
+    // SQL PIVOT clause (the syntax surface; events_pivot is the
+    // DataFrame form): daily counts fanned to one column per type
+    "sql_pivot" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql("""SELECT * FROM (
+              |  SELECT ts_ms div 86400000 AS epoch_day, event_type
+              |  FROM events)
+              |PIVOT (count(*) FOR event_type IN
+              |  ('click', 'view', 'purchase', 'signup', 'error'))
+              |ORDER BY epoch_day""".stripMargin)
+    }),
+    // SQL UNPIVOT clause (events_melt is the DataFrame form): wide
+    // order columns folded to (metric, val) rows
+    "sql_unpivot" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql("""SELECT o_orderkey, metric, val FROM (
+              |  SELECT o_orderkey,
+              |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+              |    o_custkey FROM orders)
+              |UNPIVOT (val FOR metric IN (price_cents, o_custkey))
+              |ORDER BY o_orderkey, metric""".stripMargin)
+    }),
     // correlated LATERAL subquery (top-3 orders per customer by spend):
     // Catalyst decorrelates the correlated ORDER BY+LIMIT into a ranked
     // window join — the SQL surface beside top_orders_per_cust's
@@ -2579,6 +2601,21 @@ object SparkEntry {
          |  count_if(n_chars > 200) AS n_long,
          |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "sql_pivot" ->
+      """SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+        |  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+        |  count(*) FILTER (event_type = 'view')::BIGINT AS view,
+        |  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+        |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+        |  count(*) FILTER (event_type = 'error')::BIGINT AS error
+        |FROM events GROUP BY 1 ORDER BY epoch_day""".stripMargin,
+    "sql_unpivot" ->
+      """SELECT o_orderkey, metric, val FROM (
+        |  SELECT o_orderkey, 'price_cents' AS metric,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS val FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_custkey', o_custkey FROM orders)
+        |ORDER BY o_orderkey, metric""".stripMargin,
     "sql_lateral_topk" ->
       """SELECT c_custkey, o_orderkey, cents FROM customer,
         |LATERAL (SELECT o_orderkey,
