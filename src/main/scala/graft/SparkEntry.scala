@@ -136,8 +136,8 @@ object SparkEntry {
     * integer MAX-normalization) — every intermediate a BIGINT, so the
     * final direction is engine-exact.
     */
-  private def sqlTopDirection(iters: Int): String = {
-    val iterCtes = (1 to iters).flatMap { t =>
+  private def sqlPowerIterCtes(iters: Int): Seq[String] =
+    (1 to iters).flatMap { t =>
       Seq(
         s"""st$t AS (SELECT vec_id, cv,
            |  CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * v[i])) AS BIGINT) // 1000000 AS s
@@ -148,17 +148,38 @@ object SparkEntry {
         s"""v$t AS (SELECT list_transform(ws, x -> x // greatest(mx // 1000000, 1)) AS v
            |  FROM w$t, (SELECT greatest(list_max(list_transform(ws, y -> abs(y))), 1) AS mx FROM w$t))""".stripMargin)
     }
+
+  private def sqlTopDirection(iters: Int): String =
+    s"""${sqlTopDirectionCtes(sqlPowerIterCtes(iters))}
+       |SELECT CAST(r.i AS BIGINT) AS dim, v[r.i] AS v
+       |FROM v$iters, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r
+       |ORDER BY dim""".stripMargin
+
+  /** DuckDB mirror of [[operators.Clustering.residualTop]]: the same
+    * power-iteration chain, then truncating-integer projection removal
+    * and the top-`topK` residual squared norms.
+    */
+  private def sqlResidualTop(iters: Int, topK: Int): String =
+    s"""${sqlTopDirectionCtes(sqlPowerIterCtes(iters))}
+       |SELECT vec_id, res_d2 FROM (
+       |  SELECT q.vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(q.cv) + 1),
+       |      i -> ((q.cv[i] * 1000000 - q.cc * q.v[i]) // 1000000) *
+       |           ((q.cv[i] * 1000000 - q.cc * q.v[i]) // 1000000))) AS BIGINT) AS res_d2
+       |  FROM (SELECT c.vec_id, c.cv, v.v,
+       |      CAST(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * v.v[i])) AS BIGINT)
+       |        // greatest(CAST(list_sum(list_transform(range(1, len(v.v) + 1), i -> v.v[i] * v.v[i])) AS BIGINT) // 1000000, 1) AS cc
+       |    FROM c, v$iters v) q
+       |) ORDER BY res_d2 DESC, vec_id LIMIT $topK""".stripMargin
+
+  private def sqlTopDirectionCtes(iterCtes: Seq[String]): String =
     s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev FROM embeddings),
        |mu AS (SELECT list(m ORDER BY dim) AS mus FROM (
        |  SELECT r.i AS dim, CAST(sum(e.ev[r.i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
        |  FROM ev e, LATERAL (SELECT unnest(range(1, len(e.ev) + 1)) AS i) r GROUP BY 1)),
        |c AS (SELECT vec_id, list_transform(range(1, len(ev) + 1), i -> ev[i] - mus[i]) AS cv FROM ev, mu),
        |v0 AS (SELECT list_transform(cv, x -> CAST(1000000 AS BIGINT)) AS v FROM c ORDER BY vec_id LIMIT 1),
-       |${iterCtes.mkString(",\n")}
-       |SELECT CAST(r.i AS BIGINT) AS dim, v[r.i] AS v
-       |FROM v$iters, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r
-       |ORDER BY dim""".stripMargin
-  }
+       |${iterCtes.mkString(",\n")}""".stripMargin
 
   /** DuckDB mirror of [[operators.Similarity.annPq]]: per subspace a
     * [[sqlKmeansCents]]-shaped unrolled Lloyd chain over the slice
@@ -815,6 +836,15 @@ object SparkEntry {
     // all-but-the-top embedding debias primitive
     "emb_top_direction" -> ((s, dir) =>
       Clustering.topDirection(Tables.embeddings(s, dir))),
+    // all-but-the-top applied: largest residual norms after projecting
+    // out the dominant direction
+    "emb_residual_top" -> ((s, dir) =>
+      Clustering.residualTop(Tables.embeddings(s, dir))),
+    // the amortized PQ serving shape: codebooks from the session index
+    // cache, queries pay only encode + LUT probe (shares the ann_pq
+    // oracle — same codebooks, same ADC values)
+    "ann_pq_indexed" -> ((s, dir) =>
+      Similarity.annPqIndexed(s, dir, nQueries = 10, k = 5)),
     // per-join-key multiplicity profile: the pre-join skew diagnostic
     "join_skew_profile" -> ((s, dir) =>
       DataQuality.skewProfile(Tables.lineitem(s, dir),
@@ -2817,6 +2847,9 @@ object SparkEntry {
         |SELECT path, count(*)::BIGINT AS n_sessions FROM p WHERE n = 3
         |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "emb_top_direction" -> sqlTopDirection(2),
+    "emb_residual_top" -> sqlResidualTop(2, 20),
+    "ann_pq_indexed" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3,
+      nQ = 10, k = 5),
     "events_conversion_time" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
         |    FROM events),

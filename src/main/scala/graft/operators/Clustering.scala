@@ -221,6 +221,18 @@ object Clustering {
     * the centered frame is checkpointed once and reused.
     */
   def topDirection(embs: DataFrame, iters: Int = 2): DataFrame = {
+    val (_, v) = centeredAndDirection(embs, iters)
+    v.select(posexplode(col("v")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
+      .orderBy("dim")
+  }
+
+  /** The shared machinery behind [[topDirection]] and [[residualTop]]:
+    * the checkpointed centered frame plus the 1-row direction after
+    * `iters` integer power iterations.
+    */
+  private def centeredAndDirection(embs: DataFrame,
+                                   iters: Int): (DataFrame, DataFrame) = {
     val scaled = scaledView(embs)
     val mean = scaled.select(posexplode(col("ev")))
       .groupBy("pos").agg(expr("sum(col) div count(1)").as("mu"))
@@ -245,8 +257,35 @@ object Clustering {
           |  greatest(array_max(transform(ws, y -> abs(y))) div 1000000, 1L))"""
           .stripMargin).as("v"))
     }
-    v.select(posexplode(col("v")))
-      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
-      .orderBy("dim")
+    (centered, v)
+  }
+
+  /** All-but-the-top APPLIED: per-vector residual squared norm after
+    * projecting out [[topDirection]] — the vectors a debiasing pass
+    * would change least/most. The projection coefficient
+    * `c = ⟨cv,v⟩ div (⟨v,v⟩ div 10⁶)` and every residual coordinate
+    * `(cv·10⁶ − c·v) div 10⁶` are truncating-integer, mirrored exactly
+    * by the oracle; output = the `topK` LARGEST residuals (the most
+    * direction-independent vectors — ties to the lowest id).
+    *
+    * Shape: one scan of the checkpointed centered frame against the
+    * broadcast 1-row direction; the only shuffle is the top-k.
+    */
+  def residualTop(embs: DataFrame, iters: Int = 2, topK: Int = 20): DataFrame = {
+    val (centered, v) = centeredAndDirection(embs, iters)
+    centered.join(broadcast(v))
+      .withColumn("vv", expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0L, (a, b) -> a + b)"))
+      .withColumn("cvv", expr(
+        "aggregate(zip_with(cv, v, (x, y) -> x * y), 0L, (a, b) -> a + b)"))
+      .withColumn("cc", expr("cvv div greatest(vv div 1000000L, 1L)"))
+      .withColumn("res_d2", expr(
+        """aggregate(zip_with(cv, v, (x, y) ->
+          |  ((x * 1000000L - cc * y) div 1000000L) *
+          |  ((x * 1000000L - cc * y) div 1000000L)), 0L, (a, b) -> a + b)"""
+          .stripMargin))
+      .orderBy(col("res_d2").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), col("res_d2"))
   }
 }

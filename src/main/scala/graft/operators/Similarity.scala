@@ -553,6 +553,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** [[annPq]] with the codebook learning AMORTIZED via the same
+    * session cache as [[cachedCentroids]]: the m per-subspace Lloyd
+    * runs execute once per (dir, m, codebookK, iters) and every later
+    * query pays only the one-pass encode + LUT probe — the build-once
+    * / query-many serving shape of a real PQ index (the
+    * [[graft.sources.AnnIndex]] persistence story applies unchanged:
+    * codes and codebooks are plain frames, writable bucket-partitioned
+    * by cell).
+    */
+  def annPqIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   nQueries: Int = 10, k: Int = 5, m: Int = 4,
+                   codebookK: Int = 8, iters: Int = 3): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val books = (0 until m).map { s =>
+      ivfIndexCache.computeIfAbsent(s"$dir:pq:$m:$s:$codebookK:$iters",
+        _ => Clustering.lloydCentroids(pqSlice(emb, s, m), codebookK, iters))
+    }
+    val (codes, qlut) =
+      pqCodesAndLut(emb, nQueries, m, codebookK, iters, books = Some(books))
+    val scored = codes
+      .join(broadcast(qlut), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (0 until m).map(s => element_at(col(s"lut$s"), col(s"code$s")))
+          .reduce(_ + _).as("adc_d2"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("adc_d2", false), ("neighbor_id", false)), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def pqSlice(emb: DataFrame, s: Int, m: Int): DataFrame =
+    emb.select(col("vec_id"), expr(
+      s"slice(embedding, $s * (size(embedding) div $m) + 1, " +
+        s"size(embedding) div $m)").as("embedding"))
+
   /** Shared PQ index build: per-subspace integer-Lloyd codebooks, the
     * one-pass corpus encode (m codegen argmins against broadcast
     * centroid arrays; ties to the lowest centroid id — the
@@ -565,16 +600,15 @@ object Similarity {
     */
   private def pqCodesAndLut(emb: DataFrame, nQueries: Int, m: Int,
                             codebookK: Int, iters: Int,
-                            cellCents: Option[DataFrame] = None)
+                            cellCents: Option[DataFrame] = None,
+                            books: Option[Seq[DataFrame]] = None)
       : (DataFrame, DataFrame) = {
-    def sliced(s: Int): DataFrame = emb.select(col("vec_id"), expr(
-      s"slice(embedding, $s * (size(embedding) div $m) + 1, " +
-        s"size(embedding) div $m)").as("embedding"))
-    val books = (0 until m)
-      .map(s => Clustering.lloydCentroids(sliced(s), codebookK, iters))
+    def sliced(s: Int): DataFrame = pqSlice(emb, s, m)
+    val theBooks = books.getOrElse((0 until m)
+      .map(s => Clustering.lloydCentroids(sliced(s), codebookK, iters)))
 
     val specs = (0 until m).map { s =>
-      (s"code$s", books(s),
+      (s"code$s", theBooks(s),
         s"slice(ev, $s * (size(ev) div $m) + 1, size(ev) div $m)")
     } ++ cellCents.map(cc => ("cell", cc, "ev")).toSeq
     val coded = specs.foldLeft(
@@ -595,7 +629,7 @@ object Similarity {
       sliced(s).where(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"),
           Clustering.scaledVec(col("embedding")).as("qv"))
-        .crossJoin(broadcast(books(s).select(col("cluster"), col("cv"))))
+        .crossJoin(broadcast(theBooks(s).select(col("cluster"), col("cv"))))
         .select(col("query_id"), col("cluster"), expr(
           "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
             "0L, (acc, v) -> acc + v)").as("pd2"))

@@ -90,6 +90,18 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("residualTop: a perfectly 1-D cloud has exactly zero residuals") {
+    import spark.implicits._
+    // every vector a multiple of e1: after centering, the direction is
+    // ±e1·10⁶ exactly and the truncating projection removes everything
+    val rows = (0 until 8).map(i =>
+      (i.toLong, Seq(i * 3.0f, 0f, 0f, 0f), 0))
+    val got = Clustering
+      .residualTop(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 8 && got.forall(_._2 == 0L), got.mkString(","))
+  }
+
   test("topDirection finds the stretched axis of an anisotropic cloud") {
     import spark.implicits._
     // variance concentrated on dim 0; tiny jitter elsewhere

@@ -274,6 +274,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annPqIndexed equals annPq (cached codebooks change nothing)") {
+    val direct = Similarity.annPq(Tables.embeddings(spark, sf0001),
+      nQueries = 3, k = 4).collect().map(_.toSeq).toSeq
+    val indexed = Similarity.annPqIndexed(spark, sf0001,
+      nQueries = 3, k = 4).collect().map(_.toSeq).toSeq
+    assert(indexed == direct)
+  }
+
   test("annPq on testdata: k ranked rows per query, distances non-decreasing") {
     val got = Similarity.annPq(Tables.embeddings(spark, sf0001),
         nQueries = 4, k = 5).collect()
