@@ -824,6 +824,9 @@ object SparkEntry {
     // per-stage funnel conversion delays (count/min/max/p50/p90)
     "events_conversion_time" -> ((s, dir) =>
       Relational.conversionTime(Tables.events(s, dir))),
+    // RFM quartile segmentation (global percentile cuts broadcast)
+    "customer_rfm_segments" -> ((s, dir) =>
+      Relational.rfmSegments(Tables.orders(s, dir))),
     // product families: O(log n)-round connected components over the
     // support-thresholded co-purchase graph
     "part_families" -> ((s, dir) =>
@@ -2850,6 +2853,31 @@ object SparkEntry {
     "emb_residual_top" -> sqlResidualTop(2, 20),
     "ann_pq_indexed" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3,
       nQ = 10, k = 5),
+    "customer_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    max(epoch_ms(o_orderdate) // 86400000) AS last_day,
+        |    count(*)::BIGINT AS freq,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
+        |  FROM orders GROUP BY 1),
+        |cuts AS (SELECT
+        |    quantile_cont(last_day, 0.25) AS r1, quantile_cont(last_day, 0.5) AS r2,
+        |    quantile_cont(last_day, 0.75) AS r3,
+        |    quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+        |    quantile_cont(freq, 0.75) AS f3,
+        |    quantile_cont(monetary_c, 0.25) AS m1, quantile_cont(monetary_c, 0.5) AS m2,
+        |    quantile_cont(monetary_c, 0.75) AS m3
+        |  FROM per)
+        |SELECT segment, count(*)::BIGINT AS n_customers,
+        |  CAST(sum(monetary_c) AS BIGINT) AS sum_monetary_c FROM (
+        |  SELECT (1 + (last_day > r1)::INT + (last_day > r2)::INT
+        |      + (last_day > r3)::INT)::VARCHAR
+        |    || '-' || (1 + (freq > f1)::INT + (freq > f2)::INT
+        |      + (freq > f3)::INT)::VARCHAR
+        |    || '-' || (1 + (monetary_c > m1)::INT + (monetary_c > m2)::INT
+        |      + (monetary_c > m3)::INT)::VARCHAR AS segment,
+        |    monetary_c
+        |  FROM per, cuts)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_conversion_time" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
         |    FROM events),

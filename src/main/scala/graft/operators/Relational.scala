@@ -1598,6 +1598,37 @@ object Relational {
     * always describe the SAME touch row. Channel rollup is a
     * three-row aggregate.
     */
+  /** RFM customer segmentation: recency (last order epoch-day),
+    * frequency (order count), monetary (cents spend) each quartiled
+    * against GLOBAL interpolated cut points (one tiny percentile
+    * aggregate broadcast back — the customerSpendTiers pattern ×3, no
+    * global window sort), then customers roll up per "R-F-M" segment
+    * label. Integer facts vs double cuts: both engines interpolate the
+    * cuts identically, and `v > cut` on a BIGINT vs that double is the
+    * same boolean everywhere.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy("o_custkey").agg(
+      expr("max(unix_millis(cast(o_orderdate AS timestamp)) div 86400000)")
+        .as("last_day"),
+      count(lit(1)).as("freq"),
+      sum(cents("o_totalprice")).as("monetary_c"))
+    val cuts = per.agg(
+      expr("percentile(last_day, array(0.25D, 0.5D, 0.75D))").as("rq"),
+      expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("fq"),
+      expr("percentile(monetary_c, array(0.25D, 0.5D, 0.75D))").as("mq"))
+    def tier(v: String, q: String) = expr(
+      s"1L + if($v > $q[0], 1L, 0L) + if($v > $q[1], 1L, 0L) + " +
+        s"if($v > $q[2], 1L, 0L)")
+    per.crossJoin(broadcast(cuts))
+      .select(concat_ws("-", tier("last_day", "rq"), tier("freq", "fq"),
+        tier("monetary_c", "mq")).as("segment"), col("monetary_c"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("monetary_c").as("sum_monetary_c"))
+      .orderBy("segment")
+  }
+
   /** Funnel conversion-time distribution: for each adjacent stage pair
     * of the [[funnel]] (first view → first subsequent signup → first
     * subsequent purchase), the per-user conversion delay's count,

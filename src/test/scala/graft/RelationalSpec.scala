@@ -461,6 +461,21 @@ class RelationalSpec extends SparkSpec {
       .collect().head.getLong(0) <= 3)
   }
 
+  test("rfmSegments: aligned quartile tiers label each customer") {
+    // customer i: i orders on day i at 10·i each -> recency, frequency,
+    // monetary all rank i among [1..4]; quartile cuts of [1,2,3,4] are
+    // (1.75, 2.5, 3.25) -> tier i exactly
+    val rows = for (i <- 1 to 4; j <- 1 to i)
+      yield (i.toLong, 100L + i * 10 + j, s"1998-01-0$i 00:00:00", i * 10.0)
+    val orders = rows
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = Relational.rfmSegments(orders).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "1-1-1" -> ((1L, 1000L)), "2-2-2" -> ((1L, 4000L)),
+      "3-3-3" -> ((1L, 9000L)), "4-4-4" -> ((1L, 16000L))))
+  }
+
   test("conversionTime: per-stage delays, non-converters excluded") {
     val day = 86400000L
     val ev = Seq(
