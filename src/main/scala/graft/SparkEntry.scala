@@ -1069,6 +1069,10 @@ object SparkEntry {
       graft.streaming.Streams.sessionCountsAvailableNow(s, dir)),
     // multi-row custom state (flatMapGroupsWithState): one row per
     // SESSION, equal to the batch sessionize output
+    // 14th streaming gate: ordered per-key state replay — per-purchase
+    // last-touch attribution, equal to the batch window form
+    "streaming_attribution" -> ((s, dir) =>
+      graft.streaming.Streams.attributionAvailableNow(s, dir)),
     "streaming_session_rows" -> ((s, dir) =>
       graft.streaming.Streams.sessionRowsAvailableNow(s, dir)),
     // stream-stream interval join (watermark-bounded state) and
@@ -2810,6 +2814,25 @@ object SparkEntry {
         |  count(*) FILTER (WHERE l_shipdate < o_orderdate)
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |) ORDER BY check_id""".stripMargin,
+    "streaming_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |a AS (SELECT event_id, event_type, value, ts_ms,
+        |  last_value(CASE WHEN event_type IN ('click','view') THEN ts_ms END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ms,
+        |  last_value(CASE WHEN event_type IN ('click','view') THEN event_type
+        |      END IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type
+        |  FROM e)
+        |SELECT event_id AS purchase_id,
+        |  CASE WHEN lt_ms IS NOT NULL AND lt_ms >= ts_ms - 604800000
+        |    THEN lt_type ELSE 'direct' END AS channel,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     "events_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |    epoch_ms(ts) AS ts_ms FROM events),

@@ -411,6 +411,50 @@ object Streams {
     * bounded by events/user (the sessionization sort), same contract as
     * the batch window.
     */
+  /** Per-purchase last-touch attribution as an ordered per-key state
+    * replay (flatMapGroupsWithState, the 14th streaming gate): each
+    * user's batch rows sort by (ts_ms, event_id), the carried state is
+    * the latest click/view touch — so the replay continues correctly
+    * across micro-batch boundaries for time-ordered sources — and
+    * every purchase emits its credited channel at per-purchase grain:
+    * the streaming form of
+    * [[graft.operators.Relational.lastTouchAttribution]]. Equality
+    * with the batch window formulation is the driver-gated contract.
+    */
+  def attributionAvailableNow(spark: SparkSession, dir: String,
+                              windowMs: Long = 604800000L): DataFrame = {
+    import spark.implicits._
+    val out = eventsStream(spark, dir)
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("event_type").as[String], col("ts_ms").as[Long],
+        col("value").as[Double])
+      .as[(Long, Long, String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, String, Long, Double)],
+         state: GroupState[(Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+          var (ltMs, ltType) = state.getOption.getOrElse((Long.MinValue, ""))
+          val hits = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long)]
+          sorted.foreach { case (_, eid, et, ts, v) =>
+            et match {
+              case "click" | "view" =>
+                ltMs = ts; ltType = et
+              case "purchase" =>
+                val ch = if (ltMs != Long.MinValue && ltMs >= ts - windowMs)
+                  ltType else "direct"
+                hits += ((eid, ch, math.round(v * 100)))
+              case _ => ()
+            }
+          }
+          state.update((ltMs, ltType))
+          hits.iterator
+      }.toDF("purchase_id", "channel", "value_cents")
+    runAvailableNow(out, Seq("purchase_id"), mode = "update")
+  }
+
   def sessionRows(spark: SparkSession, events: DataFrame,
                   gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._

@@ -194,4 +194,29 @@ class StreamsSpec extends SparkSpec {
       assert(last == 2L)
     } finally q.stop()
   }
+
+  test("streaming attribution equals an in-memory ordered replay") {
+    val got = graft.streaming.Streams
+      .attributionAvailableNow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val events = graft.Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "event_type", "ts_ms", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var lt: Option[(Long, String)] = None
+      rows.toSeq.sortBy(r => (r._4, r._2)).flatMap {
+        case (_, _, et @ ("click" | "view"), ts, _) =>
+          lt = Some((ts, et)); None
+        case (_, eid, "purchase", ts, v) =>
+          val ch = lt.collect {
+            case (ltMs, t) if ltMs >= ts - 604800000L => t
+          }.getOrElse("direct")
+          Some(eid -> ((ch, math.round(v * 100))))
+        case _ => None
+      }
+    }.toMap
+    assert(got == want)
+  }
 }
