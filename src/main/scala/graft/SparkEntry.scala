@@ -827,6 +827,12 @@ object SparkEntry {
     // RFM quartile segmentation (global percentile cuts broadcast)
     "customer_rfm_segments" -> ((s, dir) =>
       Relational.rfmSegments(Tables.orders(s, dir))),
+    // daily error-rate ppm (pipeline-health series)
+    "events_error_rate" -> ((s, dir) =>
+      Relational.errorRateDaily(Tables.events(s, dir))),
+    // per-source exact-dup observability rollup
+    "dedup_stats_by_source" -> ((s, dir) =>
+      Dedup.dupStatsBySource(Tables.documents(s, dir))),
     // product families: O(log n)-round connected components over the
     // support-thresholded co-purchase graph
     "part_families" -> ((s, dir) =>
@@ -2876,6 +2882,21 @@ object SparkEntry {
     "emb_residual_top" -> sqlResidualTop(2, 20),
     "ann_pq_indexed" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3,
       nQ = 10, k = 5),
+    "events_error_rate" ->
+      """SELECT epoch_day, n_events, n_errors,
+        |  n_errors * 1000000 // n_events AS err_ppm FROM (
+        |  SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n_events,
+        |    (count(*) FILTER (event_type = 'error'))::BIGINT AS n_errors
+        |  FROM events GROUP BY 1)
+        |ORDER BY epoch_day""".stripMargin,
+    "dedup_stats_by_source" ->
+      """SELECT source, n_docs, n_distinct,
+        |  (n_docs - n_distinct) * 1000000 // n_docs AS dup_ppm FROM (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    count(DISTINCT md5(text))::BIGINT AS n_distinct
+        |  FROM documents GROUP BY 1)
+        |ORDER BY source""".stripMargin,
     "customer_rfm_segments" ->
       """WITH per AS (SELECT o_custkey,
         |    max(epoch_ms(o_orderdate) // 86400000) AS last_day,

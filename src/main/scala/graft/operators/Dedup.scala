@@ -29,6 +29,21 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** Per-source exact-duplication report: docs, distinct fingerprints,
+    * and the surplus-copy ratio in ppm — the dedup OBSERVABILITY
+    * rollup a corpus pipeline publishes per ingest source (which feed
+    * is sending us copies?). One shuffle on source with a fused
+    * distinct-aggregate; output is one row per source at any scale.
+    */
+  def dupStatsBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"), md5(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        expr("(n_docs - n_distinct) * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy("source")
+
   /** Distinct word-n-gram shingles per document: (doc_id, shingle).
     * Built from the cleaned token array so dedup and word count agree
     * on tokenization (SURVEY.md §2 rows 3-6).

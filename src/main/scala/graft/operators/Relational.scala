@@ -1598,6 +1598,20 @@ object Relational {
     * always describe the SAME touch row. Channel rollup is a
     * three-row aggregate.
     */
+  /** Daily error-rate in ppm — the simplest pipeline-health series
+    * beside [[anomalyDow]]'s baselines: one shuffle to per-day
+    * conditional counts, the rate a truncating integer division.
+    */
+  def errorRateDaily(events: DataFrame): DataFrame =
+    events
+      .select(expr("ts_ms div 86400000").as("epoch_day"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+      .groupBy("epoch_day")
+      .agg(count(lit(1)).as("n_events"), sum("is_err").as("n_errors"))
+      .select(col("epoch_day"), col("n_events"), col("n_errors"),
+        expr("n_errors * 1000000 div n_events").as("err_ppm"))
+      .orderBy("epoch_day")
+
   /** RFM customer segmentation: recency (last order epoch-day),
     * frequency (order count), monetary (cents spend) each quartiled
     * against GLOBAL interpolated cut points (one tiny percentile

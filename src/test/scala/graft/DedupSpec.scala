@@ -400,4 +400,15 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 2L, 2L, 1000L), (2L, 2L, 0L, 0L), (3L, 2L, 1L, 500L)))
   }
+
+  test("dupStatsBySource: surplus-copy ratio per source in ppm") {
+    import spark.implicits._
+    val d = Seq((1L, "x", "A"), (2L, "x", "A"), (3L, "y", "A"),
+        (4L, "z", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dupStatsBySource(d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.toSeq == Seq(
+      ("A", (3L, 2L, 333333L)), ("B", (1L, 1L, 0L))))
+  }
 }

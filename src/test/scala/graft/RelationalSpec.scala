@@ -461,6 +461,17 @@ class RelationalSpec extends SparkSpec {
       .collect().head.getLong(0) <= 3)
   }
 
+  test("errorRateDaily: truncating ppm per day") {
+    val day = 86400000L
+    val ev = Seq((1L, 1L, "error", 0.0, 0L), (1L, 2L, "click", 0.0, 1L),
+        (1L, 3L, "view", 0.0, 2L), (2L, 4L, "click", 0.0, day),
+        (2L, 5L, "view", 0.0, day + 1))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_ms")
+    val got = Relational.errorRateDaily(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.toSeq == Seq((0L, (3L, 1L, 333333L)), (1L, (2L, 0L, 0L))))
+  }
+
   test("rfmSegments: aligned quartile tiers label each customer") {
     // customer i: i orders on day i at 10·i each -> recency, frequency,
     // monetary all rank i among [1..4]; quartile cuts of [1,2,3,4] are
