@@ -830,6 +830,9 @@ object SparkEntry {
     // daily error-rate ppm (pipeline-health series)
     "events_error_rate" -> ((s, dir) =>
       Relational.errorRateDaily(Tables.events(s, dir))),
+    // DAU/WAU stickiness: rolling 7-day distinct via window explode
+    "events_dau_wau" -> ((s, dir) =>
+      Relational.dauWau(Tables.events(s, dir))),
     // per-source exact-dup observability rollup
     "dedup_stats_by_source" -> ((s, dir) =>
       Dedup.dupStatsBySource(Tables.documents(s, dir))),
@@ -2882,6 +2885,16 @@ object SparkEntry {
     "emb_residual_top" -> sqlResidualTop(2, 20),
     "ann_pq_indexed" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3,
       nQ = 10, k = 5),
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS d,
+        |    user_id FROM events),
+        |dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT w, count(*)::BIGINT AS wau FROM (
+        |  SELECT DISTINCT d + r.i AS w, user_id FROM ud,
+        |    LATERAL (SELECT unnest(range(0, 7)) AS i) r) GROUP BY 1)
+        |SELECT d AS epoch_day, dau, wau,
+        |  dau * 1000000 // wau AS stickiness_ppm
+        |FROM dau JOIN wau ON d = w ORDER BY epoch_day""".stripMargin,
     "events_error_rate" ->
       """SELECT epoch_day, n_events, n_errors,
         |  n_errors * 1000000 // n_events AS err_ppm FROM (

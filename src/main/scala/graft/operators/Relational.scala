@@ -1598,6 +1598,30 @@ object Relational {
     * always describe the SAME touch row. Channel rollup is a
     * three-row aggregate.
     */
+  /** DAU / WAU stickiness: daily active users over 7-day-window active
+    * users, in ppm. The rolling DISTINCT is rewritten as an explode —
+    * each (user, day) activity emits the 7 window-end days it
+    * contributes to, then a plain distinct+count per window — because
+    * a windowed `count(DISTINCT)` has no partial-aggregate form (it
+    * would buffer per-frame user sets); the explode costs exactly 7×
+    * the (user, day) pair volume and every aggregate stays
+    * map-side-combinable. Output is trimmed to observed days.
+    */
+  def dauWau(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(expr("ts_ms div 86400000").as("d"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(expr("sequence(d, d + 6)")).as("w"), col("user_id"))
+      .distinct()
+      .groupBy("w").agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("d") === col("w"))
+      .select(col("d").as("epoch_day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+      .orderBy("epoch_day")
+  }
+
   /** Daily error-rate in ppm — the simplest pipeline-health series
     * beside [[anomalyDow]]'s baselines: one shuffle to per-day
     * conditional counts, the rate a truncating integer division.

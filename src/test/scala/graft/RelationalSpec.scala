@@ -461,6 +461,20 @@ class RelationalSpec extends SparkSpec {
       .collect().head.getLong(0) <= 3)
   }
 
+  test("dauWau: 7-day window distinct via explode") {
+    val day = 86400000L
+    // u1 active days 0 and 6 (one WAU window apart); u2 active day 6
+    val ev = Seq((1L, 1L, "view", 0.0, 0L), (1L, 2L, "view", 0.0, 1000L),
+        (1L, 3L, "view", 0.0, 6 * day), (2L, 4L, "view", 0.0, 6 * day))
+      .toDF("user_id", "event_id", "event_type", "value", "ts_ms")
+    val got = Relational.dauWau(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    // day 0: dau 1, window [-6..0] actives {u1} -> 1e6
+    // day 6: dau 2, window [0..6] actives {u1, u2} -> 1e6
+    assert(got.toSeq == Seq(
+      (0L, (1L, 1L, 1000000L)), (6L, (2L, 2L, 1000000L))))
+  }
+
   test("errorRateDaily: truncating ppm per day") {
     val day = 86400000L
     val ev = Seq((1L, 1L, "error", 0.0, 0L), (1L, 2L, "click", 0.0, 1L),
