@@ -833,6 +833,9 @@ object SparkEntry {
     // DAU/WAU stickiness: rolling 7-day distinct via window explode
     "events_dau_wau" -> ((s, dir) =>
       Relational.dauWau(Tables.events(s, dir))),
+    // Heaps-law vocabulary growth curve (one wordcount-shaped shuffle)
+    "word_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
     // per-source exact-dup observability rollup
     "dedup_stats_by_source" -> ((s, dir) =>
       Dedup.dupStatsBySource(Tables.documents(s, dir))),
@@ -2885,6 +2888,22 @@ object SparkEntry {
     "emb_residual_top" -> sqlResidualTop(2, 20),
     "ann_pq_indexed" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3,
       nQ = 10, k = 5),
+    "word_vocab_growth" ->
+      s"""WITH fd AS (SELECT word, min(doc_id) AS first_doc FROM (
+         |    ${sqlWords(extra = " doc_id,")}) GROUP BY 1),
+         |cuts AS (SELECT quantile_cont(doc_id, 0.25) AS q1,
+         |    quantile_cont(doc_id, 0.5) AS q2,
+         |    quantile_cont(doc_id, 0.75) AS q3 FROM documents)
+         |SELECT pct, vocab FROM (
+         |  SELECT 25::BIGINT AS pct,
+         |    (count(*) FILTER (first_doc <= q1))::BIGINT AS vocab
+         |  FROM fd, cuts
+         |  UNION ALL SELECT 50, count(*) FILTER (first_doc <= q2)
+         |  FROM fd, cuts
+         |  UNION ALL SELECT 75, count(*) FILTER (first_doc <= q3)
+         |  FROM fd, cuts
+         |  UNION ALL SELECT 100, count(*) FROM fd)
+         |ORDER BY pct""".stripMargin,
     "events_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS d,
         |    user_id FROM events),

@@ -1018,6 +1018,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Heaps-law vocabulary growth: distinct vocabulary size after the
+    * first 25/50/75/100 % of documents (by doc_id order) — the "is the
+    * corpus still teaching the tokenizer new words" curve. Each word
+    * contributes only its FIRST document (one min-aggregate), the
+    * quartile cut points are one broadcast percentile row, and the
+    * four counts are a single conditional aggregate — so the curve
+    * costs one wordcount-shaped shuffle regardless of corpus size
+    * (never four prefix scans).
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val firstDoc = docs
+      .select(col("doc_id"),
+        explode(WordCount.cleanWords(col("text"))).as("word"))
+      .groupBy("word").agg(min("doc_id").as("first_doc"))
+    val cuts = docs.agg(expr(
+      "percentile(doc_id, array(0.25D, 0.5D, 0.75D, 1.0D))").as("qs"))
+    firstDoc.crossJoin(broadcast(cuts))
+      .agg(
+        sum(when(col("first_doc") <= col("qs")(0), 1L).otherwise(0L)).as("v25"),
+        sum(when(col("first_doc") <= col("qs")(1), 1L).otherwise(0L)).as("v50"),
+        sum(when(col("first_doc") <= col("qs")(2), 1L).otherwise(0L)).as("v75"),
+        count(lit(1)).as("v100"))
+      .select(expr(
+        """stack(4, 25L, v25, 50L, v50, 75L, v75, 100L, v100)
+          |  AS (pct, vocab)""".stripMargin))
+      .orderBy("pct")
+  }
+
   /** Deterministic domain-mixture sampling: draw a corpus whose source
     * composition matches target weights (here w = 1 + src_number mod 4,
     * a stand-in for externally supplied mixture weights à la

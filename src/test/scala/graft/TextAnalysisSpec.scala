@@ -419,4 +419,16 @@ class TextAnalysisSpec extends SparkSpec {
     val r2 = TextAnalysis.langId(docs(2L -> "the a fast slow the")).collect().head
     assert(r2.getString(1) == "en" && r2.getLong(2) == 5L)
   }
+
+  test("vocabGrowth: monotone curve, first-occurrence semantics") {
+    import spark.implicits._
+    // docs 1..4: "a", "a b", "a b c", "a b c d" -> vocab after
+    // quartile cut points of doc_id [1,2,3,4]: cuts (1.75, 2.5, 3.25)
+    // -> 1, 2, 3 words; 100% -> 4
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.vocabGrowth(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((25L, 1L), (50L, 2L), (75L, 3L), (100L, 4L)))
+  }
 }
