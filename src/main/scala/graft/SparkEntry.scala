@@ -605,6 +605,16 @@ object SparkEntry {
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     "decontaminate_strict" -> ((s, dir) =>
       Dedup.decontaminateStrict(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
+    // ratio-based "dirty doc" rule: ≥30% of a doc's 3-grams in-benchmark
+    "decontaminate_fuzzy" -> ((s, dir) =>
+      Dedup.decontaminateFuzzy(Tables.documents(s, dir), benchMaxId = 50,
+        n = 3, thrX1000 = 300)),
+    // asymmetric containment over corpus + planted half-docs: the
+    // plants sit at containment ≈ 1.0 but Jaccard ≈ 0.5, so this set
+    // strictly exceeds what any jaccard gate can see
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Dedup.plantHalfDocs(Tables.documents(s, dir)),
+        n = 4, num = 9, den = 10)),
     // the full scale path: LSH candidates → exact verify → connected
     // components (same recursive-CTE oracle as dedup_components, since
     // verified minhash pairs converge to the exact jaccard pair set);
@@ -1986,6 +1996,40 @@ object SparkEntry {
          |          FROM (${sqlShingles(8, where = " WHERE doc_id <= 50")})) b
          |      USING (shingle))
          |ORDER BY doc_id""".stripMargin,
+    "decontaminate_fuzzy" ->
+      s"""WITH bench AS (SELECT DISTINCT shingle
+         |  FROM (${sqlShingles(3, where = " WHERE doc_id <= 50")})),
+         |st AS (SELECT c.doc_id, count(*) AS n_grams,
+         |         count(b.shingle) AS n_shared
+         |       FROM (${sqlShingles(3, where = " WHERE doc_id > 50")}) c
+         |       LEFT JOIN bench b ON c.shingle = b.shingle
+         |       GROUP BY 1)
+         |SELECT doc_id, n_grams, n_shared,
+         |  n_shared * 1000 // n_grams AS ratio_x1000
+         |FROM st WHERE n_shared * 1000 >= n_grams * 300
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id,
+         |    array_to_string(list_slice(ws, 1, len(ws) // 2), ' ') AS text
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents
+         |        WHERE doc_id % 83 = 0)),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(ws, i + 1, i + 4), ' ') AS shingle
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM aug),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 3)) AS i) r
+         |  WHERE len(ws) >= 4),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM sh a JOIN sh b USING (shingle)
+         |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, least(sa.n_sh, sb.n_sh) AS n_small
+         |FROM p JOIN sz sa ON p.id_a = sa.doc_id
+         |       JOIN sz sb ON p.id_b = sb.doc_id
+         |WHERE inter * 10 > least(sa.n_sh, sb.n_sh) * 9
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_components_minhash" ->
       s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -839,6 +839,74 @@ object Dedup {
     * distance 3 must agree on at least one block), then verified with
     * bit_count(xor). Output: (id_a, id_b, hamming).
     */
+  /** The corpus ∪ deterministic "half-doc" plants: for every doc with
+    * `doc_id % mod == 0`, a synthetic document whose text is the first
+    * ⌊len/2⌋ cleaned tokens — a sub-document fully CONTAINED in its
+    * source (containment ≈ 1.0) while its Jaccard is only ≈ 0.5, the
+    * phenomenon [[containmentPairs]] exists to catch and
+    * [[jaccardPairs]] provably misses. Cleaning is idempotent, so both
+    * engines rebuild the identical plant from the same tokens.
+    */
+  def plantHalfDocs(docs: DataFrame, mod: Int = 83, idOffset: Long = 300000L): DataFrame = {
+    val plants = docs.where(col("doc_id") % mod === 0)
+      .select((col("doc_id") + idOffset).as("doc_id"),
+        WordCount.cleanWords(col("text")).as("ws"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("ws"), lit(1),
+          floor(size(col("ws")) / 2).cast("int"))).as("text"))
+    docs.select("doc_id", "text").unionByName(plants)
+  }
+
+  /** Asymmetric near-duplicate pairs by n-gram CONTAINMENT of the
+    * smaller document in the larger: emits (id_a, id_b, inter, n_small)
+    * where `inter * den > min(|A|,|B|) * num` — i.e. containment >
+    * num/den, integer-exact. Jaccard misses a short document pasted
+    * verbatim into a long one (J = |A|/|B| → 0 as B grows); containment
+    * is 1.0 there. Same inverted-shingle blocking and one-shuffle
+    * pair-count as [[jaccardPairs]]; only the acceptance predicate
+    * differs, so the 100 TB posture is identical (sample-scale oracle;
+    * the banded paths are the scale siblings).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), "shingle")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        least(col("sa.n_sh"), col("sb.n_sh")).as("n_small"))
+      .where(col("inter") * den > col("n_small") * num)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Ratio-based fuzzy decontamination (the GPT-3/PaLM-style "dirty
+    * document" rule): a corpus document is flagged when at least
+    * `thrX1000`/1000 of its own distinct n-grams also occur in the
+    * benchmark set — [[decontaminate]]'s absolute shared-gram count
+    * normalized by document size, so long documents aren't flagged for
+    * one incidental collision. Benchmark grams broadcast; the corpus
+    * side is a shuffle-free probe (broadcast left outer join) plus one
+    * per-doc aggregation.
+    */
+  def decontaminateFuzzy(docs: DataFrame, benchMaxId: Long, n: Int,
+                         thrX1000: Int): DataFrame = {
+    val bench = shingles(docs.where(col("doc_id") <= benchMaxId), n)
+      .select("shingle").distinct().withColumn("hit", lit(1L))
+    shingles(docs.where(col("doc_id") > benchMaxId), n)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .where(col("n_shared") * 1000 >= col("n_grams") * thrX1000)
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        expr("n_shared * 1000 div n_grams").as("ratio_x1000"))
+      .orderBy("doc_id")
+  }
+
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     // 4-block banding only guarantees a shared block for distance <= 3
     // (pigeonhole); a larger radius needs maxDist+1 blocks.

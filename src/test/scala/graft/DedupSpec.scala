@@ -68,6 +68,44 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(11L, 12L))
   }
 
+  test("containment catches a short doc pasted into a long one that jaccard misses") {
+    def w(i: Int) = "" + ('a' + i % 26).toChar + ('a' + i / 26).toChar
+    val long = (1 to 40).map(w).mkString(" ")
+    val short = (1 to 12).map(w).mkString(" ")  // a strict prefix of long
+    val d = docs(1L -> long, 2L -> short)
+    // containment of short in long = 1.0 > 9/10
+    val cont = Dedup.containmentPairs(d, 4, 9, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L)))
+    // ...but jaccard = 9/37 < 4/5: invisible to the jaccard gate
+    assert(Dedup.jaccardPairs(d, 4, 4, 5).count() == 0)
+  }
+
+  test("plantHalfDocs plants idempotently-cleaned half docs at id+300000") {
+    val d = docs(0L -> base, 1L -> "one two three")  // id 0 matches % 83
+    val aug = Dedup.plantHalfDocs(d).as[(Long, String)].collect().toMap
+    assert(aug.size == 3)
+    assert(aug(300000L) == "alpha beta gamma delta epsilon")
+    // planted half is fully contained in its source
+    val pairs = Dedup.containmentPairs(Dedup.plantHalfDocs(d), 3, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 300000L)))
+  }
+
+  test("decontaminateFuzzy flags by ratio, not absolute overlap") {
+    val bench = "alpha beta gamma delta epsilon"
+    def filler(i: Int) = "" + ('a' + i % 26).toChar + ('b' + i / 26).toChar + "x"
+    // doc 10: 5 benchmark tokens + 1 filler -> ratio 3/4 of 3-grams shared
+    val dirty = bench + " " + filler(0)
+    // doc 11: same 3 shared grams diluted in 60 unique tokens -> low ratio
+    val diluted = bench + " " + (1 to 60).map(filler).mkString(" ")
+    val d = docs(1L -> bench, 10L -> dirty, 11L -> diluted)
+    val got = Dedup.decontaminateFuzzy(d, benchMaxId = 5, n = 3, thrX1000 = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.keySet == Set(10L))
+    assert(got(10L) == 750L)  // 3 of 4 grams shared
+  }
+
   test("components clusters transitive chains to the min id") {
     import spark.implicits._
     // star: (1,3),(2,3) — pairwise keepList would keep {1,2}; CC keeps comp=1
