@@ -952,6 +952,50 @@ object SparkEntry {
               |  ORDER BY cents DESC, o_orderkey LIMIT 3)
               |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin)
     }),
+    // ANSI three-valued logic pinned: NOT IN against a set containing
+    // NULL is never TRUE (0 rows), while NOT EXISTS ignores the NULL —
+    // the classic silent-data-loss trap, asserted engine-identical
+    "sql_not_in_nulls" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql("""WITH sub AS (
+              |  SELECT CASE WHEN n_nationkey = 3 THEN NULL
+              |              ELSE n_nationkey END AS k
+              |  FROM nation)
+              |SELECT
+              |  (SELECT count(*) FROM customer
+              |   WHERE c_nationkey IN (SELECT k FROM sub)) AS n_in,
+              |  (SELECT count(*) FROM customer
+              |   WHERE c_nationkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+              |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+              |     SELECT 1 FROM sub WHERE sub.k = c.c_nationkey)) AS n_not_exists""".stripMargin)
+    }),
+    // multiset set-operation semantics: INTERSECT/EXCEPT ALL keep
+    // per-row multiplicity (min / clamped difference per key) vs the
+    // distinct forms — all four cardinalities in one row
+    "sql_set_ops" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql("""WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 25),
+              |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+              |SELECT
+              |  (SELECT count(*) FROM
+              |    (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t) AS n_intersect_all,
+              |  (SELECT count(*) FROM
+              |    (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t) AS n_except_all,
+              |  (SELECT count(*) FROM
+              |    (SELECT * FROM a INTERSECT SELECT * FROM b) t) AS n_intersect,
+              |  (SELECT count(*) FROM
+              |    (SELECT * FROM a EXCEPT SELECT * FROM b) t) AS n_except""".stripMargin)
+    }),
+    // GROUP BY ALL surface (groups inferred from the non-aggregate
+    // select list), integer-cents money
+    "sql_group_by_all" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              |FROM lineitem
+              |GROUP BY ALL
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
     // DSIR-style selection: hashed-token target/raw importance ratio,
     // fixed-point integers, top-n via TakeOrderedAndProject
     "dsir_select" -> ((s, dir) =>
@@ -2716,6 +2760,36 @@ object SparkEntry {
         |  FROM orders WHERE o_custkey = c_custkey
         |  ORDER BY cents DESC, o_orderkey LIMIT 3)
         |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin,
+    "sql_not_in_nulls" ->
+      """WITH sub AS (
+        |  SELECT CASE WHEN n_nationkey = 3 THEN NULL
+        |              ELSE n_nationkey END AS k
+        |  FROM nation)
+        |SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey IN (SELECT k FROM sub)) AS n_in,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+        |     SELECT 1 FROM sub WHERE sub.k = c.c_nationkey)) AS n_not_exists""".stripMargin,
+    "sql_set_ops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 25),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT
+        |  (SELECT count(*) FROM
+        |    (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t) AS n_intersect_all,
+        |  (SELECT count(*) FROM
+        |    (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t) AS n_except_all,
+        |  (SELECT count(*) FROM
+        |    (SELECT * FROM a INTERSECT SELECT * FROM b) t) AS n_intersect,
+        |  (SELECT count(*) FROM
+        |    (SELECT * FROM a EXCEPT SELECT * FROM b) t) AS n_except""".stripMargin,
+    "sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sql_recursive_spine" ->
       s"""WITH RECURSIVE spine(d) AS (
          |  SELECT (SELECT min(epoch_ms(ts) // 86400000) FROM events)

@@ -126,4 +126,34 @@ class GraftSqlSpec extends SparkSpec {
     val plan = lat.queryExecution.optimizedPlan.toString
     assert(!plan.contains("ScalarSubquery"))
   }
+
+  test("NOT IN against a NULL-bearing set is never true; NOT EXISTS ignores the NULL") {
+    val r = SparkEntry.queries("sql_not_in_nulls")(spark, sf0001).collect().head
+    val (nIn, nNotIn, nNotExists) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nNotIn == 0L)          // the 3VL trap: x <> NULL is never TRUE
+    assert(nNotExists > 0L)       // customers of the NULLed-out nation
+    val total = Tables(spark, sf0001, "customer").count()
+    assert(nIn + nNotExists == total) // IN + NOT EXISTS partition the table
+  }
+
+  test("INTERSECT/EXCEPT ALL keep multiplicity; distinct forms collapse it") {
+    val r = SparkEntry.queries("sql_set_ops")(spark, sf0001).collect().head
+    val (ia, ea, i, e) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ia >= i && ea >= e)    // ALL forms dominate the distinct forms
+    assert(ia > i)                // multiplicity really present in testdata
+    // |a| = |a INTERSECT ALL b| + |a EXCEPT ALL b| (multiset identity)
+    val a = Tables(spark, sf0001, "lineitem").where("l_quantity <= 25").count()
+    assert(ia + ea == a)
+  }
+
+  test("GROUP BY ALL infers the grouping keys from the select list") {
+    val got = SparkEntry.queries("sql_group_by_all")(spark, sf0001)
+    val want = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+    assert(got.collect().map(_.toString).toSeq ==
+      want.collect().map(_.toString).toSeq)
+  }
 }
