@@ -815,6 +815,24 @@ object SparkEntry {
     // association rules: ppm confidence + lift over the directed pairs
     "part_assoc_rules" -> ((s, dir) =>
       Graph.associationRules(Tables.lineitem(s, dir))),
+    // degree-weighted link prediction: hubs discounted 1/deg (ppm)
+    "part_link_pred_ra" -> ((s, dir) =>
+      Graph.resourceAllocationPairs(
+        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+    // integer α=1/2 EWMA of daily counts — exact halving recurrence
+    "events_ewma" -> ((s, dir) =>
+      Relational.eventsEwma(Tables.events(s, dir))),
+    // compaction planning: ship-day row groups packed into ~2000-row
+    // sequential bins (running-total div target)
+    "lake_compaction_bins" -> ((s, dir) =>
+      operators.Layout.compactionBins(
+        Tables.lineitem(s, dir)
+          .groupBy(org.apache.spark.sql.functions.expr(
+            "unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+            .as("epoch_day"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_rows")),
+        "epoch_day", "n_rows", target = 2000L)),
     // Deequ-style declarative constraint audit over the warehouse
     "dq_audit" -> ((s, dir) =>
       DataQuality.audit(Tables.customer(s, dir), Tables.orders(s, dir),
@@ -2918,6 +2936,46 @@ object SparkEntry {
         |FROM d JOIN isupp sa ON d.ante = sa.p JOIN isupp sb ON d.cons = sb.p
         |  CROSS JOIN no
         |ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 50""".stripMargin,
+    "part_link_pred_ra" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+        |    ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS w, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+        |dg AS (SELECT w, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |cn AS (SELECT n1.n AS u, n2.n AS v,
+        |    CAST(sum(1000000 // dg.deg) AS BIGINT) AS ra_ppm,
+        |    count(*) AS n_common
+        |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n
+        |  JOIN dg ON dg.w = n1.w GROUP BY 1, 2)
+        |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
+        |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
+        |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "events_ewma" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY epoch_day) AS i FROM d),
+        |r(event_type, i, epoch_day, n, ewma) AS (
+        |  SELECT event_type, i, epoch_day, n, n FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, idx.epoch_day, idx.n,
+        |    (idx.n + r.ewma) // 2
+        |  FROM idx JOIN r ON idx.event_type = r.event_type
+        |    AND idx.i = r.i + 1)
+        |SELECT event_type, epoch_day, n, ewma FROM r
+        |ORDER BY event_type, epoch_day""".stripMargin,
+    "lake_compaction_bins" ->
+      """WITH f AS (SELECT epoch_ms(l_shipdate) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT epoch_day, n_rows,
+        |  CAST(COALESCE(sum(n_rows) OVER (ORDER BY epoch_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+        |    AS BIGINT) AS bin
+        |FROM f ORDER BY epoch_day""".stripMargin,
     "dq_audit" ->
       """SELECT * FROM (
         |SELECT 'customer.acctbal_nonneg' AS check_id, count(*)::BIGINT AS n_rows,

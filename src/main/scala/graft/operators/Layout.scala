@@ -53,6 +53,30 @@ object Layout {
         min("epoch_day").as("min_day"), max("epoch_day").as("max_day"))
       .orderBy("zbucket")
 
+  /** Compaction planning: pack key-ordered "files" (any (key, size)
+    * frame — per-partition row counts, file bytes) into sequential
+    * bins of ≈ `target` size: bin = (running size BEFORE this file)
+    * div target. A file that crosses a boundary stays with its
+    * predecessors (bins can overflow by < one file — the classic
+    * streaming bin rule), order is preserved so each compacted output
+    * stays range-contiguous on the key (min/max pruning survives the
+    * rewrite). Input is a per-partition ROLLUP (days, files — bounded
+    * rows), so the single global cumulative window is over file
+    * metadata, never data rows — same bounded-window contract as the
+    * daily momentum rollup.
+    */
+  def compactionBins(files: DataFrame, keyCol: String, sizeCol: String,
+                     target: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))
+      .rowsBetween(Long.MinValue, -1)
+    files
+      .withColumn("cum_before",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .select(col(keyCol), col(sizeCol),
+        expr(s"cum_before div $target").as("bin"))
+      .orderBy(keyCol)
+  }
+
   /** Write `df` z-ordered on (xCol, yCol): range-partition by z-value
     * (balanced output files via range exchange, not hash), sort rows
     * within each partition, drop the helper column. The result is a

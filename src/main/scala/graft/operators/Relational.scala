@@ -1797,4 +1797,39 @@ object Relational {
       .agg(count(lit(1)).as("n_purchases"), sum("value_c").as("sum_cents"))
       .orderBy("channel")
   }
+
+  /** Integer EWMA (α = 1/2, truncating) of daily event counts per
+    * type: s₁ = n₁, sₜ = (nₜ + sₜ₋₁) div 2 — the halving recurrence
+    * stays in exact integers, so the DuckDB recursive-CTE oracle
+    * reproduces it bit-for-bit (no float smoothing-order hazard).
+    *
+    * The sequential fold runs as an `aggregate` lambda over each
+    * type's collected daily series — interpreted, but the input is the
+    * per-(type, day) ROLLUP (≤ types × days rows at any corpus size),
+    * not raw events; the single shuffle is the daily aggregation. The
+    * per-type array is bounded by the calendar, the same contract as
+    * [[weeklyFromDaily]].
+    */
+  def eventsEwma(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("epoch_day", expr("ts_ms div 86400000"))
+      .groupBy("event_type", "epoch_day").agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("epoch_day"), col("n"))))
+        .as("xs"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(xs,
+          |  struct(cast(array() as array<struct<epoch_day:bigint,n:bigint,ewma:bigint>>) as out,
+          |         cast(-1 as bigint) as s),
+          |  (acc, x) -> struct(
+          |    concat(acc.out, array(named_struct(
+          |      'epoch_day', cast(x.epoch_day as bigint),
+          |      'n', cast(x.n as bigint),
+          |      'ewma', cast(if(acc.s < 0, x.n, (x.n + acc.s) div 2) as bigint)))) as out,
+          |    cast(if(acc.s < 0, x.n, (x.n + acc.s) div 2) as bigint) as s),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("event_type"), col("r.epoch_day").as("epoch_day"),
+        col("r.n").as("n"), col("r.ewma").as("ewma"))
+      .orderBy("event_type", "epoch_day")
+  }
 }

@@ -165,4 +165,19 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._1).toSeq ==
       Seq(("a", "c"), ("b", "d"), ("b", "e"), ("d", "e")))
   }
+
+  test("resourceAllocation discounts hub-mediated pairs that commonNeighbors ties") {
+    // (p,q) share one LOW-degree neighbor m (deg 2); all pairs among
+    // s1..s4 share only the hub h (deg 4). Common-neighbors ties them
+    // all at 1; RA ranks (p,q) (500000 ppm) over the hub pairs (250000).
+    val e0 = Seq(("m", "p"), ("m", "q"),
+      ("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4")).toDF("a", "b")
+    val got = Graph.resourceAllocationPairs(e0).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(3)))
+    val byPair = got.map(x => x._1 -> x._3).toMap
+    assert(byPair(("p", "q")) == 500000L)
+    assert(byPair(("s1", "s2")) == 250000L && byPair.size == 7)
+    assert(got.forall(_._2 == 1L)) // CN is blind: every pair has 1 witness
+    assert(got.head._1 == ("p", "q")) // RA is not
+  }
 }

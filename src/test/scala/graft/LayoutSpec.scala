@@ -44,4 +44,14 @@ class LayoutSpec extends SparkSpec {
     val avgSx = spans.map(_.getLong(1)).sum.toDouble / spans.length
     assert(avgSx < 16.0 && avgSy < 16.0)
   }
+
+  test("compactionBins packs key-ordered files by exclusive running total") {
+    import spark.implicits._
+    val files = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 1L)).toDF("k", "sz")
+    val got = operators.Layout.compactionBins(files, "k", "sz", target = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // cum_before = 0, 7, 14, 21 -> bins 0, 0, 1, 2: a file crossing the
+    // boundary stays with its bin (bins overflow by < one file)
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+  }
 }

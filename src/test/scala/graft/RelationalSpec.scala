@@ -573,4 +573,16 @@ class RelationalSpec extends SparkSpec {
       "direct" -> ((2L, 5000L)),
       "view" -> ((1L, 4000L))))
   }
+
+  test("eventsEwma: s1 = n1, then truncating halving recurrence per type") {
+    val day = 86400000L
+    def at(d: Long, k: Long) = (d * 100 + k, 1L, d * day + 1, "a", 0.0, "{}")
+    // day 0: 5 events, day 1: 3, day 2: 10  ->  ewma 5, 4, 7
+    val e = events(
+      ((0L until 5L).map(at(0, _)) ++ (0L until 3L).map(at(1, _)) ++
+        (0L until 10L).map(at(2, _))): _*)
+    val got = Relational.eventsEwma(e).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 5L, 5L), (1L, 3L, 4L), (2L, 10L, 7L)))
+  }
 }
