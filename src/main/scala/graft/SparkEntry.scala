@@ -500,6 +500,12 @@ object SparkEntry {
     // word2vec-style windowed co-occurrence via positional equi-join
     "skipgram_counts" -> ((s, dir) =>
       TextAnalysis.skipgramCounts(Tables.documents(s, dir))),
+    // vocabulary-free hashing-trick features: 64 md5 slots per doc
+    "doc_hashed_features" -> ((s, dir) =>
+      TextAnalysis.hashedFeatures(Tables.documents(s, dir))),
+    // deterministic unigram^0.75 negative draws per frequent center
+    "skipgram_negatives" -> ((s, dir) =>
+      TextAnalysis.skipgramNegatives(Tables.documents(s, dir))),
     "events_cohort_matrix" -> ((s, dir) =>
       Relational.cohortMatrix(Tables.events(s, dir))),
     "vocab_coverage" -> ((s, dir) =>
@@ -1423,6 +1429,33 @@ object SparkEntry {
          |FROM w a JOIN w b ON a.doc_id = b.doc_id
          |  AND b.pos - a.pos BETWEEN 1 AND 3
          |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+    "doc_hashed_features" ->
+      s"""SELECT doc_id,
+         |  list_sum(list_transform(range(15), i ->
+         |    (strpos('0123456789abcdef', substr(md5(word), i+1, 1)) - 1)::BIGINT
+         |      << (4*(14-i)))) % 64 AS bucket,
+         |  count(*)::BIGINT AS cnt
+         |FROM (${sqlWords(" doc_id,")})
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "skipgram_negatives" ->
+      s"""WITH uni AS (SELECT word, count(*)::BIGINT AS n
+         |  FROM (${sqlWords()}) GROUP BY 1),
+         |wt AS (SELECT word AS neg_word,
+         |    CAST(floor((sqrt(CAST(n AS DOUBLE))
+         |      * sqrt(sqrt(CAST(n AS DOUBLE)))) * 1000.0) AS BIGINT) AS w075
+         |  FROM uni),
+         |c AS (SELECT word AS center FROM uni ORDER BY n DESC, word LIMIT 10),
+         |p AS (SELECT center, neg_word,
+         |    CAST(list_sum(list_transform(range(15), i ->
+         |      (strpos('0123456789abcdef',
+         |        substr(md5(center || ' ' || neg_word), i+1, 1)) - 1)::BIGINT
+         |        << (4*(14-i)))) // (w075 + 1) AS BIGINT) AS priority
+         |  FROM c CROSS JOIN wt WHERE neg_word <> center),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY center ORDER BY priority, neg_word) AS BIGINT) AS rk
+         |  FROM p)
+         |SELECT center, rk, neg_word, priority FROM r WHERE rk <= 5
+         |ORDER BY center, rk""".stripMargin,
     "phrase_search_3" ->
       s"""WITH w AS (
          |  SELECT doc_id, i AS pos, ws[i + 1] AS word

@@ -1228,4 +1228,55 @@ object TextAnalysis {
     WordCount.wordCount(docs)
       .groupBy("cnt").agg(count(lit(1)).as("n_words"))
       .orderBy("cnt")
+
+  /** Hashing-trick featurization (Weinberger et al. 2009): each token
+    * hashes to one of `nBuckets` feature slots, per-document slot
+    * counts form the sparse feature vector — the fixed-width text
+    * featurizer that needs NO vocabulary pass. One shuffle on
+    * (doc_id, bucket) with map-side combine; words never shuffle and
+    * no dictionary is built or broadcast — the whole point of the
+    * trick at 100 TB.
+    */
+  def hashedFeatures(docs: DataFrame, nBuckets: Int = 64): DataFrame =
+    WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .withColumn("bucket", pmod(
+        expr("cast(conv(substr(md5(word), 1, 15), 16, 10) AS bigint)"),
+        lit(nBuckets.toLong)))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+
+  /** Deterministic word2vec-style negative sampling: for each of the
+    * `nCenters` most frequent words, the `k` vocabulary words with the
+    * smallest priority `h(center, cand) div (⌊n^0.75·1000⌋ + 1)` — the
+    * integer Efraimidis-Spirakis form of drawing negatives from the
+    * unigram^0.75 distribution (heavier words draw proportionally
+    * smaller priorities), keyed per center so every center gets an
+    * independent deterministic draw. n^0.75 via the sqrt·sqrt(sqrt)
+    * identity — both engines produce the identical double before the
+    * floor. The weighted vocab broadcasts (vocabulary-sized, not
+    * corpus-sized); the per-center top-k is a window over
+    * centers × |V| candidate rows — at web-scale vocabularies cap the
+    * candidate set by a minimum count first (the standard word2vec
+    * vocabulary floor).
+    */
+  def skipgramNegatives(docs: DataFrame, nCenters: Int = 10,
+                        k: Int = 5): DataFrame = {
+    val uni = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val weighted = uni.select(col("word").as("neg_word"), expr(
+      "cast(floor((sqrt(cast(n AS double)) * sqrt(sqrt(cast(n AS double)))) * 1000.0) AS bigint)")
+      .as("w075"))
+    val centers = uni.orderBy(col("n").desc, col("word")).limit(nCenters)
+      .select(col("word").as("center"))
+    val byCenter = Window.partitionBy("center")
+      .orderBy(col("priority"), col("neg_word"))
+    centers.crossJoin(broadcast(weighted))
+      .where(col("neg_word") =!= col("center"))
+      .withColumn("priority", expr(
+        "cast(conv(substr(md5(concat(center, ' ', neg_word)), 1, 15), 16, 10) AS bigint) div (w075 + 1)"))
+      .withColumn("rk", row_number().over(byCenter).cast("long"))
+      .where(col("rk") <= k)
+      .select("center", "rk", "neg_word", "priority")
+      .orderBy("center", "rk")
+  }
 }

@@ -431,4 +431,30 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((25L, 1L), (50L, 2L), (75L, 3L), (100L, 4L)))
   }
+
+  test("hashedFeatures: slot counts sum to token count, same word same slot") {
+    val d = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.hashedFeatures(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(x => x._2 >= 0 && x._2 < 64))
+    assert(got.filter(_._1 == 1L).map(_._3).sum == 3L)
+    assert(got.filter(_._1 == 2L).map(_._3).sum == 2L)
+    // 'a' hashes identically in both docs: its slot appears for doc 1
+    // with cnt 2 and for doc 2 with cnt >= 1
+    val aSlot = got.filter(x => x._1 == 1L && x._3 == 2L).map(_._2)
+    assert(aSlot.length == 1 && got.exists(x => x._1 == 2L && x._2 == aSlot.head))
+  }
+
+  test("skipgramNegatives: k per center, never the center, deterministic") {
+    val d = Seq((1L, "a a a a b b c d e f g h")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.skipgramNegatives(d, nCenters = 3, k = 4)
+    val rows = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.groupBy(_._1).forall(_._2.length == 4))
+    assert(rows.forall(x => x._1 != x._3))
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
+    val again = graft.operators.TextAnalysis.skipgramNegatives(d, nCenters = 3, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
