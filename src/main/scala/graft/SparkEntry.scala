@@ -611,6 +611,14 @@ object SparkEntry {
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     "decontaminate_strict" -> ((s, dir) =>
       Dedup.decontaminateStrict(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
+    // the filter VERDICT table: per-doc reason bitmask (gopher=1,
+    // exact-dup copy=2, contaminated=4, near-dup drop=8) + keep flag
+    "corpus_filter_report" -> ((s, dir) =>
+      Dedup.corpusFilterReport(Tables.documents(s, dir))),
+    // weekly-seasonality probe: integer lag-7 autocorrelation of the
+    // daily event volume
+    "events_autocorr_lag7" -> ((s, dir) =>
+      Relational.eventsAutocorrLag(Tables.events(s, dir))),
     // ratio-based "dirty doc" rule: ≥30% of a doc's 3-grams in-benchmark
     "decontaminate_fuzzy" -> ((s, dir) =>
       Dedup.decontaminateFuzzy(Tables.documents(s, dir), benchMaxId = 50,
@@ -2091,6 +2099,62 @@ object SparkEntry {
          |          FROM (${sqlShingles(8, where = " WHERE doc_id <= 50")})) b
          |      USING (shingle))
          |ORDER BY doc_id""".stripMargin,
+    "corpus_filter_report" ->
+      s"""WITH base AS (SELECT doc_id, text, $SqlWs AS ws FROM documents
+         |  WHERE doc_id > 50),
+         |gq AS (SELECT doc_id,
+         |    (len(ws) BETWEEN 10 AND 100000)
+         |    AND ((CASE WHEN len(ws) > 0 THEN
+         |      (coalesce(list_sum(list_transform(ws, x -> length(x))), 0) * 100) // len(ws)
+         |      ELSE 0 END) BETWEEN 300 AND 1000)
+         |    AND (len(regexp_extract_all(text, '$SqlSymbolPattern')) * 10 <= len(ws))
+         |    AND (len(list_distinct(ws)) * 10 >= len(ws) * 3)
+         |    AND (len(list_filter(ws, w -> list_contains(${sqlList(operators.TextAnalysis.Stopwords)}, w))) >= 2)
+         |      AS gopher_ok
+         |  FROM base),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  WHERE doc_id > 50 GROUP BY md5(text)),
+         |contam AS (SELECT DISTINCT c.doc_id
+         |  FROM (${sqlShingles(8, where = " WHERE doc_id > 50")}) c
+         |  JOIN (SELECT DISTINCT shingle
+         |        FROM (${sqlShingles(8, where = " WHERE doc_id <= 50")})) b
+         |    USING (shingle)),
+         |sh AS (${sqlShingles(3, where = " WHERE doc_id > 50")}),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM sh a JOIN sh b USING (shingle)
+         |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |drops AS (SELECT DISTINCT id_b AS doc_id
+         |  FROM p JOIN sz sa ON p.id_a = sa.doc_id
+         |         JOIN sz sb ON p.id_b = sb.doc_id
+         |  WHERE inter * 5 > (sa.n_sh + sb.n_sh - inter) * 4)
+         |SELECT g.doc_id,
+         |  (CASE WHEN NOT gopher_ok THEN 1 ELSE 0 END
+         |   + CASE WHEN k.doc_id IS NULL THEN 2 ELSE 0 END
+         |   + CASE WHEN c.doc_id IS NOT NULL THEN 4 ELSE 0 END
+         |   + CASE WHEN d.doc_id IS NOT NULL THEN 8 ELSE 0 END)::BIGINT
+         |    AS reason_mask,
+         |  (CASE WHEN NOT gopher_ok THEN 1 ELSE 0 END
+         |   + CASE WHEN k.doc_id IS NULL THEN 2 ELSE 0 END
+         |   + CASE WHEN c.doc_id IS NOT NULL THEN 4 ELSE 0 END
+         |   + CASE WHEN d.doc_id IS NOT NULL THEN 8 ELSE 0 END) = 0 AS keep
+         |FROM gq g LEFT JOIN keepers k ON g.doc_id = k.doc_id
+         |  LEFT JOIN contam c ON g.doc_id = c.doc_id
+         |  LEFT JOIN drops d ON g.doc_id = d.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+    "events_autocorr_lag7" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(sum(n) // count(*) AS BIGINT) AS m,
+        |    count(*)::BIGINT AS n_days FROM daily),
+        |dm AS (SELECT epoch_day, n - m.m AS d FROM daily, m),
+        |den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dm),
+        |num AS (SELECT CAST(sum(a.d * b.d) AS BIGINT) AS num
+        |  FROM dm a JOIN dm b ON b.epoch_day = a.epoch_day + 7)
+        |SELECT n_days, m AS mean_n, num, den,
+        |  CAST(num * 1000000 // den AS BIGINT) AS r_ppm
+        |FROM m, num, den""".stripMargin,
     "decontaminate_fuzzy" ->
       s"""WITH bench AS (SELECT DISTINCT shingle
          |  FROM (${sqlShingles(3, where = " WHERE doc_id <= 50")})),

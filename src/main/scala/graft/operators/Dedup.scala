@@ -907,6 +907,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The corpus-build VERDICT table: every corpus document with a
+    * bitmask of the filter rules it fails — bit 0 (1) Gopher rule
+    * screen, bit 1 (2) exact-duplicate copy (not its group's min-id
+    * representative), bit 2 (4) benchmark contamination, bit 3 (8)
+    * near-duplicate drop (the higher id of a Jaccard pair) — and
+    * `keep = (mask == 0)`. This is the attribution report a real
+    * pipeline publishes next to the keep list: WHY each document was
+    * dropped, one row per doc. Each signal keeps its own scale shape
+    * (per-row codegen rules, one fp shuffle, broadcast bench probe,
+    * banded-verify pairs at scale); the verdict is three left joins on
+    * doc_id against frames far smaller than the corpus.
+    */
+  def corpusFilterReport(docs: DataFrame, benchMaxId: Long = 50L,
+                         benchN: Int = 8, n: Int = 3, num: Int = 4,
+                         den: Int = 5): DataFrame = {
+    val corpus = docs.where(col("doc_id") > benchMaxId)
+    val gopher = TextAnalysis.gopherRules(corpus)
+      .select(col("doc_id"), col("gopher_ok"))
+    val keepers = exact(corpus)
+      .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
+    val contam = decontaminate(docs, benchMaxId, benchN)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val drops = jaccardPairs(corpus, n, num, den)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("neardup", lit(true))
+    gopher.join(keepers, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (when(!col("gopher_ok"), 1L).otherwise(0L) +
+          when(col("is_keeper").isNull, 2L).otherwise(0L) +
+          when(col("contam").isNotNull, 4L).otherwise(0L) +
+          when(col("neardup").isNotNull, 8L).otherwise(0L)).as("reason_mask"))
+      .withColumn("keep", col("reason_mask") === 0L)
+      .orderBy("doc_id")
+  }
+
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     // 4-block banding only guarantees a shared block for distance <= 3
     // (pigeonhole); a larger radius needs maxDist+1 blocks.

@@ -1832,4 +1832,32 @@ object Relational {
         col("r.n").as("n"), col("r.ewma").as("ewma"))
       .orderBy("event_type", "epoch_day")
   }
+
+  /** Lag-`lag` autocorrelation of the daily event volume, integer
+    * exact: with the truncating mean m = Σx div d, emits the raw
+    * cross-product numerator Σ(xₜ−m)(xₜ₊ₗ−m) over observed day pairs,
+    * the variance denominator Σ(xₜ−m)², and their ppm ratio
+    * (truncation toward zero — Spark `div` == DuckDB `//` on
+    * negatives) — the weekly-seasonality detector next to
+    * [[anomalyByDow]]'s per-weekday baseline. Everything past the one
+    * daily rollup shuffle operates on calendar-bounded rows: the mean
+    * is a 1-row broadcast, the lag pairing a self-join on day+lag.
+    */
+  def eventsAutocorrLag(events: DataFrame, lag: Int = 7): DataFrame = {
+    val daily = events
+      .withColumn("epoch_day", expr("ts_ms div 86400000"))
+      .groupBy("epoch_day").agg(count(lit(1)).as("n"))
+    val m = daily.agg(expr("sum(n) div count(1)").as("m"),
+      count(lit(1)).as("n_days"))
+    val dm = daily.crossJoin(broadcast(m))
+      .select(col("epoch_day"), col("n"), col("m"), col("n_days"),
+        (col("n") - col("m")).as("d"))
+    val den = dm.agg(sum(expr("d * d")).as("den")).select("den")
+    val num = dm.as("a")
+      .join(dm.as("b"), col("b.epoch_day") === col("a.epoch_day") + lag)
+      .agg(sum(expr("a.d * b.d")).as("num")).select("num")
+    m.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("n_days"), col("m").as("mean_n"), col("num"), col("den"),
+        expr("num * 1000000 div den").as("r_ppm"))
+  }
 }

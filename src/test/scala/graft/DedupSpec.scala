@@ -106,6 +106,28 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) == 750L)  // 3 of 4 grams shared
   }
 
+  test("corpusFilterReport attributes each drop reason as its own bit") {
+    // 4-char filler words keep mean word length inside the 300-1000 band
+    def w(i: Int) = { val s = "" + ('a' + i % 26).toChar + ('a' + i / 26).toChar; s + s }
+    val longTail = (1 to 30).map(w)
+    val clean = "the a of " + longTail.mkString(" ")
+    val bench = "zq zw ze zr zt zy zu zi zx zc"  // 8-grammable, disjoint words
+    val d = docs(
+      1L -> bench,                       // benchmark side (id <= 50)
+      100L -> clean,                     // passes everything -> keep
+      101L -> clean,                     // exact dup of 100 -> bit 1
+      102L -> "tiny doc",                // gopher fail (too short) -> bit 0
+      103L -> ("the a of " + bench + " " + longTail.drop(10).mkString(" ")), // shares 8-gram -> bit 2
+      104L -> ("the a of " + longTail.mkString(" ") + " zz"))  // near-dup of 100 -> bit 3
+    val got = Dedup.corpusFilterReport(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(100L) == ((0L, true)))
+    assert(got(101L)._1 == 2L || got(101L)._1 == 10L) // dup copy (may also near-dup)
+    assert((got(102L)._1 & 1L) == 1L)
+    assert((got(103L)._1 & 4L) == 4L)
+    assert((got(104L)._1 & 8L) == 8L && !got(104L)._2)
+  }
+
   test("components clusters transitive chains to the min id") {
     import spark.implicits._
     // star: (1,3),(2,3) — pairwise keepList would keep {1,2}; CC keeps comp=1

@@ -574,6 +574,23 @@ class RelationalSpec extends SparkSpec {
       "view" -> ((1L, 4000L))))
   }
 
+  test("eventsAutocorrLag: alternating series correlates perfectly at its period") {
+    val day = 86400000L
+    // days 0..9: 10,2,10,2,... -> mean 6, d = ±4
+    val rows = (0L until 10L).flatMap { dd =>
+      val k = if (dd % 2 == 0) 10L else 2L
+      (0L until k).map(j => (dd * 100 + j, 1L, dd * day + 1, "a", 0.0, "{}"))
+    }
+    val e = events(rows: _*)
+    val r = Relational.eventsAutocorrLag(e, lag = 2).collect().head
+    // den = 10*16 = 160; num = 8 pairs * 16 = 128; r = 128/160 = 0.8
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((10L, 6L, 128L, 160L, 800000L)))
+    // anti-phase at lag 1: num = 9 * (-16) = -144 -> r = -0.9 exactly
+    val r1 = Relational.eventsAutocorrLag(e, lag = 1).collect().head
+    assert(r1.getLong(2) == -144L && r1.getLong(4) == -900000L)
+  }
+
   test("eventsEwma: s1 = n1, then truncating halving recurrence per type") {
     val day = 86400000L
     def at(d: Long, k: Long) = (d * 100 + k, 1L, d * day + 1, "a", 0.0, "{}")
