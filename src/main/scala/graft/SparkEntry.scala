@@ -1047,6 +1047,13 @@ object SparkEntry {
     // SCD-1 merge: full-outer join + coalesce upsert
     "events_snapshot_upsert" -> ((s, dir) =>
       Relational.snapshotUpsert(Tables.events(s, dir))),
+    // point-in-time join: purchases against the SCD2 version valid at
+    // their timestamp (temporal correctness for feature pipelines)
+    "events_scd2_lookup" -> ((s, dir) =>
+      Relational.scd2Lookup(Tables.events(s, dir))),
+    // per-dimension whitening stats: integer two-moment identity
+    "emb_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir))),
     // aggregate-of-aggregates incremental rollup
     "events_weekly_rollup" -> ((s, dir) =>
       Relational.weeklyFromDaily(Tables.events(s, dir))),
@@ -2556,6 +2563,36 @@ object SparkEntry {
          |FROM c
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
          |ORDER BY user_id, version""".stripMargin,
+    "events_scd2_lookup" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+         |           FROM events),
+         |c AS (SELECT user_id, event_type, ts_ms, event_id FROM (
+         |        SELECT *, lag(event_type) OVER
+         |          (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+         |        FROM e)
+         |      WHERE prev_type IS NULL OR prev_type <> event_type),
+         |dim AS (SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+         |    event_type AS state, ts_ms AS valid_from_ms,
+         |    coalesce(lead(ts_ms) OVER w, 253402300799999) AS valid_to_ms
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+         |SELECT p.event_id, p.user_id, p.ts_ms, dim.state, dim.version
+         |FROM (SELECT event_id, user_id, ts_ms FROM e
+         |      WHERE event_type = 'purchase') p
+         |JOIN dim ON p.user_id = dim.user_id
+         |  AND dim.valid_from_ms <= p.ts_ms AND p.ts_ms < dim.valid_to_ms
+         |ORDER BY p.event_id""".stripMargin,
+    "emb_dim_stats" ->
+      """SELECT dim, count(*)::BIGINT AS n,
+        |  CAST(sum(xm) AS BIGINT) AS sum_milli,
+        |  CAST(sum(xm * xm) AS BIGINT) AS sumsq_milli,
+        |  CAST(count(*) * sum(xm * xm) - sum(xm) * sum(xm) AS BIGINT) AS var_num
+        |FROM (
+        |  SELECT i - 1 AS dim,
+        |    CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT) AS xm
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r)
+        |GROUP BY dim ORDER BY dim""".stripMargin,
     "cogroup_user_activity" ->
       s"""WITH e AS (SELECT user_id AS k, count(*)::BIGINT AS n_events,
          |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

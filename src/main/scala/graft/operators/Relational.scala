@@ -1347,6 +1347,29 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
+  /** Point-in-time (as-of) lookup against the [[scd2]] dimension: each
+    * purchase event joined to the state version valid at its
+    * timestamp — the temporal-correctness join every feature pipeline
+    * needs (training labels must see the dimension AS OF the event,
+    * not today's row). Plans as an equality hash join on user_id with
+    * the interval predicate as a residual filter — the dimension side
+    * is the run-length-compressed history (change rows only), so the
+    * per-user fan-out is version count, not event count; the
+    * half-open `[from, to)` intervals partition time, so each purchase
+    * matches exactly one version (no dedup step).
+    */
+  def scd2Lookup(events: DataFrame): DataFrame = {
+    val dim = scd2(events)
+    events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .join(dim, Seq("user_id"))
+      .where(col("valid_from_ms") <= col("ts_ms") &&
+        col("ts_ms") < col("valid_to_ms"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("state"), col("version"))
+      .orderBy("event_id")
+  }
+
   /** One keyed cent amount — the cogroup input shape on both sides. */
   final case class KeyCents(k: Long, c: Long)
 

@@ -473,6 +473,26 @@ object Similarity {
       .limit(limit)
   }
 
+  /** Per-DIMENSION corpus statistics in scaled integers — the
+    * whitening/standardization pass over an embedding column: for each
+    * dimension, the count, the milli-scaled sum and sum of squares,
+    * and the integer variance numerator n·Σx² − (Σx)² (exact, no mean
+    * subtraction pass). One posexplode + one map-side-combined shuffle
+    * on ≤ d keys; at 100 TB this is the cheapest possible full-corpus
+    * pass (d-row output, no second scan — the two-moment identity is
+    * why). Milli scale keeps n·Σx² far from the int64 edge at any
+    * realistic corpus size (1e6 · rows · 1e3).
+    */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("cast(round(cast(x as double) * 1000) as bigint)").as("xm"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("xm").as("sum_milli"),
+        sum(expr("xm * xm")).as("sumsq_milli"))
+      .withColumn("var_num", expr("n * sumsq_milli - sum_milli * sum_milli"))
+      .orderBy("dim")
+
   /** Product-quantization ANN (the coding half of IVF-ADC, Jégou et
     * al., "Product Quantization for Nearest Neighbor Search", TPAMI
     * 2011): the vector splits into `m` subspaces, each subspace learns

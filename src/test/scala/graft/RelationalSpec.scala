@@ -574,6 +574,24 @@ class RelationalSpec extends SparkSpec {
       "view" -> ((1L, 4000L))))
   }
 
+  test("scd2Lookup: purchases see the version valid AT their timestamp") {
+    // purchases are events too, so a purchase OPENS its own version:
+    // v1 view [1000,3000), v2 purchase [3000,7000) (the 5000 purchase
+    // is a same-type run, no new version), v3 click [7000,8000),
+    // v4 purchase [8000,inf) — each purchase lands in the interval
+    // whose valid_from <= ts < valid_to
+    val e = events(
+      (1L, 1L, 1000L, "view", 0.0, "{}"),
+      (2L, 1L, 3000L, "purchase", 9.0, "{}"),
+      (3L, 1L, 5000L, "purchase", 9.0, "{}"),
+      (4L, 1L, 7000L, "click", 0.0, "{}"),
+      (5L, 1L, 8000L, "purchase", 9.0, "{}"))
+    val got = Relational.scd2Lookup(e).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((2L, "purchase", 2L), (3L, "purchase", 2L),
+      (5L, "purchase", 4L)))
+  }
+
   test("eventsAutocorrLag: alternating series correlates perfectly at its period") {
     val day = 86400000L
     // days 0..9: 10,2,10,2,... -> mean 6, d = ±4

@@ -297,4 +297,15 @@ class SimilaritySpec extends SparkSpec {
       assert(ds.forall(_ >= 0L) && rows.forall(r => r._1 != r._2))
     }
   }
+
+  test("dimStats: two-moment identity per dimension, milli-scaled") {
+    // dim 0: 1.0, 3.0 -> sum 4000, sumsq 10e6, var_num 2*1e7 - 16e6 = 4e6
+    // dim 1: -0.5, 0.5 -> sum 0, sumsq 5e5, var_num 1e6
+    val df = emb((0L, Seq(1f, -0.5f), 0), (1L, Seq(3f, 0.5f), 0))
+    val got = Similarity.dimStats(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 4000L, 10000000L, 4000000L),
+      (1L, 2L, 0L, 500000L, 1000000L)))
+  }
 }
