@@ -1047,6 +1047,12 @@ object SparkEntry {
     // SCD-1 merge: full-outer join + coalesce upsert
     "events_snapshot_upsert" -> ((s, dir) =>
       Relational.snapshotUpsert(Tables.events(s, dir))),
+    // sweep-line interval counting: open-order backlog curve
+    "orders_open_backlog" -> ((s, dir) =>
+      Relational.openBacklog(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // exact integer OLS slope: quantity on discount percent
+    "sales_discount_slope" -> ((s, dir) =>
+      Relational.discountSlope(Tables.lineitem(s, dir))),
     // point-in-time join: purchases against the SCD2 version valid at
     // their timestamp (temporal correctness for feature pipelines)
     "events_scd2_lookup" -> ((s, dir) =>
@@ -2563,6 +2569,32 @@ object SparkEntry {
          |FROM c
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
          |ORDER BY user_id, version""".stripMargin,
+    "orders_open_backlog" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS epoch_day,
+        |    1::BIGINT AS opened, 0::BIGINT AS closed FROM orders
+        |  UNION ALL
+        |  SELECT max(epoch_ms(l_shipdate) // 86400000), 0, 1
+        |  FROM lineitem GROUP BY l_orderkey),
+        |g AS (SELECT epoch_day, CAST(sum(opened) AS BIGINT) AS n_opened,
+        |        CAST(sum(closed) AS BIGINT) AS n_closed
+        |      FROM d GROUP BY 1)
+        |SELECT epoch_day, n_opened, n_closed,
+        |  CAST(sum(n_opened - n_closed) OVER (ORDER BY epoch_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS open_backlog
+        |FROM g ORDER BY epoch_day""".stripMargin,
+    "sales_discount_slope" ->
+      """WITH t AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |    CAST(round(l_quantity) AS BIGINT) AS y FROM lineitem),
+        |s AS (SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM t)
+        |SELECT n, sx, sy, sxy, sxx,
+        |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |  CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+        |    AS BIGINT) AS slope_ppm
+        |FROM s""".stripMargin,
     "events_scd2_lookup" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
          |           FROM events),

@@ -1370,6 +1370,56 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Open-order backlog curve by SWEEP LINE: each order contributes a
+    * +1 delta at its order day and a −1 delta at its completion day
+    * (max lineitem ship day); the backlog is the running sum of deltas
+    * over the per-day rollup. This is the scale idiom for interval
+    * stabbing counts — the naive form ("join every day against every
+    * order whose interval covers it") is a range join with
+    * days × open-orders fan-out; the sweep line is two scans, one
+    * per-day shuffle, and a cumulative window over calendar-bounded
+    * rows (the [[dailyMomentum]] bounded-window contract).
+    */
+  def openBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val opens = orders.select(
+      expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("epoch_day"),
+      lit(1L).as("opened"), lit(0L).as("closed"))
+    val closes = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000"))
+        .as("epoch_day"))
+      .select(col("epoch_day"), lit(0L).as("opened"), lit(1L).as("closed"))
+    val run = Window.orderBy("epoch_day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    opens.unionByName(closes)
+      .groupBy("epoch_day")
+      .agg(sum("opened").as("n_opened"), sum("closed").as("n_closed"))
+      .withColumn("open_backlog",
+        sum(col("n_opened") - col("n_closed")).over(run))
+      .orderBy("epoch_day")
+  }
+
+  /** Integer least-squares slope of quantity on discount (the price
+    * elasticity probe): with x = discount in whole percent and
+    * y = quantity, emits the exact OLS numerator n·Σxy − Σx·Σy,
+    * denominator n·Σx² − (Σx)², and the ppm slope (truncating, sign
+    * handled identically by Spark `div` and DuckDB `//`). One fused
+    * aggregation — five sums in a single scan, no second pass, no
+    * mean-centering round-off. int64 headroom: |num| grows ~ n²·cov —
+    * fine past 10⁸ rows at these value ranges; beyond that, downscale
+    * the ppm factor or accumulate per-partition centered sums.
+    */
+  def discountSlope(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+        expr("cast(round(l_discount * 100) as bigint)").as("x"),
+        expr("cast(round(l_quantity) as bigint)").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("den"))
+      .withColumn("slope_ppm", expr("num * 1000000 div den"))
+
   /** One keyed cent amount — the cogroup input shape on both sides. */
   final case class KeyCents(k: Long, c: Long)
 

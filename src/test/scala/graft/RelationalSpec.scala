@@ -574,6 +574,25 @@ class RelationalSpec extends SparkSpec {
       "view" -> ((1L, 4000L))))
   }
 
+  test("openBacklog: sweep-line deltas cumulate to the open-order curve") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val orders = Seq((1L, 0L), (2L, 1L)).toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), expr("timestamp_millis(d * 86400000)").as("o_orderdate"))
+    val li = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("l_orderkey", "d")
+      .select(col("l_orderkey"), expr("timestamp_millis(d * 86400000)").as("l_shipdate"))
+    val got = Relational.openBacklog(orders, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // order 1 closes at its MAX ship day (3), not its first
+    assert(got == Seq((0L, 1L, 0L, 1L), (1L, 1L, 0L, 2L), (3L, 0L, 2L, 0L)))
+  }
+
+  test("discountSlope: exact OLS on a hand-computed pair") {
+    val li = Seq((0.00, 10.0), (0.10, 20.0)).toDF("l_discount", "l_quantity")
+    val r = Relational.discountSlope(li).collect().head
+    // x = 0,10; y = 10,20: num = 2*200-10*30 = 100, den = 2*100-100 = 100
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((100L, 100L, 1000000L)))
+  }
+
   test("scd2Lookup: purchases see the version valid AT their timestamp") {
     // purchases are events too, so a purchase OPENS its own version:
     // v1 view [1000,3000), v2 purchase [3000,7000) (the 5000 purchase
