@@ -1184,6 +1184,9 @@ object SparkEntry {
     // last-touch attribution, equal to the batch window form
     "streaming_attribution" -> ((s, dir) =>
       graft.streaming.Streams.attributionAvailableNow(s, dir)),
+    // daily EWMA as keyed day-fold state + per-type sentinel flush
+    "streaming_ewma" -> ((s, dir) =>
+      graft.streaming.Streams.ewmaAvailableNow(s, dir)),
     "streaming_session_rows" -> ((s, dir) =>
       graft.streaming.Streams.sessionRowsAvailableNow(s, dir)),
     // stream-stream interval join (watermark-bounded state) and
@@ -3168,6 +3171,22 @@ object SparkEntry {
         |  count(*) FILTER (WHERE l_shipdate < o_orderdate)
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |) ORDER BY check_id""".stripMargin,
+    "streaming_ewma" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY epoch_day) AS i FROM d),
+        |r(event_type, i, epoch_day, n, ewma) AS (
+        |  SELECT event_type, i, epoch_day, n, n FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, idx.epoch_day, idx.n,
+        |    (idx.n + r.ewma) // 2
+        |  FROM idx JOIN r ON idx.event_type = r.event_type
+        |    AND idx.i = r.i + 1)
+        |SELECT event_type, epoch_day, n, ewma FROM r
+        |ORDER BY event_type, epoch_day""".stripMargin,
     "streaming_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |    epoch_ms(ts) AS ts_ms FROM events),

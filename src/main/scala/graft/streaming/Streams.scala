@@ -411,6 +411,105 @@ object Streams {
     * bounded by events/user (the sessionization sort), same contract as
     * the batch window.
     */
+  /** Corpus ∪ one sentinel row PER EVENT TYPE one day past the global
+    * max event time — the flush companion for keyed day-fold state
+    * ([[ewmaAvailableNow]]): a day's aggregate is only known complete
+    * when a LATER day arrives on the same key, so the last real day
+    * would otherwise sit in state forever. One sentinel per type
+    * reaches every group (flatMapGroupsWithState state is per-key;
+    * a single sentinel of one type would flush one group only — the
+    * per-branch cousin of the watermark-heartbeat rule in
+    * [[stagedEventsWithSentinel]]). The sentinel is the corpus' latest
+    * row re-stamped, so its schema tracks the fixture verbatim; its
+    * own pending day never folds, so it is invisible in the output.
+    */
+  private def stagedEventsWithTypeSentinels(spark: SparkSession,
+                                            dir: String): String =
+    streamDirCache.computeIfAbsent(s"$dir#typesentinel", _ => {
+      val out = graft.TempDirs.scratch("graft_ewma_src_")
+      val path = s"$dir/events.parquet"
+      java.nio.file.Files.createSymbolicLink(
+        out.resolve("0_events.parquet"), java.nio.file.Paths.get(path))
+      val ev = spark.read.parquet(path)
+      def bump = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + lit(86400L * 1000 * 1000 * 1000)
+        case _ => col("ts") + expr("INTERVAL 1 DAY")
+      }
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      val base = ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", bump)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+      val tmp = graft.TempDirs.scratch("graft_ewma_tmp_")
+      types.map(t => base.withColumn("event_type", lit(t)))
+        .reduce(_ unionByName _)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(f, out.resolve("1_sentinel.parquet"))
+          moved = true
+        }
+      }
+      require(moved, "type-sentinel parquet part file not produced")
+      val now = System.currentTimeMillis()
+      Seq("0_events.parquet", "1_sentinel.parquet").zipWithIndex.foreach {
+        case (f, i) => java.nio.file.Files.setLastModifiedTime(out.resolve(f),
+          java.nio.file.attribute.FileTime.fromMillis(now + i * 2000L))
+      }
+      out.toString
+    })
+
+  /** Streaming integer EWMA of daily counts per event type (the 15th
+    * streaming gate): ordered per-key replay folds each COMPLETED day
+    * into the α=1/2 halving recurrence — a day completes when the
+    * first later-day row of the same type arrives, so the staged
+    * per-type sentinel (see [[stagedEventsWithTypeSentinels]]) flushes
+    * the final real day and itself never emits. State per type is
+    * (pending day, pending count, ewma) — O(1), no watermark needed.
+    * Equality with the batch [[graft.operators.Relational.eventsEwma]]
+    * recurrence is the driver-gated contract.
+    */
+  def ewmaAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val staged = stagedEventsWithTypeSentinels(spark, dir)
+    val raw = spark.readStream.schema(schema).parquet(staged)
+    val ev = raw.withColumn("ts_ms",
+      graft.Tables.tsMsExpr(raw.schema("ts").dataType))
+    val out = ev.select(col("event_type").as[String],
+        expr("ts_ms div 86400000").as[Long], col("event_id").as[Long])
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long, Boolean)]) =>
+          // state: (pendingDay, pendingCount, prevEwma, hasPrev)
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var (pd, pc, ew, has) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, false))
+          val outRows = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long)]
+          def fold(): Unit = if (pd != Long.MinValue) {
+            val s = if (has) (pc + ew) / 2 else pc
+            outRows += ((typ, pd, pc, s)); ew = s; has = true
+          }
+          sorted.foreach { case (_, d, _) =>
+            if (d != pd) { fold(); pd = d; pc = 0L }
+            pc += 1
+          }
+          state.update((pd, pc, ew, has))
+          outRows.iterator
+      }.toDF("event_type", "epoch_day", "n", "ewma")
+    runAvailableNow(out, Seq("event_type", "epoch_day"), mode = "update")
+  }
+
   /** Per-purchase last-touch attribution as an ordered per-key state
     * replay (flatMapGroupsWithState, the 14th streaming gate): each
     * user's batch rows sort by (ts_ms, event_id), the carried state is

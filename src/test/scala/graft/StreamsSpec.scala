@@ -219,4 +219,16 @@ class StreamsSpec extends SparkSpec {
     }.toMap
     assert(got == want)
   }
+
+  test("streaming EWMA equals the batch halving recurrence, last day included") {
+    val got = graft.streaming.Streams.ewmaAvailableNow(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = graft.operators.Relational
+      .eventsEwma(Tables.events(spark, sf0001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // the per-type sentinel day is NOT in the output
+    val maxReal = want.map(_._2).max
+    assert(got.forall(_._2 <= maxReal))
+  }
 }
