@@ -829,6 +829,13 @@ object SparkEntry {
     // association rules: ppm confidence + lift over the directed pairs
     "part_assoc_rules" -> ((s, dir) =>
       Graph.associationRules(Tables.lineitem(s, dir))),
+    // Newman degree assortativity of the co-purchase graph (exact ppm)
+    "part_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(
+        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+    // CUSUM change-point: the day where cumulative deviation peaks
+    "events_cusum_split" -> ((s, dir) =>
+      Relational.eventsCusumSplit(Tables.events(s, dir))),
     // degree-weighted link prediction: hubs discounted 1/deg (ppm)
     "part_link_pred_ra" -> ((s, dir) =>
       Graph.resourceAllocationPairs(
@@ -3105,6 +3112,39 @@ object SparkEntry {
         |FROM d JOIN isupp sa ON d.ante = sa.p JOIN isupp sb ON d.cons = sb.p
         |  CROSS JOIN no
         |ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 50""".stripMargin,
+    "part_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+        |    ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS w, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+        |dg AS (SELECT w, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |dir AS (SELECT d1.deg AS x, d2.deg AS y
+        |  FROM adj JOIN dg d1 ON adj.w = d1.w JOIN dg d2 ON adj.n = d2.w),
+        |s AS (SELECT count(*)::BIGINT AS n_dir_edges,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM dir)
+        |SELECT n_dir_edges,
+        |  n_dir_edges * sxy - sx * sx AS num,
+        |  n_dir_edges * sxx - sx * sx AS den,
+        |  CAST((n_dir_edges * sxy - sx * sx) * 1000000
+        |    // (n_dir_edges * sxx - sx * sx) AS BIGINT) AS r_ppm
+        |FROM s""".stripMargin,
+    "events_cusum_split" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(sum(n) // count(*) AS BIGINT) AS m,
+        |    count(*)::BIGINT AS n_days FROM daily),
+        |c AS (SELECT epoch_day,
+        |    CAST(sum(n - m.m) OVER (ORDER BY epoch_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cusum
+        |  FROM daily, m)
+        |SELECT n_days, m AS mean_n, epoch_day AS split_day,
+        |  abs(cusum) AS max_abs_cusum
+        |FROM c, m
+        |ORDER BY abs(cusum) DESC, epoch_day LIMIT 1""".stripMargin,
     "part_link_pred_ra" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b

@@ -553,6 +553,31 @@ object Graph {
       .limit(topK)
   }
 
+  /** Degree assortativity (Newman 2002) of an undirected graph given
+    * as normalized `(a < b)` edges: the Pearson correlation of the
+    * endpoint degrees over the directed edge list, in exact integers —
+    * n·Σxy − Σx·Σy over n·Σx² − (Σx)² (x and y are exchangeable on an
+    * undirected edge list, so one denominator suffices), emitted raw
+    * plus as a truncating ppm ratio. Positive: hubs link hubs
+    * (social-graph shape); negative: hubs link leaves (dependency /
+    * recommendation shape). One degree aggregation (broadcast back),
+    * one fused five-sum scan — no quadratic anything.
+    */
+  def degreeAssortativity(e0: DataFrame): DataFrame = {
+    val adj = e0.select(col("a").as("w"), col("b").as("n"))
+      .unionByName(e0.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    adj
+      .join(broadcast(deg.toDF("w", "x")), "w")
+      .join(broadcast(deg.toDF("n", "y")), "n")
+      .agg(count(lit(1)).as("n_dir_edges"), sum("x").as("sx"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n_dir_edges"),
+        expr("n_dir_edges * sxy - sx * sx").as("num"),
+        expr("n_dir_edges * sxx - sx * sx").as("den"))
+      .withColumn("r_ppm", expr("num * 1000000 div den"))
+  }
+
   def commonNeighborPairs(e0: DataFrame, topK: Int = 50): DataFrame = {
     val adj = e0.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e0.select(col("b").as("w"), col("a").as("n")))

@@ -1420,6 +1420,30 @@ object Relational {
         expr("n * sxx - sx * sx").as("den"))
       .withColumn("slope_ppm", expr("num * 1000000 div den"))
 
+  /** CUSUM change-point probe over the daily event volume: with the
+    * truncating mean m, the cumulative deviation Sₜ = Σᵢ≤ₜ(xᵢ − m)
+    * peaks (in absolute value) at the most likely regime-split day —
+    * the classic offline CUSUM statistic, integer-exact. Emits the
+    * argmax day (ties → earliest), its |S|, and the series frame. One
+    * daily-rollup shuffle; the cumulative window and argmax run over
+    * calendar-bounded rows.
+    */
+  def eventsCusumSplit(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("epoch_day", expr("ts_ms div 86400000"))
+      .groupBy("epoch_day").agg(count(lit(1)).as("n"))
+    val m = daily.agg(expr("sum(n) div count(1)").as("m"),
+      count(lit(1)).as("n_days"))
+    val run = Window.orderBy("epoch_day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(m))
+      .withColumn("cusum", sum(col("n") - col("m")).over(run))
+      .select(col("n_days"), col("m").as("mean_n"),
+        col("epoch_day").as("split_day"), abs(col("cusum")).as("max_abs_cusum"))
+      .orderBy(col("max_abs_cusum").desc, col("split_day"))
+      .limit(1)
+  }
+
   /** One keyed cent amount — the cogroup input shape on both sides. */
   final case class KeyCents(k: Long, c: Long)
 

@@ -166,6 +166,14 @@ class GraphSpec extends SparkSpec {
       Seq(("a", "c"), ("b", "d"), ("b", "e"), ("d", "e")))
   }
 
+  test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("a", "b")
+    val r = Graph.degreeAssortativity(star).collect().head
+    // dir edges: (3,1)x3 and (1,3)x3 -> num = 6*18-144 = -36, den = 36
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((6L, -36L, 36L, -1000000L)))
+  }
+
   test("resourceAllocation discounts hub-mediated pairs that commonNeighbors ties") {
     // (p,q) share one LOW-degree neighbor m (deg 2); all pairs among
     // s1..s4 share only the hub h (deg 4). Common-neighbors ties them

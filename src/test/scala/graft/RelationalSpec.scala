@@ -574,6 +574,17 @@ class RelationalSpec extends SparkSpec {
       "view" -> ((1L, 4000L))))
   }
 
+  test("eventsCusumSplit finds the regime-change day") {
+    val day = 86400000L
+    def at(d: Long, k: Long) = (d * 100 + k, 1L, d * day + 1, "a", 0.0, "{}")
+    // days 0-1: 1 event, days 2-3: 5 events -> mean 3, cusum -2,-4,-2,0
+    val e = events((Seq(at(0, 0), at(1, 0)) ++
+      (0L until 5L).map(at(2, _)) ++ (0L until 5L).map(at(3, _))): _*)
+    val r = Relational.eventsCusumSplit(e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 3L, 1L, 4L)))
+  }
+
   test("openBacklog: sweep-line deltas cumulate to the open-order curve") {
     import org.apache.spark.sql.functions.{col, expr}
     val orders = Seq((1L, 0L), (2L, 1L)).toDF("o_orderkey", "d")
