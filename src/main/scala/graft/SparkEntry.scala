@@ -843,6 +843,12 @@ object SparkEntry {
     // integer α=1/2 EWMA of daily counts — exact halving recurrence
     "events_ewma" -> ((s, dir) =>
       Relational.eventsEwma(Tables.events(s, dir))),
+    // Holt level+trend double smoothing — the EWMA fold with a trend
+    "events_holt" -> ((s, dir) =>
+      Relational.eventsHolt(Tables.events(s, dir))),
+    // grouped integer OLS: fastest-growing parts by monthly quantity
+    "part_monthly_trend" -> ((s, dir) =>
+      Relational.partMonthlyTrend(Tables.lineitem(s, dir))),
     // compaction planning: ship-day row groups packed into ~2000-row
     // sequential bins (running-total div target)
     "lake_compaction_bins" -> ((s, dir) =>
@@ -3160,6 +3166,40 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "events_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY epoch_day) AS i FROM d),
+        |r(event_type, i, epoch_day, n, level, trend) AS (
+        |  SELECT event_type, i, epoch_day, n, n, 0::BIGINT
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, idx.epoch_day, idx.n,
+        |    (idx.n + r.level + r.trend) // 2,
+        |    ((idx.n + r.level + r.trend) // 2 - r.level + r.trend) // 2
+        |  FROM idx JOIN r ON idx.event_type = r.event_type
+        |    AND idx.i = r.i + 1)
+        |SELECT event_type, epoch_day, n, level, trend FROM r
+        |ORDER BY event_type, epoch_day""".stripMargin,
+    "part_monthly_trend" ->
+      """WITH pm AS (SELECT l_partkey,
+        |    (year(l_shipdate) * 12 + month(l_shipdate))::BIGINT AS m,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT l_partkey, count(*)::BIGINT AS n_months,
+        |    CAST(sum(m) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(m * y) AS BIGINT) AS sxy,
+        |    CAST(sum(m * m) AS BIGINT) AS sxx
+        |  FROM pm GROUP BY 1)
+        |SELECT l_partkey, n_months,
+        |  n_months * sxy - sx * sy AS num, n_months * sxx - sx * sx AS den,
+        |  CAST((n_months * sxy - sx * sy) * 1000000
+        |    // (n_months * sxx - sx * sx) AS BIGINT) AS slope_ppm
+        |FROM s WHERE n_months * sxx - sx * sx > 0
+        |ORDER BY slope_ppm DESC, l_partkey LIMIT 20""".stripMargin,
     "events_ewma" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,

@@ -1930,6 +1930,72 @@ object Relational {
       .orderBy("event_type", "epoch_day")
   }
 
+  /** Holt double-exponential smoothing (level + trend) of daily event
+    * counts per type, integer-exact with α = β = 1/2: l₁ = n₁, b₁ = 0,
+    * then lₜ = (nₜ + lₜ₋₁ + bₜ₋₁) div 2 and
+    * bₜ = (lₜ − lₜ₋₁ + bₜ₋₁) div 2 — [[eventsEwma]]'s halving
+    * recurrence extended with a trend term (so a steadily growing
+    * series doesn't lag the way single smoothing does). The trend can
+    * go negative; `div` truncates toward zero identically in both
+    * engines. Same shape as the EWMA fold: one daily-rollup shuffle,
+    * then an in-memory fold over each type's calendar-bounded series.
+    */
+  def eventsHolt(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("epoch_day", expr("ts_ms div 86400000"))
+      .groupBy("event_type", "epoch_day").agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("epoch_day"), col("n"))))
+        .as("xs"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(xs,
+          |  struct(cast(array() as array<struct<epoch_day:bigint,n:bigint,level:bigint,trend:bigint>>) as out,
+          |         cast(-1 as bigint) as l, cast(0 as bigint) as b,
+          |         false as has),
+          |  (acc, x) -> struct(
+          |    concat(acc.out, array(named_struct(
+          |      'epoch_day', cast(x.epoch_day as bigint),
+          |      'n', cast(x.n as bigint),
+          |      'level', cast(if(NOT acc.has, x.n,
+          |        (x.n + acc.l + acc.b) div 2) as bigint),
+          |      'trend', cast(if(NOT acc.has, 0L,
+          |        ((x.n + acc.l + acc.b) div 2 - acc.l + acc.b) div 2) as bigint)))) as out,
+          |    cast(if(NOT acc.has, x.n, (x.n + acc.l + acc.b) div 2) as bigint) as l,
+          |    cast(if(NOT acc.has, 0L,
+          |      ((x.n + acc.l + acc.b) div 2 - acc.l + acc.b) div 2) as bigint) as b,
+          |    true as has),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("event_type"), col("r.epoch_day").as("epoch_day"),
+        col("r.n").as("n"), col("r.level").as("level"),
+        col("r.trend").as("trend"))
+      .orderBy("event_type", "epoch_day")
+  }
+
+  /** Per-part monthly quantity trend — GROUPED integer least squares
+    * (the per-key form of [[discountSlope]]): x = calendar month index
+    * (year·12 + month), y = the part's quantity that month; each
+    * part's exact OLS slope numerator/denominator come from one fused
+    * five-sum aggregate, top `topK` by (slope desc, part). Parts seen
+    * in < 2 distinct months carry no slope and are filtered (den = 0).
+    * Two map-side-combinable shuffles — (part, month) rollup, then
+    * part — and a TakeOrderedAndProject; no window, no per-key scan.
+    */
+  def partMonthlyTrend(lineitem: DataFrame, topK: Int = 20): DataFrame =
+    lineitem.select(col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate)").cast("long").as("m"),
+        expr("cast(round(l_quantity) as bigint)").as("q"))
+      .groupBy("l_partkey", "m").agg(sum("q").as("y"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_months"), sum("m").as("sx"), sum("y").as("sy"),
+        sum(expr("m * y")).as("sxy"), sum(expr("m * m")).as("sxx"))
+      .select(col("l_partkey"), col("n_months"),
+        expr("n_months * sxy - sx * sy").as("num"),
+        expr("n_months * sxx - sx * sx").as("den"))
+      .where(col("den") > 0)
+      .withColumn("slope_ppm", expr("num * 1000000 div den"))
+      .orderBy(col("slope_ppm").desc, col("l_partkey"))
+      .limit(topK)
+
   /** Lag-`lag` autocorrelation of the daily event volume, integer
     * exact: with the truncating mean m = Σx div d, emits the raw
     * cross-product numerator Σ(xₜ−m)(xₜ₊ₗ−m) over observed day pairs,

@@ -639,6 +639,33 @@ class RelationalSpec extends SparkSpec {
     assert(r1.getLong(2) == -144L && r1.getLong(4) == -900000L)
   }
 
+  test("eventsHolt: level tracks a linear ramp, trend converges to the step") {
+    val day = 86400000L
+    def at(d: Long, k: Long) = (d * 100 + k, 1L, d * day + 1, "a", 0.0, "{}")
+    // counts 2, 4, 6, 8: l1=2 b1=0; l2=(4+2+0)/2=3 b2=(3-2+0)/2=0;
+    // l3=(6+3+0)/2=4 b3=(4-3+0)/2=0; l4=(8+4+0)/2=6 b4=(6-4+0)/2=1
+    val e = events((0L until 2L).map(at(0, _)) ++ (0L until 4L).map(at(1, _)) ++
+      (0L until 6L).map(at(2, _)) ++ (0L until 8L).map(at(3, _)): _*)
+    val got = Relational.eventsHolt(e).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((0L, 2L, 2L, 0L), (1L, 4L, 3L, 0L),
+      (2L, 6L, 4L, 0L), (3L, 8L, 6L, 1L)))
+  }
+
+  test("partMonthlyTrend: exact grouped OLS slope per part") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // part 1: qty 10 then 30 over two consecutive months -> slope 20/mo
+    // part 2: flat -> slope 0; part 3: one month -> filtered (den = 0)
+    val li = Seq((1L, 0L, 10.0), (1L, 31L, 30.0),
+      (2L, 0L, 7.0), (2L, 31L, 7.0), (3L, 0L, 5.0))
+      .toDF("l_partkey", "d", "l_quantity")
+      .select(col("l_partkey"), col("l_quantity"),
+        expr("timestamp_millis(d * 86400000)").as("l_shipdate"))
+    val got = Relational.partMonthlyTrend(li).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 20000000L), (2L, 0L)))
+  }
+
   test("eventsEwma: s1 = n1, then truncating halving recurrence per type") {
     val day = 86400000L
     def at(d: Long, k: Long) = (d * 100 + k, 1L, d * day + 1, "a", 0.0, "{}")
