@@ -843,6 +843,23 @@ object SparkEntry {
     // integer α=1/2 EWMA of daily counts — exact halving recurrence
     "events_ewma" -> ((s, dir) =>
       Relational.eventsEwma(Tables.events(s, dir))),
+    // weighted Space-Saving: top spenders by summed cents in one
+    // bounded-state aggregation (m = 4096 > distinct users -> exact)
+    "events_top_spenders_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("u"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .agg(graft.functions.TopKWeightedSketch
+          .topk_weighted(col("u"), col("cents"), 4096).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.word").cast("long").as("user_id"),
+          col("e.cnt").as("spend_cents"))
+        .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
+    }),
+    // hash-bucketed A/B readout: per-arm exposed/converted/ppm rate
+    "events_ab_test" -> ((s, dir) =>
+      Relational.abTestReport(Tables.events(s, dir))),
     // Holt level+trend double smoothing — the EWMA fold with a trend
     "events_holt" -> ((s, dir) =>
       Relational.eventsHolt(Tables.events(s, dir))),
@@ -3166,6 +3183,28 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT user_id, converted,
+        |    list_sum(list_transform(range(15), i ->
+        |      (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+        |        << (4*(14-i)))) % 2 AS arm
+        |  FROM u)
+        |SELECT arm, count(*)::BIGINT AS n_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+        |FROM a GROUP BY arm ORDER BY arm""".stripMargin,
+    "events_top_spenders_sketch" ->
+      """SELECT user_id, spend_cents FROM (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents
+        |  FROM events GROUP BY 1)
+        |ORDER BY spend_cents DESC, user_id LIMIT 20""".stripMargin,
     "events_holt" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,

@@ -57,6 +57,8 @@ object GraftFunctions {
       .toAggregateExpression()),
     "graft_topk_sketch" -> (args => TopKFreqSketch(args(0),
       intLit(args(1), "m")).toAggregateExpression()),
+    "graft_topk_weighted" -> (args => TopKWeightedSketch(args(0), args(1),
+      intLit(args(2), "m")).toAggregateExpression()),
     // the sketch consumes longs; cast like the Column entry point does
     "graft_kll_quantiles" -> (args => KllQuantiles(
       org.apache.spark.sql.catalyst.expressions.Cast(args(0),

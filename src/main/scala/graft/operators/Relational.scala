@@ -1996,6 +1996,28 @@ object Relational {
       .orderBy(col("slope_ppm").desc, col("l_partkey"))
       .limit(topK)
 
+  /** A/B experiment readout with DETERMINISTIC arm assignment: users
+    * hash into arm 0/1 by md5 parity (the hash-based bucketing every
+    * experimentation system uses — stable across sessions, no RNG, no
+    * assignment table), and each arm reports exposed users, converted
+    * users (≥ 1 purchase), and the ppm conversion rate. Shape: one
+    * per-user rollup (any-purchase flag rides the same shuffle), then
+    * a 2-row arm aggregate — no distinct-count expansion, no second
+    * scan.
+    */
+  def abTestReport(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy("user_id").agg(max("p").as("converted"))
+      .withColumn("arm", pmod(expr(
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"),
+        lit(2L)))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+      .orderBy("arm")
+
   /** Lag-`lag` autocorrelation of the daily event volume, integer
     * exact: with the truncating mean m = Σx div d, emits the raw
     * cross-product numerator Σ(xₜ−m)(xₜ₊ₗ−m) over observed day pairs,

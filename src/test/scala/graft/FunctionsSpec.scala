@@ -190,4 +190,38 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(viaSql == 1)
   }
+
+  test("weighted Space-Saving: exact totals below capacity, upper bounds above") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(("a", 10L), ("b", 1L), ("a", 5L), ("c", 2L), ("b", 3L))
+      .toDF("k", "w")
+    val exact = rows.agg(graft.functions.TopKWeightedSketch
+        .topk_weighted(col("k"), col("w"), 16).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.word"), col("e.cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(exact == Seq(("a", 15L), ("b", 4L), ("c", 2L)))
+    // m = 2 forces eviction: every reported total is >= the true total
+    // and the heaviest key is still on top with its weight preserved
+    val approx = rows.agg(graft.functions.TopKWeightedSketch
+        .topk_weighted(col("k"), col("w"), 2).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.word"), col("e.cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val truth = Map("a" -> 15L, "b" -> 4L, "c" -> 2L)
+    assert(approx.length == 2)
+    assert(approx.forall { case (k, c) => c >= truth(k) })
+    assert(approx.head._1 == "a" && approx.head._2 >= 15L)
+    // SQL surface
+    GraftSql.registerViews(spark, sf0001)
+    val viaSql2 = spark.sql(
+      """SELECT graft_topk_weighted(lang, CAST(n_chars AS BIGINT), 64)[0].word
+        |FROM documents""".stripMargin).collect().head.getString(0)
+    val want = spark.sql(
+      """SELECT lang FROM (SELECT lang, sum(n_chars) AS s FROM documents
+        |GROUP BY 1 ORDER BY s DESC, lang LIMIT 1)""".stripMargin)
+      .collect().head.getString(0)
+    assert(viaSql2 == want)
+  }
 }

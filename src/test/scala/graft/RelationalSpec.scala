@@ -574,6 +574,25 @@ class RelationalSpec extends SparkSpec {
       "view" -> ((1L, 4000L))))
   }
 
+  test("abTestReport: hash arms partition users, conversion is per-user any-purchase") {
+    val e = events(
+      (1L, 1L, 1000L, "purchase", 5.0, "{}"),
+      (2L, 1L, 2000L, "purchase", 5.0, "{}"),  // same user converts once
+      (3L, 2L, 1000L, "view", 0.0, "{}"),
+      (4L, 3L, 1000L, "purchase", 5.0, "{}"),
+      (5L, 4L, 1000L, "click", 0.0, "{}"))
+    val got = Relational.abTestReport(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq.sorted == got.map(_._1).toSeq) // ordered by arm
+    assert(got.map(_._2).sum == 4L)  // arms partition the 4 users
+    assert(got.map(_._3).sum == 2L)  // users 1 and 3 converted, once each
+    assert(got.forall { case (_, n, c, ppm) => ppm == c * 1000000L / n })
+    // deterministic: same assignment on a re-run
+    val again = Relational.abTestReport(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("eventsCusumSplit finds the regime-change day") {
     val day = 86400000L
     def at(d: Long, k: Long) = (d * 100 + k, 1L, d * day + 1, "a", 0.0, "{}")
