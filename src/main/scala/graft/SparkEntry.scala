@@ -813,6 +813,9 @@ object SparkEntry {
     // synchronous LPA communities, 2 deterministic rounds
     "word_communities" -> ((s, dir) =>
       Graph.wordCommunities(Tables.documents(s, dir))),
+    // Newman modularity of the LPA partition, exact-integer ppm
+    "word_modularity" -> ((s, dir) =>
+      Graph.wordModularity(Tables.documents(s, dir))),
     // market-basket support counting: part pairs co-bought in ≥2 orders
     "part_copurchase" -> ((s, dir) =>
       Graph.copurchaseEdges(Tables.lineitem(s, dir))
@@ -3565,6 +3568,46 @@ object SparkEntry {
       }
       (base +: iterCtes).mkString("WITH ", ",\n", "") +
         s"\nSELECT node, lbl AS community FROM l$iters ORDER BY node"
+    },
+    "word_modularity" -> {
+      val iters = 2
+      val base =
+        s"""raw AS (SELECT DISTINCT ws[i+1] AS src, ws[i+2] AS dst
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2),
+           |p AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |      FROM raw WHERE src <> dst),
+           |e0 AS (SELECT a AS src, b AS dst FROM p
+           |       UNION ALL SELECT b AS src, a AS dst FROM p),
+           |nodes AS (SELECT DISTINCT src AS node FROM e0),
+           |l0 AS (SELECT node, node AS lbl FROM nodes)""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.src, l.lbl, count(*) AS c
+           |  FROM e0 e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT src AS node, lbl FROM (
+           |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+           |    ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+      }
+      (base +: iterCtes).mkString("WITH ", ",\n", "") +
+        s""",
+           |ulab AS (SELECT node, lbl AS community FROM l$iters),
+           |intra AS (SELECT CAST(sum(
+           |    CASE WHEN la.community = lb.community THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS sum_in
+           |  FROM p JOIN ulab la ON p.a = la.node
+           |         JOIN ulab lb ON p.b = lb.node),
+           |dg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+           |    SELECT a AS node FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+           |ds AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sum_dsq,
+           |    count(*)::BIGINT AS n_communities FROM (
+           |    SELECT community, CAST(sum(deg) AS BIGINT) AS dc
+           |    FROM dg JOIN ulab USING (node) GROUP BY 1)),
+           |mm AS (SELECT count(*)::BIGINT AS m FROM p)
+           |SELECT m, n_communities, sum_in, sum_dsq,
+           |  CAST((4 * m * 1000000 * sum_in - 1000000 * sum_dsq)
+           |    // (4 * m * m) AS BIGINT) AS q_ppm
+           |FROM mm, intra, ds""".stripMargin
     },
     // weighted variant: inflow shares proportional to bigram counts
     "word_pagerank_weighted" -> {

@@ -397,6 +397,50 @@ object Graph {
   def wordCommunities(docs: DataFrame, iters: Int = 2): DataFrame =
     labelPropagation(bigramEdges(docs), iters)
 
+  /** Newman modularity of a partition over the undirected `(a < b)`
+    * edge set, exact-integer ppm: with m edges, Σᵢₙ intra-community
+    * edges, and Dᶜ the community degree sums,
+    * Q = Σᵢₙ/m − Σᶜ(Dᶜ/2m)², emitted as
+    * `(4m·10⁶·Σᵢₙ − 10⁶·ΣDᶜ²) div 4m²` — one truncation at the very
+    * end, so both engines agree bit-for-bit. The standard quality
+    * score for any clustering the engine produces (LPA, CC, star CC).
+    * Shape: one broadcast of the label table onto the edges, one
+    * degree agg, one community rollup — all output frames are
+    * community-sized or single-row.
+    */
+  def modularity(e0: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = broadcast(labels.select(col("node"), col("community")))
+    val intra = e0
+      .join(lab.toDF("node", "ca"), col("a") === col("node")).drop("node")
+      .join(lab.toDF("node", "cb"), col("b") === col("node")).drop("node")
+      .agg(sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("sum_in"))
+    val deg = e0.select(col("a").as("node"))
+      .unionByName(e0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dsq = deg.join(lab, "node")
+      .groupBy("community").agg(sum("deg").as("dc"))
+      .agg(sum(expr("dc * dc")).as("sum_dsq"),
+        count(lit(1)).as("n_communities"))
+    e0.agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(intra)).crossJoin(broadcast(dsq))
+      .select(col("m"), col("n_communities"), col("sum_in"), col("sum_dsq"),
+        expr("(4 * m * 1000000 * sum_in - 1000000 * sum_dsq) div (4 * m * m)")
+          .as("q_ppm"))
+  }
+
+  /** [[modularity]] of the 2-round LPA partition of the word graph —
+    * the clustering-quality readout next to [[wordCommunities]]
+    * itself. Both consume the same normalized edge set.
+    */
+  def wordModularity(docs: DataFrame, iters: Int = 2): DataFrame = {
+    val raw = bigramEdges(docs)
+    val e0 = raw.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    modularity(e0, labelPropagation(raw, iters))
+  }
+
   /** BFS hop distances over the UNDIRECTED word graph from the
     * lexicographically smallest word — the traversal primitive
     * (single-source shortest path on unit weights) next to the

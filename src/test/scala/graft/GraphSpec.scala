@@ -166,6 +166,21 @@ class GraphSpec extends SparkSpec {
       Seq(("a", "c"), ("b", "d"), ("b", "e"), ("d", "e")))
   }
 
+  test("modularity: two cliques perfectly split score Q = 1/2") {
+    val e0 = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f")).toDF("a", "b")
+    val labels = Seq(("a", "x"), ("b", "x"), ("c", "x"),
+      ("d", "y"), ("e", "y"), ("f", "y")).toDF("node", "community")
+    val r = Graph.modularity(e0, labels).collect().head
+    // m=6, sum_in=6, D = 6 per community -> Q = 1 - 2*(1/2)^2 = 1/2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((6L, 2L, 6L, 72L, 500000L)))
+    // merging everything into one community is worse: Q = 0
+    val one = labels.withColumn("community",
+      org.apache.spark.sql.functions.lit("z"))
+    assert(Graph.modularity(e0, one).collect().head.getLong(4) == 0L)
+  }
+
   test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
     val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("a", "b")
     val r = Graph.degreeAssortativity(star).collect().head
