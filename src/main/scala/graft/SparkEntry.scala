@@ -136,18 +136,40 @@ object SparkEntry {
     * integer MAX-normalization) — every intermediate a BIGINT, so the
     * final direction is engine-exact.
     */
-  private def sqlPowerIterCtes(iters: Int): Seq[String] =
+  private def sqlPowerIterCtes(iters: Int, src: String = "c",
+                               sfx: String = ""): Seq[String] =
     (1 to iters).flatMap { t =>
       Seq(
-        s"""st$t AS (SELECT vec_id, cv,
+        s"""st$sfx$t AS (SELECT vec_id, cv,
            |  CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * v[i])) AS BIGINT) // 1000000 AS s
-           |  FROM c, v${t - 1})""".stripMargin,
-        s"""w$t AS (SELECT list(w ORDER BY dim) AS ws FROM (
+           |  FROM $src, v$sfx${t - 1})""".stripMargin,
+        s"""w$sfx$t AS (SELECT list(w ORDER BY dim) AS ws FROM (
            |  SELECT r.i AS dim, CAST(sum(cv[r.i] * s) AS BIGINT) AS w
-           |  FROM st$t, LATERAL (SELECT unnest(range(1, len(cv) + 1)) AS i) r GROUP BY 1))""".stripMargin,
-        s"""v$t AS (SELECT list_transform(ws, x -> x // greatest(mx // 1000000, 1)) AS v
-           |  FROM w$t, (SELECT greatest(list_max(list_transform(ws, y -> abs(y))), 1) AS mx FROM w$t))""".stripMargin)
+           |  FROM st$sfx$t, LATERAL (SELECT unnest(range(1, len(cv) + 1)) AS i) r GROUP BY 1))""".stripMargin,
+        s"""v$sfx$t AS (SELECT list_transform(ws, x -> x // greatest(mx // 1000000, 1)) AS v
+           |  FROM w$sfx$t, (SELECT greatest(list_max(list_transform(ws, y -> abs(y))), 1) AS mx FROM w$sfx$t))""".stripMargin)
     }
+
+  /** DuckDB mirror of [[operators.Clustering.top2Directions]]: the
+    * first power chain, residual projection removal (Hotelling
+    * deflation, truncating ints), then a second chain over `c2`.
+    */
+  private def sqlTop2Directions(iters: Int): String =
+    s"""${sqlTopDirectionCtes(sqlPowerIterCtes(iters))},
+       |c2 AS (SELECT q.vec_id,
+       |    list_transform(range(1, len(q.cv) + 1),
+       |      i -> (q.cv[i] * 1000000 - q.cc * q.v[i]) // 1000000) AS cv
+       |  FROM (SELECT c.vec_id, c.cv, v.v,
+       |      CAST(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * v.v[i])) AS BIGINT)
+       |        // greatest(CAST(list_sum(list_transform(range(1, len(v.v) + 1), i -> v.v[i] * v.v[i])) AS BIGINT) // 1000000, 1) AS cc
+       |    FROM c, v$iters v) q),
+       |vb0 AS (SELECT list_transform(cv, x -> CAST(1000000 AS BIGINT)) AS v
+       |  FROM c2 ORDER BY vec_id LIMIT 1),
+       |${sqlPowerIterCtes(iters, src = "c2", sfx = "b").mkString(",\n")}
+       |SELECT CAST(r.i AS BIGINT) AS dim, a.v[r.i] AS v1, b.v[r.i] AS v2
+       |FROM v$iters a, vb$iters b,
+       |     LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS i) r
+       |ORDER BY dim""".stripMargin
 
   private def sqlTopDirection(iters: Int): String =
     s"""${sqlTopDirectionCtes(sqlPowerIterCtes(iters))}
@@ -1093,6 +1115,9 @@ object SparkEntry {
     // per-dimension whitening stats: integer two-moment identity
     "emb_dim_stats" -> ((s, dir) =>
       Similarity.dimStats(Tables.embeddings(s, dir))),
+    // first two principal directions via integer Hotelling deflation
+    "emb_top2_directions" -> ((s, dir) =>
+      Clustering.top2Directions(Tables.embeddings(s, dir))),
     // aggregate-of-aggregates incremental rollup
     "events_weekly_rollup" -> ((s, dir) =>
       Relational.weeklyFromDaily(Tables.events(s, dir))),
@@ -3368,6 +3393,7 @@ object SparkEntry {
         |SELECT path, count(*)::BIGINT AS n_sessions FROM p WHERE n = 3
         |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "emb_top_direction" -> sqlTopDirection(2),
+    "emb_top2_directions" -> sqlTop2Directions(2),
     "emb_residual_top" -> sqlResidualTop(2, 20),
     "ann_pq_indexed" -> sqlPqAdc(m = 4, codebookK = 8, iters = 3,
       nQ = 10, k = 5),

@@ -241,6 +241,15 @@ object Clustering {
     val centered = scaled.join(broadcast(mean))
       .select(col("vec_id"), expr("zip_with(ev, mus, (x, m) -> x - m)").as("cv"))
       .localCheckpoint()
+    (centered, powerIterate(centered, iters))
+  }
+
+  /** `iters` integer power iterations over an already-centered `cv`
+    * frame — shared by the first direction and the deflated second
+    * ([[top2Directions]]). The all-10⁶ start vector only reads the
+    * dimension count, so `limit(1)`'s row choice is immaterial.
+    */
+  private def powerIterate(centered: DataFrame, iters: Int): DataFrame = {
     var v = centered.limit(1)
       .select(expr("transform(cv, x -> CAST(1000000 AS BIGINT))").as("v"))
     for (_ <- 1 to iters) {
@@ -257,7 +266,36 @@ object Clustering {
           |  greatest(array_max(transform(ws, y -> abs(y))) div 1000000, 1L))"""
           .stripMargin).as("v"))
     }
-    (centered, v)
+    v
+  }
+
+  /** First TWO principal directions by integer power iteration with
+    * DEFLATION: the second direction is the dominant direction of the
+    * residual cloud after [[residualTop]]'s truncating projection
+    * removal — Hotelling deflation in the same all-BIGINT arithmetic,
+    * so the oracle unrolls both chains exactly. Residuals of a
+    * centered cloud stay centered (up to the documented truncation),
+    * so no re-centering pass. Output: (dim, v1, v2). Shape: the first
+    * chain's cost, plus one projection scan and a second chain over
+    * the checkpointed residual frame.
+    */
+  def top2Directions(embs: DataFrame, iters: Int = 2): DataFrame = {
+    val (centered, v1) = centeredAndDirection(embs, iters)
+    val resid = centered.join(broadcast(v1))
+      .withColumn("vv", expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0L, (a, b) -> a + b)"))
+      .withColumn("cc", expr(
+        "aggregate(zip_with(cv, v, (x, y) -> x * y), 0L, (a, b) -> a + b) div greatest(vv div 1000000L, 1L)"))
+      .select(col("vec_id"), expr(
+        "zip_with(cv, v, (x, y) -> (x * 1000000L - cc * y) div 1000000L)")
+        .as("cv"))
+      .localCheckpoint()
+    val v2 = powerIterate(resid, iters)
+    val d1 = v1.select(posexplode(col("v")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("v1"))
+    val d2 = v2.select(posexplode(col("v")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("v2"))
+    d1.join(d2, "dim").orderBy("dim")
   }
 
   /** All-but-the-top APPLIED: per-vector residual squared norm after

@@ -116,4 +116,18 @@ class ClusteringSpec extends SparkSpec {
     assert(mag(1L) > 10L * (mag - 1L).values.max,
       s"direction must concentrate on the stretched axis: $got")
   }
+
+  test("top2Directions: deflation finds the second axis, orthogonal to the first") {
+    import spark.implicits._
+    // cross of points: x axis stretched (±2), y axis (±1), z noise-free
+    val rows = Seq(
+      (0L, Seq(2f, 0f, 0f), 0), (1L, Seq(-2f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f), 0), (3L, Seq(0f, -1f, 0f), 0))
+    val got = Clustering.top2Directions(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val v1 = got.map(x => x._1 -> math.abs(x._2)).toMap
+    val v2 = got.map(x => x._1 -> math.abs(x._3)).toMap
+    assert(v1(1L) > 10L * v1(2L) && v1(1L) > 10L * v1(3L)) // first = x axis
+    assert(v2(2L) > 10L * v2(1L) && v2(2L) > 10L * v2(3L)) // second = y axis
+  }
 }
