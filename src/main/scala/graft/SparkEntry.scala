@@ -882,6 +882,15 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // snapshot-anchored receivables aging buckets over open orders
+    "orders_aging_buckets" -> ((s, dir) =>
+      Relational.ordersAgingBuckets(Tables.orders(s, dir))),
+    // 80/20 curve: running revenue share ppm over ranked parts
+    "parts_pareto_curve" -> ((s, dir) =>
+      Relational.partsParetoCurve(Tables.lineitem(s, dir))),
+    // log-free diversity monitor: per-day Gini impurity of type mix
+    "events_type_gini" -> ((s, dir) =>
+      Relational.eventTypeGini(Tables.events(s, dir))),
     // hash-bucketed A/B readout: per-arm exposed/converted/ppm rate
     "events_ab_test" -> ((s, dir) =>
       Relational.abTestReport(Tables.events(s, dir))),
@@ -3211,6 +3220,45 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "orders_aging_buckets" ->
+      """WITH o AS (SELECT o_orderstatus, o_totalprice,
+        |    epoch_ms(o_orderdate) // 86400000 AS od FROM orders),
+        |s AS (SELECT max(od) AS snap FROM o)
+        |SELECT CASE WHEN snap - od <= 30 THEN '0-30'
+        |            WHEN snap - od <= 60 THEN '31-60'
+        |            WHEN snap - od <= 90 THEN '61-90'
+        |            ELSE '90+' END AS bucket,
+        |  count(*)::BIGINT AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM o, s WHERE o_orderstatus <> 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "parts_pareto_curve" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM rev),
+        |r AS (SELECT l_partkey, cents,
+        |    CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM rev
+        |  WINDOW w AS (ORDER BY cents DESC, l_partkey))
+        |SELECT rnk, l_partkey, cents,
+        |  CAST(cum * 1000000 // total_cents AS BIGINT) AS cum_share_ppm
+        |FROM r, t WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    "events_type_gini" ->
+      """WITH dt AS (SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+        |    event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT epoch_day, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq
+        |  FROM dt GROUP BY 1)
+        |SELECT epoch_day, n,
+        |  CAST(1000000 - sumsq * 1000000 // (n * n) AS BIGINT) AS gini_ppm
+        |FROM d ORDER BY epoch_day""".stripMargin,
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT

@@ -2018,6 +2018,70 @@ object Relational {
       .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
       .orderBy("arm")
 
+  /** Receivables-style AGING report: open (non-'F') orders bucketed by
+    * age in days relative to the corpus' latest order date — the
+    * snapshot-anchored CASE rollup every finance pipeline runs. The
+    * snapshot anchor is data-derived (max order day), so the query
+    * stays deterministic without a wall clock; one broadcast scalar +
+    * one fused aggregation.
+    */
+  def ordersAgingBuckets(orders: DataFrame): DataFrame = {
+    val withDay = orders.withColumn("od",
+      expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+    val anchor = withDay.agg(max("od").as("snap"))
+    withDay.where(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(anchor))
+      .withColumn("age", col("snap") - col("od"))
+      .withColumn("bucket",
+        when(col("age") <= 30, "0-30").when(col("age") <= 60, "31-60")
+          .when(col("age") <= 90, "61-90").otherwise("90+"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .orderBy("bucket")
+  }
+
+  /** Pareto (ABC) curve of part revenue: parts ranked by revenue
+    * descending, each with its running cumulative share of total
+    * revenue in ppm — the 80/20 readout. The rank window runs over the
+    * per-part rollup (catalog-sized, not lineitem-sized), the total is
+    * a 1-row broadcast, and only the top `topK` rows ship.
+    */
+  def partsParetoCurve(lineitem: DataFrame, topK: Int = 100): DataFrame = {
+    val rev = lineitem.groupBy("l_partkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("cents"))
+    val tot = rev.agg(sum("cents").as("total_cents"))
+    rev.crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cents").desc, col("l_partkey")))
+        .cast("long"))
+      .withColumn("cum_share_ppm",
+        expr("sum(cents) over (order by cents desc, l_partkey " +
+          "rows between unbounded preceding and current row) " +
+          "* 1000000 div total_cents"))
+      .where(col("rnk") <= topK)
+      .select("rnk", "l_partkey", "cents", "cum_share_ppm")
+      .orderBy("rnk")
+  }
+
+  /** Per-day Gini impurity of the event-type mix, integer ppm:
+    * 10⁶ − (Σc²)·10⁶ div n² with ONE truncation — the log-free
+    * diversity monitor (0 = one type only; 800000 = uniform over 5).
+    * A collapse in type diversity flags an instrumentation break
+    * before any per-type dashboard does. One fused shuffle on
+    * (day, type), then a day rollup.
+    */
+  def eventTypeGini(events: DataFrame): DataFrame =
+    events
+      .withColumn("epoch_day", expr("ts_ms div 86400000"))
+      .groupBy("epoch_day", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("epoch_day")
+      .agg(sum("c").as("n"), sum(expr("c * c")).as("sumsq"))
+      .select(col("epoch_day"), col("n"),
+        expr("1000000 - sumsq * 1000000 div (n * n)").as("gini_ppm"))
+      .orderBy("epoch_day")
+
   /** Lag-`lag` autocorrelation of the daily event volume, integer
     * exact: with the truncating mean m = Σx div d, emits the raw
     * cross-product numerator Σ(xₜ−m)(xₜ₊ₗ−m) over observed day pairs,

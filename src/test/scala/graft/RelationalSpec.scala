@@ -574,6 +574,24 @@ class RelationalSpec extends SparkSpec {
       "view" -> ((1L, 4000L))))
   }
 
+  test("eventTypeGini: 0 for a pure day, 500000 for a 50/50 day") {
+    val day = 86400000L
+    val e = events(
+      (1L, 1L, 1L, "a", 0.0, "{}"), (2L, 1L, 2L, "a", 0.0, "{}"),
+      (3L, 1L, day + 1, "a", 0.0, "{}"), (4L, 1L, day + 2, "b", 0.0, "{}"))
+    val got = Relational.eventTypeGini(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L), (1L, 500000L)))
+  }
+
+  test("partsParetoCurve: running share hits 1000000 at the last part") {
+    val li = Seq((1L, 60.0), (2L, 30.0), (3L, 10.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val got = Relational.partsParetoCurve(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 1L, 600000L), (2L, 2L, 900000L), (3L, 3L, 1000000L)))
+  }
+
   test("abTestReport: hash arms partition users, conversion is per-user any-purchase") {
     val e = events(
       (1L, 1L, 1000L, "purchase", 5.0, "{}"),
