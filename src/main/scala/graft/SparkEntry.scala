@@ -363,6 +363,10 @@ object SparkEntry {
     // must converge to the batch wordcount oracle
     "streaming_wordcount" -> ((s, dir) =>
       graft.streaming.Streams.wordCountAvailableNow(s, docsAsTextDir(s, dir))),
+    // the Space-Saving sketch as fixed-memory STREAMING state
+    "streaming_topk_sketch" -> ((s, dir) =>
+      graft.streaming.Streams.topkWordsSketchAvailableNow(
+        s, docsAsTextDir(s, dir))),
     "wordcount_per_source" -> ((s, dir) =>
       WordCount.wordCountBy(Tables.documents(s, dir), "text", "source")),
     // CSV / JSONL sources: the same pipeline over a schema'd csv/json
@@ -1361,6 +1365,9 @@ object SparkEntry {
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "topk_words_sketch" ->
+      s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "streaming_topk_sketch" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()})
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "topk_words_cms" ->

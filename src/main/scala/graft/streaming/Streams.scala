@@ -86,6 +86,27 @@ object Streams {
   def wordCountAvailableNow(spark: SparkSession, dir: String): DataFrame =
     runAvailableNow(wordCountStream(spark, dir), Seq("word"))
 
+  /** The Space-Saving heavy-hitters sketch as a STREAMING aggregate:
+    * the same `TypedImperativeAggregate` the batch gate uses runs
+    * inside a complete-mode streaming aggregation — its serialized
+    * ≤ m-entry buffer IS the state-store row, so the running top-k
+    * over an unbounded stream is fixed-memory by construction (the
+    * exact word-count alternative keeps one state row per distinct
+    * word — vocabulary-sized state forever). Below capacity the
+    * totals are exact, which is the oracle's validity window, same
+    * contract as the batch sketch gates.
+    */
+  def topkWordsSketchAvailableNow(spark: SparkSession, dir: String,
+                                  m: Int = 1024, k: Int = 20): DataFrame = {
+    val sk = spark.readStream.text(dir)
+      .select(explode(WordCount.cleanWords(col("value"))).as("word"))
+      .agg(graft.functions.TopKFreqSketch.topk_sketch(col("word"), m).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.word").as("word"), col("e.cnt").as("cnt"))
+    runAvailableNow(sk, Seq("word"))
+      .orderBy(col("cnt").desc, col("word")).limit(k)
+  }
+
   /** [[windowedEventCounts]] over the events parquet read as a file
     * stream (schema pinned from a batch read), driven to completion:
     * the watermark+window machinery under the driver's oracle — in

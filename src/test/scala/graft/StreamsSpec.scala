@@ -220,6 +220,16 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming Space-Saving sketch equals exact top-k below capacity") {
+    val dir = graft.TempDirs.scratch("graft_stream_topk_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "a.txt"), "b b b a a c\nd a b")
+    val got = graft.streaming.Streams
+      .topkWordsSketchAvailableNow(spark, dir, m = 16, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("b", 4L), ("a", 3L), ("c", 1L)))
+  }
+
   test("streaming EWMA equals the batch halving recurrence, last day included") {
     val got = graft.streaming.Streams.ewmaAvailableNow(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
