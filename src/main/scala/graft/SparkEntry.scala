@@ -1131,6 +1131,9 @@ object SparkEntry {
     // first two principal directions via integer Hotelling deflation
     "emb_top2_directions" -> ((s, dir) =>
       Clustering.top2Directions(Tables.embeddings(s, dir))),
+    // index self-evaluation: per-query IVF recall vs brute force
+    "ann_recall_report" -> ((s, dir) =>
+      Similarity.annRecallReport(Tables.embeddings(s, dir))),
     // aggregate-of-aggregates incremental rollup
     "events_weekly_rollup" -> ((s, dir) =>
       Relational.weeklyFromDaily(Tables.events(s, dir))),
@@ -2339,6 +2342,34 @@ object SparkEntry {
          |  FROM cells q JOIN cells n
          |    ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_recall_report" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+         |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+         |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+         |  FROM embeddings),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |               c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rank <= 5),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+         |               n.vec_id) AS rank
+         |  FROM cells q JOIN cells n
+         |    ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
+         |  ) WHERE rank <= 5)
+         |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
+         |  CAST(count(a.neighbor_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

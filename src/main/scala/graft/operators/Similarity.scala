@@ -473,6 +473,30 @@ object Similarity {
       .limit(limit)
   }
 
+  /** ANN self-evaluation: per-query recall of the IVF index against
+    * the exact brute-force top-k — the tuning report that tells an
+    * operator whether `bits` is costing them neighbors BEFORE anyone
+    * ships the index. Both sides are the engine's own deterministic
+    * operators, so recall is oracle-able end-to-end (most ANN recall
+    * harnesses aren't, because the index is randomized — ours is sign
+    * structured by construction). Shape: the two top-k runs plus one
+    * semi-join and a per-query count over nQ·k rows.
+    */
+  def annRecallReport(emb: DataFrame, nQueries: Int = 10,
+                      k: Int = 5): DataFrame = {
+    val exact = knnBruteForce(emb, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val approx = annIvf(emb, nQueries, k).select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $k"))
+      .orderBy("query_id")
+  }
+
   /** Per-DIMENSION corpus statistics in scaled integers — the
     * whitening/standardization pass over an embedding column: for each
     * dimension, the count, the milli-scaled sum and sum of squares,

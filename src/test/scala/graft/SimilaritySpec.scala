@@ -298,6 +298,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRecallReport: perfect recall when every vector shares one cell") {
+    // all-positive first coords -> one cell -> IVF == brute force
+    val df = emb((0L, Seq(1f, 1f, 1f, 1f), 0), (1L, Seq(1f, 2f, 1f, 1f), 0),
+      (2L, Seq(1f, 1f, 2f, 1f), 0), (3L, Seq(1f, 1f, 1f, 2f), 0))
+    val got = Similarity.annRecallReport(df, nQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 1000000L), (1L, 2L, 1000000L)))
+    // split cells (opposite signs) -> recall drops below 1 for queries
+    // whose true neighbors land in the other cell
+    val split = emb((0L, Seq(1f, 1f, 1f, 1f), 0), (1L, Seq(-1f, 1f, 1f, 1f), 0),
+      (2L, Seq(1f, 1f, 1f, 2f), 0), (3L, Seq(-1f, 1f, 1f, 2f), 0))
+    val r2 = Similarity.annRecallReport(split, nQueries = 1, k = 3)
+      .collect().map(r => r.getLong(2)).head
+    assert(r2 < 1000000L)
+  }
+
   test("dimStats: two-moment identity per dimension, milli-scaled") {
     // dim 0: 1.0, 3.0 -> sum 4000, sumsq 10e6, var_num 2*1e7 - 16e6 = 4e6
     // dim 1: -0.5, 0.5 -> sum 0, sumsq 5e5, var_num 1e6
