@@ -886,6 +886,13 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // YoY growth ppm per nation over nation×year revenue rollups
+    "nation_yoy_revenue" -> ((s, dir) =>
+      Relational.nationYoyRevenue(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // confusion matrix of the lang-id heuristic vs labeled lang
+    "lang_confusion_matrix" -> ((s, dir) =>
+      TextAnalysis.langConfusionMatrix(Tables.documents(s, dir))),
     // snapshot-anchored receivables aging buckets over open orders
     "orders_aging_buckets" -> ((s, dir) =>
       Relational.ordersAgingBuckets(Tables.orders(s, dir))),
@@ -3258,6 +3265,36 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "nation_yoy_revenue" ->
+      """WITH rev AS (SELECT n.n_name,
+        |    CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT cur.n_name, cur.yr, cur.cents, prev.cents AS prev_cents,
+        |  CAST((cur.cents - prev.cents) * 1000000 // prev.cents AS BIGINT)
+        |    AS yoy_ppm
+        |FROM rev cur JOIN rev prev
+        |  ON cur.n_name = prev.n_name AND cur.yr = prev.yr + 1
+        |ORDER BY cur.n_name, cur.yr""".stripMargin,
+    "lang_confusion_matrix" ->
+      s"""WITH pred AS (SELECT doc_id, cand AS pred_lang FROM (
+         |  SELECT doc_id, cand, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+         |  FROM (
+         |    SELECT w.doc_id, u.cand,
+         |      len(list_filter(w.ws, x -> list_contains(u.markers, x)))::BIGINT AS score
+         |    FROM (SELECT doc_id, $SqlWs AS ws FROM documents) w
+         |    CROSS JOIN (VALUES ${TextAnalysis.LangMarkers.map {
+                case (c, ms) => s"('$c', ${sqlList(ms)})" }.mkString(", ")}) u(cand, markers)
+         |  )
+         |) WHERE rn = 1)
+         |SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "orders_aging_buckets" ->
       """WITH o AS (SELECT o_orderstatus, o_totalprice,
         |    epoch_ms(o_orderdate) // 86400000 AS od FROM orders),

@@ -2018,6 +2018,35 @@ object Relational {
       .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
       .orderBy("arm")
 
+  /** Year-over-year revenue growth per nation: per (nation, year)
+    * lineitem revenue in cents joined to the prior year, growth in
+    * ppm of the prior year (sign-truncating div, engine-identical).
+    * Shape: revenue rolls up to nation×year rows before any join —
+    * the YoY self-join runs on a frame thousands of times smaller
+    * than the fact table; the nation dimension broadcasts.
+    */
+  def nationYoyRevenue(lineitem: DataFrame, supplier: DataFrame,
+                       nation: DataFrame): DataFrame = {
+    val rev = lineitem
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("cast(year(l_shipdate) as bigint)").as("yr"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("cents"))
+    rev.as("cur")
+      .join(rev.as("prev"),
+        col("cur.n_name") === col("prev.n_name") &&
+          col("cur.yr") === col("prev.yr") + 1)
+      .select(col("cur.n_name").as("n_name"), col("cur.yr").as("yr"),
+        col("cur.cents").as("cents"), col("prev.cents").as("prev_cents"))
+      .withColumn("yoy_ppm",
+        expr("(cents - prev_cents) * 1000000 div prev_cents"))
+      .orderBy("n_name", "yr")
+  }
+
   /** Receivables-style AGING report: open (non-'F') orders bucketed by
     * age in days relative to the corpus' latest order date — the
     * snapshot-anchored CASE rollup every finance pipeline runs. The

@@ -1182,6 +1182,20 @@ object TextAnalysis {
         (-col("m.neg")).cast("long").as("score"))
       .orderBy("doc_id")
 
+  /** Classifier self-evaluation: the CONFUSION MATRIX of [[langId]]'s
+    * predictions against the corpus' labeled `lang` column — one row
+    * per (true, predicted) pair with its count. The evaluation-report
+    * family next to the ANN recall report: the engine scores its own
+    * heuristic against ground truth, deterministically. One fused
+    * shuffle on the (true, pred) pair after the per-row argmax.
+    */
+  def langConfusionMatrix(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+
   /** CCNet/C4-style cross-document boilerplate removal: fixed-size
     * token chunks stand in for paragraphs (this corpus has no line
     * structure); any chunk text appearing in more than `maxDf` distinct

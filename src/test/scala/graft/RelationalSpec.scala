@@ -574,6 +574,20 @@ class RelationalSpec extends SparkSpec {
       "view" -> ((1L, 4000L))))
   }
 
+  test("nationYoyRevenue: doubling year scores +1000000 ppm") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val li = Seq((1L, 10.0, 100L), (1L, 20.0, 500L))
+      .toDF("l_suppkey", "l_extendedprice", "d")
+      .select(col("l_suppkey"), col("l_extendedprice"),
+        expr("timestamp_millis(d * 86400000)").as("l_shipdate"))
+    val sup = Seq((1L, 7)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((7, "GRAFTLAND")).toDF("n_nationkey", "n_name")
+    val got = Relational.nationYoyRevenue(li, sup, nat).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    // 1970: 1000 cents; 1971: 2000 cents -> +100%
+    assert(got == Seq(("GRAFTLAND", 1971L, 1000000L)))
+  }
+
   test("eventTypeGini: 0 for a pure day, 500000 for a 50/50 day") {
     val day = 86400000L
     val e = events(
