@@ -886,6 +886,15 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // recency-weighted LTV: exact monthly halving via right-shift
+    "customer_clv_decay" -> ((s, dir) =>
+      Relational.customerClvDecay(Tables.orders(s, dir))),
+    // product quality screen: ppm return rate at min volume
+    "part_return_rates" -> ((s, dir) =>
+      Relational.partReturnRates(Tables.lineitem(s, dir))),
+    // per-user behavioral features (bot-model inputs)
+    "events_user_features" -> ((s, dir) =>
+      Relational.userBehaviorFeatures(Tables.events(s, dir))),
     // YoY growth ppm per nation over nation×year revenue rollups
     "nation_yoy_revenue" -> ((s, dir) =>
       Relational.nationYoyRevenue(Tables.lineitem(s, dir),
@@ -3265,6 +3274,46 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "customer_clv_decay" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    epoch_ms(o_orderdate) // 86400000 AS od FROM orders),
+        |s AS (SELECT max(od) AS snap FROM o),
+        |d AS (SELECT o_custkey, cents,
+        |    cents >> CAST(least((snap - od) // 30, 62) AS INT) AS decayed
+        |  FROM o, s)
+        |SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(decayed) AS BIGINT) AS clv_decayed
+        |FROM d GROUP BY 1
+        |ORDER BY clv_decayed DESC, o_custkey LIMIT 20""".stripMargin,
+    "part_return_rates" ->
+      """SELECT l_partkey, n, n_returned,
+        |  CAST(n_returned * 1000000 // n AS BIGINT) AS return_ppm
+        |FROM (
+        |  SELECT l_partkey, count(*)::BIGINT AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returned
+        |  FROM lineitem GROUP BY 1)
+        |WHERE n >= 20
+        |ORDER BY return_ppm DESC, l_partkey LIMIT 50""".stripMargin,
+    "events_user_features" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    min(gap) AS min_gap_ms FROM (
+        |    SELECT user_id, ts_ms - lag(ts_ms) OVER (
+        |      PARTITION BY user_id ORDER BY ts_ms, event_id) AS gap
+        |    FROM e) GROUP BY 1),
+        |d AS (SELECT user_id, count(*)::BIGINT AS n_days,
+        |    CAST(max(c) AS BIGINT) AS max_day_events FROM (
+        |    SELECT user_id, ts_ms // 86400000 AS dd, count(*) AS c
+        |    FROM e GROUP BY 1, 2) GROUP BY 1)
+        |SELECT user_id, n_events, n_days, max_day_events,
+        |  coalesce(min_gap_ms, -1) AS min_gap_ms,
+        |  CAST(n_events * 1000000 // n_days AS BIGINT) AS events_per_day_ppm
+        |FROM g JOIN d USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "nation_yoy_revenue" ->
       """WITH rev AS (SELECT n.n_name,
         |    CAST(year(l.l_shipdate) AS BIGINT) AS yr,

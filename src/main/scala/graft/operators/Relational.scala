@@ -2047,6 +2047,74 @@ object Relational {
       .orderBy("n_name", "yr")
   }
 
+  /** Recency-weighted customer lifetime value with EXACT exponential
+    * decay: each order's cents are right-shifted by its age in months
+    * (30-day buckets) at the data-derived snapshot — halving per month
+    * is `>>`, integer-exact in both engines, no float pow. Top `topK`
+    * customers by decayed value. One order scan + one customer
+    * rollup; the snapshot anchor is a 1-row broadcast.
+    */
+  def customerClvDecay(orders: DataFrame, topK: Int = 20): DataFrame = {
+    val withDay = orders.select(col("o_custkey"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+      expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("od"))
+    val anchor = withDay.agg(max("od").as("snap"))
+    withDay.crossJoin(broadcast(anchor))
+      .withColumn("age_m", expr("least((snap - od) div 30, 62L)"))
+      .withColumn("decayed",
+        expr("shiftright(cents, cast(age_m as int))"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"),
+        sum("decayed").as("clv_decayed"))
+      .orderBy(col("clv_decayed").desc, col("o_custkey"))
+      .limit(topK)
+  }
+
+  /** Return-rate quality screen per part: lineitems, returned ('R')
+    * lineitems, and the ppm return rate for parts with at least
+    * `minN` observations — the supplier/product quality metric. One
+    * fused conditional aggregation, TakeOrdered top `topK`.
+    */
+  def partReturnRates(lineitem: DataFrame, minN: Long = 20L,
+                      topK: Int = 50): DataFrame =
+    lineitem.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+      .where(col("n") >= minN)
+      .withColumn("return_ppm", expr("n_returned * 1000000 div n"))
+      .orderBy(col("return_ppm").desc, col("l_partkey"))
+      .limit(topK)
+
+  /** Per-user behavioral feature table — the input a bot/abuse model
+    * consumes: event count, active-day count, busiest-day volume,
+    * minimum inter-event gap, and events-per-active-day in ppm. The
+    * min-gap lag window and the rollup share the hash(user_id)
+    * exchange; the per-day counts are a second map-side-combinable
+    * shuffle of user×day rows. (No hard bot flag here: thresholds are
+    * a policy decision applied downstream; this corpus' uniform
+    * synthetic traffic would make any fixed flag vacuous.)
+    */
+  def userBehaviorFeatures(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val gaps = events
+      .withColumn("gap", col("ts_ms") - lag("ts_ms", 1).over(byUser))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("gap").as("min_gap_ms"))
+    val days = events
+      .withColumn("d", expr("ts_ms div 86400000"))
+      .groupBy("user_id", "d").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"), max("c").as("max_day_events"))
+    gaps.join(days, "user_id")
+      .select(col("user_id"), col("n_events"), col("n_days"),
+        col("max_day_events"), coalesce(col("min_gap_ms"), lit(-1L))
+          .as("min_gap_ms"),
+        expr("n_events * 1000000 div n_days").as("events_per_day_ppm"))
+      .orderBy("user_id")
+  }
+
   /** Receivables-style AGING report: open (non-'F') orders bucketed by
     * age in days relative to the corpus' latest order date — the
     * snapshot-anchored CASE rollup every finance pipeline runs. The

@@ -574,6 +574,33 @@ class RelationalSpec extends SparkSpec {
       "view" -> ((1L, 4000L))))
   }
 
+  test("customerClvDecay halves an order's value per 30-day age bucket") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // snapshot = day 90: ages 90, 30, 0 days -> shifts 3, 1, 0
+    val o = Seq((1L, 80.0, 0L), (1L, 80.0, 60L), (2L, 80.0, 90L))
+      .toDF("o_custkey", "o_totalprice", "d")
+      .select(col("o_custkey"), col("o_totalprice"),
+        expr("timestamp_millis(d * 86400000)").as("o_orderdate"))
+    val got = Relational.customerClvDecay(o).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // cust 2: 8000 cents fresh; cust 1: 8000>>3 + 8000>>1 = 1000+4000
+    assert(got == Seq((2L, 8000L), (1L, 5000L)))
+  }
+
+  test("userBehaviorFeatures: gaps, days, and busiest day per user") {
+    val e = events(
+      (1L, 1L, 1000L, "a", 0.0, "{}"),
+      (2L, 1L, 1500L, "a", 0.0, "{}"),
+      (3L, 1L, 86400000L + 9000L, "a", 0.0, "{}"),
+      (4L, 2L, 5000L, "a", 0.0, "{}"))
+    val got = Relational.userBehaviorFeatures(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // user 1: 3 events, 2 days, busiest day 2, min gap 500ms
+    // user 2: single event -> min_gap sentinel -1
+    assert(got == Seq((1L, 3L, 2L, 2L, 500L), (2L, 1L, 1L, 1L, -1L)))
+  }
+
   test("nationYoyRevenue: doubling year scores +1000000 ppm") {
     import org.apache.spark.sql.functions.{col, expr}
     val li = Seq((1L, 10.0, 100L), (1L, 20.0, 500L))
