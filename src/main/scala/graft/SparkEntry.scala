@@ -886,6 +886,17 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // dedup observability: near-dup cluster-size histogram
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(Tables.documents(s, dir),
+        n = 3, num = 4, den = 5)),
+    // SLA report: order->first-ship lag quartiles per priority
+    "orders_fulfillment_lag" -> ((s, dir) =>
+      Relational.fulfillmentLag(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // ML-ops drift tripwire: per-dim mean delta between corpus halves
+    "emb_drift_check" -> ((s, dir) =>
+      Similarity.embDriftCheck(Tables.embeddings(s, dir))),
     // recency-weighted LTV: exact monthly halving via right-shift
     "customer_clv_decay" -> ((s, dir) =>
       Relational.customerClvDecay(Tables.orders(s, dir))),
@@ -3274,6 +3285,55 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+         |sizes AS (SELECT comp, count(*)::BIGINT AS sz FROM comp GROUP BY 1),
+         |h AS (SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+         |      FROM sizes GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |cov AS (SELECT COALESCE(CAST(sum(sz) AS BIGINT), 0) AS covered
+         |        FROM sizes),
+         |s1 AS (SELECT 1::BIGINT AS cluster_size,
+         |         n_docs - covered AS n_clusters
+         |       FROM tot, cov WHERE n_docs - covered > 0)
+         |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+         |FROM (SELECT * FROM h UNION ALL SELECT * FROM s1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orders_fulfillment_lag" ->
+      """WITH fs AS (SELECT l_orderkey,
+        |    min(epoch_ms(l_shipdate) // 86400000) AS ship_day
+        |  FROM lineitem GROUP BY 1),
+        |l AS (SELECT o.o_orderpriority,
+        |    fs.ship_day - epoch_ms(o.o_orderdate) // 86400000 AS lag_days
+        |  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  quantile_cont(lag_days, 0.25) AS p25,
+        |  quantile_cont(lag_days, 0.5) AS p50,
+        |  quantile_cont(lag_days, 0.75) AS p75
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_drift_check" ->
+      """WITH m AS (SELECT (max(vec_id) + 1) // 2 AS mid FROM embeddings),
+        |x AS (SELECT e.vec_id < m.mid AS lo, r.i - 1 AS dim,
+        |    CAST(round(e.embedding[r.i]::DOUBLE * 1000) AS BIGINT) AS xm
+        |  FROM embeddings e, m,
+        |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+        |g AS (SELECT dim,
+        |    CAST(sum(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN lo THEN xm ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN NOT lo THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN NOT lo THEN xm ELSE 0 END) AS BIGINT) AS s_b
+        |  FROM x GROUP BY 1)
+        |SELECT dim, s_a // n_a AS mu_a_milli, s_b // n_b AS mu_b_milli,
+        |  abs(s_a // n_a - s_b // n_b) AS drift_milli
+        |FROM g ORDER BY dim""".stripMargin,
     "customer_clv_decay" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -944,6 +944,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-duplicate CLUSTER-SIZE histogram — the dedup observability
+    * rollup one level above [[dupStatsBySource]]: connected components
+    * over the near-dup pairs, then (cluster size → number of
+    * clusters). Singleton documents (no near-dup) are counted as
+    * size-1 clusters so the histogram masses sum to the corpus. A
+    * fat tail here means one template is flooding the corpus — the
+    * first thing a curation on-call looks at. Cost beyond the CC run:
+    * two tiny keyed aggs over component-sized frames.
+    */
+  def clusterSizeHistogram(docs: DataFrame, n: Int, num: Int,
+                           den: Int): DataFrame = {
+    val comp = componentsAdaptive(jaccardPairs(docs, n, num, den),
+      propRounds = 1)
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+    val nonSingleton = sizes.agg(sum("sz").as("covered"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val singletons = total.crossJoin(broadcast(nonSingleton))
+      .select((col("n_docs") - coalesce(col("covered"), lit(0L))).as("n_clusters"))
+      .withColumn("cluster_size", lit(1L))
+      .where(col("n_clusters") > 0)
+      .select("cluster_size", "n_clusters")
+    sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .unionByName(singletons)
+      .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     // 4-block banding only guarantees a shared block for distance <= 3
     // (pigeonhole); a larger radius needs maxDist+1 blocks.

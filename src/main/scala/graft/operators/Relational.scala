@@ -2047,6 +2047,30 @@ object Relational {
       .orderBy("n_name", "yr")
   }
 
+  /** Fulfillment-lag SLA report: days from order to FIRST shipment,
+    * quartiles per order priority (`percentile` = `quantile_cont` at
+    * quarter points over integer days — engine-exact, the established
+    * parity window). The per-order min-ship rollup happens before the
+    * lag join, so the quantile input is orders-sized.
+    */
+  def fulfillmentLag(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val firstShip = lineitem.groupBy("l_orderkey")
+      .agg(min(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000"))
+        .as("ship_day"))
+    orders.select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("order_day"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - col("order_day")).as("lag_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(lag_days, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("o_orderpriority"), col("n"),
+        col("qs")(0).as("p25"), col("qs")(1).as("p50"), col("qs")(2).as("p75"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Recency-weighted customer lifetime value with EXACT exponential
     * decay: each order's cents are right-shifted by its age in months
     * (30-day buckets) at the data-derived snapshot — halving per month

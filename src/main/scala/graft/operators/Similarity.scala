@@ -497,6 +497,36 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Embedding DRIFT check: per-dimension truncating-integer means of
+    * the lower- and upper-id halves of the corpus (the
+    * batch-over-batch split a feature store actually has), and their
+    * absolute delta in milli units. A nonzero-everywhere drift row
+    * set means the encoder or the upstream distribution moved — the
+    * ML-ops tripwire run before any retrain decision. One posexplode
+    * scan, one (dim)-keyed map-side-combined shuffle, d-row output;
+    * the split point is a data-derived 1-row broadcast (no wall
+    * clock).
+    */
+  def embDriftCheck(emb: DataFrame): DataFrame = {
+    val mid = emb.agg(expr("(max(vec_id) + 1) div 2").as("mid"))
+    emb.crossJoin(broadcast(mid))
+      .select(col("vec_id"), col("mid"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        (col("vec_id") < col("mid")).as("lo"),
+        expr("cast(round(cast(x as double) * 1000) as bigint)").as("xm"))
+      .groupBy("dim")
+      .agg(sum(when(col("lo"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("lo"), col("xm")).otherwise(0L)).as("s_a"),
+        sum(when(!col("lo"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("lo"), col("xm")).otherwise(0L)).as("s_b"))
+      .select(col("dim"),
+        expr("s_a div n_a").as("mu_a_milli"),
+        expr("s_b div n_b").as("mu_b_milli"),
+        expr("abs(s_a div n_a - s_b div n_b)").as("drift_milli"))
+      .orderBy("dim")
+  }
+
   /** Per-DIMENSION corpus statistics in scaled integers — the
     * whitening/standardization pass over an embedding column: for each
     * dimension, the count, the milli-scaled sum and sum of squares,

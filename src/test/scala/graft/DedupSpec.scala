@@ -128,6 +128,15 @@ class DedupSpec extends SparkSpec {
     assert((got(104L)._1 & 8L) == 8L && !got(104L)._2)
   }
 
+  test("clusterSizeHistogram: dup pairs cluster, the rest are singletons") {
+    val d = docs(1L -> base, 2L -> base, 3L -> base,
+      4L -> "one two three four five six", 5L -> "seven eight nine ten el tw")
+    val got = Dedup.clusterSizeHistogram(d, 3, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // docs 1-3 form one cluster of 3; docs 4 and 5 are singletons
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
   test("components clusters transitive chains to the min id") {
     import spark.implicits._
     // star: (1,3),(2,3) — pairwise keepList would keep {1,2}; CC keeps comp=1
