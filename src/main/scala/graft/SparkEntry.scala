@@ -886,6 +886,15 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // distribution drift between time halves (TV distance in ppm)
+    "events_type_drift" -> ((s, dir) =>
+      Relational.eventTypeDrift(Tables.events(s, dir))),
+    // basket-size distribution behind the market-basket suite
+    "order_size_hist" -> ((s, dir) =>
+      Relational.orderSizeHistogram(Tables.lineitem(s, dir))),
+    // Church-Gale burstiness: clumping words vs function words
+    "word_burstiness" -> ((s, dir) =>
+      TextAnalysis.wordBurstiness(Tables.documents(s, dir))),
     // dedup observability: near-dup cluster-size histogram
     "dedup_cluster_sizes" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(Tables.documents(s, dir),
@@ -3285,6 +3294,35 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "events_type_drift" ->
+      """WITH m AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2
+        |    AS mid FROM events),
+        |c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) < mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) >= mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_b
+        |  FROM events, m GROUP BY 1),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+        |    CAST(sum(c_b) AS BIGINT) AS tot_b FROM c)
+        |SELECT event_type, c_a, c_b,
+        |  c_a * 1000000 // tot_a AS share_a_ppm,
+        |  c_b * 1000000 // tot_b AS share_b_ppm,
+        |  abs(c_a * 1000000 // tot_a - c_b * 1000000 // tot_b) AS delta_ppm
+        |FROM c, t ORDER BY event_type""".stripMargin,
+    "order_size_hist" ->
+      """SELECT sz AS order_size, count(*)::BIGINT AS n_orders
+        |FROM (SELECT l_orderkey, count(*)::BIGINT AS sz
+        |      FROM lineitem GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "word_burstiness" ->
+      s"""SELECT word, count(*)::BIGINT AS cnt,
+         |  count(DISTINCT doc_id)::BIGINT AS df,
+         |  CAST(count(*) * 1000 // count(DISTINCT doc_id) AS BIGINT)
+         |    AS burst_x1000
+         |FROM (${sqlWords(" doc_id,")})
+         |GROUP BY word
+         |ORDER BY burst_x1000 DESC, word LIMIT 30""".stripMargin,
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE pairs AS (${sqlJaccard(4, 5)}),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

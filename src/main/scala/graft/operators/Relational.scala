@@ -2047,6 +2047,40 @@ object Relational {
       .orderBy("n_name", "yr")
   }
 
+  /** Event-type DISTRIBUTION drift between the first and second half
+    * of the time range (data-derived midpoint): per type, the ppm
+    * share in each half and the absolute delta — Σ delta is 2× the
+    * total-variation distance in ppm, the log-free sibling of PSI.
+    * One fused conditional aggregation per type; the midpoint is a
+    * 1-row broadcast.
+    */
+  def eventTypeDrift(events: DataFrame): DataFrame = {
+    val mid = events.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("mid"))
+    events.crossJoin(broadcast(mid))
+      .select(col("event_type"), (col("ts_ms") < col("mid")).as("lo"))
+      .groupBy("event_type")
+      .agg(sum(when(col("lo"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("lo"), 1L).otherwise(0L)).as("c_b"))
+      .withColumn("tot_a", sum("c_a").over(Window.partitionBy()))
+      .withColumn("tot_b", sum("c_b").over(Window.partitionBy()))
+      .select(col("event_type"), col("c_a"), col("c_b"),
+        expr("c_a * 1000000 div tot_a").as("share_a_ppm"),
+        expr("c_b * 1000000 div tot_b").as("share_b_ppm"),
+        expr("abs(c_a * 1000000 div tot_a - c_b * 1000000 div tot_b)")
+          .as("delta_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Order-size histogram: (lineitems per order → number of orders) —
+    * the basket-size distribution behind every market-basket op. Two
+    * map-side-combinable aggregations, second over order-sized rows.
+    */
+  def orderSizeHistogram(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("order_size"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("order_size")
+
   /** Fulfillment-lag SLA report: days from order to FIRST shipment,
     * quartiles per order priority (`percentile` = `quantile_cont` at
     * quarter points over integer days — engine-exact, the established

@@ -1182,6 +1182,22 @@ object TextAnalysis {
         (-col("m.neg")).cast("long").as("score"))
       .orderBy("doc_id")
 
+  /** Word BURSTINESS (Church & Gale): total occurrences over document
+    * frequency, ×1000 — a word at 1000 occurs once per document it
+    * touches (function-word behavior); far above 1000 it clumps
+    * (topical/template behavior). The corpus-linguistics signal
+    * behind stopword lists and boilerplate suspicion. One shuffle on
+    * word with a fused count + distinct-doc aggregate, TakeOrdered
+    * top-k.
+    */
+  def wordBurstiness(docs: DataFrame, topK: Int = 30): DataFrame =
+    WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+      .withColumn("burst_x1000", expr("cnt * 1000 div df"))
+      .orderBy(col("burst_x1000").desc, col("word"))
+      .limit(topK)
+
   /** Classifier self-evaluation: the CONFUSION MATRIX of [[langId]]'s
     * predictions against the corpus' labeled `lang` column — one row
     * per (true, predicted) pair with its count. The evaluation-report
