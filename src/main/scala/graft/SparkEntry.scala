@@ -1297,6 +1297,9 @@ object SparkEntry {
     // daily EWMA as keyed day-fold state + per-type sentinel flush
     "streaming_ewma" -> ((s, dir) =>
       graft.streaming.Streams.ewmaAvailableNow(s, dir)),
+    // the two-state (level+trend) streaming fold, same flush pattern
+    "streaming_holt" -> ((s, dir) =>
+      graft.streaming.Streams.holtAvailableNow(s, dir)),
     "streaming_session_rows" -> ((s, dir) =>
       graft.streaming.Streams.sessionRowsAvailableNow(s, dir)),
     // stream-stream interval join (watermark-bounded state) and
@@ -3503,6 +3506,24 @@ object SparkEntry {
         |      AS spend_cents
         |  FROM events GROUP BY 1)
         |ORDER BY spend_cents DESC, user_id LIMIT 20""".stripMargin,
+    "streaming_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY epoch_day) AS i FROM d),
+        |r(event_type, i, epoch_day, n, level, trend) AS (
+        |  SELECT event_type, i, epoch_day, n, n, 0::BIGINT
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, idx.epoch_day, idx.n,
+        |    (idx.n + r.level + r.trend) // 2,
+        |    ((idx.n + r.level + r.trend) // 2 - r.level + r.trend) // 2
+        |  FROM idx JOIN r ON idx.event_type = r.event_type
+        |    AND idx.i = r.i + 1)
+        |SELECT event_type, epoch_day, n, level, trend FROM r
+        |ORDER BY event_type, epoch_day""".stripMargin,
     "events_holt" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,

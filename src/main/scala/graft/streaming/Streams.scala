@@ -531,6 +531,49 @@ object Streams {
     runAvailableNow(out, Seq("event_type", "epoch_day"), mode = "update")
   }
 
+  /** Streaming Holt level+trend smoothing — [[ewmaAvailableNow]]'s
+    * day-fold with the two-state recurrence of
+    * [[graft.operators.Relational.eventsHolt]] (lₜ = (nₜ+l+b) div 2,
+    * bₜ = (lₜ−l+b) div 2). Same per-type sentinel flush, same O(1)
+    * state per key — the pattern scales to any fixed-arity recurrence.
+    */
+  def holtAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val staged = stagedEventsWithTypeSentinels(spark, dir)
+    val raw = spark.readStream.schema(schema).parquet(staged)
+    val ev = raw.withColumn("ts_ms",
+      graft.Tables.tsMsExpr(raw.schema("ts").dataType))
+    val out = ev.select(col("event_type").as[String],
+        expr("ts_ms div 86400000").as[Long], col("event_id").as[Long])
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Boolean)]) =>
+          // state: (pendingDay, pendingCount, level, trend, hasPrev)
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var (pd, pc, l, b, has) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, false))
+          val outRows = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long)]
+          def fold(): Unit = if (pd != Long.MinValue) {
+            val nl = if (has) (pc + l + b) / 2 else pc
+            val nb = if (has) (nl - l + b) / 2 else 0L
+            outRows += ((typ, pd, pc, nl, nb)); l = nl; b = nb; has = true
+          }
+          sorted.foreach { case (_, d, _) =>
+            if (d != pd) { fold(); pd = d; pc = 0L }
+            pc += 1
+          }
+          state.update((pd, pc, l, b, has))
+          outRows.iterator
+      }.toDF("event_type", "epoch_day", "n", "level", "trend")
+    runAvailableNow(out, Seq("event_type", "epoch_day"), mode = "update")
+  }
+
   /** Per-purchase last-touch attribution as an ordered per-key state
     * replay (flatMapGroupsWithState, the 14th streaming gate): each
     * user's batch rows sort by (ts_ms, event_id), the carried state is

@@ -230,6 +230,15 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(("b", 4L), ("a", 3L), ("c", 1L)))
   }
 
+  test("streaming Holt equals the batch level+trend recurrence") {
+    val got = graft.streaming.Streams.holtAvailableNow(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val want = graft.operators.Relational
+      .eventsHolt(Tables.events(spark, sf0001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("streaming EWMA equals the batch halving recurrence, last day included") {
     val got = graft.streaming.Streams.ewmaAvailableNow(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
