@@ -886,6 +886,13 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // procurement health: return ppm + mean ship lag per supplier
+    "supplier_scorecard" -> ((s, dir) =>
+      Relational.supplierScorecard(Tables.lineitem(s, dir),
+        Tables.orders(s, dir))),
+    // packing utilization: per-source fill ppm + underfull count
+    "doc_pack_efficiency" -> ((s, dir) =>
+      TextAnalysis.packEfficiency(Tables.documents(s, dir))),
     // distribution drift between time halves (TV distance in ppm)
     "events_type_drift" -> ((s, dir) =>
       Relational.eventTypeDrift(Tables.events(s, dir))),
@@ -3297,6 +3304,34 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "supplier_scorecard" ->
+      """WITH j AS (SELECT l.l_suppkey, l.l_returnflag,
+        |    epoch_ms(l.l_shipdate) // 86400000
+        |      - epoch_ms(o.o_orderdate) // 86400000 AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT l_suppkey, count(*)::BIGINT AS n_items,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returned,
+        |    CAST(sum(lag_days) AS BIGINT) AS lag_sum
+        |  FROM j GROUP BY 1)
+        |SELECT l_suppkey, n_items, n_returned,
+        |  n_returned * 1000000 // n_items AS return_ppm,
+        |  lag_sum // n_items AS mean_lag_days
+        |FROM g ORDER BY return_ppm DESC, l_suppkey LIMIT 50""".stripMargin,
+    "doc_pack_efficiency" ->
+      s"""WITH p AS (
+         |  SELECT source, n_tokens, CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id FROM (
+         |    SELECT source, doc_id, n_tokens,
+         |      sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM (SELECT source, doc_id, CAST(len($SqlWs) AS BIGINT) AS n_tokens FROM documents))),
+         |s AS (SELECT source, seq_id, CAST(sum(n_tokens) AS BIGINT) AS fill
+         |      FROM p GROUP BY 1, 2)
+         |SELECT source, count(*)::BIGINT AS n_seqs,
+         |  CAST(sum(fill) * 1000000 // (count(*) * 256) AS BIGINT)
+         |    AS mean_fill_ppm,
+         |  CAST(sum(CASE WHEN fill * 1000000 // 256 < 500000 THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_underfull
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_type_drift" ->
       """WITH m AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2
         |    AS mid FROM events),

@@ -2081,6 +2081,34 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("order_size")
 
+  /** Supplier SCORECARD: per supplier the shipped-item volume, return
+    * rate in ppm, and truncating-mean ship lag (ship day − order day)
+    * — the procurement health rollup combining the quality and
+    * latency signals in one pass. One fact-side join to orders on the
+    * order key (both fact-sized, co-keyed), one supplier rollup, top
+    * `topK` worst by return rate.
+    */
+  def supplierScorecard(lineitem: DataFrame, orders: DataFrame,
+                        topK: Int = 50): DataFrame =
+    lineitem.select(col("l_suppkey"), col("l_orderkey"),
+        col("l_returnflag"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+          .as("ship_day"))
+      .join(orders.select(col("o_orderkey"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(col("ship_day") - col("order_day")).as("lag_sum"))
+      .select(col("l_suppkey"), col("n_items"), col("n_returned"),
+        expr("n_returned * 1000000 div n_items").as("return_ppm"),
+        expr("lag_sum div n_items").as("mean_lag_days"))
+      .orderBy(col("return_ppm").desc, col("l_suppkey"))
+      .limit(topK)
+
   /** Fulfillment-lag SLA report: days from order to FIRST shipment,
     * quartiles per order priority (`percentile` = `quantile_cont` at
     * quarter points over integer days — engine-exact, the established

@@ -586,6 +586,27 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Packing-efficiency report over [[packSequences]]: per (source,
+    * seq) fill in ppm of the token budget, rolled up to a per-source
+    * summary (sequences, mean fill ppm with one truncation, underfull
+    * count below 50%). The utilization number that tells a training
+    * team how much compute their packing recipe wastes. Two
+    * aggregations over the packed assignment, bounded by sequence
+    * count.
+    */
+  def packEfficiency(docs: DataFrame, budget: Int = 256): DataFrame =
+    packSequences(docs, budget)
+      .groupBy("source", "seq_id")
+      .agg(sum("n_tokens").as("fill"))
+      .withColumn("fill_ppm", expr(s"fill * 1000000 div $budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seqs"),
+        expr(s"sum(fill) * 1000000 div (count(1) * $budget)")
+          .as("mean_fill_ppm"),
+        sum(when(col("fill_ppm") < 500000, 1L).otherwise(0L))
+          .as("n_underfull"))
+      .orderBy("source")
+
   /** Levenshtein distance from each document to its id-successor — the
     * fuzzy-match primitive (dedup pipelines use it to verify candidate
     * pairs). Pairing is an equi-join on doc_id+1 (one shuffle), not a
