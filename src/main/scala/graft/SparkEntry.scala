@@ -886,6 +886,12 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // engagement rollup: session duration/size quartiles
+    "events_session_stats" -> ((s, dir) =>
+      Relational.sessionStats(Tables.events(s, dir))),
+    // mixture monitor: dominant lang + purity ppm per source
+    "doc_lang_purity" -> ((s, dir) =>
+      TextAnalysis.langPurityBySource(Tables.documents(s, dir))),
     // procurement health: return ppm + mean ship lag per supplier
     "supplier_scorecard" -> ((s, dir) =>
       Relational.supplierScorecard(Tables.lineitem(s, dir),
@@ -3304,6 +3310,40 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "events_session_stats" ->
+      s"""WITH s AS (
+         |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+         |    max(ts_ms) - min(ts_ms) AS dur_ms
+         |  FROM (
+         |    SELECT user_id, event_id, ts_ms,
+         |      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |    FROM (
+         |      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |        CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+         |          OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+         |        THEN 1 ELSE 0 END AS is_new
+         |      FROM events))
+         |  GROUP BY 1, 2)
+         |SELECT count(*)::BIGINT AS n_sessions,
+         |  quantile_cont(dur_ms, 0.25) AS dur_p25,
+         |  quantile_cont(dur_ms, 0.5) AS dur_p50,
+         |  quantile_cont(dur_ms, 0.75) AS dur_p75,
+         |  quantile_cont(n_events, 0.25) AS ev_p25,
+         |  quantile_cont(n_events, 0.5) AS ev_p50,
+         |  quantile_cont(n_events, 0.75) AS ev_p75
+         |FROM s""".stripMargin,
+    "doc_lang_purity" ->
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, lang, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang)
+        |      AS rn,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |  FROM c)
+        |SELECT source, n_docs, lang AS top_lang,
+        |  CAST(c * 1000000 // n_docs AS BIGINT) AS purity_ppm
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
     "supplier_scorecard" ->
       """WITH j AS (SELECT l.l_suppkey, l.l_returnflag,
         |    epoch_ms(l.l_shipdate) // 86400000

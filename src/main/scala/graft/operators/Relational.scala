@@ -2081,6 +2081,26 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("order_size")
 
+  /** Session-level summary over [[sessions]]: session count and the
+    * quartiles of session duration (ms) and events-per-session — the
+    * canonical engagement rollup. `percentile` = `quantile_cont`
+    * parity holds (quarter points over integer ms/counts); the
+    * quantile input is sessions-sized, one rollup past the session
+    * window's user-keyed exchange.
+    */
+  def sessionStats(events: DataFrame, gapSec: Long = 1800L): DataFrame =
+    sessions(events, gapSec)
+      .select((col("end_ms") - col("start_ms")).as("dur_ms"),
+        col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("percentile(dur_ms, array(0.25D, 0.5D, 0.75D))").as("dq"),
+        expr("percentile(n_events, array(0.25D, 0.5D, 0.75D))").as("eq"))
+      .select(col("n_sessions"),
+        col("dq")(0).as("dur_p25"), col("dq")(1).as("dur_p50"),
+        col("dq")(2).as("dur_p75"),
+        col("eq")(0).as("ev_p25"), col("eq")(1).as("ev_p50"),
+        col("eq")(2).as("ev_p75"))
+
   /** Supplier SCORECARD: per supplier the shipped-item volume, return
     * rate in ppm, and truncating-mean ship lag (ship day − order day)
     * — the procurement health rollup combining the quality and

@@ -1203,6 +1203,21 @@ object TextAnalysis {
         (-col("m.neg")).cast("long").as("score"))
       .orderBy("doc_id")
 
+  /** Per-source language PURITY: each ingest source's dominant
+    * language (argmax with lexical tie-break, the struct-min trick)
+    * and its ppm share — the mixture-monitoring rollup a multilingual
+    * corpus publishes per feed. One (source, lang) shuffle plus a
+    * source-sized argmax.
+    */
+  def langPurityBySource(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"),
+        min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("m"))
+      .select(col("source"), col("n_docs"), col("m.l").as("top_lang"),
+        expr("(-m.nc) * 1000000 div n_docs").as("purity_ppm"))
+      .orderBy("source")
+
   /** Word BURSTINESS (Church & Gale): total occurrences over document
     * frequency, ×1000 — a word at 1000 occurs once per document it
     * touches (function-word behavior); far above 1000 it clumps
