@@ -886,6 +886,12 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // vector QA: both norm tails in one report
+    "emb_norm_extremes" -> ((s, dir) =>
+      Similarity.normExtremes(Tables.embeddings(s, dir))),
+    // wall-clock activity matrix (dow x hour, epoch arithmetic)
+    "events_hour_dow_heatmap" -> ((s, dir) =>
+      Relational.hourDowHeatmap(Tables.events(s, dir))),
     // engagement rollup: session duration/size quartiles
     "events_session_stats" -> ((s, dir) =>
       Relational.sessionStats(Tables.events(s, dir))),
@@ -3310,6 +3316,25 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "emb_norm_extremes" ->
+      """WITH sq AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)
+        |           * CAST(round(x::DOUBLE * 1000) AS BIGINT))) AS BIGINT)
+        |      AS sumsq_milli
+        |  FROM embeddings),
+        |hi AS (SELECT vec_id, sumsq_milli, 'high' AS tail FROM sq
+        |       ORDER BY sumsq_milli DESC, vec_id LIMIT 10),
+        |lo AS (SELECT vec_id, sumsq_milli, 'low' AS tail FROM sq
+        |       ORDER BY sumsq_milli ASC, vec_id LIMIT 10)
+        |SELECT vec_id, sumsq_milli, tail
+        |FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo)
+        |ORDER BY tail, vec_id""".stripMargin,
+    "events_hour_dow_heatmap" ->
+      """SELECT (epoch_ms(ts) // 86400000) % 7 AS dow,
+        |  (epoch_ms(ts) % 86400000) // 3600000 AS hour,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_session_stats" ->
       s"""WITH s AS (
          |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,

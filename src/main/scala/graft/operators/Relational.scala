@@ -2081,6 +2081,19 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("order_size")
 
+  /** Usage heatmap: event counts by (day-of-week, hour-of-day) — the
+    * wall-clock activity matrix behind every traffic dashboard.
+    * Day-of-week is epoch-day mod 7 (day 0 = Thursday), hour is epoch
+    * arithmetic — both engines compute the identical integers with no
+    * timezone machinery. One fused two-key aggregation, ≤ 168 rows.
+    */
+  def hourDowHeatmap(events: DataFrame): DataFrame =
+    events.select(
+        expr("(ts_ms div 86400000) % 7").as("dow"),
+        expr("(ts_ms % 86400000) div 3600000").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+      .orderBy("dow", "hour")
+
   /** Session-level summary over [[sessions]]: session count and the
     * quartiles of session duration (ms) and events-per-session — the
     * canonical engagement rollup. `percentile` = `quantile_cont`

@@ -497,6 +497,24 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Embedding NORM extremes — the vector-QA screen: the `k` largest
+    * and `k` smallest squared L2 norms (milli-scaled integers). Norm
+    * outliers are how truncated inputs, padding bugs, and un-normalized
+    * batches surface; both tails in one report. Per-row codegen math,
+    * two TakeOrderedAndProject heads, no shuffle beyond the top-k
+    * merges.
+    */
+  def normExtremes(emb: DataFrame, k: Int = 10): DataFrame = {
+    val sq = emb.select(col("vec_id"), expr(
+      "aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)), 0L, (a, v) -> a + v * v)")
+      .as("sumsq_milli"))
+    val hi = sq.orderBy(col("sumsq_milli").desc, col("vec_id")).limit(k)
+      .withColumn("tail", lit("high"))
+    val lo = sq.orderBy(col("sumsq_milli").asc, col("vec_id")).limit(k)
+      .withColumn("tail", lit("low"))
+    hi.unionByName(lo).orderBy("tail", "vec_id")
+  }
+
   /** Embedding DRIFT check: per-dimension truncating-integer means of
     * the lower- and upper-id halves of the corpus (the
     * batch-over-batch split a feature store actually has), and their
