@@ -886,6 +886,15 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // IVF balance report: per-cell population + ppm share
+    "ann_cell_histogram" -> ((s, dir) =>
+      Similarity.annCellHistogram(Tables.embeddings(s, dir))),
+    // dedup tuning sweep: candidate pairs surviving 0.7/0.8/0.9
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Tables.documents(s, dir), n = 3)),
+    // growth dashboard: daily new vs returning users
+    "events_new_vs_returning" -> ((s, dir) =>
+      Relational.newVsReturning(Tables.events(s, dir))),
     // vector QA: both norm tails in one report
     "emb_norm_extremes" -> ((s, dir) =>
       Similarity.normExtremes(Tables.embeddings(s, dir))),
@@ -3316,6 +3325,46 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "ann_cell_histogram" ->
+      """WITH cells AS (
+        |  SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)::BIGINT AS cell
+        |  FROM embeddings),
+        |g AS (SELECT cell, count(*)::BIGINT AS n FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT cell, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM g, t ORDER BY cell""".stripMargin,
+    "dedup_threshold_sweep" ->
+      s"""WITH sh AS ($SqlShingles),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM sh a JOIN sh b USING (shingle)
+         |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |f AS (SELECT inter, sa.n_sh + sb.n_sh - inter AS uni
+         |      FROM p JOIN sz sa ON p.id_a = sa.doc_id
+         |             JOIN sz sb ON p.id_b = sb.doc_id)
+         |SELECT count(*)::BIGINT AS n_candidates,
+         |  CAST(sum(CASE WHEN inter * 10 > uni * 7 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_over_70,
+         |  CAST(sum(CASE WHEN inter * 5 > uni * 4 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_over_80,
+         |  CAST(sum(CASE WHEN inter * 10 > uni * 9 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_over_90
+         |FROM f""".stripMargin,
+    "events_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS epoch_day FROM events),
+        |fs AS (SELECT user_id, min(epoch_day) AS first_day
+        |       FROM ud GROUP BY 1)
+        |SELECT epoch_day,
+        |  CAST(sum(CASE WHEN epoch_day = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN epoch_day <> first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning
+        |FROM ud JOIN fs USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_norm_extremes" ->
       """WITH sq AS (SELECT vec_id,
         |    CAST(list_sum(list_transform(embedding,

@@ -944,6 +944,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Threshold-sensitivity report for Jaccard dedup: with the
+    * (inter, uni) pair frame computed ONCE, the surviving-pair count
+    * at several thresholds — the tuning sweep that shows how sharp
+    * the duplicate/distinct boundary is before anyone locks a
+    * threshold in. Conditional aggregation over the pair frame; no
+    * recomputation per threshold.
+    */
+  def thresholdSweep(docs: DataFrame, n: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"), "shingle")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.toDF("id_a", "na"), "id_a")
+      .join(sz.toDF("id_b", "nb"), "id_b")
+      .select(col("inter"), (col("na") + col("nb") - col("inter")).as("uni"))
+    pairs.agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("inter") * 10 > col("uni") * 7, 1L).otherwise(0L))
+          .as("n_over_70"),
+        sum(when(col("inter") * 5 > col("uni") * 4, 1L).otherwise(0L))
+          .as("n_over_80"),
+        sum(when(col("inter") * 10 > col("uni") * 9, 1L).otherwise(0L))
+          .as("n_over_90"))
+  }
+
   /** Near-duplicate CLUSTER-SIZE histogram — the dedup observability
     * rollup one level above [[dupStatsBySource]]: connected components
     * over the near-dup pairs, then (cluster size → number of

@@ -2081,6 +2081,27 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("order_size")
 
+  /** Daily NEW vs RETURNING user split: a user's first-seen day is
+    * one min-aggregate; each (user, day) activity row is new exactly
+    * on that day — the acquisition-vs-retention curve every growth
+    * dashboard opens with. Two map-side-combinable shuffles ((user,
+    * day) rollup, then day), plus the user-keyed first-seen join.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val userDays = events
+      .withColumn("epoch_day", expr("ts_ms div 86400000"))
+      .select("user_id", "epoch_day").distinct()
+    val firstSeen = userDays.groupBy("user_id")
+      .agg(min("epoch_day").as("first_day"))
+    userDays.join(firstSeen, "user_id")
+      .groupBy("epoch_day")
+      .agg(sum(when(col("epoch_day") === col("first_day"), 1L)
+        .otherwise(0L)).as("n_new"),
+        sum(when(col("epoch_day") =!= col("first_day"), 1L)
+          .otherwise(0L)).as("n_returning"))
+      .orderBy("epoch_day")
+  }
+
   /** Usage heatmap: event counts by (day-of-week, hour-of-day) — the
     * wall-clock activity matrix behind every traffic dashboard.
     * Day-of-week is epoch-day mod 7 (day 0 = Thursday), hour is epoch

@@ -473,6 +473,23 @@ object Similarity {
       .limit(limit)
   }
 
+  /** IVF index OBSERVABILITY: the per-cell population of the sign
+    * index plus each cell's share of the corpus in ppm — the balance
+    * report that predicts both query cost (you scan your cell) and
+    * recall risk (empty cells mean wasted partitions). The ANN
+    * sibling of the join-key skew profile; one map-side-combined
+    * shuffle on ≤ 2^bits keys.
+    */
+  def annCellHistogram(emb: DataFrame, bits: Int = 4): DataFrame = {
+    val cells = emb.select(cellId(col("embedding"), bits).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy("cell")
+  }
+
   /** ANN self-evaluation: per-query recall of the IVF index against
     * the exact brute-force top-k — the tuning report that tells an
     * operator whether `bits` is costing them neighbors BEFORE anyone

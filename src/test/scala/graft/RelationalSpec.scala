@@ -652,6 +652,18 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("newVsReturning: a user is new exactly on their first-seen day") {
+    val day = 86400000L
+    val e = events(
+      (1L, 1L, 1L, "a", 0.0, "{}"),
+      (2L, 1L, day + 1, "a", 0.0, "{}"),
+      (3L, 2L, day + 2, "a", 0.0, "{}"),
+      (4L, 2L, day + 3, "a", 0.0, "{}"))  // same user, same day: one row
+    val got = Relational.newVsReturning(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 1L, 0L), (1L, 1L, 1L)))
+  }
+
   test("eventsCusumSplit finds the regime-change day") {
     val day = 86400000L
     def at(d: Long, k: Long) = (d * 100 + k, 1L, d * day + 1, "a", 0.0, "{}")
