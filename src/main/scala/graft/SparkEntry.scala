@@ -886,6 +886,12 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // discourse-position profile of frequent words (per-mille)
+    "word_position_profile" -> ((s, dir) =>
+      TextAnalysis.wordPositionProfile(Tables.documents(s, dir))),
+    // on-call page condition: hours at 1.5x their day's observed mean
+    "events_error_bursts" -> ((s, dir) =>
+      Relational.errorBursts(Tables.events(s, dir))),
     // IVF balance report: per-cell population + ppm share
     "ann_cell_histogram" -> ((s, dir) =>
       Similarity.annCellHistogram(Tables.embeddings(s, dir))),
@@ -3325,6 +3331,29 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "word_position_profile" ->
+      s"""WITH w AS (
+         |  SELECT ws[i + 1] AS word,
+         |    CAST(i * 1000 // (len(ws) - 1) AS BIGINT) AS ppt
+         |  FROM (SELECT $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws))) AS i) r
+         |  WHERE len(ws) >= 2)
+         |SELECT word, count(*)::BIGINT AS n,
+         |  CAST(sum(ppt) // count(*) AS BIGINT) AS mean_relpos_ppt
+         |FROM w GROUP BY 1
+         |ORDER BY n DESC, word LIMIT 30""".stripMargin,
+    "events_error_bursts" ->
+      """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS epoch_hour,
+        |    count(*)::BIGINT AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |d AS (SELECT epoch_hour // 24 AS epoch_day,
+        |    CAST(sum(n_errors) AS BIGINT) AS day_errors,
+        |    count(*)::BIGINT AS n_hours
+        |  FROM h GROUP BY 1)
+        |SELECT epoch_hour, n_errors, day_errors, n_hours
+        |FROM h JOIN d ON h.epoch_hour // 24 = d.epoch_day
+        |WHERE n_errors * n_hours * 2 > day_errors * 3
+        |ORDER BY epoch_hour""".stripMargin,
     "ann_cell_histogram" ->
       """WITH cells AS (
         |  SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END

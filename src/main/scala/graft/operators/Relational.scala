@@ -2081,6 +2081,30 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("order_size")
 
+  /** Error-BURST detector at hourly grain: hours whose error count
+    * exceeds 1.5× their own day's mean over OBSERVED error hours —
+    * as an integer cross-multiplication `cnt·n_hours·2 > 3·day_total`
+    * (no division, no float). Normalizing by observed hours (not a
+    * fixed 24) keeps the rule meaningful at both sparse and dense
+    * traffic: against /24 a sparse corpus flags every hour and a
+    * dense one flags none. Hourly and daily rollups share one shuffle
+    * chain; output is only the bursting hours.
+    */
+  def errorBursts(events: DataFrame): DataFrame = {
+    val hourly = events.where(col("event_type") === "error")
+      .select(expr("ts_ms div 3600000").as("epoch_hour"))
+      .groupBy("epoch_hour").agg(count(lit(1)).as("n_errors"))
+      .withColumn("epoch_day", expr("epoch_hour div 24"))
+    val daily = hourly.groupBy("epoch_day")
+      .agg(sum("n_errors").as("day_errors"),
+        count(lit(1)).as("n_hours"))
+    hourly.join(daily, "epoch_day")
+      .where(col("n_errors") * col("n_hours") * 2 > col("day_errors") * 3)
+      .select(col("epoch_hour"), col("n_errors"), col("day_errors"),
+        col("n_hours"))
+      .orderBy("epoch_hour")
+  }
+
   /** Daily NEW vs RETURNING user split: a user's first-seen day is
     * one min-aggregate; each (user, day) activity row is new exactly
     * on that day — the acquisition-vs-retention curve every growth
