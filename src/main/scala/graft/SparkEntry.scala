@@ -886,6 +886,12 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // LTV triangle: cohort month x months-since-acquisition revenue
+    "orders_cohort_ltv" -> ((s, dir) =>
+      Relational.cohortLtv(Tables.orders(s, dir))),
+    // sampling self-eval: realized mixture skew of the 10% hash sample
+    "sample_bias_report" -> ((s, dir) =>
+      TextAnalysis.sampleBiasReport(Tables.documents(s, dir))),
     // discourse-position profile of frequent words (per-mille)
     "word_position_profile" -> ((s, dir) =>
       TextAnalysis.wordPositionProfile(Tables.documents(s, dir))),
@@ -3331,6 +3337,37 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS m,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1)
+        |SELECT cohort_m, o.m - cohort_m AS offset_m,
+        |  count(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o JOIN c ON o.o_custkey = c.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sample_bias_report" ->
+      """WITH f AS (SELECT lang,
+        |    list_sum(list_transform(range(15), i ->
+        |      (strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+        |        << (4*(14-i)))) % 100 < 10 AS in_sample
+        |  FROM documents),
+        |g AS (SELECT lang, count(*)::BIGINT AS n_corpus,
+        |    CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sample
+        |  FROM f GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS tc,
+        |    CAST(sum(n_sample) AS BIGINT) AS ts FROM g)
+        |SELECT lang, n_corpus, n_sample,
+        |  n_corpus * 1000000 // tc AS share_corpus_ppm,
+        |  n_sample * 1000000 // ts AS share_sample_ppm,
+        |  abs(n_corpus * 1000000 // tc - n_sample * 1000000 // ts)
+        |    AS delta_ppm
+        |FROM g, t ORDER BY lang""".stripMargin,
     "word_position_profile" ->
       s"""WITH w AS (
          |  SELECT ws[i + 1] AS word,

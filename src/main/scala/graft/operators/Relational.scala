@@ -2105,6 +2105,27 @@ object Relational {
       .orderBy("epoch_hour")
   }
 
+  /** Cohort LTV TRIANGLE: customers grouped by first-order month,
+    * revenue accumulated per months-since-acquisition offset — the
+    * "does a newer cohort monetize faster" matrix under every
+    * retention deck. Cohort month per customer is one min-aggregate
+    * joined back to orders (customer-keyed, co-partitioned); the
+    * triangle itself is cohorts × offsets rows.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val withMonth = orders.select(col("o_custkey"),
+      expr("cast(year(o_orderdate) * 12 + month(o_orderdate) as bigint)")
+        .as("m"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val cohort = withMonth.groupBy("o_custkey")
+      .agg(min("m").as("cohort_m"))
+    withMonth.join(cohort, "o_custkey")
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("offset_m"))
+      .agg(countDistinct("o_custkey").as("n_customers"),
+        sum("cents").as("cents"))
+      .orderBy("cohort_m", "offset_m")
+  }
+
   /** Daily NEW vs RETURNING user split: a user's first-seen day is
     * one min-aggregate; each (user, day) activity row is new exactly
     * on that day — the acquisition-vs-retention curve every growth

@@ -519,6 +519,32 @@ object TextAnalysis {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Sampling-BIAS report: the per-language ppm share of the corpus
+    * vs the share inside the [[hashSample]] keep set, and their
+    * absolute delta — the self-evaluation that certifies a hash
+    * sample didn't skew the mixture (id-hash sampling is unbiased in
+    * expectation; this measures the realized skew on THIS corpus).
+    * One fused conditional aggregation per language; the sample
+    * predicate is recomputed per row, never materialized.
+    */
+  def sampleBiasReport(docs: DataFrame, pct: Int = 10): DataFrame = {
+    val flagged = docs.select(col("lang"),
+      (pmod(expr(
+        "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"),
+        lit(100L)) < pct).as("in_sample"))
+    flagged.groupBy("lang")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"))
+      .withColumn("tot_corpus", sum("n_corpus").over(Window.partitionBy()))
+      .withColumn("tot_sample", sum("n_sample").over(Window.partitionBy()))
+      .select(col("lang"), col("n_corpus"), col("n_sample"),
+        expr("n_corpus * 1000000 div tot_corpus").as("share_corpus_ppm"),
+        expr("n_sample * 1000000 div tot_sample").as("share_sample_ppm"),
+        expr("abs(n_corpus * 1000000 div tot_corpus - n_sample * 1000000 div tot_sample)")
+          .as("delta_ppm"))
+      .orderBy("lang")
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (percent)
     * over the same dual-engine id hash as [[hashSample]] — the
     * language/domain-balancing primitive of a corpus build (e.g.
