@@ -886,6 +886,12 @@ object SparkEntry {
           col("e.cnt").as("spend_cents"))
         .orderBy(col("spend_cents").desc, col("user_id")).limit(20)
     }),
+    // freshness panel: observed vs silent minutes per day
+    "events_ingestion_gaps" -> ((s, dir) =>
+      Relational.ingestionGaps(Tables.events(s, dir))),
+    // lexical richness: TTR quartiles per language
+    "doc_ttr_by_lang" -> ((s, dir) =>
+      TextAnalysis.ttrByLang(Tables.documents(s, dir))),
     // LTV triangle: cohort month x months-since-acquisition revenue
     "orders_cohort_ltv" -> ((s, dir) =>
       Relational.cohortLtv(Tables.orders(s, dir))),
@@ -3337,6 +3343,22 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "events_ingestion_gaps" ->
+      """WITH m AS (SELECT DISTINCT epoch_ms(ts) // 60000 AS epoch_min
+        |  FROM events)
+        |SELECT epoch_min // 1440 AS epoch_day,
+        |  count(*)::BIGINT AS observed_min,
+        |  1440 - count(*)::BIGINT AS missing_min
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_ttr_by_lang" ->
+      s"""WITH t AS (SELECT lang,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) * 1000 // len(ws) AS ttr
+         |  FROM (SELECT lang, $SqlWs AS ws FROM documents)
+         |  WHERE len(ws) > 0)
+         |SELECT lang, count(*) AS n,
+         |  quantile_cont(ttr, 0.25) AS p25, quantile_cont(ttr, 0.5) AS p50,
+         |  quantile_cont(ttr, 0.75) AS p75
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)

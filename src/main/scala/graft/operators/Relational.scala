@@ -2105,6 +2105,21 @@ object Relational {
       .orderBy("epoch_hour")
   }
 
+  /** Ingestion-coverage report: per day, how many of the 1440 minutes
+    * carry at least one event and how many are silent — the
+    * data-freshness panel that distinguishes "traffic dipped" from
+    * "the pipe stopped". Two map-side-combinable rollups ((day,
+    * minute) distinct, then day); output is calendar-bounded.
+    */
+  def ingestionGaps(events: DataFrame): DataFrame =
+    events.select(expr("ts_ms div 60000").as("epoch_min"))
+      .distinct()
+      .groupBy(expr("epoch_min div 1440").as("epoch_day"))
+      .agg(count(lit(1)).as("observed_min"))
+      .select(col("epoch_day"), col("observed_min"),
+        (lit(1440L) - col("observed_min")).as("missing_min"))
+      .orderBy("epoch_day")
+
   /** Cohort LTV TRIANGLE: customers grouped by first-order month,
     * revenue accumulated per months-since-acquisition offset — the
     * "does a newer cohort monetize faster" matrix under every

@@ -519,6 +519,26 @@ object TextAnalysis {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Type-token-ratio quartiles per language: TTR ×1000 (distinct
+    * tokens over tokens) per document, quartiled per language with
+    * the `percentile` == `quantile_cont` parity — the lexical-richness
+    * profile that separates template-y feeds from natural text at a
+    * glance. Per-row codegen TTR; one language-keyed quantile rollup
+    * over doc-sized rows.
+    */
+  def ttrByLang(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), ws.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("lang"), expr(
+        "cast(size(array_distinct(ws)) as bigint) * 1000 div size(ws)")
+        .as("ttr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(ttr, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("lang"), col("n"),
+        col("qs")(0).as("p25"), col("qs")(1).as("p50"), col("qs")(2).as("p75"))
+      .orderBy("lang")
+
   /** Sampling-BIAS report: the per-language ppm share of the corpus
     * vs the share inside the [[hashSample]] keep set, and their
     * absolute delta — the self-evaluation that certifies a hash
