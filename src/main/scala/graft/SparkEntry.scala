@@ -592,6 +592,10 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+    // lossless prefix-filtered Jaccard (PPJoin): same answer as the
+    // brute inverted-index join, candidates from rarest-first prefixes
+    "dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), n = 3, b = 32, r = 4,
         num = 4, den = 5)),
@@ -1397,7 +1401,9 @@ object SparkEntry {
     val aliases = Map(
       "doc_mixture_sample_salted" -> "doc_mixture_sample",
       "doc_shard_assign_refined" -> "doc_shard_assign",
-      "dedup_increment_indexed" -> "dedup_increment")
+      "dedup_increment_indexed" -> "dedup_increment",
+      // prefix filtering is LOSSLESS — the oracle is the brute join
+      "dedup_prefix_filter" -> "dedup_ngram_jaccard")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

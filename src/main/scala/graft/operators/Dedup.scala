@@ -1018,4 +1018,64 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .orderBy("id_a", "id_b")
   }
+
+  /** Jaccard near-dup pairs via PPJoin-style PREFIX FILTERING — the
+    * third scale path next to MinHash-LSH and SimHash, and unlike
+    * those it is LOSSLESS: for J(A,B) ≥ t = num/den, the pair must
+    * share at least one shingle among each side's first
+    * |X| − ⌈t·|X|⌉ + 1 shingles in a global rarest-first order
+    * (ascending document frequency), so joining only the prefixes
+    * generates a candidate superset of the answer, then the exact
+    * verify runs per-candidate on the full sets. Emits the same
+    * (id_a, id_b, inter, uni) rows as [[jaccardPairs]] — the oracle
+    * is literally that query.
+    *
+    * 100 TB posture: the inverted index is built over PREFIX shingles
+    * only (the rarest ~20% at t = 0.8), and candidate volume is
+    * Σ df_prefix² over rare shingles — orders below the full-index
+    * join; the verify joins two sorted arrays per candidate pair
+    * (array_intersect), never re-scanning the corpus. The df ranking
+    * costs one extra aggregate + window over (doc, shingle).
+    */
+  def prefixFilterPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // rarest-first global order; (df, shingle) is a deterministic total
+    // order so both plan runs and the spec agree on the prefix
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")))
+      .join(sz, "doc_id")
+      // prefix length: n_sh − ⌈t·n_sh⌉ + 1 with ⌈num·x/den⌉ in ints
+      .where(col("r") <=
+        col("n_sh") - expr(s"($num * n_sh + $den - 1) div $den") + 1)
+      .select("doc_id", "shingle")
+    val cand = ranked.as("a").join(ranked.as("b"), "shingle")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verify: sorted shingle arrays meet per candidate pair.
+    // The two sides are DISTINCT projections (renamed columns), not
+    // dataset aliases of one frame — a self-aliased join would let the
+    // analyzer resolve sa.shs and sb.shs to the same attribute and
+    // make the intersect trivially the whole set.
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("shingle"))).as("shs"),
+        count(lit(1)).as("n_sh"))
+    val setsA = sets.select(col("doc_id").as("id_a"),
+      col("shs").as("shs_a"), col("n_sh").as("n_a"))
+    val setsB = sets.select(col("doc_id").as("id_b"),
+      col("shs").as("shs_b"), col("n_sh").as("n_b"))
+    cand
+      .join(setsA, "id_a")
+      .join(setsB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"),
+        col("n_a"), col("n_b"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("uni"))
+      .where(col("inter") * den > col("uni") * num)
+      .orderBy("id_a", "id_b")
+  }
 }

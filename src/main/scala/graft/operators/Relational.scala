@@ -2406,4 +2406,5 @@ object Relational {
       .select(col("n_days"), col("m").as("mean_n"), col("num"), col("den"),
         expr("num * 1000000 div den").as("r_ppm"))
   }
+
 }

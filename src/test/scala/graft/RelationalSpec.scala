@@ -767,4 +767,5 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((0L, 5L, 5L), (1L, 3L, 4L), (2L, 10L, 7L)))
   }
+
 }
