@@ -1274,12 +1274,6 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, dir) => Relational.q21WaitingSuppliers(s, dir)),
     "events_transitions" -> ((s, dir) =>
       Relational.eventTransitions(Tables.events(s, dir))),
-    // market-basket mining: within-order pair support, then directed
-    // association rules with confidence/lift in exact basis points
-    "basket_part_pairs" -> ((s, dir) =>
-      operators.Basket.partPairs(Tables.lineitem(s, dir))),
-    "basket_rules_lift" -> ((s, dir) =>
-      operators.Basket.rulesLift(Tables.lineitem(s, dir))),
     // depth-1 sequence mining: adjacent event-type pairs by distinct-user support
     "events_seq_bigrams" -> ((s, dir) =>
       operators.Basket.seqBigrams(Tables.events(s, dir))),
@@ -4576,30 +4570,6 @@ object SparkEntry {
          |WHERE prev_type IS NOT NULL
          |GROUP BY prev_type, event_type
          |ORDER BY cnt DESC, prev_type, event_type LIMIT 20""".stripMargin,
-    "basket_part_pairs" ->
-      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
-         |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY support DESC, part_a, part_b""".stripMargin,
-    "basket_rules_lift" ->
-      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |pairs AS (
-         |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
-         |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |directed AS (
-         |  SELECT part_a AS ante, part_b AS cons, support FROM pairs
-         |  UNION ALL SELECT part_b, part_a, support FROM pairs),
-         |isup AS (SELECT l_partkey AS pk, count(*) AS item_support FROM op GROUP BY 1),
-         |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op)
-         |SELECT d.ante, d.cons, d.support,
-         |  CAST(d.support * 10000 // ia.item_support AS BIGINT) AS conf_bp,
-         |  CAST(d.support * n.n_orders * 10000
-         |       // (ia.item_support * ic.item_support) AS BIGINT) AS lift_bp
-         |FROM directed d, isup ia, isup ic, n
-         |WHERE d.ante = ia.pk AND d.cons = ic.pk
-         |ORDER BY conf_bp DESC, ante, cons""".stripMargin,
     "events_seq_bigrams" ->
       s"""SELECT prev_type, event_type, count(*) AS n_users FROM (
          |  SELECT DISTINCT prev_type, event_type, user_id FROM (

@@ -5,37 +5,6 @@ import graft.operators.Basket
 class BasketSpec extends SparkSpec {
   import spark.implicits._
 
-  private def li(rows: (Long, Long)*) =
-    rows.toDF("l_orderkey", "l_partkey")
-
-  test("partPairs: order-level support, unordered, line-repeat-proof") {
-    // order 1: parts {10, 20, 30}; order 2: {10, 20} with part 10 on
-    // TWO lines (must count once); order 3: {20} alone (no pair)
-    val l = li((1L, 10L), (1L, 20L), (1L, 30L),
-               (2L, 10L), (2L, 10L), (2L, 20L),
-               (3L, 20L))
-    val got = Basket.partPairs(l, minSupport = 1).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq(
-      (10L, 20L, 2L),           // in orders 1 and 2
-      (10L, 30L, 1L), (20L, 30L, 1L)))
-    // minSupport prunes the singletons
-    assert(Basket.partPairs(l, minSupport = 2).count() == 1)
-  }
-
-  test("rulesLift: exact basis-point confidence and lift") {
-    // 4 orders; {10,20} together in 2; item supports: 10 → 3, 20 → 2
-    val l = li((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
-               (3L, 10L), (4L, 40L), (1L, 40L))
-    val got = Basket.rulesLift(l, minSupport = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .map { case (a, c, s, conf, lift) => ((a, c), (s, conf, lift)) }.toMap
-    // conf(10→20) = 2/3 = 6666 bp; lift = 2·4/(3·2) = 13333 bp
-    assert(got((10L, 20L)) == ((2L, 6666L, 13333L)))
-    // conf(20→10) = 2/2 = 10000 bp; same lift (symmetric)
-    assert(got((20L, 10L)) == ((2L, 10000L, 13333L)))
-  }
-
   test("seqBigrams: distinct-user support over adjacent pairs") {
     val e = Seq(
       // user 1: a→b→a  (pairs ab, ba)
