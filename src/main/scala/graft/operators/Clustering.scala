@@ -118,13 +118,17 @@ object Clustering {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("newcv"))
       val prev = cents.select(col("cluster"), col("cv").as("pcv"))
+      // changed flag rides the one checkpointed frame; the probe is a
+      // limit-1 read of cached blocks and is skipped on the final
+      // iteration (the loop exits on the iter bound regardless)
       val next = prev.join(stats, Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("newcv"), col("pcv")).as("cv"))
+        .select(col("cluster"), coalesce(col("newcv"), col("pcv")).as("cv"),
+          (coalesce(col("newcv"), col("pcv")) =!= col("pcv")).as("changed"))
         .localCheckpoint()
-      moved = next.join(prev, Seq("cluster"))
-        .where(col("cv") =!= col("pcv")).limit(1).count() > 0
+      moved = iter < maxIters - 1 &&
+        next.where(col("changed")).limit(1).count() > 0
       Dedup.release(cents) // superseded round's blocks (prev read it above)
-      cents = next
+      cents = next.drop("changed")
       iter += 1
     }
     cents
@@ -191,6 +195,66 @@ object Clustering {
   /** Gate shape for [[lloydCentroids]]: the converged centroids
     * unpacked to (cluster, dim, v) rows with a total ordering.
     */
+  /** m INDEPENDENT Lloyd runs fused into one job per iteration:
+    * `slices` holds (tag, vec_id, embedding) and centroids are keyed
+    * (tag, cluster). Per tag this computes exactly what
+    * [[lloydCentroids]] computes — same lowest-k-id seeds (all tags
+    * share the vec_id set), same truncating integer means, same
+    * empty-cluster carry — so callers may filter by tag and get the
+    * per-slice run's result bit-for-bit. A tag that converges early
+    * just rides fixed-point no-op updates while the others finish.
+    *
+    * The point is JOB COUNT, not data volume: PQ codebook learning is
+    * m small runs whose per-iteration cost is dominated by fixed job
+    * overhead; fusing makes the build pay one assignment + one update
+    * + one convergence probe per iteration regardless of m (measured
+    * on ann_pq at sf0.1: 8.0 s → see NOTES round 7).
+    */
+  def lloydCentroidsTagged(slices: DataFrame, k: Int,
+                           maxIters: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tag").orderBy("vec_id")
+    val scaled = slices.select(col("tag"), col("vec_id"),
+      scaledVec(col("embedding")).as("ev"))
+    var cents = scaled.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("tag"), col("vec_id").as("cluster"), col("ev").as("cv"))
+      .localCheckpoint()
+    var iter = 0
+    var moved = true
+    while (iter < maxIters && moved) {
+      val centsArr = cents.groupBy("tag")
+        .agg(sort_array(collect_list(struct(col("cluster"), col("cv"))))
+          .as("cents"))
+      val stats = scaled
+        .join(broadcast(centsArr), "tag")
+        .withColumn("cluster", graft.functions.functions
+          .nearest_centroid_l2(col("ev"), col("cents")).getField("cluster"))
+        .select(col("tag"), col("cluster"), posexplode(col("ev")))
+        .groupBy("tag", "cluster", "pos")
+        .agg(expr("sum(col) div count(1)").as("m"))
+        .groupBy("tag", "cluster")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("newcv"))
+      val prev = cents.select(col("tag"), col("cluster"), col("cv").as("pcv"))
+      // the changed flag rides the ONE checkpointed frame (the CC
+      // propagate trick): the convergence probe is a limit-1 read of
+      // the just-cached blocks, not a second join job — and the final
+      // iteration skips it entirely (the loop exits on iter anyway)
+      val next = prev.join(stats, Seq("tag", "cluster"), "left")
+        .select(col("tag"), col("cluster"),
+          coalesce(col("newcv"), col("pcv")).as("cv"),
+          (coalesce(col("newcv"), col("pcv")) =!= col("pcv")).as("changed"))
+        .localCheckpoint()
+      moved = iter < maxIters - 1 &&
+        next.where(col("changed")).limit(1).count() > 0
+      Dedup.release(cents)
+      cents = next.drop("changed")
+      iter += 1
+    }
+    cents
+  }
+
   def lloydConverged(embs: DataFrame, k: Int, maxIters: Int): DataFrame =
     lloydCentroids(embs, k, maxIters)
       .select(col("cluster"), posexplode(col("cv")))

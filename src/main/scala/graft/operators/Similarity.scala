@@ -713,8 +713,19 @@ object Similarity {
                             books: Option[Seq[DataFrame]] = None)
       : (DataFrame, DataFrame) = {
     def sliced(s: Int): DataFrame = pqSlice(emb, s, m)
-    val theBooks = books.getOrElse((0 until m)
-      .map(s => Clustering.lloydCentroids(sliced(s), codebookK, iters)))
+    // the m per-subspace codebooks learn as ONE tagged Lloyd run (one
+    // assignment/update/probe job per iteration instead of m of each);
+    // per tag the result is bit-identical to m separate runs, so the
+    // unrolled per-subspace oracle is untouched
+    val theBooks = books.getOrElse {
+      val slices = (0 until m)
+        .map(s => sliced(s).select(lit(s).as("tag"), col("vec_id"),
+          col("embedding")))
+        .reduce(_ unionAll _)
+      val tagged = Clustering.lloydCentroidsTagged(slices, codebookK, iters)
+      (0 until m).map(s =>
+        tagged.where(col("tag") === s).select(col("cluster"), col("cv")))
+    }
 
     val specs = (0 until m).map { s =>
       (s"code$s", theBooks(s),
