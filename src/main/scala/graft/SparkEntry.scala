@@ -1277,9 +1277,15 @@ object SparkEntry {
     // depth-1 sequence mining: adjacent event-type pairs by distinct-user support
     "events_seq_bigrams" -> ((s, dir) =>
       operators.Basket.seqBigrams(Tables.events(s, dir))),
-    // governance: k-anonymity equivalence-class-size profile
+    // governance: k-anonymity equivalence-class-size profile and the
+    // sensitive-attribute diversity (l-diversity) histogram
     "pii_k_anonymity" -> ((s, dir) =>
       operators.Basket.kAnonymityProfile(Tables.customer(s, dir))),
+    "pii_l_diversity" -> ((s, dir) =>
+      operators.Basket.lDiversityProfile(Tables.customer(s, dir))),
+    // whole-file binary source: one blob per doc, exact byte round-trip
+    "binaryfile_roundtrip" -> ((s, dir) =>
+      graft.sources.BinaryFiles.roundtrip(s, dir)),
     // explicit runtime row-level filter: bloom prefilter on the fact
     // scan + exact semi-join verify (result exact regardless of FP)
     "bloom_semi_join" -> ((s, dir) =>
@@ -4584,6 +4590,18 @@ object SparkEntry {
          |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
          |  FROM customer GROUP BY 1, 2)
          |GROUP BY class_size ORDER BY class_size""".stripMargin,
+    "pii_l_diversity" ->
+      s"""SELECT l_distinct, count(*) AS n_classes, l_distinct < 3 AS risky FROM (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000) AS l_distinct
+         |  FROM customer GROUP BY 1, 2)
+         |GROUP BY l_distinct ORDER BY l_distinct""".stripMargin,
+    // format-proof round-trip: the blob dir is BUILT from documents,
+    // so the oracle never touches the filesystem
+    "binaryfile_roundtrip" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // the bloom prefilter is a pure performance device — the verify
     // semi-join makes the result the plain semi-join answer
     "bloom_semi_join" ->

@@ -45,4 +45,24 @@ object Basket {
       .agg(count(lit(1)).as("n_classes"))
       .withColumn("risky", col("class_size") < k)
       .orderBy("class_size")
+
+  /** l-diversity audit, the sibling check to [[kAnonymityProfile]]:
+    * within each quasi-identifier class, how many DISTINCT values of
+    * the sensitive attribute (account balance in exact-cent bands of
+    * 1000 currency units) appear — a class can be large (k-anonymous)
+    * yet leak because everyone in it shares one sensitive value.
+    * Output: the distinct-count histogram with `risky = l < threshold`.
+    * Fused distinct-aggregate on (QI, band), then a QI-cardinality-
+    * bounded rollup — row count never exceeds QI classes at any scale.
+    */
+  def lDiversityProfile(customer: DataFrame, l: Int = 3): DataFrame =
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(countDistinct(col("band")).as("l_distinct"))
+      .groupBy(col("l_distinct"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("risky", col("l_distinct") < l)
+      .orderBy("l_distinct")
 }
