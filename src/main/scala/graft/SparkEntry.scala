@@ -1283,6 +1283,9 @@ object SparkEntry {
       operators.Basket.kAnonymityProfile(Tables.customer(s, dir))),
     "pii_l_diversity" -> ((s, dir) =>
       operators.Basket.lDiversityProfile(Tables.customer(s, dir))),
+    // MATCH_RECOGNIZE-lite: regex over per-user ordered type initials
+    "events_pattern_match" -> ((s, dir) =>
+      operators.Basket.patternMatch(Tables.events(s, dir))),
     // whole-file binary source: one blob per doc, exact byte round-trip
     "binaryfile_roundtrip" -> ((s, dir) =>
       graft.sources.BinaryFiles.roundtrip(s, dir)),
@@ -4590,6 +4593,15 @@ object SparkEntry {
          |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
          |  FROM customer GROUP BY 1, 2)
          |GROUP BY class_size ORDER BY class_size""".stripMargin,
+    "events_pattern_match" ->
+      s"""SELECT user_id,
+         |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches
+         |FROM (
+         |  SELECT user_id, string_agg(substr(event_type, 1, 1), ''
+         |    ORDER BY epoch_ms(ts), event_id) AS seq
+         |  FROM events GROUP BY 1)
+         |WHERE len(regexp_extract_all(seq, 'cv*p')) > 0
+         |ORDER BY user_id""".stripMargin,
     "pii_l_diversity" ->
       s"""SELECT l_distinct, count(*) AS n_classes, l_distinct < 3 AS risky FROM (
          |  SELECT c_nationkey, c_mktsegment,

@@ -46,6 +46,34 @@ object Basket {
       .withColumn("risky", col("class_size") < k)
       .orderBy("class_size")
 
+  /** MATCH_RECOGNIZE-lite sequence pattern matching: each user's
+    * event stream (ordered by ts, event_id) is rendered as a string of
+    * type initials (c/v/p/s/e — distinct across the schema's types)
+    * and scanned with a regex; a row per user with ≥ 1 non-overlapping
+    * match. The default 'cv*p' is "click, any views, then purchase" —
+    * the conversion-path shape SQL engines need MATCH_RECOGNIZE for.
+    *
+    * Scale: one shuffle on user_id; the per-user sequence is
+    * calendar/activity-bounded (the [[Relational.eventsEwma]]
+    * contract), and the regex runs once per user inside codegen.
+    * Non-overlapping leftmost-match counting agrees between Java
+    * regex and RE2 for patterns without alternation-order traps, so
+    * the DuckDB oracle is exact.
+    */
+  def patternMatch(events: DataFrame, pattern: String = "cv*p"): DataFrame =
+    events
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("initial"))
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("ts_ms"), col("event_id"),
+          col("initial")))),
+        x => x.getField("initial"))).as("seq"))
+      .select(col("user_id"),
+        regexp_count(col("seq"), lit(pattern)).cast("long").as("n_matches"))
+      .where(col("n_matches") > 0)
+      .orderBy("user_id")
+
   /** l-diversity audit, the sibling check to [[kAnonymityProfile]]:
     * within each quasi-identifier class, how many DISTINCT values of
     * the sensitive attribute (account balance in exact-cent bands of

@@ -65,6 +65,25 @@ class BasketSpec extends SparkSpec {
         (id, t.getBytes("UTF-8").length.toLong, hex(t)) })
   }
 
+  test("patternMatch: non-overlapping cv*p matches in ts order") {
+    val e = Seq(
+      // user 1: c v v p  -> 1 match
+      (1L, 1L, 0L, "click"), (2L, 1L, 1L, "view"), (3L, 1L, 2L, "view"),
+      (4L, 1L, 3L, "purchase"),
+      // user 2: c p c v p -> 2 non-overlapping matches
+      (5L, 2L, 0L, "click"), (6L, 2L, 1L, "purchase"),
+      (7L, 2L, 2L, "click"), (8L, 2L, 3L, "view"), (9L, 2L, 4L, "purchase"),
+      // user 3: c v e p -> the error breaks the pattern, no match
+      (10L, 3L, 0L, "click"), (11L, 3L, 1L, "view"), (12L, 3L, 2L, "error"),
+      (13L, 3L, 3L, "purchase"),
+      // user 4: p c -> wrong order, no match (also ts tie broken by id)
+      (14L, 4L, 0L, "purchase"), (15L, 4L, 0L, "click"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val got = graft.operators.Basket.patternMatch(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("kAnonymityProfile: histogram with risky flag") {
     val c = Seq(
       (1L, "n1", "A"), (2L, "n2", "A"),            // class (1?,A)... see below
