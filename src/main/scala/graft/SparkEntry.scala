@@ -1289,6 +1289,9 @@ object SparkEntry {
     // whole-file binary source: one blob per doc, exact byte round-trip
     "binaryfile_roundtrip" -> ((s, dir) =>
       graft.sources.BinaryFiles.roundtrip(s, dir)),
+    // PERMISSIVE bad-records ingest: malformed rows quarantined, exact
+    "csv_corrupt_records" -> ((s, dir) =>
+      graft.sources.CorruptCsv.ingestReport(s, dir)),
     // explicit runtime row-level filter: bloom prefilter on the fact
     // scan + exact semi-join verify (result exact regardless of FP)
     "bloom_semi_join" -> ((s, dir) =>
@@ -4614,6 +4617,12 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  md5(text) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "csv_corrupt_records" ->
+      s"""SELECT count(*) AS n_rows,
+         |  count(*) FILTER (WHERE doc_id % 7 = 0) AS n_bad,
+         |  CAST(sum(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS sum_good_ids,
+         |  CAST(sum(n_chars) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS sum_good_nchars
+         |FROM documents""".stripMargin,
     // the bloom prefilter is a pure performance device — the verify
     // semi-join makes the result the plain semi-join answer
     "bloom_semi_join" ->

@@ -84,6 +84,28 @@ class BasketSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("PERMISSIVE csv quarantines malformed rows without dropping fields") {
+    val dir = graft.TempDirs.scratchString("graft_badcsv_spec_")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "feed.csv"),
+      "1,10\nx2,20\n3,30\n".getBytes("UTF-8"))
+    val df = spark.read
+      .schema("doc_id LONG, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+    val r = df.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.col("_corrupt_record")),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("doc_id"))).collect().head
+    // 3 rows in, 1 quarantined; the bad row's doc_id is null so the
+    // good-row id sum needs no explicit filter
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 4L)))
+  }
+
   test("kAnonymityProfile: histogram with risky flag") {
     val c = Seq(
       (1L, "n1", "A"), (2L, "n2", "A"),            // class (1?,A)... see below
