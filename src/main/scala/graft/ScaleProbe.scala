@@ -114,6 +114,15 @@ object ScaleProbe {
       ("word_hits",
         () => operators.Graph.wordHits(docsBase),
         () => operators.Graph.wordHits(docsBig)),
+      ("prefix_filter",
+        () => operators.Dedup.prefixFilterPairs(docsBase, n = 3, num = 4, den = 5),
+        () => operators.Dedup.prefixFilterPairs(docsBig, n = 3, num = 4, den = 5)),
+      ("pattern_match",
+        () => operators.Basket.patternMatch(eventsBase),
+        () => operators.Basket.patternMatch(eventsBig)),
+      ("seq_bigrams",
+        () => operators.Basket.seqBigrams(eventsBase),
+        () => operators.Basket.seqBigrams(eventsBig)),
       ("q1_style_agg",
         () => liBase.groupBy("l_returnflag", "l_linestatus")
           .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"),

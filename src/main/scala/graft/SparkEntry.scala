@@ -1286,6 +1286,11 @@ object SparkEntry {
     // MATCH_RECOGNIZE-lite: regex over per-user ordered type initials
     "events_pattern_match" -> ((s, dir) =>
       operators.Basket.patternMatch(Tables.events(s, dir))),
+    // user-user collaborative filtering: df-pruned inverted index,
+    // integer cosine², bounded-heap top-k per customer
+    "customer_cf_neighbors" -> ((s, dir) =>
+      operators.Basket.cfNeighbors(Tables.lineitem(s, dir),
+        Tables.orders(s, dir))),
     // whole-file binary source: one blob per doc, exact byte round-trip
     "binaryfile_roundtrip" -> ((s, dir) =>
       graft.sources.BinaryFiles.roundtrip(s, dir)),
@@ -4596,6 +4601,24 @@ object SparkEntry {
          |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
          |  FROM customer GROUP BY 1, 2)
          |GROUP BY class_size ORDER BY class_size""".stripMargin,
+    "customer_cf_neighbors" ->
+      s"""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |kept AS (SELECT cp.c, cp.p FROM cp
+         |         JOIN (SELECT p FROM cp GROUP BY p HAVING count(*) <= 30) d
+         |         USING (p)),
+         |deg AS (SELECT c, count(*) AS deg FROM kept GROUP BY 1),
+         |sh AS (SELECT a.c AS c_a, b.c AS c_b, count(*) AS shared
+         |       FROM kept a JOIN kept b ON a.p = b.p AND a.c <> b.c
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sc AS (SELECT c_a, c_b, shared,
+         |         shared * shared * 1000000 // (da.deg * db.deg) AS score_ppm
+         |       FROM sh JOIN deg da ON sh.c_a = da.c
+         |             JOIN deg db ON sh.c_b = db.c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY c_a
+         |        ORDER BY score_ppm DESC, c_b) AS rank FROM sc)
+         |SELECT c_a, c_b, shared, score_ppm, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY c_a, rank""".stripMargin,
     "events_pattern_match" ->
       s"""SELECT user_id,
          |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches

@@ -46,6 +46,55 @@ object Basket {
       .withColumn("risky", col("class_size") < k)
       .orderBy("class_size")
 
+  /** Item-based collaborative-filtering neighbors: for each customer,
+    * the top-k most similar customers by squared cosine over the
+    * df-pruned customer×part purchase matrix, in exact scaled
+    * integers: score = shared²·10⁶ div (deg_a·deg_b).
+    *
+    * Scale shape — the sparse-similarity playbook composed end to end:
+    *  - the bipartite incidence (customer, part) is DISTINCT-projected
+    *    once (one shuffle);
+    *  - parts with df > maxDf are dropped BEFORE the self-join (the
+    *    "everyone buys it" items carry no similarity signal and are
+    *    exactly the quadratic blowup — same pruning contract as
+    *    sparseDotPairs), bounding candidates by Σ df² over kept parts;
+    *  - degrees are computed over the SAME pruned matrix so
+    *    shared ≤ min(deg) holds and the score is well-defined;
+    *  - ranking is the bounded-heap [[graft.plans.TopK.perKey]] —
+    *    ≤ k rows per (customer, partition) ever shuffle, not the
+    *    full pair list through a window sort.
+    */
+  def cfNeighbors(lineitem: DataFrame, orders: DataFrame,
+                  maxDf: Int = 30, minShared: Int = 2,
+                  k: Int = 3): DataFrame = {
+    val cp = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val kept = cp.join(
+      cp.groupBy("p").agg(count(lit(1)).as("d")).where(col("d") <= maxDf)
+        .select("p"),
+      "p")
+    val deg = kept.groupBy("c").agg(count(lit(1)).as("deg"))
+    val left = kept.select(col("p"), col("c").as("c_a"))
+    val right = kept.select(col("p"), col("c").as("c_b"))
+    val shared = left.join(right, "p")
+      .where(col("c_a") =!= col("c_b"))
+      .groupBy("c_a", "c_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    val scored = shared
+      .join(deg.select(col("c").as("c_a"), col("deg").as("deg_a")), "c_a")
+      .join(deg.select(col("c").as("c_b"), col("deg").as("deg_b")), "c_b")
+      .select(col("c_a"), col("c_b"), col("shared"),
+        expr("shared * shared * 1000000 div (deg_a * deg_b)").as("score_ppm"))
+    graft.plans.TopK.perKey(scored, Seq("c_a"),
+        Seq(("score_ppm", true), ("c_b", false)), k, "rank")
+      .select(col("c_a"), col("c_b"), col("shared"), col("score_ppm"),
+        col("rank"))
+      .orderBy("c_a", "rank")
+  }
+
   /** MATCH_RECOGNIZE-lite sequence pattern matching: each user's
     * event stream (ordered by ts, event_id) is rendered as a string of
     * type initials (c/v/p/s/e — distinct across the schema's types)

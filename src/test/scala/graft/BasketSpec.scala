@@ -106,6 +106,28 @@ class BasketSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 4L)))
   }
 
+  test("cfNeighbors: integer cosine2 over the df-pruned purchase matrix") {
+    // customers 1,2 share parts {10,20}; customer 3 shares only {10}
+    // with them (below minShared); part 99 is bought by all four and
+    // must be df-pruned out (maxDf = 3), or 3 would reach 2 shares
+    val li = Seq(
+      (100L, 10L), (100L, 20L), (100L, 99L),      // order of cust 1
+      (200L, 10L), (200L, 20L), (200L, 99L),      // order of cust 2
+      (300L, 10L), (300L, 99L),                   // order of cust 3
+      (400L, 99L))                                // order of cust 4
+      .toDF("l_orderkey", "l_partkey")
+    val orders = Seq((100L, 1L), (200L, 2L), (300L, 3L), (400L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = graft.operators.Basket
+      .cfNeighbors(li, orders, maxDf = 3, minShared = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // pruned degrees: cust1 = {10,20} -> 2, cust2 -> 2, cust3 -> {10} -> 1
+    // shared(1,2) = 2 -> score = 4*1e6 div 4 = 1000000
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1000000L, 1L),
+      (2L, 1L, 2L, 1000000L, 1L)))
+  }
+
   test("kAnonymityProfile: histogram with risky flag") {
     val c = Seq(
       (1L, "n1", "A"), (2L, "n2", "A"),            // class (1?,A)... see below
