@@ -1391,6 +1391,10 @@ object SparkEntry {
     // stream-static enrichment join: broadcast batch dim, no join state
     "streaming_static_join" -> ((s, dir) =>
       graft.streaming.Streams.streamStaticJoinAvailableNow(s, dir)),
+    // KLL sketch as streaming aggregation state; equals the batch
+    // sketch query (and so its oracle) when driven to completion
+    "streaming_quantiles_sketch" -> ((s, dir) =>
+      graft.streaming.Streams.valueQuantilesSketchAvailableNow(s, dir)),
     // the production file sink: checkpointed parquet append, batch read
     "streaming_file_sink" -> ((s, dir) =>
       graft.streaming.Streams.fileSinkWordCount(s, docsAsTextDir(s, dir))),
@@ -1414,7 +1418,9 @@ object SparkEntry {
       "doc_shard_assign_refined" -> "doc_shard_assign",
       "dedup_increment_indexed" -> "dedup_increment",
       // prefix filtering is LOSSLESS — the oracle is the brute join
-      "dedup_prefix_filter" -> "dedup_ngram_jaccard")
+      "dedup_prefix_filter" -> "dedup_ngram_jaccard",
+      // driven to completion, the streaming sketch equals the batch one
+      "streaming_quantiles_sketch" -> "events_value_quantiles_sketch")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

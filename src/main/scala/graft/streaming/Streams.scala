@@ -792,6 +792,27 @@ object Streams {
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
     runAvailableNow(enriched, Seq("nationkey"))
   }
+
+  /** Per-type value quantiles through the KLL sketch as STREAMING
+    * aggregation state: the TypedImperativeAggregate's serialized
+    * sketch lives in the state store and merges across micro-batches,
+    * so an always-on pipeline gets percentiles in O(k) memory per
+    * group. Driven to completion it must equal the batch
+    * [[graft.operators.Relational.valueQuantilesSketch]] (exact below
+    * the sketch's k — the same oracle validity window).
+    */
+  def valueQuantilesSketchAvailableNow(spark: SparkSession, dir: String,
+                                       k: Int = 32768): DataFrame = {
+    val q = eventsStream(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.KllQuantiles.kll_quantiles(
+          col("c"), k, Seq(0.25d, 0.5d, 0.75d)).as("qs"))
+      .select(col("event_type"), col("n"),
+        col("qs")(0).as("p25"), col("qs")(1).as("p50"), col("qs")(2).as("p75"))
+    runAvailableNow(q, Seq("event_type"))
+  }
 }
 
 /** [[Streams.twsUserSpendAvailableNow]]'s StatefulProcessor: per-user

@@ -250,4 +250,55 @@ class StreamsSpec extends SparkSpec {
     val maxReal = want.map(_._2).max
     assert(got.forall(_._2 <= maxReal))
   }
+
+  test("KLL sketch state merges across micro-batches to the exact quantiles") {
+    // two parquet files + maxFilesPerTrigger=1 -> two REAL batches; the
+    // serialized sketch must round-trip the state store and merge
+    val src = Files.createTempDirectory("graft_kll_src")
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    rows.filter(_._1 <= 50).toDF("c", "event_type")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    rows.filter(_._1 > 50).toDF("c", "event_type")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.functions.KllQuantiles.kll_quantiles(
+          org.apache.spark.sql.functions.col("c"), 1024,
+          Seq(0.25d, 0.5d, 0.75d)).as("qs"))
+      .writeStream.format("memory").queryName("kll_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        "must have processed two non-empty micro-batches")
+      val got = spark.table("kll_stream")
+        .selectExpr("event_type", "n", "CAST(qs[0] AS LONG)",
+          "CAST(qs[1] AS LONG)", "CAST(qs[2] AS LONG)")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      // exact below k: evens 2..100 and odds 1..99, 50 values each;
+      // KLL lower-bound rank semantics at k >> n returns the exact
+      // order statistics the batch query produces
+      val batch = Seq(rows.filter(_._1 % 2 == 0), rows.filter(_._1 % 2 == 1))
+      val want = batch.map { rs =>
+        val vs = rs.map(_._1).sorted
+        // percentile-compatible interpolation at rank p·(N−1), then
+        // the CAST AS LONG truncation the query applies
+        def q(p: Double): Long = {
+          val t = p * (vs.size - 1)
+          val lo = vs(t.toInt).toDouble
+          val hi = vs(math.ceil(t).toInt).toDouble
+          (lo + (hi - lo) * (t - t.toInt)).toLong
+        }
+        (if (vs.head % 2 == 0) "a" else "b", vs.size.toLong,
+          q(0.25), q(0.5), q(0.75))
+      }.sortBy(_._1)
+      assert(got == want)
+    } finally q.stop()
+  }
 }
