@@ -1401,7 +1401,45 @@ object SparkEntry {
     // foreachBatch MERGE-style upsert into versioned parquet snapshots
     "streaming_foreachbatch_upsert" -> ((s, dir) =>
       graft.streaming.Streams.foreachBatchUpsertAvailableNow(s, dir)),
+    // Benford first-digit audit over order totals (exact digit math)
+    "benford_audit" -> ((s, dir) =>
+      Relational.benfordAudit(Tables.orders(s, dir))),
+    // stationary distribution of the event-type Markov chain: 15
+    // power-iteration rounds in exact scaled integers
+    "events_markov_stationary" -> ((s, dir) =>
+      Relational.markovStationary(Tables.events(s, dir))),
+    // WOE-style feature screen: per-$50-bin error rate + lift in ppm
+    "events_value_bin_lift" -> ((s, dir) =>
+      Relational.valueBinLift(Tables.events(s, dir))),
+    // zero-shuffle dictionary tagger over the cleaned token arrays
+    "multi_keyword_tag" -> ((s, dir) =>
+      TextAnalysis.keywordTag(Tables.documents(s, dir), TagKeywords)),
+    // parquet bloom-filter point lookup on an unsorted high-card key
+    "parquet_bloom_scan" -> ((s, dir) =>
+      graft.sources.BloomParquet.pointLookup(s, dir)),
+    // Bellman-Ford weighted SSSP over the word adjacency graph
+    "word_sssp" -> ((s, dir) =>
+      Graph.ssspWords(Tables.documents(s, dir))),
+    // sweep-line interval overlap: peak concurrent open orders
+    "orders_concurrency" -> ((s, dir) =>
+      Relational.ordersConcurrency(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // two-sample KS drift statistic between click and view values
+    "events_ks_drift" -> ((s, dir) =>
+      Relational.ksDrift(Tables.events(s, dir))),
+    // exact-quota 80/10/10 stratified split per language
+    "doc_quota_split" -> ((s, dir) =>
+      TextAnalysis.quotaSplit(Tables.documents(s, dir))),
+    // Apriori-pruned frequent 3-itemsets over order baskets
+    "part_itemsets3" -> ((s, dir) =>
+      Basket.itemsets3(Tables.lineitem(s, dir))),
   )
+
+  /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
+    * verbatim with the oracle SQL.
+    */
+  val TagKeywords: Seq[String] =
+    Seq("spark", "merge", "query", "vector", "window")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every declared query has one (round 2
@@ -4760,5 +4798,166 @@ object SparkEntry {
          |  JOIN embeddings qe ON qe.vec_id = q.vec_id
          |  JOIN embeddings ne ON ne.vec_id = n.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "benford_audit" ->
+      s"""WITH c AS (
+         |  SELECT CAST(left(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+         |      AS VARCHAR), 1) AS BIGINT) AS first_digit,
+         |    count(*)::BIGINT AS n
+         |  FROM orders GROUP BY 1),
+         |e(first_digit, exp_ppm) AS (VALUES ${operators.Relational.BenfordTable
+            .map { case (d, p) => s"($d, $p)" }.mkString(", ")})
+         |SELECT c.first_digit, n,
+         |  CAST(n * 1000000 // tot AS BIGINT) AS obs_ppm,
+         |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(abs(n * 1000000 // tot - exp_ppm) AS BIGINT) AS dev_ppm
+         |FROM c CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c) t
+         |JOIN e ON e.first_digit = c.first_digit
+         |ORDER BY c.first_digit""".stripMargin,
+    "events_markov_stationary" -> markovOracle(15),
+    "events_value_bin_lift" ->
+      s"""WITH per AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS bin,
+         |    count(*)::BIGINT AS n,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_err
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+         |  CAST(sum(n_err) AS BIGINT) AS tot_err FROM per)
+         |SELECT bin, n, n_err,
+         |  CAST((n_err * 1000000) // n AS BIGINT) AS err_ppm,
+         |  CAST(((n_err * 1000000) // n) * 1000000
+         |    // ((tot_err * 1000000) // tot) AS BIGINT) AS lift_ppm
+         |FROM per CROSS JOIN t ORDER BY bin""".stripMargin,
+    "multi_keyword_tag" ->
+      s"""SELECT doc_id, count(*)::BIGINT AS n_matched,
+         |  string_agg(word, ',' ORDER BY word) AS matched
+         |FROM (SELECT DISTINCT doc_id, word FROM (${sqlWords(" doc_id,")})
+         |  WHERE word IN (${TagKeywords.map(w => s"'$w'").mkString(", ")}))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "parquet_bloom_scan" ->
+      s"""SELECT l_partkey, count(*)::BIGINT AS n_lines,
+         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         |    AS qty_c,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS price_c
+         |FROM lineitem WHERE l_partkey = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "word_sssp" -> ssspOracle(6),
+    "orders_concurrency" ->
+      s"""WITH closed AS (SELECT l_orderkey AS o_orderkey,
+         |    max(epoch_ms(l_shipdate) // 86400000) AS close_day
+         |  FROM lineitem GROUP BY 1),
+         |spans AS (SELECT o.o_orderkey,
+         |    epoch_ms(o_orderdate) // 86400000 AS open_day, close_day
+         |  FROM orders o JOIN closed USING (o_orderkey)),
+         |net AS (SELECT epoch_day, CAST(sum(delta) AS BIGINT) AS net FROM (
+         |    SELECT open_day AS epoch_day, 1 AS delta FROM spans
+         |    UNION ALL SELECT close_day + 1, -1 FROM spans) GROUP BY 1)
+         |SELECT epoch_day, CAST(sum(net) OVER (ORDER BY epoch_day
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+         |FROM net ORDER BY n_open DESC, epoch_day LIMIT 10""".stripMargin,
+    "events_ks_drift" ->
+      s"""WITH per AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS na_v,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nb_v
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+         |c AS (SELECT v,
+         |    CAST(sum(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS ca,
+         |    CAST(sum(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cb
+         |  FROM per),
+         |t AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+         |    CAST(sum(nb_v) AS BIGINT) AS n_b FROM per)
+         |SELECT v AS at_cents, n_a, n_b,
+         |  CAST(abs((ca * 1000000) // n_a - (cb * 1000000) // n_b)
+         |    AS BIGINT) AS d_ppm
+         |FROM c CROSS JOIN t
+         |ORDER BY d_ppm DESC, at_cents LIMIT 1""".stripMargin,
+    "doc_quota_split" ->
+      s"""SELECT lang, split, count(*)::BIGINT AS n_docs FROM (
+         |  SELECT lang, CASE
+         |      WHEN rk <= (n * 8) // 10 THEN 'train'
+         |      WHEN rk <= (n * 9) // 10 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT lang,
+         |      row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id)
+         |        AS rk,
+         |      count(*) OVER (PARTITION BY lang) AS n
+         |    FROM (SELECT doc_id, lang, list_sum(list_transform(range(15), i ->
+         |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
+         |          << (4*(14-i)))) AS pri
+         |      FROM documents)))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "part_itemsets3" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS p
+         |  FROM lineitem),
+         |fi AS (SELECT oid, p FROM items WHERE p IN (
+         |  SELECT p FROM items GROUP BY p HAVING count(*) >= 2))
+         |SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+         |  count(*)::BIGINT AS support
+         |FROM fi a JOIN fi b ON a.oid = b.oid AND a.p < b.p
+         |  JOIN fi c ON b.oid = c.oid AND b.p < c.p
+         |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+         |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin,
   )
+
+  /** Unrolled Bellman-Ford for `word_sssp` — each step is
+    * `min(dist ∪ relax(dist))`, mirroring
+    * [[operators.Graph.ssspWords]]'s fold round for round.
+    */
+  private def ssspOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT word, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |  SELECT word, dist FROM d${i - 1} UNION ALL
+         |  SELECT e.dst, d.dist + e.cost FROM d${i - 1} d
+         |  JOIN w e ON e.src = d.word) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT ws[i+1] AS src, ws[i+2] AS dst,
+       |    count(*)::BIGINT AS cnt
+       |  FROM (SELECT $SqlWs AS ws FROM documents),
+       |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+       |  WHERE len(ws) >= 2 GROUP BY 1, 2),
+       |w AS (SELECT src, dst, CAST(1000000 // cnt AS BIGINT) AS cost FROM (
+       |  SELECT src, dst, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT src, dst, cnt FROM e0
+       |    UNION ALL SELECT dst, src, cnt FROM e0) GROUP BY 1, 2)),
+       |d0 AS (SELECT (SELECT min(src) FROM w) AS word, 0::BIGINT AS dist),
+       |$steps
+       |SELECT word, dist FROM d$rounds ORDER BY word""".stripMargin
+  }
+
+  /** Unrolled power iteration for `events_markov_stationary` — the
+    * recursive term would need aggregation (disallowed in a recursive
+    * CTE), so the fixed, small iteration count is generated as chained
+    * CTEs. Per-term floored ppm products mirror
+    * [[operators.Relational.markovStationary]] exactly.
+    */
+  private def markovOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT next_type AS event_type,
+         |  CAST(sum((mass_ppm * p_ppm) // 1000000) AS BIGINT) AS mass_ppm
+         |  FROM m${i - 1} JOIN p ON m${i - 1}.event_type = p.prev_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS cnt
+       |  FROM (SELECT event_type, lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+       |      AS prev_type FROM events)
+       |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |p AS (SELECT tr.prev_type, next_type,
+       |    CAST((cnt * 1000000) // t AS BIGINT) AS p_ppm
+       |  FROM tr JOIN (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS t
+       |    FROM tr GROUP BY 1) tot USING (prev_type)),
+       |m0 AS (SELECT event_type, CAST(1000000 // (SELECT count(*)
+       |    FROM (SELECT DISTINCT event_type FROM events)) AS BIGINT)
+       |    AS mass_ppm
+       |  FROM (SELECT DISTINCT event_type FROM events)),
+       |$steps
+       |SELECT event_type, mass_ppm FROM m$iters ORDER BY event_type""".stripMargin
+  }
 }

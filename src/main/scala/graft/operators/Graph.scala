@@ -635,4 +635,48 @@ object Graph {
       .orderBy(col("n_common").desc, col("part_a"), col("part_b"))
       .limit(topK)
   }
+
+  /** Weighted single-source shortest paths over the word adjacency
+    * graph — Bellman-Ford with a FIXED round budget. Edge cost is
+    * `10⁶ div multiplicity` (frequent collocations are "close"),
+    * symmetrized by summing both directions' multiplicities; the source
+    * is the lexicographically smallest node (deterministic). Each round
+    * folds `dist ∪ relax(dist)` through a min-aggregate, which is
+    * bit-identical to the oracle's unrolled CTE chain.
+    *
+    * Scale shape: one shuffle per round — the relax join on src (edges
+    * co-keyed) plus the min groupBy on word; the dist frame is
+    * node-sized, never path-sized, and `localCheckpoint` keeps the
+    * iteration lineage flat (the [[pageRank]] idiom). A fixed round
+    * budget is the honest contract at 100 TB: k rounds bound every
+    * shortest path that uses ≤ k hops, and diameter-chasing belongs to
+    * the adaptive CC family ([[graft.operators.Dedup.componentsAdaptive]]).
+    */
+  def ssspWords(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val e0 = docs.select(WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS src, ws[i+1] AS dst))"))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("cnt")))
+      .groupBy("src", "dst").agg(sum("cnt").as("cnt"))
+      .select(col("src"), col("dst"), expr("1000000L div cnt").as("cost"))
+      .localCheckpoint()
+    var dist = edges.agg(min(col("src")).as("word"))
+      .where(col("word").isNotNull)
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(edges, col("word") === col("src"))
+        .select(col("dst").as("word"), (col("dist") + col("cost")).as("dist"))
+      val prev = dist
+      dist = dist.unionByName(relaxed)
+        .groupBy("word").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      Dedup.release(prev)
+    }
+    dist.orderBy("word")
+  }
 }

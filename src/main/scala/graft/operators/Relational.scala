@@ -279,6 +279,177 @@ object Relational {
       .limit(k)
   }
 
+  /** Stationary distribution of the event-type Markov chain by power
+    * iteration, in exact scaled integers. The transition matrix is
+    * row-normalized to ppm (`cnt·10⁶ div row_total`); mass starts
+    * uniform and each round redistributes
+    * `Σ_s (mass(s)·p_ppm(s→t)) div 10⁶` — per-term floor, so the fold
+    * is bit-identical to the unrolled SQL oracle. Truncation bleeds a
+    * few ppm of total mass per round (documented, deterministic); no
+    * renormalization.
+    *
+    * Scale shape: the chain state is |event_types| rows and the matrix
+    * |types|² — both tiny BY CONTRACT however large the event log; the
+    * only data-sized work is the one lag + one pair-count shuffle that
+    * builds the matrix (shared with [[eventTransitions]]). Iterations
+    * are broadcast joins over the tiny frames, `localCheckpoint`ed to
+    * keep the plan flat (the [[graft.operators.Graph.pageRank]] idiom).
+    */
+  def markovStationary(events: DataFrame, iters: Int = 15): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val trans = events
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val p = trans
+      .join(trans.groupBy("prev_type").agg(sum("cnt").as("tot")), "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        expr("(cnt * 1000000L) div tot").as("p_ppm"))
+      .localCheckpoint()
+    val types = events.select(col("event_type")).distinct().localCheckpoint()
+    var mass = types
+      .crossJoin(broadcast(types.agg(count(lit(1)).as("n_types"))))
+      .select(col("event_type"),
+        expr("1000000L div n_types").as("mass_ppm"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      mass = p.join(broadcast(mass),
+          p("prev_type") === mass("event_type"))
+        .groupBy(col("next_type").as("event_type"))
+        .agg(sum(expr("(mass_ppm * p_ppm) div 1000000L")).as("mass_ppm"))
+        .localCheckpoint()
+    }
+    mass.orderBy("event_type")
+  }
+
+  /** Benford first-significant-digit audit over order totals — the
+    * classic fraud/data-quality screen. Exact digit extraction: cents
+    * as BIGINT → first character of its decimal string (no float log),
+    * observed share in ppm vs the Benford expectation (log₁₀(1+1/d),
+    * pre-scaled literal constants shared with the oracle).
+    *
+    * Scale shape: one scan, one 9-row groupBy; the total is a 1-row
+    * broadcast. O(1) output rows at any input size.
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val counts = orders
+      .select(substring(expr(
+          "CAST(round(o_totalprice * 100) AS BIGINT)").cast("string"), 1, 1)
+        .cast("long").as("first_digit"))
+      .groupBy("first_digit").agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("tot"))))
+      .withColumn("obs_ppm", expr("(n * 1000000L) div tot"))
+      .withColumn("exp_ppm", expr(s"element_at(map($BenfordPpm), " +
+        "CAST(first_digit AS INT))").cast("long"))
+      .select(col("first_digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+      .orderBy("first_digit")
+  }
+
+  /** log₁₀(1+1/d) in ppm for d = 1..9 — the single source both the
+    * Spark map literal and the oracle's VALUES table derive from.
+    */
+  val BenfordTable: Seq[(Int, Int)] = Seq(
+    1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910, 5 -> 79181,
+    6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+
+  private val BenfordPpm: String =
+    BenfordTable.map { case (d, p) => s"$d,$p" }.mkString(", ")
+
+  /** Per-value-bin error lift (WOE-style feature screen without the
+    * log): events binned by integer cents div 5000 (≈ $50 buckets —
+    * fixed-width, shuffle-light, no global ntile sort), per bin the
+    * error rate in ppm and its lift vs the corpus rate (ppm of ppm).
+    * All arithmetic in scaled integers; the global rate is a 1-row
+    * broadcast.
+    */
+  def valueBinLift(events: DataFrame): DataFrame = {
+    val binned = events.select(
+      expr("CAST(round(value * 100) AS BIGINT) div 5000L").as("bin"),
+      when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+    val per = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("is_err").as("n_err"))
+    per
+      .crossJoin(broadcast(per.agg(sum("n").as("tot"),
+        sum("n_err").as("tot_err"))))
+      .select(col("bin"), col("n"), col("n_err"),
+        expr("(n_err * 1000000L) div n").as("err_ppm"),
+        expr("((n_err * 1000000L) div n) * 1000000L div " +
+          "((tot_err * 1000000L) div tot)").as("lift_ppm"))
+      .orderBy("bin")
+  }
+
+  /** Peak concurrent open orders by sweep line: an order is "open"
+    * from its order date to its last line's ship date; +1/−1 deltas at
+    * the boundaries, net delta per day, then a running sum gives the
+    * concurrency at every change point — the classic interval-overlap
+    * aggregation without any interval self-join.
+    *
+    * Scale shape: the data-sized work is one join (order → max
+    * shipdate) and one groupBy on day; the cumulative window then runs
+    * over the DELTA DAYS ONLY — a date-domain-sized frame (thousands of
+    * rows however many orders), so the single-partition running sum is
+    * bounded by the calendar, not the data. An interval self-join
+    * formulation would be O(n²) in overlapping orders; the sweep is
+    * O(n) + O(#days log #days).
+    */
+  def ordersConcurrency(orders: DataFrame, lineitem: DataFrame,
+                        k: Int = 10): DataFrame = {
+    val closed = lineitem.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000"))
+        .as("close_day"))
+    val spans = orders.select(col("o_orderkey"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("open_day"))
+      .join(closed, "o_orderkey")
+    val net = spans.select(col("open_day").as("epoch_day"), lit(1L).as("delta"))
+      .unionByName(spans.select((col("close_day") + 1).as("epoch_day"),
+        lit(-1L).as("delta")))
+      .groupBy("epoch_day").agg(sum("delta").as("net"))
+    net.withColumn("n_open", sum("net").over(Window.orderBy("epoch_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("epoch_day", "n_open")
+      .orderBy(col("n_open").desc, col("epoch_day"))
+      .limit(k)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the value
+    * distributions of two event types — the distribution-shift monitor
+    * a training pipeline runs before trusting a new data slice. Exact
+    * scaled integers end to end: values in cents, both empirical CDFs
+    * in ppm over the merged support, D = max |F_a − F_b| with the
+    * smallest attaining value reported.
+    *
+    * Scale shape: the event-sized work is one groupBy on the cent
+    * value; the CDF window then runs over the DISTINCT SUPPORT only —
+    * bounded by the value domain (≤ ~50k cent points here), not the
+    * event count, so the ordered running sum never sees data-sized
+    * input. Totals ride a 1-row broadcast.
+    */
+  def ksDrift(events: DataFrame, typeA: String = "click",
+              typeB: String = "view"): DataFrame = {
+    val per = events.where(col("event_type").isin(typeA, typeB))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+        when(col("event_type") === typeA, 1L).otherwise(0L).as("ia"),
+        when(col("event_type") === typeB, 1L).otherwise(0L).as("ib"))
+      .groupBy("v").agg(sum("ia").as("na_v"), sum("ib").as("nb_v"))
+    val cdfW = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.select(col("v"), sum("na_v").over(cdfW).as("ca"),
+        sum("nb_v").over(cdfW).as("cb"))
+      .crossJoin(broadcast(per.agg(sum("na_v").as("n_a"),
+        sum("nb_v").as("n_b"))))
+      .select(col("v").as("at_cents"), col("n_a"), col("n_b"),
+        abs(expr("(ca * 1000000L) div n_a") -
+          expr("(cb * 1000000L) div n_b")).as("d_ppm"))
+      .orderBy(col("d_ppm").desc, col("at_cents"))
+      .limit(1)
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

@@ -1415,4 +1415,57 @@ object TextAnalysis {
       .select("center", "rk", "neg_word", "priority")
       .orderBy("center", "rk")
   }
+
+  /** Exact-quota stratified split: EVERY language stratum lands exactly
+    * ⌊n·8/10⌋ train / up to ⌊n·9/10⌋ val / rest test — unlike the
+    * hash-threshold split ([[datasetSplit]]'s family) whose realized
+    * fractions fluctuate, this one is quota-exact per stratum by
+    * construction. Rows rank within their stratum by the deterministic
+    * md5-prefix id hash (the [[hashSample]] priority), so membership is
+    * stable under reruns and independent of physical order.
+    *
+    * Scale shape: one window rank per stratum partition (languages
+    * partition the corpus — no global sort), quotas derived from the
+    * same partition's count; output is O(strata × 3) rows.
+    */
+  def quotaSplit(docs: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val rankW = byLang.orderBy(col("pri"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("pri", expr(
+        "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"))
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .select(col("lang"),
+        when(col("rk") <= expr("(n * 8) div 10"), "train")
+          .when(col("rk") <= expr("(n * 9) div 10"), "val")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
+  /** Multi-keyword tagger: which of a fixed keyword set each document
+    * contains, as `(doc_id, n_matched, matched)` with the matched list
+    * sorted and comma-joined. Token-level exact match on the cleaned
+    * lowercase vocabulary (same tokenizer as the wordcount family).
+    *
+    * Scale shape: the keyword set rides as an array literal inside the
+    * row expression — `array_intersect` over the per-doc token array is
+    * a pure map (ZERO shuffles, no explode, no join); a 100 TB corpus
+    * tags in one codegen'd scan. This is the degenerate-but-dominant
+    * case of multi-pattern matching where the dictionary fits in the
+    * instruction stream; a million-entry dictionary would switch to the
+    * inverted token join ([[docSparsePairs]]'s layout).
+    */
+  def keywordTag(docs: DataFrame, keywords: Seq[String]): DataFrame = {
+    val kw = array(keywords.map(lit): _*)
+    docs
+      .select(col("doc_id"), array_sort(array_distinct(
+        array_intersect(WordCount.cleanWords(col("text")), kw)))
+        .as("hits"))
+      .where(size(col("hits")) > 0)
+      .select(col("doc_id"), size(col("hits")).cast("long").as("n_matched"),
+        array_join(col("hits"), ",").as("matched"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, TextAnalysis}
+
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("benfordAudit: exact digit extraction and ppm accounting") {
+    // 8 orders: digits 1,1,1,1,2,2,3,9 (via cents-string head, no log)
+    val orders = Seq(100.00, 19.99, 1234.56, 150.0, 25.50, 2000.0, 3.14,
+        90.0)
+      .toDF("o_totalprice")
+    val got = Relational.benfordAudit(orders).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1) == ((4L, 500000L, 301030L)))        // 4/8 observed
+    assert(got(2) == ((2L, 250000L, 176091L)))
+    assert(got(3) == ((1L, 125000L, 124939L)))
+    assert(got(9) == ((1L, 125000L, 45757L)))
+    assert(got.size == 4)
+    // dev is |obs - exp| in the same scale
+    val dev = Relational.benfordAudit(orders).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(dev(3) == 61L)
+  }
+
+  private def ev(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("user_id", "event_id", "ts_ms", "event_type")
+
+  test("markovStationary: a deterministic 2-cycle preserves uniform mass") {
+    // A→B and B→A with probability 1: stationary = (½, ½) exactly,
+    // and the ppm fold loses nothing (p_ppm = 1e6, no truncation).
+    val events = ev(Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"),
+      (2L, 4L, 1L, "B"), (2L, 5L, 2L, "A"), (2L, 6L, 3L, "B")))
+    val got = Relational.markovStationary(events, iters = 7).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 500000L, "B" -> 500000L))
+  }
+
+  test("markovStationary: per-term floor matches the hand fold") {
+    // A→B twice, A→A once; B dangling. p(A→A)=333333, p(A→B)=666666.
+    val events = ev(Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"),
+      (2L, 3L, 1L, "A"), (2L, 4L, 2L, "B"),
+      (3L, 5L, 1L, "A"), (3L, 6L, 2L, "A")))
+    var (a, b) = (500000L, 500000L)
+    for (_ <- 1 to 3) {
+      val na = a * 333333L / 1000000L
+      val nb = a * 666666L / 1000000L
+      a = na; b = nb
+    }
+    val got = Relational.markovStationary(events, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> a, "B" -> b))
+  }
+
+  test("valueBinLift: per-bin error rate and lift vs the corpus rate") {
+    // bin 0 (< $50): 1 error of 2; bin 1: 1 error of 6. Global 2/8.
+    val events = Seq(
+      (10.0, "error"), (20.0, "view"),
+      (60.0, "error"), (61.0, "view"), (62.0, "view"), (63.0, "click"),
+      (64.0, "view"), (65.0, "view"))
+      .toDF("value", "event_type")
+    val got = Relational.valueBinLift(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got(0L) == ((2L, 1L, 500000L, 2000000L)))
+    assert(got(1L) == ((6L, 1L, 166666L, 666664L)))
+  }
+
+  test("keywordTag: cleaned-token exact match, dedup, sorted join") {
+    val docs = Seq(
+      (1L, "Spark! merges the MERGE queue"),   // spark + merge (cleaned)
+      (2L, "vector vector window"),            // dup counted once
+      (3L, "nothing relevant here"),           // dropped (no hits)
+      (4L, "sparky is not spark1"))            // prefix-cleaned to spark
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.keywordTag(docs,
+        Seq("spark", "merge", "query", "vector", "window"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, "merge,spark"),                 // MERGE lowers, Spark! cleans
+      (2L, 2L, "vector,window"),
+      (4L, 1L, "spark")))                      // spark1 → "spark"
+  }
+
+  test("keywordTag plans with zero exchanges (pure map over the scan)") {
+    val docs = Seq((1L, "spark window")).toDF("doc_id", "text")
+    val plan = TextAnalysis.keywordTag(docs, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
+      s"unexpected shuffle in:\n$plan")
+  }
+
+  test("ssspWords: weighted distances with symmetrized multiplicities") {
+    // a–b seen twice (cost 500000), b–c once (cost 1000000); source "a"
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val got = operators.Graph.ssspWords(docs, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 500000L, "c" -> 1500000L))
+  }
+
+  test("ordersConcurrency: sweep-line peak open-order counts") {
+    def ts(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val orders = Seq((1L, ts(0)), (2L, ts(1)), (3L, ts(1)))
+      .toDF("o_orderkey", "o_orderdate")
+    val lineitem = Seq(                       // close = max shipdate
+      (1L, ts(2)), (1L, ts(1)),
+      (2L, ts(1)),
+      (3L, ts(3)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = Relational.ordersConcurrency(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // deltas: +1@0 −1@3; +1@1 −1@2; +1@1 −1@4 → cum 1,3,2,1,0
+    assert(got.toSeq == Seq((1L, 3L), (2L, 2L), (0L, 1L), (3L, 1L),
+      (4L, 0L)))
+  }
+
+  test("ksDrift: max CDF gap with smallest attaining value") {
+    val events = Seq(
+      (1.00, "click"), (2.00, "click"), (2.00, "view"), (5.0, "error"))
+      .toDF("value", "event_type")
+    val r = Relational.ksDrift(events).collect().head
+    // at 100c: F_click=½, F_view=0 → D = 500000 ppm
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 2L, 1L, 500000L)))
+  }
+
+  test("quotaSplit: exact 8/1/1 quotas on a 10-doc stratum") {
+    val docs = (1L to 10L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val got = operators.TextAnalysis.quotaSplit(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("en", "test", 1L), ("en", "train", 8L),
+      ("en", "val", 1L)))
+  }
+
+  test("itemsets3: apriori item prune is lossless, triple support exact") {
+    val lineitem = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 4L))        // part 4 infrequent
+      .toDF("l_orderkey", "l_partkey")
+    val got = operators.Basket.itemsets3(lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 2L)))
+  }
+
+  test("bloom parquet layout: filter present in footer, predicate pushed") {
+    val dir = sources.BloomParquet.stage(spark, sf0001)
+    // (a) footer carries a bloom filter for l_partkey
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val chunk = rdr.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "l_partkey").get
+      assert(chunk.getBloomFilterOffset > 0,
+        "no bloom filter written for l_partkey")
+    } finally rdr.close()
+    // (b) the equality predicate reaches the scan
+    val q = sources.BloomParquet.pointLookup(spark, sf0001, key = 1L)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_partkey"),
+      s"predicate not pushed:\n$scan")
+    // (c) result equals the direct filter on the canonical table
+    val direct = Tables.lineitem(spark, sf0001)
+      .where(col("l_partkey") === 1L)
+      .agg(count(lit(1)), sum(round(col("l_quantity") * 100).cast("long")))
+      .collect().head
+    val got = q.collect().head
+    assert(got.getLong(1) == direct.getLong(0))
+    assert(got.getLong(2) == direct.getLong(1))
+  }
+}
