@@ -1433,6 +1433,22 @@ object SparkEntry {
     // Apriori-pruned frequent 3-itemsets over order baskets
     "part_itemsets3" -> ((s, dir) =>
       Basket.itemsets3(Tables.lineitem(s, dir))),
+    // additive seasonal decomposition: per-DOW index, exact integers
+    "events_seasonal_dow" -> ((s, dir) =>
+      Relational.seasonalDecompose(Tables.events(s, dir))),
+    // gaps-and-islands: longest consecutive-day streak per user
+    "events_user_streaks" -> ((s, dir) =>
+      Relational.userStreaks(Tables.events(s, dir))),
+    // lag-based debounce accounting per event type
+    "events_debounce" -> ((s, dir) =>
+      Relational.debounceStats(Tables.events(s, dir))),
+    // exact global median via two histogram passes, zero global sorts
+    "events_exact_median" -> ((s, dir) =>
+      Relational.exactMedian2Pass(Tables.events(s, dir))),
+    // HHI supplier-revenue concentration per nation in ppm
+    "supplier_herfindahl" -> ((s, dir) =>
+      Relational.supplierHerfindahl(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -4903,6 +4919,63 @@ object SparkEntry {
          |  JOIN fi c ON b.oid = c.oid AND b.p < c.p
          |GROUP BY 1, 2, 3 HAVING count(*) >= 2
          |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin,
+    "events_seasonal_dow" ->
+      s"""WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+         |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+         |m AS (SELECT epoch_day, n, count(*) OVER w AS wn,
+         |    CAST(sum(n * 1000) OVER w AS BIGINT) AS wsum
+         |  FROM daily WINDOW w AS (ORDER BY epoch_day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         |SELECT dow, count(*)::BIGINT AS n_days,
+         |  CAST(sum(detr) // count(*) AS BIGINT) AS seasonal_x1000
+         |FROM (SELECT epoch_day % 7 AS dow, n * 1000 - wsum // 7 AS detr
+         |  FROM m WHERE wn = 7)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_user_streaks" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+         |    epoch_ms(ts) // 86400000 AS epoch_day FROM events),
+         |isl AS (SELECT user_id,
+         |    epoch_day - row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_day) AS island
+         |  FROM days)
+         |SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak FROM (
+         |  SELECT user_id, island, count(*)::BIGINT AS len FROM isl
+         |  GROUP BY 1, 2)
+         |GROUP BY 1 ORDER BY best_streak DESC, user_id LIMIT 20""".stripMargin,
+    "events_debounce" ->
+      s"""SELECT event_type,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped
+         |FROM (SELECT event_type,
+         |    (prev_ts IS NULL OR ts_b - prev_ts > 5000) AS kept
+         |  FROM (SELECT event_type, epoch_ms(ts) AS ts_b, event_id,
+         |      lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+         |        ORDER BY epoch_ms(ts), event_id) AS prev_ts
+         |    FROM events))
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_exact_median" ->
+      s"""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |t AS (SELECT count(*)::BIGINT AS n FROM c),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM c)
+         |SELECT n, v AS median_cents FROM r, t
+         |WHERE rk = (n + 1) // 2""".stripMargin,
+    "supplier_herfindahl" ->
+      s"""WITH rev AS (SELECT s_nationkey, l.s_suppkey, rev_c FROM (
+         |    SELECT l_suppkey AS s_suppkey, CAST(sum(CAST(round(
+         |        l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         |      AS BIGINT) AS rev_c
+         |    FROM lineitem GROUP BY 1) l
+         |  JOIN supplier s ON l.s_suppkey = s.s_suppkey),
+         |tot AS (SELECT s_nationkey, CAST(sum(rev_c) AS BIGINT) AS tot_c
+         |  FROM rev GROUP BY 1)
+         |SELECT s_nationkey, count(*)::BIGINT AS n_suppliers,
+         |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi
+         |FROM (SELECT rev.s_nationkey,
+         |    (rev_c * 1000000) // tot_c AS share_ppm
+         |  FROM rev JOIN tot USING (s_nationkey)) sh
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Unrolled Bellman-Ford for `word_sssp` — each step is

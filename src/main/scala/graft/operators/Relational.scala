@@ -450,6 +450,136 @@ object Relational {
       .limit(1)
   }
 
+  /** Additive seasonal decomposition of the daily event count, exact
+    * integers throughout: trend = centered 7-day moving average ×1000
+    * (rows-framed over the distinct-day series, only days with a full
+    * window), detrended = count×1000 − trend, seasonal index = mean
+    * detrended per day-of-week (epoch_day mod 7 — calendar-free, so
+    * both engines agree bit for bit).
+    *
+    * Scale shape: one data-sized groupBy (events → daily counts); the
+    * moving average and the DOW rollup run over the DATE-DOMAIN-sized
+    * day series (thousands of rows at any corpus size). Output is 7
+    * rows.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("ts_ms div 86400000").as("epoch_day"))
+      .agg(count(lit(1)).as("n"))
+    val ma = Window.orderBy("epoch_day").rowsBetween(-3, 3)
+    daily
+      .withColumn("wn", count(lit(1)).over(ma))
+      .withColumn("wsum", sum(col("n") * lit(1000L)).over(ma))
+      .withColumn("trend_x1000", expr("wsum div 7L"))
+      .where(col("wn") === 7)
+      .select(pmod(col("epoch_day"), lit(7L)).as("dow"),
+        (col("n") * 1000L - col("trend_x1000")).as("detr"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(detr) div count(1)").as("seasonal_x1000"))
+      .orderBy("dow")
+  }
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom: distinct active days, `day − rank` is
+    * constant within an island, longest island per user, top-k users.
+    * Scale shape: everything partitions by user (window + groupBy on
+    * the same key → ONE exchange chain); no self-join on the lattice.
+    */
+  def userStreaks(events: DataFrame, k: Int = 20): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("ts_ms div 86400000").as("epoch_day"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("epoch_day")
+    days
+      .withColumn("island",
+        col("epoch_day") - row_number().over(byUser).cast("long"))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("best_streak"))
+      .orderBy(col("best_streak").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Debounce accounting: an event is KEPT if it is the first of its
+    * (user, type) stream or arrived more than `gapMs` after the
+    * previous kept-or-dropped event of that stream (lag-based — the
+    * stateless approximation every log pipeline uses; true
+    * last-kept-event debounce needs a running fold and is the
+    * streaming variant's job). Output: per type, kept vs dropped.
+    * Scale shape: one user/type-keyed window, one tiny rollup.
+    */
+  def debounceStats(events: DataFrame, gapMs: Long = 5000L): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_ms", "event_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts_ms"),
+        col("event_id"))
+      .withColumn("prev_ts", lag("ts_ms", 1).over(w))
+      .select(col("event_type"),
+        (col("prev_ts").isNull ||
+          col("ts_ms") - col("prev_ts") > gapMs).as("kept"))
+      .groupBy("event_type")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy("event_type")
+  }
+
+  /** EXACT global median (k-th smallest, k = (n+1) div 2) in TWO
+    * passes and zero global sorts — the scalable exact-selection
+    * pattern: pass 1 counts per coarse bucket and walks the
+    * domain-sized cumulative histogram to the bucket holding the k-th
+    * value; pass 2 re-aggregates ONLY that bucket's values and walks
+    * to the exact cent. A sort-based median moves the whole column
+    * through one ordering; this moves two small histograms.
+    */
+  def exactMedian2Pass(events: DataFrame): DataFrame = {
+    val cents = events.select(expr("CAST(round(value * 100) AS BIGINT)")
+      .as("v"))
+    val cum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucket = cents.groupBy(expr("v div 1000L").as("b"))
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("cumb", sum("nb").over(cum))
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n"))))
+      .where(col("cumb") >= expr("(n + 1L) div 2L") &&
+        col("cumb") - col("nb") < expr("(n + 1L) div 2L"))
+      .select(col("b"), col("n"),
+        (expr("(n + 1L) div 2L") - (col("cumb") - col("nb"))).as("k_in_b"))
+    val cumv = Window.partitionBy("n").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents.join(broadcast(bucket), expr("v div 1000L") === col("b"))
+      .groupBy("v", "n", "k_in_b").agg(count(lit(1)).as("nv"))
+      .withColumn("cumv", sum("nv").over(cumv))
+      .where(col("cumv") >= col("k_in_b") &&
+        col("cumv") - col("nv") < col("k_in_b"))
+      .select(col("n"), col("v").as("median_cents"))
+  }
+
+  /** Herfindahl–Hirschman concentration of supplier revenue per
+    * nation: revenue share in ppm per supplier, HHI = Σ share² div 10⁶
+    * (0..10⁶ scale). The market-concentration screen, exact integers.
+    * Scale shape: one revenue rollup per supplier (data-sized), then
+    * supplier-sized frames only; per-nation totals via one more tiny
+    * groupBy, joined back broadcast.
+    */
+  def supplierHerfindahl(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("rev_c"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")), "s_suppkey")
+    rev
+      .join(broadcast(rev.groupBy("s_nationkey")
+        .agg(sum("rev_c").as("tot_c"))), "s_nationkey")
+      .select(col("s_nationkey"),
+        expr("(rev_c * 1000000L) div tot_c").as("share_ppm"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("sum(share_ppm * share_ppm) div 1000000L").as("hhi"))
+      .orderBy("s_nationkey")
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

@@ -149,6 +149,68 @@ class Round7Spec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 3L, 2L)))
   }
 
+  test("seasonalDecompose: uniform series has zero seasonal index") {
+    // days 0..13, 2 events each → trend = count → detrended = 0
+    val rows = for (d <- 0L to 13L; i <- 1 to 2)
+      yield (d * 10 + i, d * 86400000L + i)
+    val events = rows.toDF("event_id", "ts_ms")
+    val got = Relational.seasonalDecompose(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // full 7-windows exist for days 3..10 → dows 3,4,5,6,0,1,2,3
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
+        6L -> 1L))
+    assert(got.forall(_._3 == 0L))
+  }
+
+  test("userStreaks: island lengths through day gaps") {
+    val events = Seq(
+      (1L, 1L * 86400000L), (1L, 2L * 86400000L), (1L, 3L * 86400000L),
+      (1L, 7L * 86400000L),
+      (2L, 5L * 86400000L), (2L, 6L * 86400000L))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = Relational.userStreaks(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L), (2L, 2L)))
+  }
+
+  test("debounceStats: lag-based keep within the 5s gap") {
+    val events = Seq(
+      (1L, 1L, 0L, "click"), (2L, 1L, 3000L, "click"),
+      (3L, 1L, 9000L, "click"), (4L, 2L, 100L, "view"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val got = Relational.debounceStats(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("click" -> ((2L, 1L)), "view" -> ((1L, 0L))))
+  }
+
+  test("exactMedian2Pass: k-th smallest across bucket boundaries") {
+    val odd = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("value")
+    val r1 = Relational.exactMedian2Pass(odd).collect().head
+    assert((r1.getLong(0), r1.getLong(1)) == ((5L, 300L)))
+    // even n takes the LOWER median (k = (n+1) div 2)
+    val even = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
+    val r2 = Relational.exactMedian2Pass(even).collect().head
+    assert((r2.getLong(0), r2.getLong(1)) == ((4L, 200L)))
+    // k-th value sits past the first coarse bucket (cents ≥ 1000)
+    val cross = Seq(9.99, 10.01, 10.02).toDF("value")
+    val r3 = Relational.exactMedian2Pass(cross).collect().head
+    assert((r3.getLong(0), r3.getLong(1)) == ((3L, 1001L)))
+  }
+
+  test("supplierHerfindahl: 75/25 split scores HHI 625000") {
+    val lineitem = Seq(
+      (101L, 0.75, 0.0), (102L, 0.25, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val supplier = Seq((101L, 7L), (102L, 7L))
+      .toDF("s_suppkey", "s_nationkey")
+    val r = Relational.supplierHerfindahl(lineitem, supplier)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((7L, 2L, 625000L)))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
