@@ -1449,6 +1449,18 @@ object SparkEntry {
     "supplier_herfindahl" -> ((s, dir) =>
       Relational.supplierHerfindahl(Tables.lineitem(s, dir),
         Tables.supplier(s, dir))),
+    // simplified silhouette: per-cluster quality of the Lloyd run
+    "kmeans_silhouette" -> ((s, dir) =>
+      Clustering.silhouette(Tables.embeddings(s, dir), 8, 5)),
+    // 2-D Pareto frontier over the size domain (cummin walk)
+    "parts_skyline" -> ((s, dir) =>
+      Relational.partsSkyline(Tables.part(s, dir))),
+    // two-sweep BFS diameter lower bound of the word graph
+    "word_diameter_2sweep" -> ((s, dir) =>
+      Graph.diameter2Sweep(Tables.documents(s, dir))),
+    // exact p25/50/75/90/99 grid via one two-pass histogram selection
+    "events_percentile_grid" -> ((s, dir) =>
+      Relational.exactPercentiles2Pass(Tables.events(s, dir))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -4976,6 +4988,70 @@ object SparkEntry {
          |    (rev_c * 1000000) // tot_c AS share_ppm
          |  FROM rev JOIN tot USING (s_nationkey)) sh
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "kmeans_silhouette" ->
+      s"""${sqlKmeansCents(8, 5)},
+         |dd AS (SELECT e.vec_id, c.cluster, ${sqlD2("e", "c")} AS d2
+         |  FROM ev e CROSS JOIN c5 c),
+         |r AS (SELECT vec_id, cluster, d2, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM dd),
+         |sil AS (SELECT o.cluster AS own,
+         |    CASE WHEN greatest(o.d2, t.d2) = 0 THEN 0
+         |         ELSE CAST(CAST(t.d2 - o.d2 AS HUGEINT) * 1000000
+         |           // greatest(o.d2, t.d2) AS BIGINT)
+         |    END AS s
+         |  FROM (SELECT vec_id, cluster, d2 FROM r WHERE rn = 1) o
+         |  JOIN (SELECT vec_id, d2 FROM r WHERE rn = 2) t USING (vec_id))
+         |SELECT own AS cluster, count(*)::BIGINT AS n,
+         |  CAST(sum(s) // count(*) AS BIGINT) AS avg_s_x1e6
+         |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
+    "parts_skyline" ->
+      s"""WITH per AS (SELECT CAST(p_size AS BIGINT) AS p_size,
+         |    min(CAST(round(p_retailprice * 100) AS BIGINT)) AS min_price_c
+         |  FROM part GROUP BY 1)
+         |SELECT p_size, min_price_c FROM (
+         |  SELECT p_size, min_price_c, min(min_price_c) OVER (
+         |      ORDER BY p_size
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS prior_min
+         |  FROM per)
+         |WHERE prior_min IS NULL OR min_price_c < prior_min
+         |ORDER BY p_size""".stripMargin,
+    "word_diameter_2sweep" ->
+      s"""WITH RECURSIVE e0 AS (SELECT DISTINCT ws[i+1] AS s, ws[i+2] AS t
+         |  FROM (SELECT $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |  WHERE len(ws) >= 2),
+         |edges AS (SELECT s AS src, t AS dst FROM e0
+         |          UNION SELECT t, s FROM e0),
+         |b1 AS (
+         |  SELECT (SELECT min(src) FROM edges) AS word, 0 AS dist
+         |  UNION
+         |  SELECT e.dst, b.dist + 1 FROM b1 b
+         |  JOIN edges e ON e.src = b.word WHERE b.dist < 20),
+         |d1 AS (SELECT word, CAST(min(dist) AS BIGINT) AS dist
+         |  FROM b1 GROUP BY 1),
+         |f1 AS (SELECT word FROM d1 ORDER BY dist DESC, word LIMIT 1),
+         |b2 AS (
+         |  SELECT (SELECT word FROM f1) AS word, 0 AS dist
+         |  UNION
+         |  SELECT e.dst, b.dist + 1 FROM b2 b
+         |  JOIN edges e ON e.src = b.word WHERE b.dist < 20),
+         |d2 AS (SELECT word, CAST(min(dist) AS BIGINT) AS dist
+         |  FROM b2 GROUP BY 1),
+         |f2 AS (SELECT word, dist FROM d2 ORDER BY dist DESC, word LIMIT 1)
+         |SELECT (SELECT min(src) FROM edges) AS start_word,
+         |  (SELECT word FROM f1) AS far_word,
+         |  (SELECT word FROM f2) AS far2_word,
+         |  (SELECT dist FROM f2) AS diameter_lb""".stripMargin,
+    "events_percentile_grid" ->
+      s"""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |t AS (SELECT count(*)::BIGINT AS n FROM c),
+         |kk AS (SELECT CAST(q AS BIGINT) AS q, n, (n * q + 99) // 100 AS k
+         |  FROM t, (VALUES (25), (50), (75), (90), (99)) AS qv(q)),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM c)
+         |SELECT q, n, v AS value_cents FROM r JOIN kk ON rk = kk.k
+         |ORDER BY q""".stripMargin,
   )
 
   /** Unrolled Bellman-Ford for `word_sssp` — each step is

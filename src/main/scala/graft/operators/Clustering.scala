@@ -141,6 +141,46 @@ object Clustering {
     assignAgainst(scaledView(embs), cents)
       .select(col("vec_id"), col("cluster").as("cell"))
 
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-quality readout: a = d² to the own centroid, b = d² to
+    * the nearest OTHER centroid, s = (b − a)·10⁶ div max(a, b)
+    * (0 when both distances are 0). Per-row s values are exact scaled
+    * integers (the vectors and centroids are already integer-scaled),
+    * so the per-cluster mean is an order-independent integer fold and
+    * the whole readout is engine-reproducible — the full silhouette's
+    * pairwise-distance averages would be O(n²) and float-ordered.
+    *
+    * Scale shape: centroids from the shared Lloyd run; scoring is one
+    * broadcast of k·d ints against the corpus with codegen arithmetic
+    * (k rows per vector, same contract as [[probeCells]]), one
+    * vec-keyed window, one k-row rollup.
+    */
+  def silhouette(embs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cents = lloydCentroids(embs, k, iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    val ranked = scaledView(embs)
+      .crossJoin(broadcast(cents.select(col("cluster"), col("cv"))))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(ev, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+    ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("cluster").as("own"), col("d2").as("a"))
+      .join(ranked.where(col("rn") === 2)
+        .select(col("vec_id"), col("d2").as("b")), "vec_id")
+      // the (b − a)·10⁶ product can exceed long for large-magnitude
+      // vectors — widen through DECIMAL(38,0) (the oracle widens through
+      // HUGEINT); div still truncates toward zero in both engines
+      .select(col("own"), expr(
+        "CASE WHEN greatest(a, b) = 0 THEN 0L " +
+          "ELSE CAST((CAST(b AS DECIMAL(38,0)) - a) * 1000000 " +
+          "div greatest(a, b) AS BIGINT) END").as("s"))
+      .groupBy(col("own").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(s) div count(1)").as("avg_s_x1e6"))
+      .orderBy("cluster")
+  }
+
   /** Each vector's `nProbe` NEAREST cells by (d2, cluster) — the
     * query-side assignment of a multi-probe IVF search. Meant for the
     * QUERY set (small): the k-row centroid table broadcasts and the

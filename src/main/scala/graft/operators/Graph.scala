@@ -459,14 +459,28 @@ object Graph {
     * checkpoints are released like every other iterative loop here.
     */
   def bfsDistances(docs: DataFrame, maxHops: Int = 20): DataFrame = {
-    val e0 = bigramEdges(docs)
-    val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = undirectedWordEdges(docs)
     // min over an EMPTY edge set is one NULL row — drop it, or an
     // empty graph would report a phantom (null, 0) source
-    var visited = edges.agg(min(col("src")).as("word"))
+    val source = edges.agg(min(col("src")).as("word"))
       .where(col("word").isNotNull)
+    bfsCore(edges, source, maxHops).orderBy("word")
+  }
+
+  private def undirectedWordEdges(docs: DataFrame): DataFrame = {
+    val e0 = bigramEdges(docs)
+    e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+  }
+
+  /** Frontier-expansion BFS from an arbitrary 1-column (word) source
+    * frame — the engine behind [[bfsDistances]] and
+    * [[diameter2Sweep]].
+    */
+  private def bfsCore(edges: DataFrame, source: DataFrame,
+                      maxHops: Int): DataFrame = {
+    var visited = source.select(col("word"))
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = visited
     var d = 0L
@@ -486,7 +500,33 @@ object Graph {
         d += 1
       } else Dedup.release(next)
     }
-    visited.orderBy("word")
+    visited
+  }
+
+  /** Two-sweep diameter estimate: BFS from the canonical source, hop
+    * to the farthest word found (ties → smallest word), BFS again —
+    * the second sweep's eccentricity is the classic diameter lower
+    * bound (exact on trees, near-exact on most real graphs, Magnien et
+    * al.). One summary row:
+    * `(start_word, far_word, far2_word, diameter_lb)`.
+    *
+    * Scale shape: exactly two [[bfsCore]] runs (frontier-sized joins,
+    * diameter-many rounds); the "farthest" picks are 1-row aggregates
+    * chained as frames, never driver fetches.
+    */
+  def diameter2Sweep(docs: DataFrame, maxHops: Int = 20): DataFrame = {
+    val edges = undirectedWordEdges(docs)
+    val start = edges.agg(min(col("src")).as("word"))
+      .where(col("word").isNotNull)
+    val b1 = bfsCore(edges, start, maxHops)
+    val far1 = b1.orderBy(col("dist").desc, col("word")).limit(1)
+      .localCheckpoint()
+    val b2 = bfsCore(edges, far1.select("word"), maxHops)
+    val far2 = b2.orderBy(col("dist").desc, col("word")).limit(1)
+    start.select(col("word").as("start_word"))
+      .crossJoin(far1.select(col("word").as("far_word")))
+      .crossJoin(far2.select(col("word").as("far2_word"),
+        col("dist").as("diameter_lb")))
   }
 
   /** Market-basket co-occurrence edges: undirected part pairs bought

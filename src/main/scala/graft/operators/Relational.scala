@@ -580,6 +580,63 @@ object Relational {
       .orderBy("s_nationkey")
   }
 
+  /** 2-D skyline (Pareto frontier) of part sizes vs price, minimizing
+    * both: for each size the cheapest retail price, then a size
+    * survives iff no smaller size is at least as cheap — the cummin
+    * walk over the SIZE DOMAIN. The domain reduction is the scalable
+    * move: the data-sized work is one groupBy on size; the frontier
+    * scan touches ≤ |size domain| rows (≤ 50 here) however many parts
+    * exist. A general continuous-attribute skyline would grid one
+    * dimension first to reach this same shape.
+    */
+  def partsSkyline(part: DataFrame): DataFrame = {
+    val per = part.groupBy(col("p_size").cast("long").as("p_size"))
+      .agg(min(expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
+        .as("min_price_c"))
+    val prior = Window.orderBy("p_size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("prior_min", min("min_price_c").over(prior))
+      .where(col("prior_min").isNull ||
+        col("min_price_c") < col("prior_min"))
+      .select("p_size", "min_price_c")
+      .orderBy("p_size")
+  }
+
+  /** Exact percentile GRID (p25/50/75/90/99, rank = ⌈n·q/100⌉) through
+    * the same two-histogram selection as [[exactMedian2Pass]], all
+    * ranks located in ONE walk: the 5-row rank table joins the
+    * domain-sized cumulative bucket histogram by range, then pass 2
+    * re-aggregates only the ≤ 5 selected buckets, keyed by q. Still
+    * zero global sorts over data-sized input.
+    */
+  def exactPercentiles2Pass(events: DataFrame,
+                            qs: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    val cents = events.select(expr("CAST(round(value * 100) AS BIGINT)")
+      .as("v"))
+    val ks = cents.agg(count(lit(1)).as("n"))
+      .select(explode(array(qs.map(q => lit(q.toLong)): _*)).as("q"),
+        col("n"))
+      .withColumn("k", expr("(n * q + 99L) div 100L"))
+    val cumB = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = cents.groupBy(expr("v div 1000L").as("b"))
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("cumb", sum("nb").over(cumB))
+      .join(broadcast(ks),
+        col("cumb") >= col("k") && col("cumb") - col("nb") < col("k"))
+      .select(col("q"), col("n"), col("b"),
+        (col("k") - (col("cumb") - col("nb"))).as("k_in_b"))
+    val cumV = Window.partitionBy("q").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents.join(broadcast(sel), expr("v div 1000L") === col("b"))
+      .groupBy("q", "n", "k_in_b", "v").agg(count(lit(1)).as("nv"))
+      .withColumn("cumv", sum("nv").over(cumV))
+      .where(col("cumv") >= col("k_in_b") &&
+        col("cumv") - col("nv") < col("k_in_b"))
+      .select(col("q"), col("n"), col("v").as("value_cents"))
+      .orderBy("q")
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

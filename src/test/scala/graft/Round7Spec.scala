@@ -211,6 +211,43 @@ class Round7Spec extends SparkSpec {
       ((7L, 2L, 625000L)))
   }
 
+  test("silhouette: separated clusters score near 10⁶, bounded in [-1e6,1e6]") {
+    val embs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.1f)),
+      (4L, Array(10.0f, 10.0f)), (5L, Array(10.1f, 10.0f)),
+      (6L, Array(10.0f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val got = operators.Clustering.silhouette(embs, 2, 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).sum == 6L)
+    assert(got.forall { case (_, s) => s >= 900000L && s <= 1000000L })
+  }
+
+  test("partsSkyline: cummin Pareto frontier over the size domain") {
+    val part = Seq((1, 5.0), (2, 3.0), (3, 4.0), (4, 2.0))
+      .toDF("p_size", "p_retailprice")
+    val got = Relational.partsSkyline(part).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 500L), (2L, 300L), (4L, 200L)))
+  }
+
+  test("diameter2Sweep: path graph eccentricity from both sweeps") {
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val r = operators.Graph.diameter2Sweep(docs).collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2),
+      r.getLong(3)) == (("a", "d", "a", 3L)))
+  }
+
+  test("exactPercentiles2Pass: ceil-rank grid over 1..10") {
+    val events = (1 to 10).map(_.toDouble).toDF("value")
+    val got = Relational.exactPercentiles2Pass(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(25L -> 300L, 50L -> 500L, 75L -> 800L,
+      90L -> 900L, 99L -> 1000L))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
