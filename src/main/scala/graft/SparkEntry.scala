@@ -1461,6 +1461,18 @@ object SparkEntry {
     // exact p25/50/75/90/99 grid via one two-pass histogram selection
     "events_percentile_grid" -> ((s, dir) =>
       Relational.exactPercentiles2Pass(Tables.events(s, dir))),
+    // bounded k-truss peel: cohesive word-graph edges by tri support
+    "word_ktruss_edges" -> ((s, dir) =>
+      Graph.ktrussEdges(Tables.documents(s, dir))),
+    // one-pass sessionizer gap-parameter sweep (10/30/60 min)
+    "events_session_sensitivity" -> ((s, dir) =>
+      Relational.sessionSensitivity(Tables.events(s, dir))),
+    // repurchase cadence: weekly histogram of inter-order gaps
+    "customer_interorder_gaps" -> ((s, dir) =>
+      Relational.interorderGaps(Tables.orders(s, dir))),
+    // grid-partitioned DBSCAN on the 2-D embedding slice
+    "emb_dbscan" -> ((s, dir) =>
+      Clustering.dbscanGrid(Tables.embeddings(s, dir))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -5052,7 +5064,103 @@ object SparkEntry {
          |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM c)
          |SELECT q, n, v AS value_cents FROM r JOIN kk ON rk = kk.k
          |ORDER BY q""".stripMargin,
+    "word_ktruss_edges" -> ktrussOracle(2, 3),
+    "events_session_sensitivity" ->
+      s"""WITH g AS (SELECT user_id, epoch_ms(ts) AS tm, event_id,
+         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_id) AS prev
+         |  FROM events),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN prev IS NULL OR tm - prev > 600000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s10,
+         |    CAST(sum(CASE WHEN prev IS NULL OR tm - prev > 1800000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s30,
+         |    CAST(sum(CASE WHEN prev IS NULL OR tm - prev > 3600000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s60
+         |  FROM g)
+         |SELECT CAST(10 AS BIGINT) AS gap_min, s10 AS n_sessions FROM a
+         |UNION ALL SELECT 30, s30 FROM a
+         |UNION ALL SELECT 60, s60 FROM a ORDER BY gap_min""".stripMargin,
+    // brute ε-join mirror of the grid DBSCAN (the grid is a pruning,
+    // not a semantics change); MATERIALIZED everywhere — nb is
+    // referenced four times and the reach CTE rides ce
+    "emb_dbscan" ->
+      """WITH RECURSIVE p AS MATERIALIZED (SELECT vec_id,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE)*1000) AS BIGINT) x,
+        |    CAST(round(CAST(embedding[2] AS DOUBLE)*1000) AS BIGINT) y
+        |  FROM embeddings),
+        |nb AS MATERIALIZED (SELECT a.vec_id ia, b.vec_id ib
+        |  FROM p a JOIN p b
+        |  ON (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 1600),
+        |core AS MATERIALIZED (SELECT ia AS v FROM (
+        |  SELECT ia, count(*) c FROM nb GROUP BY 1) WHERE c >= 5),
+        |ce AS MATERIALIZED (SELECT ia, ib FROM nb
+        |  JOIN core ca ON nb.ia = ca.v JOIN core cb ON nb.ib = cb.v
+        |  WHERE ia <> ib),
+        |reach(id, r) AS (
+        |  SELECT v, v FROM core
+        |  UNION
+        |  SELECT ce.ib, reach.r FROM ce JOIN reach ON ce.ia = reach.id),
+        |lbl AS MATERIALIZED (SELECT id AS v, min(r) AS cluster
+        |  FROM reach GROUP BY 1),
+        |brd AS MATERIALIZED (SELECT nb.ia AS v, min(l.cluster) AS cluster
+        |  FROM nb JOIN lbl l ON nb.ib = l.v
+        |  WHERE nb.ia NOT IN (SELECT v FROM core) GROUP BY 1)
+        |SELECT p.vec_id, coalesce(l.cluster, b.cluster, -1) AS cluster,
+        |  CASE WHEN l.v IS NOT NULL THEN 'core'
+        |       WHEN b.v IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+        |FROM p LEFT JOIN lbl l ON p.vec_id = l.v
+        |  LEFT JOIN brd b ON p.vec_id = b.v
+        |ORDER BY vec_id""".stripMargin,
+    "customer_interorder_gaps" ->
+      s"""SELECT (open_day - prev) // 7 AS gap_weeks,
+         |  count(*)::BIGINT AS n_gaps FROM (
+         |  SELECT o_custkey,
+         |    epoch_ms(o_orderdate) // 86400000 AS open_day,
+         |    lag(epoch_ms(o_orderdate) // 86400000) OVER (
+         |      PARTITION BY o_custkey
+         |      ORDER BY epoch_ms(o_orderdate) // 86400000, o_orderkey)
+         |      AS prev
+         |  FROM orders)
+         |WHERE prev IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** Unrolled bounded k-truss peel for `word_ktruss_edges` — per round
+    * a canonical x<y<z triangle enumeration, per-edge support count,
+    * and the support filter; the final round's support is reported.
+    * Mirrors [[operators.Graph.ktrussEdges]] peel for peel.
+    */
+  private def ktrussOracle(minSupport: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing (same trap as the k-core oracle):
+    // every s$i references t$i three times and t$i its edge CTE three
+    // times, so inlining compounds ~9x per peel round — the unrolled
+    // 3-round oracle re-evaluates the document scan thousands of times
+    // (>7 min at sf0.01) while the materialized form runs in <1 s.
+    def tri(i: Int, src: String) =
+      s"""t$i AS MATERIALIZED (SELECT a.ea AS x, a.eb AS y, b.eb AS z
+         |  FROM $src a JOIN $src b ON a.ea = b.ea AND a.eb < b.eb
+         |  JOIN $src c ON c.ea = a.eb AND c.eb = b.eb),
+         |s$i AS MATERIALIZED (SELECT ea, eb, count(*)::BIGINT AS cnt FROM (
+         |  SELECT x AS ea, y AS eb FROM t$i
+         |  UNION ALL SELECT x, z FROM t$i
+         |  UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""${tri(i, s"e${i - 1}")},
+         |e$i AS MATERIALIZED (SELECT ea, eb FROM s$i WHERE cnt >= $minSupport)""".stripMargin
+    }.mkString(",\n")
+    val fin = rounds + 1
+    s"""WITH p0 AS MATERIALIZED (SELECT ws[i+1] AS s, ws[i+2] AS t
+       |  FROM (SELECT $SqlWs AS ws FROM documents),
+       |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+       |  WHERE len(ws) >= 2),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS ea, greatest(s, t) AS eb
+       |  FROM p0 WHERE s != t),
+       |$steps,
+       |${tri(fin, s"e$rounds")}
+       |SELECT ea AS word_a, eb AS word_b, cnt AS tri_support
+       |FROM s$fin ORDER BY tri_support DESC, word_a, word_b
+       |LIMIT 20""".stripMargin
+  }
 
   /** Unrolled Bellman-Ford for `word_sssp` — each step is
     * `min(dist ∪ relax(dist))`, mirroring

@@ -676,6 +676,56 @@ object Graph {
       .limit(topK)
   }
 
+  /** Bounded k-truss peel (k = `minSupport` + 2) over the word graph:
+    * each round enumerates triangles in the CURRENT graph (canonical
+    * x<y<z wedge join — each triangle once, mirrored 1:1 by the
+    * oracle), credits each of its three edges, and drops edges below
+    * `minSupport` triangles; after `rounds` peels the surviving edges
+    * are reported with their support in the final graph. A fixed round
+    * budget bounds the cohesion refinement the same way the fixed-round
+    * SSSP bounds path length; the peel is idempotent at its fixed
+    * point, so early convergence equals the unrolled result.
+    *
+    * Scale shape: per round two self-joins keyed on edge endpoints and
+    * one edge-keyed count — all edge/triangle-sized; the edge frame is
+    * `localCheckpoint`ed per peel. (The count-only
+    * [[triangleCount]] keeps its degree-oriented join; here the
+    * canonical orientation keeps Spark and SQL enumeration identical.)
+    */
+  def ktrussEdges(docs: DataFrame, minSupport: Long = 2L, rounds: Int = 3,
+                  topK: Int = 20): DataFrame = {
+    def support(edges: DataFrame): DataFrame = {
+      val tris = edges.toDF("x", "y")
+        .join(edges.toDF("x2", "z"),
+          col("x") === col("x2") && col("y") < col("z"))
+        .join(edges.toDF("y3", "z3"),
+          col("y") === col("y3") && col("z") === col("z3"))
+        .select(col("x"), col("y"), col("z"))
+      tris.select(explode(array(
+          struct(col("x").as("ea"), col("y").as("eb")),
+          struct(col("x").as("ea"), col("z").as("eb")),
+          struct(col("y").as("ea"), col("z").as("eb")))).as("e"))
+        .select(col("e.ea").as("ea"), col("e.eb").as("eb"))
+        .groupBy("ea", "eb").agg(count(lit(1)).as("tri_support"))
+    }
+    var edges = bigramEdges(docs)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("ea"),
+        greatest(col("src"), col("dst")).as("eb"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prev = edges
+      edges = support(edges).where(col("tri_support") >= minSupport)
+        .select("ea", "eb").localCheckpoint()
+      Dedup.release(prev)
+    }
+    support(edges)
+      .select(col("ea").as("word_a"), col("eb").as("word_b"),
+        col("tri_support"))
+      .orderBy(col("tri_support").desc, col("word_a"), col("word_b"))
+      .limit(topK)
+  }
+
   /** Weighted single-source shortest paths over the word adjacency
     * graph — Bellman-Ford with a FIXED round budget. Edge cost is
     * `10⁶ div multiplicity` (frequent collocations are "close"),

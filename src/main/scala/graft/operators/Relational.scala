@@ -637,6 +637,42 @@ object Relational {
       .orderBy("q")
   }
 
+  /** Session-gap sensitivity: how many sessions the log contains at
+    * gap thresholds of 10/30/60 minutes, from ONE pass — the lag gap
+    * is computed once per event and three conditional sums fold it,
+    * so tuning the sessionizer's gap parameter costs one scan, not
+    * one scan per candidate. Output unpivots via `stack` (3 rows).
+    */
+  def sessionSensitivity(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    def starts(mins: Long) = sum(when(col("prev").isNull ||
+      col("ts_ms") - col("prev") > mins * 60000L, 1L).otherwise(0L))
+    events.select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("prev", lag("ts_ms", 1).over(w))
+      .agg(starts(10).as("s10"), starts(30).as("s30"),
+        starts(60).as("s60"))
+      .select(expr(
+        "stack(3, 10L, s10, 30L, s30, 60L, s60) AS (gap_min, n_sessions)"))
+      .orderBy("gap_min")
+  }
+
+  /** Inter-order gap distribution: days between a customer's
+    * consecutive orders, bucketed by week — the repurchase-cadence
+    * histogram. One customer-keyed lag window, one bucket rollup;
+    * output is gap-domain-sized.
+    */
+  def interorderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("open_day", "o_orderkey")
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("open_day"))
+      .withColumn("prev", lag("open_day", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(expr("(open_day - prev) div 7L").as("gap_weeks"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("gap_weeks")
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

@@ -248,6 +248,72 @@ class Round7Spec extends SparkSpec {
       90L -> 900L, 99L -> 1000L))
   }
 
+  test("ktrussEdges: K4 survives the peel, pendant edge drops round 1") {
+    // "a b c d a c b d" walks all 6 K4 edges; "d e" is a pendant.
+    // Every K4 edge sits in exactly 2 triangles -> survives minSupport=2
+    // through all rounds with final support 2; (d,e) has 0 -> peeled.
+    val docs = Seq((1L, "a b c d a c b d"), (2L, "d e"))
+      .toDF("doc_id", "text")
+    val got = operators.Graph.ktrussEdges(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    assert(got.values.forall(_ == 2L))
+  }
+
+  test("ktrussEdges: peel cascades — shared edge dies once its wings do") {
+    // Two triangles sharing edge (a,b): ab has support 2, the four
+    // wing edges support 1. Round 1 peels the wings; round 2 finds ab
+    // triangle-less and peels it too. Nothing survives.
+    val docs = Seq((1L, "a b c a"), (2L, "a b d a")).toDF("doc_id", "text")
+    assert(operators.Graph.ktrussEdges(docs).count() == 0L)
+  }
+
+  test("sessionSensitivity: one gap scan, three thresholds") {
+    // gaps of 15 min and 35 min: >10 splits both, >30 one, >60 none
+    val events = ev(Seq((1L, 1L, 0L, "view"),
+      (1L, 2L, 15L * 60000L, "view"), (1L, 3L, 50L * 60000L, "view")))
+    val got = Relational.sessionSensitivity(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 3L, 30L -> 2L, 60L -> 1L))
+  }
+
+  test("interorderGaps: weekly buckets of per-customer day deltas") {
+    val orders = Seq(
+      (1L, 10L, "1996-01-01"), (1L, 11L, "1996-01-11"),
+      (1L, 12L, "1996-01-25"), (2L, 20L, "1996-03-01"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val got = Relational.interorderGaps(orders).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 10-day gap -> week 1; 14-day gap -> week 2; lone order -> none
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("dbscanGrid: two planted clusters, border joins, density stops") {
+    // eps=40 milli, minPts=5. A: ids 1-5 mutually within eps (all
+    // core). id 6 sits within eps of two A-cores but has only 3
+    // neighbors -> border of A. id 7 touches only the border -> noise
+    // (density-reachability does NOT propagate through borders).
+    // B: ids 8-12, negative coords straddling the -480 cell boundary
+    // (floor-division cell ids on negatives). id 13 isolated noise.
+    def e(id: Long, x: Double, y: Double) =
+      (id, Array(x.toFloat, y.toFloat))
+    val embs = Seq(
+      e(1, 0.0, 0.0), e(2, 0.010, 0.0), e(3, 0.020, 0.0),
+      e(4, 0.0, 0.010), e(5, 0.0, 0.020), e(6, 0.050, 0.0),
+      e(7, 0.090, 0.0),
+      e(8, -0.500, -0.500), e(9, -0.490, -0.500), e(10, -0.480, -0.500),
+      e(11, -0.500, -0.490), e(12, -0.500, -0.480),
+      e(13, 0.300, 0.300)).toDF("vec_id", "embedding")
+    val got = operators.Clustering.dbscanGrid(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    (1L to 5L).foreach(i => assert(got(i) == ((1L, "core")), s"id $i"))
+    assert(got(6L) == ((1L, "border")))
+    assert(got(7L) == ((-1L, "noise")))
+    (8L to 12L).foreach(i => assert(got(i) == ((8L, "core")), s"id $i"))
+    assert(got(13L) == ((-1L, "noise")))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
