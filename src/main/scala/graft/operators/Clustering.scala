@@ -430,4 +430,74 @@ object Clustering {
       .limit(topK)
       .select(col("vec_id"), col("res_d2"))
   }
+
+  /** Grid-partitioned DBSCAN over the first two embedding dimensions
+    * (milli-scaled ints): a point is CORE when ≥ `minPts` points
+    * (itself included) lie within `eps` (squared-L2 in milli units),
+    * core points within eps of each other form clusters (connected
+    * components, labeled by min vec_id), non-core points within eps of
+    * a core join that core's cluster as BORDER (min cluster label on
+    * ties), everything else is NOISE (cluster −1).
+    *
+    * Scale shape — the textbook quadratic ε-neighborhood join is
+    * replaced by the grid join: each point keys itself by its
+    * `eps`-cell and probes the 3×3 cell neighborhood, so candidate
+    * pairs are bounded by Σ (9·cell²) over occupied cells, not n².
+    * Two cell-keyed shuffles (index + probe), one count per point,
+    * then [[Dedup.componentsStar]]'s O(log n) contraction over the
+    * core-adjacency edges. Cell ids use an explicit non-negative mod
+    * so floor semantics agree across engines on negative coordinates.
+    * At 100 TB: salt overfull cells (the skew treatment every grid
+    * join shares) and raise eps-cell granularity so cell populations
+    * stay bounded; the role/label logic is unchanged.
+    */
+  def dbscanGrid(embs: DataFrame, eps: Long = 40L, minPts: Long = 5L)
+      : DataFrame = {
+    val p = embs.select(col("vec_id"),
+      expr("cast(round(cast(embedding[0] as double) * 1000) as long)")
+        .as("x"),
+      expr("cast(round(cast(embedding[1] as double) * 1000) as long)")
+        .as("y")).localCheckpoint()
+    // exact floor-division cell id: the non-negative-mod numerator is
+    // divisible by eps, so truncating `div` IS floor here (stays long)
+    def cellOf(c: Column): Column =
+      expr(s"(${c.toString} - ((${c.toString} % $eps + $eps) % $eps)) div $eps")
+    val idx = p.select(col("vec_id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), cellOf(col("x")).as("cx"), cellOf(col("y")).as("cy"))
+    val probe = p.select(col("vec_id").as("ia"), col("x").as("xa"),
+        col("y").as("ya"), cellOf(col("x")).as("px"), cellOf(col("y")).as("py"))
+      .select(col("ia"), col("xa"), col("ya"),
+        explode(expr("transform(sequence(-1, 1), d -> px + d)")).as("cx"),
+        col("py"))
+      .select(col("ia"), col("xa"), col("ya"), col("cx"),
+        explode(expr("transform(sequence(-1, 1), d -> py + d)")).as("cy"))
+    val nb = probe.join(idx, Seq("cx", "cy"))
+      .where((col("xa") - col("xb")) * (col("xa") - col("xb"))
+        + (col("ya") - col("yb")) * (col("ya") - col("yb")) <= eps * eps)
+      .select("ia", "ib").localCheckpoint()
+    val core = nb.groupBy("ia").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minPts).select(col("ia").as("v"))
+      .localCheckpoint()
+    val coreEdges = nb
+      .join(core.toDF("va"), col("ia") === col("va"))
+      .join(core.toDF("vb"), col("ib") === col("vb"))
+      .where(col("ia") =!= col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    // singleton cores never enter an edge — label them with themselves
+    val lbl = core
+      .join(Dedup.componentsStar(coreEdges).toDF("v", "comp"),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("comp"), col("v")).as("cluster"))
+    val border = nb.join(core.toDF("va"), col("ia") === col("va"), "left_anti")
+      .join(lbl, col("ib") === col("v"))
+      .groupBy("ia").agg(min("cluster").as("cluster"))
+      .select(col("ia").as("v"), col("cluster"), lit("border").as("role"))
+    val roles = lbl.select(col("v"), col("cluster"), lit("core").as("role"))
+      .unionByName(border)
+    p.join(roles, col("vec_id") === col("v"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        coalesce(col("role"), lit("noise")).as("role"))
+      .orderBy("vec_id")
+  }
 }
