@@ -1473,6 +1473,18 @@ object SparkEntry {
     // grid-partitioned DBSCAN on the 2-D embedding slice
     "emb_dbscan" -> ((s, dir) =>
       Clustering.dbscanGrid(Tables.embeddings(s, dir))),
+    // t-closeness EMD audit over the (nation, segment) QI classes
+    "pii_t_closeness" -> ((s, dir) =>
+      Basket.tClosenessProfile(Tables.customer(s, dir))),
+    // CDC-style resettable accumulator: spend since the last error
+    "events_since_last_error" -> ((s, dir) =>
+      Relational.sinceLastError(Tables.events(s, dir))),
+    // reciprocal-rank fusion of the BM25 and tf-sum rankers
+    "doc_hybrid_rrf" -> ((s, dir) =>
+      TextAnalysis.hybridRrf(Tables.documents(s, dir))),
+    // integer Zipf slope of the frequency-rank curve
+    "word_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, dir))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -5081,6 +5093,93 @@ object SparkEntry {
          |SELECT CAST(10 AS BIGINT) AS gap_min, s10 AS n_sessions FROM a
          |UNION ALL SELECT 30, s30 FROM a
          |UNION ALL SELECT 60, s60 FROM a ORDER BY gap_min""".stripMargin,
+    "pii_t_closeness" ->
+      """WITH cb AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+        |    count(*)::BIGINT AS cnt FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT band, CAST(sum(cnt) AS BIGINT) AS gcnt
+        |  FROM cb GROUP BY 1),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(cnt) AS BIGINT) AS class_n FROM cb GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS total_n,
+        |    count(*)::BIGINT AS m FROM g),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_n,
+        |    g.band, g.gcnt, coalesce(cb.cnt, 0) AS cnt
+        |  FROM cls CROSS JOIN g LEFT JOIN cb
+        |    ON cb.c_nationkey = cls.c_nationkey
+        |    AND cb.c_mktsegment = cls.c_mktsegment AND cb.band = g.band),
+        |c2 AS (SELECT *,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS cum,
+        |    CAST(sum(gcnt) OVER w AS BIGINT) AS gcum
+        |  FROM grid WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+        |    ORDER BY band ROWS UNBOUNDED PRECEDING))
+        |SELECT c_nationkey, c_mktsegment, class_n,
+        |  CAST(sum(abs(cum * total_n - gcum * class_n)) * 1000000
+        |    // (max(class_n) * max(total_n) * (max(m) - 1)) AS BIGINT)
+        |    AS emd_ppm,
+        |  CAST(sum(abs(cum * total_n - gcum * class_n)) * 1000000
+        |    // (max(class_n) * max(total_n) * (max(m) - 1)) AS BIGINT)
+        |    > 250000 AS risky
+        |FROM c2 CROSS JOIN tot
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "events_since_last_error" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_type
+        |  FROM events),
+        |r AS (SELECT user_id, max(CASE WHEN event_type = 'error'
+        |    THEN ts_ms END) AS reset_ms FROM e GROUP BY 1)
+        |SELECT e.user_id,
+        |  CAST(sum(CASE WHEN reset_ms IS NULL OR ts_ms > reset_ms
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_since,
+        |  CAST(sum(CASE WHEN reset_ms IS NULL OR ts_ms > reset_ms
+        |    THEN cents ELSE 0 END) AS BIGINT) AS cents_since
+        |FROM e JOIN r USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same fixed-point BM25 pipeline as doc_bm25_topk, plus the tf-sum
+    // ranker and the rank-space fusion
+    "doc_hybrid_rrf" ->
+      s"""WITH tf AS (SELECT doc_id, word, count(*) AS tf
+         |            FROM (${sqlWords(" doc_id,")}) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_milli FROM dl),
+         |q AS (SELECT word FROM (
+         |        SELECT word, CAST(sum(tf) AS BIGINT) AS gcnt FROM tf GROUP BY 1)
+         |      ORDER BY gcnt DESC, word LIMIT 3),
+         |p AS (SELECT tf.* FROM tf JOIN q USING (word)),
+         |dfq AS (SELECT word, count(*) AS df FROM p GROUP BY 1),
+         |sc AS (SELECT p.doc_id,
+         |         (n_docs * 1000000 // df)
+         |           * ((tf * 2200 * 1000000)
+         |              // (tf * 1000
+         |                  + (1200 * (250 + (750000 * dl) // avgdl_milli)) // 1000))
+         |           // 1000000 AS c
+         |       FROM p JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+         |bm AS (SELECT doc_id, row_number()
+         |      OVER (ORDER BY score_micro DESC, doc_id) AS rn FROM (
+         |    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM sc
+         |    GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 100)),
+         |ts AS (SELECT doc_id, row_number()
+         |      OVER (ORDER BY tfsum DESC, doc_id) AS rn FROM (
+         |    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tfsum FROM p
+         |    GROUP BY 1 ORDER BY tfsum DESC, doc_id LIMIT 100))
+         |SELECT coalesce(bm.doc_id, ts.doc_id) AS doc_id,
+         |  CAST(coalesce(1000000 // (60 + bm.rn), 0)
+         |     + coalesce(1000000 // (60 + ts.rn), 0) AS BIGINT) AS rrf_micro
+         |FROM bm FULL JOIN ts ON bm.doc_id = ts.doc_id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "word_zipf_slope" ->
+      s"""WITH c AS (SELECT word, count(*)::BIGINT AS cnt
+         |  FROM (${sqlWords()}) GROUP BY 1),
+         |xy AS (SELECT
+         |    CAST(length(bin(row_number()
+         |      OVER (ORDER BY cnt DESC, word))) - 1 AS BIGINT) AS x,
+         |    CAST(length(bin(cnt)) - 1 AS BIGINT) AS y FROM c)
+         |SELECT count(*)::BIGINT AS n_words,
+         |  CAST((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000000
+         |    // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+         |    AS slope_micro
+         |FROM xy""".stripMargin,
     // brute ε-join mirror of the grid DBSCAN (the grid is a pruning,
     // not a semantics change); MATERIALIZED everywhere — nb is
     // referenced four times and the reach CTE rides ce

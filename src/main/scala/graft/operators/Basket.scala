@@ -174,4 +174,52 @@ object Basket {
       .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
       .limit(k)
   }
+
+  /** t-closeness audit, the third rung after [[kAnonymityProfile]] /
+    * [[lDiversityProfile]]: per quasi-identifier class, the Earth
+    * Mover's Distance between the class's sensitive-value distribution
+    * (account balance in 1000-unit bands, an ORDERED attribute) and
+    * the global one — a class can be large and diverse yet still leak
+    * because its distribution is skewed. For ordered values,
+    * EMD = Σᵢ |cum_pᵢ − cum_qᵢ| / (m−1) over the m bands.
+    *
+    * Exact integers throughout: the cumulative difference is kept in
+    * the common denominator `class_n · total_n`
+    * (`Dᵢ = cumᵢ·total_n − gcumᵢ·class_n`) and only the final EMD is
+    * truncated to ppm. Validity window: |D| ≤ class_n·total_n, and the
+    * ppm rescale multiplies by 10⁶ — exact to ~10⁶ rows per class ×
+    * ~10¹¹ total; at larger corpora drop the scale to per-mille.
+    *
+    * Scale shape: one (QI, band) aggregate, one band-sized global
+    * aggregate, then everything is (QI classes × m) — grid-sized, not
+    * row-sized; the cumulative windows run over that grid.
+    */
+  def tClosenessProfile(customer: DataFrame, tPpm: Long = 250000L)
+      : DataFrame = {
+    val banded = customer.select(col("c_nationkey"), col("c_mktsegment"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("band"))
+    val classBand = banded.groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("cnt"))
+    val globalBand = classBand.groupBy("band").agg(sum("cnt").as("gcnt"))
+    val classes = classBand.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("cnt").as("class_n"))
+    // dense (class × band) grid so missing bands still accumulate
+    val grid = classes.crossJoin(broadcast(globalBand))
+      .join(classBand, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val wCum = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("gcum", sum("gcnt").over(wCum))
+      .crossJoin(broadcast(globalBand.agg(
+        sum("gcnt").as("total_n"), count(lit(1)).as("m"))))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("class_n"))
+      .agg(expr(
+        """sum(abs(cum * total_n - gcum * class_n)) * 1000000L
+          |  div (max(class_n) * max(total_n) * (max(m) - 1))"""
+          .stripMargin).as("emd_ppm"))
+      .withColumn("risky", col("emd_ppm") > tPpm)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
 }

@@ -673,6 +673,37 @@ object Relational {
       .orderBy("gap_weeks")
   }
 
+  /** Resettable accumulator (the CDC delete-marker pattern): per user,
+    * events STRICTLY AFTER the user's last 'error' are summed — an
+    * error resets the running state the way a CDC delete tombstones a
+    * key. Users whose stream never errors keep everything; users whose
+    * stream ends in an error report a zero row (count 0), not an
+    * absent one — absence and emptiness are different facts.
+    *
+    * "After" is `ts_ms > last_error_ms` (events sharing the reset's
+    * exact millisecond are excluded with it) — a total, engine-
+    * independent predicate that needs no event-id tiebreak.
+    *
+    * Plan shape: the last-error max is a window over the SAME
+    * user-hash exchange the final aggregate uses — one shuffle total,
+    * no self-join of events against per-user maxima.
+    */
+  def sinceLastError(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), col("ts_ms"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("reset_ms", max(when(col("event_type") === "error",
+        col("ts_ms"))).over(byUser))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("reset_ms").isNull || col("ts_ms") > col("reset_ms"),
+          1L).otherwise(0L)).as("n_since"),
+        sum(when(col("reset_ms").isNull || col("ts_ms") > col("reset_ms"),
+          col("cents")).otherwise(0L)).as("cents_since"))
+      .orderBy("user_id")
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

@@ -794,6 +794,74 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.):
+    * two rankers score the same corpus-derived query — [[bm25TopDocs]]
+    * (saturating, length-normalized) and a raw tf-sum ranker (the
+    * "other signal": unnormalized term mass) — and RRF fuses them in
+    * RANK space, `score = Σ_rankers 10⁶ div (60 + rank)`, which is
+    * integer-exact and immune to the rankers' incomparable score
+    * scales. A doc missing from one ranker's top-`k` contributes
+    * nothing for it — the standard truncated-list RRF.
+    *
+    * Scale shape: each ranker is already top-`k`-bounded, so ranks are
+    * row_numbers over k-row frames (bounded single-partition windows,
+    * same contract as the other post-top-k orderings); the fusion is a
+    * k-row full outer join. The corpus-scale work lives inside
+    * [[bm25TopDocs]] and the one tf aggregation they conceptually
+    * share.
+    */
+  def hybridRrf(docs: DataFrame, nTerms: Int = 3, k: Int = 100,
+                topK: Int = 20, rrfK: Long = 60L): DataFrame = {
+    val tf = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val q = tf.groupBy("word").agg(sum("tf").as("gcnt"))
+      .orderBy(col("gcnt").desc, col("word")).limit(nTerms)
+      .select("word")
+    val tfTop = tf.join(broadcast(q), "word")
+      .groupBy("doc_id").agg(sum("tf").as("tfsum"))
+      .orderBy(col("tfsum").desc, col("doc_id")).limit(k)
+    val rTf = tfTop.withColumn("rn", row_number().over(
+      Window.orderBy(col("tfsum").desc, col("doc_id"))))
+      .select(col("doc_id"),
+        expr(s"1000000L div ($rrfK + rn)").as("c_tf"))
+    val rBm = bm25TopDocs(docs, nTerms, k).withColumn("rn",
+        row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("doc_id"),
+        expr(s"1000000L div ($rrfK + rn)").as("c_bm"))
+    rBm.join(rTf, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("c_bm"), lit(0L)) + coalesce(col("c_tf"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Zipf slope of the corpus frequency–rank curve in EXACT integer
+    * arithmetic: both axes are the floor-log₂ surrogate
+    * `length(bin(x)) − 1` (bit length is engine-identical; no float
+    * log anywhere), and the slope is the two-moment OLS identity
+    * `(n·Σxy − Σx·Σy)·10⁶ div (n·Σxx − Σx²)` in micro units. A healthy
+    * Zipfian corpus fits near −1; a templated/duplicated one flattens.
+    * One vocabulary-sized aggregate after the word count; ranks come
+    * from a window over the vocab frame (word-domain-sized, not
+    * corpus-sized).
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val counts = WordCount.explodeWords(docs, "text", Nil)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))))
+      .select(
+        expr("length(bin(rnk)) - 1").cast("long").as("x"),
+        expr("length(bin(cnt)) - 1").cast("long").as("y"))
+      .agg(count(lit(1)).as("n_words"),
+        expr("""(count(1) * sum(x * y) - sum(x) * sum(y)) * 1000000L
+               |  div (count(1) * sum(x * x) - sum(x) * sum(x))"""
+          .stripMargin).as("slope_micro"))
+  }
+
   /** Sparse bag-of-words similarity join through the inverted index:
     * pairs of documents scored by the integer dot product of their
     * term-frequency vectors, restricted to terms with document

@@ -314,6 +314,50 @@ class Round7Spec extends SparkSpec {
     assert(got(13L) == ((-1L, "noise")))
   }
 
+  test("tClosenessProfile: exact EMD in the common denominator") {
+    // global bands: {0:2, 1:1, 2:1}, total=4, m=3. Class (1,X) is all
+    // band 0: cum(2,2,2), gcum(2,3,4), D=(4,2,0) -> 6*1e6/(2*4*2)
+    val customer = Seq(
+      (1L, "X", 100.0), (1L, "X", 200.0),
+      (2L, "X", 1500.0), (2L, "X", 2500.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = operators.Basket.tClosenessProfile(customer).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq((1L, 375000L, true), (2L, 375000L, true)))
+  }
+
+  test("sinceLastError: error resets the accumulator, absence keeps all") {
+    val events = Seq(
+      (1L, 10L, "view", 1.00), (1L, 20L, "error", 2.00),
+      (1L, 30L, "click", 3.00),
+      (2L, 10L, "view", 5.00), (2L, 20L, "click", 7.00),
+      (3L, 10L, "view", 9.00), (3L, 20L, "error", 1.00))
+      .toDF("user_id", "ts_ms", "event_type", "value")
+    val got = operators.Relational.sinceLastError(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 300L)))   // only the post-error click
+    assert(got(2L) == ((2L, 1200L)))  // never errored: everything
+    assert(got(3L) == ((0L, 0L)))     // ends in error: empty, not absent
+  }
+
+  test("hybridRrf: rank-1-in-both fuses to two full contributions") {
+    // query = top-3 global words {aa, bb, cc}; doc 1 dominates both
+    // rankers -> 2*(1e6 div 61); doc 2 is rank 2 twice -> 2*(1e6 div 62)
+    val docs = Seq((1L, "aa bb cc aa bb cc"), (2L, "aa dd ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.hybridRrf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 32786L, 2L -> 32258L))
+  }
+
+  test("zipfSlope: two-moment identity over exact bit-length logs") {
+    // counts 8,4,2,1 at ranks 1..4 -> points (0,3),(1,2),(1,1),(2,0)
+    val docs = Seq((1L, "a a a a a a a a b b b b c c d"))
+      .toDF("doc_id", "text")
+    val r = operators.TextAnalysis.zipfSlope(docs).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, -1500000L)))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
