@@ -1485,6 +1485,29 @@ object SparkEntry {
     // integer Zipf slope of the frequency-rank curve
     "word_zipf_slope" -> ((s, dir) =>
       TextAnalysis.zipfSlope(Tables.documents(s, dir))),
+    // radius-bounded multi-source BFS closeness on co-purchase graph
+    "part_closeness" -> ((s, dir) =>
+      Graph.closenessBfs(Tables.lineitem(s, dir))),
+    // two-set KMV sketch with set ops: en/de vocab Jaccard (a planted
+    // en-only doc keeps the overlap strictly partial — the synthetic
+    // corpora share their whole vocabulary otherwise)
+    "vocab_jaccard_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(("en", "graftplanted graftsingleton"))
+        .toDF("lang", "text")
+      val docs = Tables.documents(s, dir).select("lang", "text")
+        .unionByName(planted)
+        .where(org.apache.spark.sql.functions.col("lang").isin("en", "de"))
+      WordCount.explodeWords(docs, "text", Seq("lang"))
+        .agg(graft.functions.KmvJaccard.kmv_jaccard(
+          org.apache.spark.sql.functions.col("word"),
+          org.apache.spark.sql.functions.col("lang") === "en").as("j"))
+        .select(
+          org.apache.spark.sql.functions.col("j.n_a").as("n_en"),
+          org.apache.spark.sql.functions.col("j.n_b").as("n_de"),
+          org.apache.spark.sql.functions.col("j.n_inter").as("n_shared"),
+          org.apache.spark.sql.functions.col("j.jaccard_ppm"))
+    }),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -5093,6 +5116,56 @@ object SparkEntry {
          |SELECT CAST(10 AS BIGINT) AS gap_min, s10 AS n_sessions FROM a
          |UNION ALL SELECT 30, s30 FROM a
          |UNION ALL SELECT 60, s60 FROM a ORDER BY gap_min""".stripMargin,
+    // exact mirror of the sketch's below-k contract: set counts over
+    // the same planted corpus
+    "vocab_jaccard_sketch" ->
+      s"""WITH docs2 AS (
+         |  SELECT lang, text FROM documents
+         |  UNION ALL SELECT 'en', 'graftplanted graftsingleton'),
+         |en AS (SELECT DISTINCT word
+         |  FROM (${sqlWords(where = " WHERE lang = 'en'", from = "docs2")})),
+         |de AS (SELECT DISTINCT word
+         |  FROM (${sqlWords(where = " WHERE lang = 'de'", from = "docs2")})),
+         |s AS (SELECT (SELECT count(*) FROM en)::BIGINT AS n_en,
+         |  (SELECT count(*) FROM de)::BIGINT AS n_de,
+         |  (SELECT count(*) FROM en JOIN de USING (word))::BIGINT AS n_shared)
+         |SELECT n_en, n_de, n_shared,
+         |  CASE WHEN n_en + n_de - n_shared = 0 THEN 0
+         |       ELSE n_shared * 1000000 // (n_en + n_de - n_shared)
+         |  END AS jaccard_ppm FROM s""".stripMargin,
+    // unrolled 3-hop multi-source BFS; MATERIALIZED per round (each
+    // d$i is referenced twice by d${i+1})
+    "part_closeness" ->
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.p AS a, b.p AS b FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |seeds AS MATERIALIZED (SELECT u AS seed FROM (
+        |  SELECT u, count(*) AS d FROM ed GROUP BY 1)
+        |  ORDER BY d DESC, u LIMIT 5),
+        |d0 AS MATERIALIZED (SELECT seed, seed AS node,
+        |  CAST(0 AS BIGINT) AS dist FROM seeds),
+        |d1 AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
+        |  SELECT seed, node, dist FROM d0
+        |  UNION ALL SELECT d0.seed, ed.v, d0.dist + 1
+        |    FROM d0 JOIN ed ON d0.node = ed.u) GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
+        |  SELECT seed, node, dist FROM d1
+        |  UNION ALL SELECT d1.seed, ed.v, d1.dist + 1
+        |    FROM d1 JOIN ed ON d1.node = ed.u) GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
+        |  SELECT seed, node, dist FROM d2
+        |  UNION ALL SELECT d2.seed, ed.v, d2.dist + 1
+        |    FROM d2 JOIN ed ON d2.node = ed.u) GROUP BY 1, 2)
+        |SELECT seed, count(*) - 1 AS n_reached,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+        |  CASE WHEN sum(dist) = 0 THEN 0
+        |       ELSE CAST((count(*) - 1) * 1000000 // sum(dist) AS BIGINT)
+        |  END AS closeness_ppm
+        |FROM d3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "pii_t_closeness" ->
       """WITH cb AS (SELECT c_nationkey, c_mktsegment,
         |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,

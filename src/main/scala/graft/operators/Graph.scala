@@ -726,6 +726,52 @@ object Graph {
       .limit(topK)
   }
 
+  /** Bounded multi-source BFS closeness over the co-purchase graph:
+    * from the `nSeeds` highest-degree parts (ties to the smaller id),
+    * expand `rounds` BFS hops and report each seed's reach and
+    * distance mass — `closeness_ppm = n_reached·10⁶ div sum_dist`,
+    * the within-radius closeness centrality (exact division-free
+    * integers; a radius-bounded closeness is what's computable at all
+    * on a 100 TB graph — full closeness is all-pairs).
+    *
+    * Scale shape: the frontier frame is (seed × reached) rows, keyed
+    * and shuffled on `node` per hop — multi-source BFS batches all
+    * seeds through ONE join per round instead of one traversal per
+    * seed; frames are `localCheckpoint`ed per round and superseded
+    * rounds released ([[pageRank]] loop discipline). Degree table and
+    * seed list are part-domain-sized.
+    */
+  def closenessBfs(lineitem: DataFrame, nSeeds: Int = 5, rounds: Int = 3,
+                   minSupport: Long = 2L): DataFrame = {
+    val e0 = copurchaseEdges(lineitem, minSupport).select("a", "b")
+    val edges = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val seeds = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("u")).limit(nSeeds)
+      .select(col("u").as("seed"))
+    var dist = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expanded = dist.join(edges, col("node") === col("u"))
+        .select(col("seed"), col("v").as("node"),
+          (col("dist") + 1L).as("dist"))
+      val prev = dist
+      dist = dist.unionByName(expanded)
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      Dedup.release(prev)
+    }
+    dist.groupBy("seed").agg(
+        (count(lit(1)) - 1L).as("n_reached"),
+        sum("dist").as("sum_dist"))
+      .withColumn("closeness_ppm",
+        when(col("sum_dist") === 0L, 0L)
+          .otherwise(expr("n_reached * 1000000L div sum_dist")))
+      .orderBy("seed")
+  }
+
   /** Weighted single-source shortest paths over the word adjacency
     * graph — Bellman-Ford with a FIXED round budget. Edge cost is
     * `10⁶ div multiplicity` (frequent collocations are "close"),

@@ -358,6 +358,41 @@ class Round7Spec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1)) == ((4L, -1500000L)))
   }
 
+  test("closenessBfs: path-graph distances from every seed") {
+    // co-purchase path 1-2-3-4-5 (each pair in 2 orders clears supp>=2)
+    val li = Seq(
+      (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 2L), (103L, 3L), (104L, 2L), (104L, 3L),
+      (105L, 3L), (105L, 4L), (106L, 3L), (106L, 4L),
+      (107L, 4L), (107L, 5L), (108L, 4L), (108L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = operators.Graph.closenessBfs(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((3L, 6L, 500000L)))   // 2@1, 3@2, 4@3
+    assert(got(2L) == ((4L, 7L, 571428L)))
+    assert(got(3L) == ((4L, 6L, 666666L)))
+    assert(got(4L) == ((4L, 7L, 571428L)))
+    assert(got(5L) == ((3L, 6L, 500000L)))
+  }
+
+  test("kmv_jaccard: exact set ops below k, duplicates collapse") {
+    val rows = Seq(("a", true), ("b", true), ("c", true), ("b", true),
+      ("b", false), ("c", false), ("d", false), ("d", false))
+      .toDF("word", "side").repartition(4)
+    val r = rows.agg(functions.KmvJaccard.kmv_jaccard(
+        col("word"), col("side")).as("j"))
+      .select("j.n_a", "j.n_b", "j.n_inter", "j.jaccard_ppm")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((3L, 3L, 2L, 500000L)))
+    // estimator path (k=2 < cardinality) stays in [0, 1e6] and bounded
+    val e = rows.agg(functions.KmvJaccard.kmv_jaccard(
+        col("word"), col("side"), 2).as("j"))
+      .select("j.jaccard_ppm").collect().head.getLong(0)
+    assert(e >= 0L && e <= 1000000L)
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
