@@ -1367,6 +1367,9 @@ object SparkEntry {
     // last-touch attribution, equal to the batch window form
     "streaming_attribution" -> ((s, dir) =>
       graft.streaming.Streams.attributionAvailableNow(s, dir)),
+    // the CDC-tombstone accumulator as keyed streaming state
+    "streaming_since_last_error" -> ((s, dir) =>
+      graft.streaming.Streams.sinceLastErrorAvailableNow(s, dir)),
     // daily EWMA as keyed day-fold state + per-type sentinel flush
     "streaming_ewma" -> ((s, dir) =>
       graft.streaming.Streams.ewmaAvailableNow(s, dir)),
@@ -1533,7 +1536,9 @@ object SparkEntry {
       // prefix filtering is LOSSLESS — the oracle is the brute join
       "dedup_prefix_filter" -> "dedup_ngram_jaccard",
       // driven to completion, the streaming sketch equals the batch one
-      "streaming_quantiles_sketch" -> "events_value_quantiles_sketch")
+      "streaming_quantiles_sketch" -> "events_value_quantiles_sketch",
+      // ordered per-key replay of the CDC reset equals the batch window
+      "streaming_since_last_error" -> "events_since_last_error")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

@@ -618,6 +618,57 @@ object Streams {
     runAvailableNow(out, Seq("purchase_id"), mode = "update")
   }
 
+  /** [[graft.operators.Relational.sinceLastError]] as keyed streaming
+    * state — the CDC-tombstone accumulator running forever: per user
+    * the state is `(version, reset_ms, n, cents)`; an 'error' row
+    * wipes the accumulators and advances the reset watermark, any
+    * later-stamped row accumulates. Each micro-batch emits the user's
+    * current totals tagged with a monotone `ver`, and the gate
+    * materializes the LATEST emission per user (`max_by` on ver) —
+    * exactly how a downstream consumer compacts an update stream.
+    *
+    * Batch equivalence holds under per-key ordered delivery (the file
+    * stream's staged batches are time-ordered — the same replay
+    * contract as [[attributionAvailableNow]]); a late error older
+    * than the current reset cannot retro-subtract already-counted
+    * rows, so the reset only ever advances (`ts >= reset` guard).
+    */
+  def sinceLastErrorAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = eventsStream(spark, dir)
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("event_type").as[String], col("ts_ms").as[Long],
+        col("value").as[Double])
+      .as[(Long, Long, String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long, Double)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+          var (ver, reset, n, cents) =
+            state.getOption.getOrElse((0L, Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, _, et, ts, v) =>
+            if (et == "error") {
+              if (reset == Long.MinValue || ts >= reset) {
+                reset = ts; n = 0L; cents = 0L
+              }
+            } else if (reset == Long.MinValue || ts > reset) {
+              n += 1L; cents += math.round(v * 100)
+            }
+          }
+          ver += 1L
+          state.update((ver, reset, n, cents))
+          Iterator((user, ver, n, cents))
+      }.toDF("user_id", "ver", "n_since", "cents_since")
+    runAvailableNow(out, Seq("user_id", "ver"), mode = "update")
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(n_since, cents_since), ver)").as("s"))
+      .select(col("user_id"), col("s.n_since").as("n_since"),
+        col("s.cents_since").as("cents_since"))
+      .orderBy("user_id")
+  }
+
   def sessionRows(spark: SparkSession, events: DataFrame,
                   gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._

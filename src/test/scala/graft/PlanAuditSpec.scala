@@ -414,6 +414,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
   }
 
+  test("since-last-error: window max and final agg share ONE exchange") {
+    val p = planOf("events_since_last_error")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // the reset-max window and the user rollup both key on user_id —
+    // a per-user-maxima self-join or a second window exchange would
+    // push this past 1
+    assert(hashEx == 1, s"sinceLastError must plan exactly 1 keyed exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"sinceLastError must be join-free (window carry):\n$p")
+  }
+
+  test("t-closeness: grid joins broadcast, nothing corpus-sized sort-merges") {
+    val p = planOf("pii_t_closeness")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"band/total frames are band-domain-sized and must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join input is grid-sized; none may sort-merge:\n$p")
+  }
+
+  test("hybrid rrf: query terms broadcast into both rankers") {
+    val p = planOf("doc_hybrid_rrf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nTerms-row query frame must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"both ranker truncations must be TakeOrdered, not global sorts:\n$p")
+  }
+
   test("ann_pq: corpus encodes via broadcasts, ranks via bounded heaps") {
     val p = planOf("ann_pq")
     assert(p.contains("PartialTopKPerKey") && p.contains("FinalTopKPerKey"),

@@ -220,6 +220,16 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming since-last-error equals the batch reset accumulator") {
+    val got = graft.streaming.Streams
+      .sinceLastErrorAvailableNow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSeq
+    val want = graft.operators.Relational
+      .sinceLastError(Tables.events(spark, sf0001)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming Space-Saving sketch equals exact top-k below capacity") {
     val dir = graft.TempDirs.scratch("graft_stream_topk_").toString
     java.nio.file.Files.writeString(
