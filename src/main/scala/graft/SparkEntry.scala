@@ -1491,6 +1491,9 @@ object SparkEntry {
     // radius-bounded multi-source BFS closeness on co-purchase graph
     "part_closeness" -> ((s, dir) =>
       Graph.closenessBfs(Tables.lineitem(s, dir))),
+    // inter-event gap CV-squared: the bot-cadence feature
+    "events_gap_regularity" -> ((s, dir) =>
+      Relational.gapRegularity(Tables.events(s, dir))),
     // two-set KMV sketch with set ops: en/de vocab Jaccard (a planted
     // en-only doc keeps the overlap strictly partial — the synthetic
     // corpora share their whole vocabulary otherwise)
@@ -5121,6 +5124,19 @@ object SparkEntry {
          |SELECT CAST(10 AS BIGINT) AS gap_min, s10 AS n_sessions FROM a
          |UNION ALL SELECT 30, s30 FROM a
          |UNION ALL SELECT 60, s60 FROM a ORDER BY gap_min""".stripMargin,
+    "events_gap_regularity" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id)) // 1000 AS g
+        |  FROM events),
+        |m AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sum_g,
+        |    CAST(sum(g * g) AS BIGINT) AS sum_gg
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, sum_g // n_gaps AS mean_gap_s,
+        |  (n_gaps * sum_gg - sum_g * sum_g)
+        |    // greatest(1, (sum_g * sum_g) // 1000000) AS cv2_ppm
+        |FROM m WHERE sum_g > 0 ORDER BY user_id""".stripMargin,
     // exact mirror of the sketch's below-k contract: set counts over
     // the same planted corpus
     "vocab_jaccard_sketch" ->

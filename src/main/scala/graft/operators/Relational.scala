@@ -704,6 +704,41 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Inter-event gap regularity per user — the bot-cadence feature:
+    * `cv2_ppm ≈ 10⁶ · CV²` of the user's gap distribution via the
+    * two-moment identity `(n·Σg² − (Σg)²) / (Σg)²` (population
+    * variance over squared mean). Human/Poisson traffic sits near
+    * 10⁶ (exponential gaps: CV = 1); a fixed-interval scraper
+    * collapses toward 0. Exact integers: gaps in SECONDS, and the
+    * denominator is pre-truncated (`(Σg)² div 10⁶`) BEFORE the final
+    * division — the documented truncation order both engines share —
+    * so the 10⁶ rescale never multiplies a ~10¹⁵ numerator. The flag
+    * threshold is left to the consumer: uniform synthetic traffic
+    * makes any fixed cutoff vacuous (the feature table IS the
+    * operator, per the user-features precedent).
+    *
+    * One user-keyed exchange: the lag window and the moment aggregate
+    * share it.
+    */
+  def gapRegularity(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("prev", lag("ts_ms", 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .select(col("user_id"), expr("(ts_ms - prev) div 1000").as("g"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("g").as("sum_g"),
+        sum(expr("g * g")).as("sum_gg"))
+      .where(col("sum_g") > 0)
+      .select(col("user_id"), col("n_gaps"),
+        expr("sum_g div n_gaps").as("mean_gap_s"),
+        expr("""(n_gaps * sum_gg - sum_g * sum_g)
+               |  div greatest(1L, (sum_g * sum_g) div 1000000L)"""
+          .stripMargin).as("cv2_ppm"))
+      .orderBy("user_id")
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

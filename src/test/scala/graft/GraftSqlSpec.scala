@@ -50,6 +50,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getString(1) == topLang)
   }
 
+  test("kmv_jaccard set-op sketch is a first-class SQL function") {
+    GraftSql.registerViews(spark, sf0001)
+    val r = spark.sql(
+      """SELECT graft_kmv_jaccard(source, lang = 'en', 1024) AS j
+        |FROM documents WHERE lang IN ('en', 'de')""".stripMargin)
+      .select("j.n_a", "j.n_b", "j.n_inter", "j.jaccard_ppm")
+      .collect().head
+    val ex = spark.sql(
+      """SELECT
+        |  (SELECT count(DISTINCT source) FROM documents WHERE lang='en') a,
+        |  (SELECT count(DISTINCT source) FROM documents WHERE lang='de') b,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT source FROM documents WHERE lang='en'
+        |     INTERSECT
+        |     SELECT DISTINCT source FROM documents WHERE lang='de')) i"""
+        .stripMargin).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((ex.getLong(0), ex.getLong(1), ex.getLong(2))))
+    val (i, u) = (ex.getLong(2), ex.getLong(0) + ex.getLong(1) - ex.getLong(2))
+    assert(r.getLong(3) == (if (u == 0) 0L else i * 1000000L / u))
+  }
+
   test("kll and bloom aggregates are first-class SQL functions") {
     GraftSql.registerViews(spark, sf0001)
     // exact below capacity: quartiles of lengths 1..n match percentile

@@ -393,6 +393,21 @@ class Round7Spec extends SparkSpec {
     assert(e >= 0L && e <= 1000000L)
   }
 
+  test("gapRegularity: constant cadence scores 0, known CV2 exact") {
+    val events = ev(Seq(
+      // user 1: gaps 2000s, 2000s -> CV2 = 0
+      (1L, 1L, 0L, "view"), (1L, 2L, 2000000L, "view"),
+      (1L, 3L, 4000000L, "view"),
+      // user 2: gaps 1000s, 3000s -> mean 2000, var 1e6 -> 250000 ppm
+      (2L, 4L, 0L, "view"), (2L, 5L, 1000000L, "view"),
+      (2L, 6L, 4000000L, "view")))
+    val got = operators.Relational.gapRegularity(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((2L, 2000L, 0L)))
+    assert(got(2L) == ((2L, 2000L, 250000L)))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
