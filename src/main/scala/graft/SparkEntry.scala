@@ -367,6 +367,15 @@ object SparkEntry {
     "streaming_topk_sketch" -> ((s, dir) =>
       graft.streaming.Streams.topkWordsSketchAvailableNow(
         s, docsAsTextDir(s, dir))),
+    // the same directory through the custom DataSourceV2 connector
+    // (file-pruning pushdown + column pruning; line splitting can't
+    // change the token multiset, so the wordcount oracle holds)
+    "textdir_v2_wordcount" -> ((s, dir) =>
+      WordCount.wordCount(
+        s.read.format("graft.sources.v2.TextDirSource")
+          .load(docsAsTextDir(s, dir))
+          .select(org.apache.spark.sql.functions.col("line").as("text")),
+        "text")),
     "wordcount_per_source" -> ((s, dir) =>
       WordCount.wordCountBy(Tables.documents(s, dir), "text", "source")),
     // CSV / JSONL sources: the same pipeline over a schema'd csv/json
@@ -1541,7 +1550,9 @@ object SparkEntry {
       // driven to completion, the streaming sketch equals the batch one
       "streaming_quantiles_sketch" -> "events_value_quantiles_sketch",
       // ordered per-key replay of the CDC reset equals the batch window
-      "streaming_since_last_error" -> "events_since_last_error")
+      "streaming_since_last_error" -> "events_since_last_error",
+      // the V2 connector reads the same staged lines
+      "textdir_v2_wordcount" -> "wordcount")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 
