@@ -1503,6 +1503,12 @@ object SparkEntry {
     // inter-event gap CV-squared: the bot-cadence feature
     "events_gap_regularity" -> ((s, dir) =>
       Relational.gapRegularity(Tables.events(s, dir))),
+    // users sharing 10-min windows: co-occurrence over time
+    "events_coactivity_pairs" -> ((s, dir) =>
+      Relational.coactivityPairs(Tables.events(s, dir))),
+    // nightly increment of the inverted index: touched-term df deltas
+    "index_increment" -> ((s, dir) =>
+      TextAnalysis.indexIncrement(Tables.documents(s, dir), baseMaxId = 250)),
     // two-set KMV sketch with set ops: en/de vocab Jaccard (a planted
     // en-only doc keeps the overlap strictly partial — the synthetic
     // corpora share their whole vocabulary otherwise)
@@ -5135,6 +5141,30 @@ object SparkEntry {
          |SELECT CAST(10 AS BIGINT) AS gap_min, s10 AS n_sessions FROM a
          |UNION ALL SELECT 30, s30 FROM a
          |UNION ALL SELECT 60, s60 FROM a ORDER BY gap_min""".stripMargin,
+    "events_coactivity_pairs" ->
+      """WITH uw AS MATERIALIZED (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 600000 AS w FROM events),
+        |kept AS (SELECT w FROM uw GROUP BY 1 HAVING count(*) <= 1000),
+        |pr AS MATERIALIZED (SELECT uw.user_id, uw.w
+        |  FROM uw JOIN kept USING (w))
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  count(*)::BIGINT AS n_windows
+        |FROM pr a JOIN pr b ON a.w = b.w AND a.user_id < b.user_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY n_windows DESC, user_a, user_b LIMIT 20""".stripMargin,
+    "index_increment" ->
+      s"""WITH p AS MATERIALIZED (SELECT DISTINCT doc_id, word
+         |  FROM (${sqlWords(" doc_id,")})),
+         |inc AS MATERIALIZED (SELECT * FROM p WHERE doc_id > 250),
+         |t AS (SELECT DISTINCT word FROM inc),
+         |b AS (SELECT word, count(*)::BIGINT AS df_base FROM p
+         |  WHERE doc_id <= 250 AND word IN (SELECT word FROM t)
+         |  GROUP BY 1),
+         |d AS (SELECT word, count(*)::BIGINT AS df_delta FROM inc
+         |  GROUP BY 1)
+         |SELECT d.word, coalesce(b.df_base, 0) AS df_base, d.df_delta,
+         |  coalesce(b.df_base, 0) + d.df_delta AS df_total
+         |FROM d LEFT JOIN b USING (word) ORDER BY word""".stripMargin,
     "events_gap_regularity" ->
       """WITH g AS (SELECT user_id,
         |    (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id

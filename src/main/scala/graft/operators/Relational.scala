@@ -739,6 +739,34 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Temporal co-activity pairs: users sharing `windowMs` tumbling
+    * windows, ranked by shared-window count — the co-occurrence join
+    * over time instead of content. Skew guard: windows holding more
+    * than `maxPerWindow` distinct users are dropped BEFORE the
+    * self-join (a window everyone shares carries no pair signal and
+    * is exactly the quadratic blowup — the stopword-pruning argument
+    * in time); candidate volume is Σ users² over KEPT windows. The
+    * two join sides are separately-renamed projections (the self-join
+    * alias trap).
+    */
+  def coactivityPairs(events: DataFrame, windowMs: Long = 600000L,
+                      maxPerWindow: Long = 1000L, minShared: Long = 3L,
+                      topK: Int = 20): DataFrame = {
+    val uw = events
+      .select(col("user_id"), expr(s"ts_ms div $windowMs").as("w"))
+      .distinct()
+    val kept = uw.groupBy("w").agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxPerWindow).select("w")
+    val pruned = uw.join(kept, Seq("w"), "left_semi").localCheckpoint()
+    pruned.select(col("w"), col("user_id").as("user_a"))
+      .join(pruned.select(col("w"), col("user_id").as("user_b")), "w")
+      .where(col("user_a") < col("user_b"))
+      .groupBy("user_a", "user_b").agg(count(lit(1)).as("n_windows"))
+      .where(col("n_windows") >= minShared)
+      .orderBy(col("n_windows").desc, col("user_a"), col("user_b"))
+      .limit(topK)
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

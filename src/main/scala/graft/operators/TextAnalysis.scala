@@ -862,6 +862,37 @@ object TextAnalysis {
           .stripMargin).as("slope_micro"))
   }
 
+  /** Incremental inverted-index maintenance — the nightly-increment
+    * form of index building (the [[graft.operators.Dedup.dedupIncrement]]
+    * pattern applied to postings): for every term TOUCHED by the
+    * incoming documents (`doc_id > baseMaxId`), the base document
+    * frequency, the increment's delta, and the new total. Terms the
+    * increment never mentions produce no row — their index entries are
+    * untouched, which is the point.
+    *
+    * Scale shape: the increment's postings are increment-sized; the
+    * base postings are SEMI-JOIN-PRUNED to touched terms BEFORE any
+    * counting, so the base corpus contributes only the rows the
+    * update actually needs (in production the base df lives in a
+    * persisted stats table and this probe is a lookup — the pruned
+    * recount here mirrors it at fixture scale).
+    */
+  def indexIncrement(docs: DataFrame, baseMaxId: Long): DataFrame = {
+    val postings = WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .select("doc_id", "word").distinct()
+    val inc = postings.where(col("doc_id") > baseMaxId)
+    val touched = inc.select("word").distinct()
+    val baseDf = postings.where(col("doc_id") <= baseMaxId)
+      .join(touched, Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("df_base"))
+    inc.groupBy("word").agg(count(lit(1)).as("df_delta"))
+      .join(baseDf, Seq("word"), "left")
+      .na.fill(0L, Seq("df_base"))
+      .select(col("word"), col("df_base"), col("df_delta"),
+        (col("df_base") + col("df_delta")).as("df_total"))
+      .orderBy("word")
+  }
+
   /** Sparse bag-of-words similarity join through the inverted index:
     * pairs of documents scored by the integer dot product of their
     * term-frequency vectors, restricted to terms with document

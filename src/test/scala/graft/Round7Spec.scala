@@ -408,6 +408,31 @@ class Round7Spec extends SparkSpec {
     assert(got(2L) == ((2L, 2000L, 250000L)))
   }
 
+  test("coactivityPairs: shared windows counted, hot windows pruned") {
+    val events = ev(Seq(
+      (1L, 1L, 0L, "view"), (2L, 2L, 1000L, "view"), (3L, 3L, 2000L, "view"),
+      (1L, 4L, 600001L, "view"), (2L, 5L, 600002L, "view"),
+      (1L, 6L, 1200001L, "view"), (2L, 7L, 1200002L, "view"),
+      (1L, 8L, 1800001L, "view"), (2L, 9L, 1800002L, "view")))
+    val got = operators.Relational.coactivityPairs(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 4L))) // (1,3) shares only w0
+    // with maxPerWindow=2 the 3-user window 0 is pruned pre-join
+    val pruned = operators.Relational
+      .coactivityPairs(events, maxPerWindow = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pruned.toSeq == Seq((1L, 2L, 3L)))
+  }
+
+  test("indexIncrement: touched terms only, base df semi-pruned") {
+    val docs = Seq((1L, "x y"), (2L, "y z"), (3L, "y q"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.indexIncrement(docs, baseMaxId = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("q", 0L, 1L, 1L), ("y", 2L, 1L, 3L)))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
