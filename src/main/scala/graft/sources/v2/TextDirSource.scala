@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,9 +42,13 @@ import org.apache.spark.unsafe.types.UTF8String
 class TextDirSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TextDirTable.schema
+  // writes pass the incoming DataFrame's schema (word, cnt) as external
+  // metadata; reads infer the fixed (file, line_no, line) shape
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new TextDirTable(new CaseInsensitiveStringMap(properties).get("path"))
+    new TextDirTable(
+      new CaseInsensitiveStringMap(properties).get("path"), schema)
 }
 
 object TextDirTable {
@@ -53,14 +58,18 @@ object TextDirTable {
     StructField("line", StringType, nullable = false)))
 }
 
-class TextDirTable(path: String) extends Table with SupportsRead {
-  require(path != null, "graft-textdir needs a path: .load(dir)")
+class TextDirTable(path: String, tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
+  require(path != null, "graft-textdir needs a path: .load(dir)/.save(dir)")
   override def name(): String = s"graft_textdir($path)"
-  override def schema(): StructType = TextDirTable.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TextDirScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TextDirWriteBuilder(path, info.schema())
 }
 
 class TextDirScanBuilder(path: String) extends ScanBuilder
@@ -110,6 +119,68 @@ class TextDirScan(path: String, required: StructType, pushed: Array[Filter])
 }
 
 case class TextFilePartition(file: String) extends InputPartition
+
+/** Write path — the reference's sink layout (`sendFileByFile.cpp:376-392`)
+  * as a V2 `BatchWrite`: each task writes `word count` lines and
+  * two-phase-commits them into `Rank_<partition>_Thread_0.txt`
+  * (the reference's Rank×Thread naming at one logical thread per
+  * Spark task). Tasks write to a `.tmp_` staging name and rename on
+  * task commit — a failed/speculative task aborts its temp file and
+  * never publishes, the same visibility contract FileOutputCommitter
+  * gives the classic sinks. Overwrite mode (`SupportsTruncate`)
+  * clears prior `Rank_*` files at write planning, before any task
+  * runs.
+  */
+class TextDirWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      require(schema.length == 2 &&
+        schema.head.dataType == StringType &&
+        schema(1).dataType == LongType,
+        s"graft-textdir sink expects (word string, cnt long), got $schema")
+      new TextDirBatchWrite(path, doTruncate)
+    }
+  }
+}
+
+class TextDirBatchWrite(path: String, doTruncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (doTruncate)
+      Option(dir.listFiles()).getOrElse(Array()).foreach { f =>
+        if (f.getName.startsWith("Rank_") || f.getName.startsWith(".tmp_"))
+          f.delete()
+      }
+    new TextDirWriterFactory(path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class TextDirWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val tmp = new java.io.File(path, s".tmp_${partitionId}_$taskId")
+      private val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(tmp), "UTF-8"))
+      override def write(row: InternalRow): Unit =
+        out.println(s"${row.getUTF8String(0)} ${row.getLong(1)}")
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        val dst = new java.io.File(path, s"Rank_${partitionId}_Thread_0.txt")
+        if (!tmp.renameTo(dst))
+          throw new java.io.IOException(s"commit rename failed: $tmp -> $dst")
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = { out.close(); tmp.delete(): Unit }
+      override def close(): Unit = out.close()
+    }
+}
 
 class TextDirReaderFactory(required: StructType)
     extends PartitionReaderFactory {

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 class TextDirV2Spec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val dir: String = {
     val d = TempDirs.scratchString("graft_v2dir_")
@@ -44,6 +45,29 @@ class TextDirV2Spec extends SparkSpec {
     val mixed = read()
       .where(col("file").startsWith(s"$dir/a") && col("line").contains("gam"))
     assert(mixed.collect().map(_.getString(2)).toSeq == Seq("gamma"))
+  }
+
+  test("v2 sink: Rank_*_Thread_0 layout round-trips through the v2 reader") {
+    val out = TempDirs.scratchString("graft_v2sink_")
+    val counts = Seq(("alpha", 3L), ("beta", 2L), ("gamma", 7L))
+      .toDF("word", "cnt")
+    counts.repartition(2, col("word"))
+      .write.format("graft.sources.v2.TextDirSource")
+      .mode("overwrite").save(out)
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(files.forall(_.matches("Rank_\\d+_Thread_0\\.txt")), files.mkString(","))
+    assert(files.length == 2)
+    // read the sink back through the v2 READER and reparse
+    val back = spark.read.format("graft.sources.v2.TextDirSource").load(out)
+      .select(split(col("line"), " ").as("kv"))
+      .select(col("kv")(0).as("word"), col("kv")(1).cast("long").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(back == Set(("alpha", 3L), ("beta", 2L), ("gamma", 7L)))
+    // overwrite truncates: a second write leaves no stale shards
+    counts.limit(1).repartition(1)
+      .write.format("graft.sources.v2.TextDirSource")
+      .mode("overwrite").save(out)
+    assert(new java.io.File(out).listFiles().length == 1)
   }
 
   test("v2 source: column pruning narrows the scan output") {
