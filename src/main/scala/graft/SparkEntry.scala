@@ -1506,6 +1506,12 @@ object SparkEntry {
     // users sharing 10-min windows: co-occurrence over time
     "events_coactivity_pairs" -> ((s, dir) =>
       Relational.coactivityPairs(Tables.events(s, dir))),
+    // exact trailing-7-day rolling median (doubled units)
+    "events_rolling_median_7d" -> ((s, dir) =>
+      Relational.rollingMedian7d(Tables.events(s, dir))),
+    // month-of-year revenue index vs the flat 1/12 share
+    "orders_seasonality_index" -> ((s, dir) =>
+      Relational.seasonalityIndex(Tables.orders(s, dir))),
     // nightly increment of the inverted index: touched-term df deltas
     "index_increment" -> ((s, dir) =>
       TextAnalysis.indexIncrement(Tables.documents(s, dir), baseMaxId = 250)),
@@ -5141,6 +5147,22 @@ object SparkEntry {
          |SELECT CAST(10 AS BIGINT) AS gap_min, s10 AS n_sessions FROM a
          |UNION ALL SELECT 30, s30 FROM a
          |UNION ALL SELECT 60, s60 FROM a ORDER BY gap_min""".stripMargin,
+    "events_rolling_median_7d" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2)
+        |SELECT event_type, epoch_day, cnt,
+        |  CAST(quantile_cont(cnt * 2, 0.5) OVER (PARTITION BY event_type
+        |    ORDER BY epoch_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS med2_7d
+        |FROM d ORDER BY event_type, epoch_day""".stripMargin,
+    "orders_seasonality_index" ->
+      """WITH m AS (SELECT month(cast(o_orderdate AS timestamp)) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM m)
+        |SELECT m, rev_cents, rev_cents * 12 * 1000000 // total AS index_ppm
+        |FROM m CROSS JOIN t ORDER BY m""".stripMargin,
     "events_coactivity_pairs" ->
       """WITH uw AS MATERIALIZED (SELECT DISTINCT user_id,
         |    epoch_ms(ts) // 600000 AS w FROM events),

@@ -767,6 +767,47 @@ object Relational {
       .limit(topK)
   }
 
+  /** Trailing-7-day EXACT rolling median of daily event counts per
+    * type — the window-aggregate Spark lacks natively, expressed as
+    * `sort_array(collect_list)` over the ROWS frame with the
+    * doubled-units convention (`med2 = lo + hi`) so even-width
+    * partial windows stay integer-exact (the [[eventsAnomalyDow]]
+    * treatment applied to a moving frame). The frame holds ≤ 7 values
+    * by construction, so the per-row buffer is bounded — this is why
+    * collect-over-frame is legitimate here and would not be on an
+    * unbounded frame. One (type)-keyed exchange; rows are
+    * day×type-bounded before the window ever runs.
+    */
+  def rollingMedian7d(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("epoch_day")
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list("cnt").over(w)))
+      .select(col("event_type"), col("epoch_day"), col("cnt"),
+        expr("""element_at(arr, cast((size(arr) + 1) div 2 as int))
+               | + element_at(arr, cast(size(arr) div 2 + 1 as int))"""
+          .stripMargin).as("med2_7d"))
+      .orderBy("event_type", "epoch_day")
+  }
+
+  /** Month-of-year seasonality index: each calendar month's revenue as
+    * a ppm multiple of the flat 1/12 share (10⁶ = perfectly flat).
+    * One fused aggregation plus a 1-row total broadcast.
+    */
+  def seasonalityIndex(orders: DataFrame): DataFrame = {
+    val m = orders
+      .groupBy(expr("month(cast(o_orderdate as timestamp))").as("m"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))")
+        .as("rev_cents"))
+    m.crossJoin(broadcast(m.agg(sum("rev_cents").as("total"))))
+      .select(col("m"), col("rev_cents"),
+        expr("rev_cents * 12 * 1000000L div total").as("index_ppm"))
+      .orderBy("m")
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

@@ -433,6 +433,25 @@ class Round7Spec extends SparkSpec {
     assert(got.toSeq == Seq(("q", 0L, 1L, 1L), ("y", 2L, 1L, 3L)))
   }
 
+  test("rollingMedian7d: doubled-unit medians on full and partial frames") {
+    // day d has d+1 events (counts 1..8 over days 0..7)
+    val rows = (0 to 7).flatMap(d => (0 to d).map(i =>
+      (1L, (d * 100 + i).toLong, d * 86400000L + i, "view")))
+    val got = operators.Relational.rollingMedian7d(ev(rows)).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got(3L) == 5L)  // partial window 1,2,3,4 -> 2+3
+    assert(got(6L) == 8L)  // full window 1..7 -> 2*4
+    assert(got(7L) == 10L) // window 2..8 -> 2*5
+  }
+
+  test("seasonalityIndex: ppm multiples of the flat monthly share") {
+    val orders = Seq((1L, "1996-01-10", 300.0), (2L, "1996-02-10", 100.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = operators.Relational.seasonalityIndex(orders).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 30000L, 9000000L), (2, 10000L, 3000000L)))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
