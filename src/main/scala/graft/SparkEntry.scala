@@ -1512,6 +1512,16 @@ object SparkEntry {
     // month-of-year revenue index vs the flat 1/12 share
     "orders_seasonality_index" -> ((s, dir) =>
       Relational.seasonalityIndex(Tables.orders(s, dir))),
+    // cluster-mass drift between corpus halves on shared centroids
+    "emb_cluster_drift" -> ((s, dir) =>
+      Clustering.clusterDrift(Tables.embeddings(s, dir))),
+    // within-doc hapax share: lexical diversity per document
+    "doc_hapax_ratio" -> ((s, dir) =>
+      TextAnalysis.hapaxRatio(Tables.documents(s, dir))),
+    // segment x brand purchase lift through the 4-table join path
+    "segment_brand_lift" -> ((s, dir) =>
+      Relational.segmentBrandLift(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir), Tables.part(s, dir))),
     // nightly increment of the inverted index: touched-term df deltas
     "index_increment" -> ((s, dir) =>
       TextAnalysis.indexIncrement(Tables.documents(s, dir), baseMaxId = 250)),
@@ -5147,6 +5157,53 @@ object SparkEntry {
          |SELECT CAST(10 AS BIGINT) AS gap_min, s10 AS n_sessions FROM a
          |UNION ALL SELECT 30, s30 FROM a
          |UNION ALL SELECT 60, s60 FROM a ORDER BY gap_min""".stripMargin,
+    "emb_cluster_drift" ->
+      s"""${sqlKmeansCents(8, 5)},
+         |cells AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1),
+         |m AS (SELECT (max(vec_id) + 1) // 2 AS mid FROM embeddings),
+         |g AS (SELECT cell,
+         |    CAST(sum(CASE WHEN vec_id < mid THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN vec_id >= mid THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM cells, m GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+         |    CAST(sum(n_b) AS BIGINT) AS tb FROM g)
+         |SELECT cell, n_a, n_b,
+         |  n_a * 1000000 // ta AS share_a_ppm,
+         |  n_b * 1000000 // tb AS share_b_ppm,
+         |  abs(n_a * 1000000 // ta - n_b * 1000000 // tb) AS drift_ppm
+         |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
+    "doc_hapax_ratio" ->
+      s"""WITH c AS (SELECT doc_id, word, count(*)::BIGINT AS c
+         |  FROM (${sqlWords(" doc_id,")}) GROUP BY 1, 2),
+         |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_hapax,
+         |  n_hapax * 1000000 // n_tokens AS ratio_ppm
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "segment_brand_lift" ->
+      """WITH r AS (SELECT c.c_mktsegment AS segment, p.p_brand AS brand
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey),
+        |sb AS (SELECT segment, brand, count(*)::BIGINT AS n_sb
+        |  FROM r GROUP BY 1, 2),
+        |s AS (SELECT segment, CAST(sum(n_sb) AS BIGINT) AS n_s
+        |  FROM sb GROUP BY 1),
+        |b AS (SELECT brand, CAST(sum(n_sb) AS BIGINT) AS n_b
+        |  FROM sb GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_sb) AS BIGINT) AS n_total FROM sb)
+        |SELECT sb.segment, sb.brand, sb.n_sb,
+        |  n_sb * n_total * 1000000 // (n_s * n_b) AS lift_ppm
+        |FROM sb JOIN s USING (segment) JOIN b USING (brand) CROSS JOIN t
+        |ORDER BY segment, brand""".stripMargin,
     "events_rolling_median_7d" ->
       """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
         |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2)

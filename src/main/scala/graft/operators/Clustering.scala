@@ -431,6 +431,37 @@ object Clustering {
       .select(col("vec_id"), col("res_d2"))
   }
 
+  /** Cluster-mass drift between corpus halves — the distribution-level
+    * ML-ops tripwire next to the per-dim mean one
+    * ([[Similarity.embDriftCheck]]): both halves (vec_id below/above
+    * the id midpoint, the drift-check split) are assigned to the SAME
+    * shared Lloyd centroids, and each cluster reports its ppm mass
+    * share in each half plus the absolute difference. A
+    * training/serving skew or a bad ingest shows up as mass moving
+    * between clusters even when per-dim means stay flat.
+    * Σ drift_ppm / 2 is the total-variation distance if the consumer
+    * wants one number; the per-cluster rows are the diagnosis.
+    *
+    * Scale shape: one broadcast-argmin assignment pass (no shuffle
+    * beyond the k-row rollup), centroids from the shared cached Lloyd
+    * chain; output is k rows.
+    */
+  def clusterDrift(embs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val assigned = cellAssignments(embs, lloydCentroids(embs, k, iters))
+    val mid = embs.agg(expr("(max(vec_id) + 1) div 2").as("mid"))
+    val g = assigned.crossJoin(broadcast(mid))
+      .groupBy("cell")
+      .agg(sum(when(col("vec_id") < col("mid"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") >= col("mid"), 1L).otherwise(0L)).as("n_b"))
+    g.crossJoin(broadcast(g.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        expr("n_a * 1000000L div ta").as("share_a_ppm"),
+        expr("n_b * 1000000L div tb").as("share_b_ppm"),
+        expr("abs(n_a * 1000000L div ta - n_b * 1000000L div tb)")
+          .as("drift_ppm"))
+      .orderBy("cell")
+  }
+
   /** Grid-partitioned DBSCAN over the first two embedding dimensions
     * (milli-scaled ints): a point is CORE when ≥ `minPts` points
     * (itself included) lie within `eps` (squared-L2 in milli units),

@@ -808,6 +808,42 @@ object Relational {
       .orderBy("m")
   }
 
+  /** Market-segment × part-brand affinity: integer lift
+    * `P(brand | segment) / P(brand)` in ppm over lineitem purchase
+    * rows — the cross-dimensional version of the value-bin lift,
+    * through the full customer→orders→lineitem→part join path.
+    * `lift_ppm = n_sb·n_total·10⁶ div (n_s·n_b)`; 10⁶ = independent.
+    *
+    * Plan shape: part and customer are broadcast dims; the one real
+    * shuffle is orders⋈lineitem on the order key; the lift algebra
+    * runs on the (segment × brand)-sized rollup with two broadcast
+    * scalar frames. Overflow window: n_sb·n_total·10⁶ < 2⁶³ holds to
+    * ~10⁵ rows per cell × ~10⁸ total rows; widen to the pre-truncated
+    * denominator spelling past that.
+    */
+  def segmentBrandLift(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, part: DataFrame): DataFrame = {
+    val rows = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(part.select(col("p_partkey"),
+        col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select("segment", "brand")
+    val sb = rows.groupBy("segment", "brand").agg(count(lit(1)).as("n_sb"))
+    val s = sb.groupBy("segment").agg(sum("n_sb").as("n_s"))
+    val b = sb.groupBy("brand").agg(sum("n_sb").as("n_b"))
+    sb.join(broadcast(s), "segment")
+      .join(broadcast(b), "brand")
+      .crossJoin(broadcast(sb.agg(sum("n_sb").as("n_total"))))
+      .select(col("segment"), col("brand"), col("n_sb"),
+        expr("n_sb * n_total * 1000000L div (n_s * n_b)").as("lift_ppm"))
+      .orderBy("segment", "brand")
+  }
+
   /** Week-over-week retention: users active in epoch-week w and also
     * in week w+1 (left-semi self-join on the week lattice).
     */

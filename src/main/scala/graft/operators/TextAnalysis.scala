@@ -893,6 +893,24 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** Per-document hapax ratio — the share of words used exactly ONCE
+    * within the document, the lexical-diversity cousin of TTR
+    * (templated/boilerplate text reuses its words; rich text keeps
+    * many singletons). `ratio_ppm = n_hapax·10⁶ div n_tokens`. One
+    * (doc, word) aggregation, then a doc-keyed conditional rollup —
+    * both ride the same hash exchange family; output is corpus-row
+    * sized.
+    */
+  def hapaxRatio(docs: DataFrame): DataFrame =
+    WordCount.explodeWords(docs, "text", Seq("doc_id"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
+        expr("n_hapax * 1000000L div n_tokens").as("ratio_ppm"))
+      .orderBy("doc_id")
+
   /** Sparse bag-of-words similarity join through the inverted index:
     * pairs of documents scored by the integer dot product of their
     * term-frequency vectors, restricted to terms with document

@@ -452,6 +452,42 @@ class Round7Spec extends SparkSpec {
     assert(got.toSeq == Seq((1, 30000L, 9000000L), (2, 10000L, 3000000L)))
   }
 
+  test("clusterDrift: separated planted clusters land mass in one half each") {
+    // ids 0,1 near the origin; 2,3 near [1,0]; mid=2 splits exactly
+    // along the cluster boundary -> each cluster is 100% one half
+    val embs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.001f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.001f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = operators.Clustering.clusterDrift(embs, k = 2, iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) == ((2L, 0L, 1000000L, 0L, 1000000L)))
+    assert(got(1L) == ((0L, 2L, 0L, 1000000L, 1000000L)))
+  }
+
+  test("hapaxRatio: within-doc singletons over token count") {
+    val docs = Seq((1L, "a b a c"), (2L, "x x")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.hapaxRatio(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L, 2L, 500000L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("segmentBrandLift: exact ppm lift over the 4-table path") {
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val o = Seq((1L, 100L), (2L, 200L)).toDF("o_orderkey", "o_custkey")
+    val c = Seq((100L, "A"), (200L, "B")).toDF("c_custkey", "c_mktsegment")
+    val p = Seq((10L, "X"), (20L, "Y")).toDF("p_partkey", "p_brand")
+    val got = operators.Relational.segmentBrandLift(li, o, c, p).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("A", "X")) == ((1L, 750000L)))
+    assert(got(("A", "Y")) == ((1L, 1500000L)))
+    assert(got(("B", "X")) == ((1L, 1500000L)))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
