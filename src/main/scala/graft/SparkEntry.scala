@@ -1522,6 +1522,12 @@ object SparkEntry {
     "segment_brand_lift" -> ((s, dir) =>
       Relational.segmentBrandLift(Tables.lineitem(s, dir),
         Tables.orders(s, dir), Tables.customer(s, dir), Tables.part(s, dir))),
+    // STL-style trend/seasonal/residual split in declared unit scales
+    "events_stl_decompose" -> ((s, dir) =>
+      Relational.stlDecompose(Tables.events(s, dir))),
+    // top-N part recommendations from the CF neighbor graph
+    "customer_recommendations" -> ((s, dir) =>
+      Basket.recommendations(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // nightly increment of the inverted index: touched-term df deltas
     "index_increment" -> ((s, dir) =>
       TextAnalysis.indexIncrement(Tables.documents(s, dir), baseMaxId = 250)),
@@ -5204,6 +5210,52 @@ object SparkEntry {
         |  n_sb * n_total * 1000000 // (n_s * n_b) AS lift_ppm
         |FROM sb JOIN s USING (segment) JOIN b USING (brand) CROSS JOIN t
         |ORDER BY segment, brand""".stripMargin,
+    "events_stl_decompose" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, epoch_day, cnt,
+        |    CAST(quantile_cont(cnt * 2, 0.5) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS t2
+        |  FROM d),
+        |dd AS (SELECT *, 2 * cnt - t2 AS d2, (epoch_day + 4) % 7 AS dow
+        |  FROM t),
+        |s AS (SELECT event_type, dow,
+        |    CAST(quantile_cont(d2 * 2, 0.5) AS BIGINT) AS s4
+        |  FROM dd GROUP BY 1, 2)
+        |SELECT dd.event_type, dd.epoch_day, dd.cnt, dd.t2, s.s4,
+        |  2 * dd.d2 - s.s4 AS r4
+        |FROM dd JOIN s ON dd.event_type = s.event_type AND dd.dow = s.dow
+        |ORDER BY dd.event_type, dd.epoch_day""".stripMargin,
+    "customer_recommendations" ->
+      s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+         |    l_partkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |kept AS (SELECT cp.c, cp.p FROM cp
+         |         JOIN (SELECT p FROM cp GROUP BY p HAVING count(*) <= 30) d
+         |         USING (p)),
+         |deg AS (SELECT c, count(*) AS deg FROM kept GROUP BY 1),
+         |sh AS (SELECT a.c AS c_a, b.c AS c_b, count(*) AS shared
+         |       FROM kept a JOIN kept b ON a.p = b.p AND a.c <> b.c
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sc AS (SELECT c_a, c_b, shared,
+         |         shared * shared * 1000000 // (da.deg * db.deg) AS score_ppm
+         |       FROM sh JOIN deg da ON sh.c_a = da.c
+         |             JOIN deg db ON sh.c_b = db.c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY c_a
+         |        ORDER BY score_ppm DESC, c_b) AS rank FROM sc),
+         |nb AS (SELECT c_a, c_b, score_ppm FROM r WHERE rank <= 3),
+         |cand AS (SELECT nb.c_a, o.p,
+         |    CAST(sum(nb.score_ppm) AS BIGINT) AS rec_score,
+         |    count(*)::BIGINT AS n_votes
+         |  FROM nb JOIN cp o ON o.c = nb.c_b GROUP BY 1, 2),
+         |fresh AS (SELECT cand.* FROM cand WHERE NOT EXISTS (
+         |  SELECT 1 FROM cp own WHERE own.c = cand.c_a AND own.p = cand.p)),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY c_a
+         |    ORDER BY rec_score DESC, n_votes DESC, p) AS rnk FROM fresh)
+         |SELECT c_a AS custkey, p AS part_id, rec_score, n_votes,
+         |  CAST(rnk AS BIGINT) AS rank
+         |FROM rr WHERE rnk <= 3 ORDER BY custkey, rank""".stripMargin,
     "events_rolling_median_7d" ->
       """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
         |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2)

@@ -95,6 +95,40 @@ object Basket {
       .orderBy("c_a", "rank")
   }
 
+  /** Top-N part recommendations from the [[cfNeighbors]] similarity
+    * graph — the rec-pipeline capstone: each customer's candidates are
+    * the parts their top-k neighbors own, scored by the SUM of the
+    * recommending neighbors' similarity (integer ppm, so the fold is
+    * order-free), with the customer's OWN parts removed by a hash
+    * anti-join; ties break by vote count then part id. Ranking is the
+    * bounded-heap [[graft.plans.TopK.perKey]] — ≤ topN rows per
+    * (customer, partition) shuffle, never a global sort.
+    *
+    * Candidate volume is neighbors × their baskets (k-bounded per
+    * customer), not customers × parts.
+    */
+  def recommendations(lineitem: DataFrame, orders: DataFrame,
+                      maxDf: Int = 30, minShared: Int = 2,
+                      kNb: Int = 3, topN: Int = 3): DataFrame = {
+    val cp = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint()
+    val nb = cfNeighbors(lineitem, orders, maxDf, minShared, kNb)
+      .select("c_a", "c_b", "score_ppm")
+    val cand = nb.join(cp.select(col("c").as("c_b"), col("p")), "c_b")
+      .groupBy("c_a", "p")
+      .agg(sum("score_ppm").as("rec_score"), count(lit(1)).as("n_votes"))
+    val fresh = cand.join(cp.select(col("c").as("c_a"), col("p")),
+      Seq("c_a", "p"), "left_anti")
+    graft.plans.TopK.perKey(fresh, Seq("c_a"),
+        Seq(("rec_score", true), ("n_votes", true), ("p", false)),
+        topN, "rank")
+      .select(col("c_a").as("custkey"), col("p").as("part_id"),
+        col("rec_score"), col("n_votes"), col("rank"))
+      .orderBy("custkey", "rank")
+  }
+
   /** MATCH_RECOGNIZE-lite sequence pattern matching: each user's
     * event stream (ordered by ts, event_id) is rendered as a string of
     * type initials (c/v/p/s/e — distinct across the schema's types)

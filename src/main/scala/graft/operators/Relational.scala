@@ -793,6 +793,38 @@ object Relational {
       .orderBy("event_type", "epoch_day")
   }
 
+  /** STL-style additive decomposition of the daily event-count series
+    * per type, composed from the family's integer pieces:
+    * trend `t2` = trailing-7-day exact median (doubled units,
+    * [[rollingMedian7d]]), detrended `d2 = 2·cnt − t2`, seasonal
+    * `s4` = per-(type, weekday) exact median of `d2` (doubled again —
+    * quadrupled units), residual `r4 = 2·d2 − s4`. Every term is an
+    * integer in its declared unit scale; `cnt = (t2 + s4/2 + r4/2)/2`
+    * reconstructs exactly by construction. Weekday is
+    * `(epoch_day + 4) % 7` (epoch day 0 was a Thursday — the
+    * anomaly-DOW convention).
+    *
+    * All frames are day×type-bounded before any window; the rolling
+    * frame holds ≤ 7 values and each weekday group ≤ ⌈days/7⌉.
+    */
+  def stlDecompose(events: DataFrame): DataFrame = {
+    val detr = rollingMedian7d(events)
+      .select(col("event_type"), col("epoch_day"), col("cnt"),
+        col("med2_7d").as("t2"),
+        (col("cnt") * 2 - col("med2_7d")).as("d2"),
+        expr("(epoch_day + 4) % 7").as("dow"))
+    val seasonal = detr.groupBy("event_type", "dow")
+      .agg(sort_array(collect_list("d2")).as("arr"))
+      .select(col("event_type"), col("dow"),
+        expr("""element_at(arr, cast((size(arr) + 1) div 2 as int))
+               | + element_at(arr, cast(size(arr) div 2 + 1 as int))"""
+          .stripMargin).as("s4"))
+    detr.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"), col("epoch_day"), col("cnt"), col("t2"),
+        col("s4"), (col("d2") * 2 - col("s4")).as("r4"))
+      .orderBy("event_type", "epoch_day")
+  }
+
   /** Month-of-year seasonality index: each calendar month's revenue as
     * a ppm multiple of the flat 1/12 share (10⁶ = perfectly flat).
     * One fused aggregation plus a 1-row total broadcast.

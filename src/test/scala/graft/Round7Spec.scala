@@ -488,6 +488,37 @@ class Round7Spec extends SparkSpec {
     assert(got(("B", "X")) == ((1L, 1500000L)))
   }
 
+  test("stlDecompose: constant series decomposes to zero seasonal/residual") {
+    val rows = (0 until 14).flatMap(d => (0 until 3).map(i =>
+      (1L, (d * 10 + i).toLong, d * 86400000L + i, "view")))
+    val got = operators.Relational.stlDecompose(ev(rows)).collect()
+    assert(got.length == 14)
+    got.foreach { r =>
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        == ((3L, 6L, 0L, 0L)))
+    }
+  }
+
+  test("stlDecompose: the unit-scale identity 4*cnt == 2*t2 + s4 + r4") {
+    val got = operators.Relational
+      .stlDecompose(Tables.events(spark, sf0001)).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(
+      4 * r.getLong(2) == 2 * r.getLong(3) + r.getLong(4) + r.getLong(5)))
+  }
+
+  test("recommendations: neighbor parts minus own, isolated users get none") {
+    // A{1,2}, B{1,2,3}, C{2,4}: only A-B share >= 2 parts
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 2L), (3L, 4L)).toDF("l_orderkey", "l_partkey")
+    val o = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = operators.Basket.recommendations(li, o).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq((10L, 3L, 666666L, 1L, 1L)))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
