@@ -58,6 +58,10 @@ object ScaleProbe {
       Seq("event_id", "user_id"), 10000000L, perturbText = false)
     val li = scaleAndWrite("lineitem", Tables.lineitem(spark, sfDir),
       Seq("l_orderkey"), 100000000L, perturbText = false)
+    // custkeys shift with the copy too, so each copy is an independent
+    // customer population (baskets replicate, pairs don't cross copies)
+    val ords = scaleAndWrite("orders", Tables.orders(spark, sfDir),
+      Seq("o_orderkey", "o_custkey"), 100000000L, perturbText = false)
 
     def time(f: => DataFrame): Double = {
       def once: Double = {
@@ -76,6 +80,8 @@ object ScaleProbe {
       .withColumn("ts_ms", col("ts")).drop("ts")
     val liBase = Tables.lineitem(spark, sfDir)
     val liBig = spark.read.parquet(li)
+    val ordsBase = Tables.orders(spark, sfDir)
+    val ordsBig = spark.read.parquet(ords)
 
     // thunks, NOT pre-built DataFrames: operators with eager side
     // effects at construction (crossDocSpans's localCheckpoint fires
@@ -123,6 +129,33 @@ object ScaleProbe {
       ("seq_bigrams",
         () => operators.Basket.seqBigrams(eventsBase),
         () => operators.Basket.seqBigrams(eventsBig)),
+      ("coactivity_pairs",
+        () => operators.Relational.coactivityPairs(eventsBase),
+        () => operators.Relational.coactivityPairs(eventsBig)),
+      ("since_last_error",
+        () => operators.Relational.sinceLastError(eventsBase),
+        () => operators.Relational.sinceLastError(eventsBig)),
+      ("gap_regularity",
+        () => operators.Relational.gapRegularity(eventsBase),
+        () => operators.Relational.gapRegularity(eventsBig)),
+      ("stl_decompose",
+        () => operators.Relational.stlDecompose(eventsBase),
+        () => operators.Relational.stlDecompose(eventsBig)),
+      ("hapax_ratio",
+        () => operators.TextAnalysis.hapaxRatio(docsBase),
+        () => operators.TextAnalysis.hapaxRatio(docsBig)),
+      ("hybrid_rrf",
+        () => operators.TextAnalysis.hybridRrf(docsBase),
+        () => operators.TextAnalysis.hybridRrf(docsBig)),
+      ("zipf_slope",
+        () => operators.TextAnalysis.zipfSlope(docsBase),
+        () => operators.TextAnalysis.zipfSlope(docsBig)),
+      ("index_increment",
+        () => operators.TextAnalysis.indexIncrement(docsBase, 250L),
+        () => operators.TextAnalysis.indexIncrement(docsBig, 250L)),
+      ("recommendations",
+        () => operators.Basket.recommendations(liBase, ordsBase),
+        () => operators.Basket.recommendations(liBig, ordsBig)),
       ("q1_style_agg",
         () => liBase.groupBy("l_returnflag", "l_linestatus")
           .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"),
