@@ -1528,6 +1528,10 @@ object SparkEntry {
     // top-N part recommendations from the CF neighbor graph
     "customer_recommendations" -> ((s, dir) =>
       Basket.recommendations(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // union-normalized link prediction (CN / RA / Jaccard family)
+    "part_link_pred_jaccard" -> ((s, dir) =>
+      Graph.jaccardLinkPred(
+        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
     // nightly increment of the inverted index: touched-term df deltas
     "index_increment" -> ((s, dir) =>
       TextAnalysis.indexIncrement(Tables.documents(s, dir), baseMaxId = 250)),
@@ -3538,6 +3542,21 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "part_link_pred_jaccard" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+        |    ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS w, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+        |dg AS (SELECT w, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |cn AS (SELECT n1.n AS u, n2.n AS v, count(*)::BIGINT AS n_common
+        |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n
+        |  GROUP BY 1, 2)
+        |SELECT u AS part_a, v AS part_b, n_common,
+        |  n_common * 1000000 // (du.deg + dv.deg - n_common) AS jaccard_ppm
+        |FROM cn JOIN dg du ON du.w = cn.u JOIN dg dv ON dv.w = cn.v
+        |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
+        |ORDER BY jaccard_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
     "events_ingestion_gaps" ->
       """WITH m AS (SELECT DISTINCT epoch_ms(ts) // 60000 AS epoch_min
         |  FROM events)

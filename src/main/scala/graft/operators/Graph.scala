@@ -637,6 +637,34 @@ object Graph {
       .limit(topK)
   }
 
+  /** Jaccard link prediction — the third member of the family next to
+    * common-neighbors and resource-allocation: for non-adjacent pairs,
+    * `|Γ(u)∩Γ(v)|·10⁶ div |Γ(u)∪Γ(v)|` with the union expanded by
+    * inclusion–exclusion (`deg_u + deg_v − common`), all exact
+    * integers. Normalizing by the union ranks selective overlap above
+    * hub-driven overlap — what CN's raw count can't distinguish.
+    * Same wedge join + degree broadcast + anti-join shape as
+    * [[resourceAllocationPairs]].
+    */
+  def jaccardLinkPred(e0: DataFrame, topK: Int = 50): DataFrame = {
+    val adj = e0.select(col("a").as("w"), col("b").as("n"))
+      .unionByName(e0.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    val wedges = adj.toDF("w", "u")
+      .join(adj.toDF("w2", "v"), col("w") === col("w2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+    wedges
+      .join(broadcast(deg.toDF("u", "du")), "u")
+      .join(broadcast(deg.toDF("v", "dv")), "v")
+      .join(e0, wedges("u") === e0("a") && wedges("v") === e0("b"),
+        "left_anti")
+      .select(col("u").as("part_a"), col("v").as("part_b"), col("n_common"),
+        expr("n_common * 1000000L div (du + dv - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
   /** Degree assortativity (Newman 2002) of an undirected graph given
     * as normalized `(a < b)` edges: the Pearson correlation of the
     * endpoint degrees over the directed edge list, in exact integers —

@@ -519,6 +519,18 @@ class Round7Spec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 3L, 666666L, 1L, 1L)))
   }
 
+  test("jaccardLinkPred: union-normalized scores on a known wedge") {
+    // path a-b-c plus a-d: (a,c) share {b}: deg a=2, c=1, union=2
+    // -> 500000; (b,d) share {a}: deg b=2, d=1 -> 500000; (c,d) share
+    // no neighbor -> absent; adjacent pairs excluded by the anti-join
+    val e0 = Seq(("a", "b"), ("b", "c"), ("a", "d")).toDF("a", "b")
+    val got = operators.Graph.jaccardLinkPred(e0).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("a", "c") -> ((1L, 500000L)), ("b", "d") -> ((1L, 500000L))))
+  }
+
   test("bloom parquet layout: filter present in footer, predicate pushed") {
     val dir = sources.BloomParquet.stage(spark, sf0001)
     // (a) footer carries a bloom filter for l_partkey
