@@ -1532,6 +1532,26 @@ object SparkEntry {
     "part_link_pred_jaccard" -> ((s, dir) =>
       Graph.jaccardLinkPred(
         Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+    // daily KMV sketches MATERIALIZED, then re-merged to weekly
+    // distincts (k=8192 keeps every test sf inside the exact window)
+    "events_weekly_users_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      Tables.events(s, dir)
+        .groupBy(expr("ts_ms div 86400000").as("epoch_day"))
+        .agg(graft.functions.KmvSketchAgg
+          .kmv_sketch(col("user_id"), 8192).as("sk"))
+        .groupBy(expr("epoch_day div 7").as("epoch_week"))
+        .agg(graft.functions.KmvMergeDistinct
+          .kmv_merge_distinct(col("sk"), 8192).as("n_users"))
+        .orderBy("epoch_week")
+    }),
+    // churn ppm per segment against the data-derived snapshot
+    "customer_churn_by_segment" -> ((s, dir) =>
+      Relational.churnBySegment(Tables.orders(s, dir),
+        Tables.customer(s, dir))),
+    // in-session dwell time attributed to the earlier event's type
+    "events_dwell_time" -> ((s, dir) =>
+      Relational.dwellTime(Tables.events(s, dir))),
     // nightly increment of the inverted index: touched-term df deltas
     "index_increment" -> ((s, dir) =>
       TextAnalysis.indexIncrement(Tables.documents(s, dir), baseMaxId = 250)),
@@ -3542,6 +3562,36 @@ object SparkEntry {
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    // the merged sketch is exact below k, so weekly distinct IS the
+    // oracle
+    "events_weekly_users_rollup" ->
+      """SELECT (epoch_ms(ts) // 86400000) // 7 AS epoch_week,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "customer_churn_by_segment" ->
+      """WITH ld AS (SELECT o_custkey,
+        |    max(epoch_ms(o_orderdate) // 86400000) AS last_day
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_day) AS snap FROM ld)
+        |SELECT c.c_mktsegment AS segment,
+        |  count(*)::BIGINT AS n_customers,
+        |  CAST(sum(CASE WHEN ld.last_day < a.snap - 60 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned,
+        |  CAST(sum(CASE WHEN ld.last_day < a.snap - 60 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // count(*) AS churn_ppm
+        |FROM ld JOIN customer c ON ld.o_custkey = c.c_custkey CROSS JOIN a
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_dwell_time" ->
+      """WITH g AS (SELECT event_type, epoch_ms(ts) AS ts_ms,
+        |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_dwells,
+        |  CAST(sum(nxt - ts_ms) AS BIGINT) AS dwell_ms,
+        |  CAST(sum(nxt - ts_ms) AS BIGINT) // count(*) AS mean_dwell_ms
+        |FROM g WHERE nxt IS NOT NULL AND nxt - ts_ms <= 1800000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "part_link_pred_jaccard" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b

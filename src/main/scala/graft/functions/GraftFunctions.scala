@@ -52,6 +52,12 @@ object GraftFunctions {
     // aggregates: the sketches are usable directly in SQL GROUP BYs
     "graft_kmv_distinct" -> (args => KmvDistinct(args(0),
       intLit(args(1), "k")).toAggregateExpression()),
+    "graft_kmv_sketch" -> (args => KmvSketchAgg(args(0),
+      if (args.length > 1) intLit(args(1), "k") else 1024)
+      .toAggregateExpression()),
+    "graft_kmv_merge_distinct" -> (args => KmvMergeDistinct(args(0),
+      if (args.length > 1) intLit(args(1), "k") else 1024)
+      .toAggregateExpression()),
     "graft_kmv_jaccard" -> (args => KmvJaccard(args(0), args(1),
       if (args.length > 2) intLit(args(2), "k") else 1024)
       .toAggregateExpression()),

@@ -825,6 +825,55 @@ object Relational {
       .orderBy("event_type", "epoch_day")
   }
 
+  /** Churn readout per market segment: customers whose LAST order is
+    * more than `horizonDays` before the corpus' latest order day are
+    * churned; output per segment is count, churned count, and churn
+    * ppm. The snapshot anchor is data-derived (max order day — the
+    * aging-buckets contract, no wall clock). One orders rollup to
+    * per-customer last-day, a broadcast customer dim, a broadcast
+    * 1-row anchor, one segment-sized output.
+    */
+  def churnBySegment(orders: DataFrame, customer: DataFrame,
+                     horizonDays: Long = 60L): DataFrame = {
+    val lastDay = orders
+      .groupBy("o_custkey")
+      .agg(max(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+        .as("last_day"))
+    val anchor = lastDay.agg(max("last_day").as("snap"))
+    lastDay
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(anchor))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("last_day") < col("snap") - horizonDays, 1L)
+          .otherwise(0L)).as("n_churned"))
+      .withColumn("churn_ppm",
+        expr("n_churned * 1000000L div n_customers"))
+      .orderBy("segment")
+  }
+
+  /** Dwell time per event type: the gap to the user's NEXT event,
+    * attributed to the current event's type, counted only within a
+    * session (gap ≤ `gapMs` — a cross-session gap is absence, not
+    * dwell). Output per type: transitions, total and mean dwell ms.
+    * One user-keyed lead window + one type rollup.
+    */
+  def dwellTime(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"))
+      .withColumn("nxt", lead("ts_ms", 1).over(byUser))
+      .where(col("nxt").isNotNull && col("nxt") - col("ts_ms") <= gapMs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_dwells"),
+        sum(col("nxt") - col("ts_ms")).as("dwell_ms"))
+      .withColumn("mean_dwell_ms", expr("dwell_ms div n_dwells"))
+      .orderBy("event_type")
+  }
+
   /** Month-of-year seasonality index: each calendar month's revenue as
     * a ppm multiple of the flat 1/12 share (10⁶ = perfectly flat).
     * One fused aggregation plus a 1-row total broadcast.
