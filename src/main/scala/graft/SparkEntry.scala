@@ -1543,6 +1543,11 @@ object SparkEntry {
         .groupBy(expr("epoch_day div 7").as("epoch_week"))
         .agg(graft.functions.KmvMergeDistinct
           .kmv_merge_distinct(col("sk"), 8192).as("n_users"))
+        // exactness contract checked (see vocab_jaccard_sketch): the
+        // merged sketch is exact only below k
+        .where(org.apache.spark.sql.functions.isnull(expr(
+          "assert_true(n_users < 8192, " +
+            "'KMV k=8192 saturated: weekly distinct users >= k')")))
         .orderBy("epoch_week")
     }),
     // churn ppm per segment against the data-derived snapshot
@@ -1574,7 +1579,26 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("j.n_b").as("n_de"),
           org.apache.spark.sql.functions.col("j.n_inter").as("n_shared"),
           org.apache.spark.sql.functions.col("j.jaccard_ppm"))
+        // below-k exactness contract CHECKED, not assumed: if a larger
+        // sf pushes either side's vocabulary to k=1024 the sketch
+        // silently switches to the estimator — fail loudly instead of
+        // hash-mismatching with no diagnostic
+        .where(org.apache.spark.sql.functions.isnull(
+          org.apache.spark.sql.functions.expr(
+            "assert_true(n_en < 1024 and n_de < 1024, " +
+              "'KMV k=1024 saturated: per-side vocab >= k')")))
     }),
+    // bowtie decomposition of the DIRECTED word graph: the pivot's SCC
+    // exactly (fwd ∩ bwd reachability) plus in/out wings + disconnected
+    "word_bowtie" -> ((s, dir) =>
+      Graph.bowtie(Tables.documents(s, dir))),
+    // MMR diversified top-5: greedy rel − max-sim-to-selected selection
+    // (k corpus scans, broadcast selected set, zero corpus shuffles)
+    "emb_mmr_select" -> ((s, dir) =>
+      operators.Similarity.mmrSelect(Tables.embeddings(s, dir))),
+    // farthest-point sampling: greedy k-center coreset from seed 0
+    "emb_fps_coreset" -> ((s, dir) =>
+      operators.Similarity.fpsCoreset(Tables.embeddings(s, dir))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1609,6 +1633,96 @@ object SparkEntry {
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
+    "word_bowtie" ->
+      s"""WITH RECURSIVE e0 AS (SELECT DISTINCT ws[i+1] AS s, ws[i+2] AS t
+         |  FROM (SELECT $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |  WHERE len(ws) >= 2),
+         |nodes AS (SELECT DISTINCT word FROM
+         |  (SELECT s AS word FROM e0 UNION ALL SELECT t AS word FROM e0)),
+         |fwd AS (
+         |  SELECT (SELECT min(word) FROM nodes) AS word, 0 AS dist
+         |  UNION
+         |  SELECT e.t, f.dist + 1 FROM fwd f JOIN e0 e ON e.s = f.word
+         |  WHERE f.dist < 20),
+         |bwd AS (
+         |  SELECT (SELECT min(word) FROM nodes) AS word, 0 AS dist
+         |  UNION
+         |  SELECT e.s, b.dist + 1 FROM bwd b JOIN e0 e ON e.t = b.word
+         |  WHERE b.dist < 20)
+         |SELECT cls, count(*)::BIGINT AS n_nodes,
+         |  min(word) AS min_word, max(word) AS max_word
+         |FROM (SELECT n.word,
+         |    CASE WHEN f.word IS NOT NULL AND b.word IS NOT NULL THEN 'scc'
+         |         WHEN f.word IS NOT NULL THEN 'out'
+         |         WHEN b.word IS NOT NULL THEN 'in' ELSE 'disc' END AS cls
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT DISTINCT word FROM fwd) f ON n.word = f.word
+         |  LEFT JOIN (SELECT DISTINCT word FROM bwd) b ON n.word = b.word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // unrolled greedy MMR (k = 5): each step's argmax of
+    // rel − max-sim-to-selected, ties by vec_id — mirrors
+    // Similarity.mmrSelect step for step
+    "emb_mmr_select" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM c WHERE vec_id = 0),
+        |r AS (SELECT c.vec_id, c.e, list_cosine_similarity(c.e, q.qe) AS rel
+        |  FROM c, q WHERE c.vec_id <> 0),
+        |s1 AS (SELECT vec_id, e, rel FROM r ORDER BY rel DESC, vec_id LIMIT 1),
+        |g1 AS (SELECT * FROM s1),
+        |s2 AS (SELECT r.vec_id, r.e, r.rel FROM r
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM g1)
+        |  ORDER BY r.rel - (SELECT max(list_cosine_similarity(r.e, s.e))
+        |      FROM g1 s)
+        |    DESC, r.vec_id LIMIT 1),
+        |g2 AS (SELECT * FROM g1 UNION ALL SELECT * FROM s2),
+        |s3 AS (SELECT r.vec_id, r.e, r.rel FROM r
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM g2)
+        |  ORDER BY r.rel - (SELECT max(list_cosine_similarity(r.e, s.e))
+        |      FROM g2 s)
+        |    DESC, r.vec_id LIMIT 1),
+        |g3 AS (SELECT * FROM g2 UNION ALL SELECT * FROM s3),
+        |s4 AS (SELECT r.vec_id, r.e, r.rel FROM r
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM g3)
+        |  ORDER BY r.rel - (SELECT max(list_cosine_similarity(r.e, s.e))
+        |      FROM g3 s)
+        |    DESC, r.vec_id LIMIT 1),
+        |g4 AS (SELECT * FROM g3 UNION ALL SELECT * FROM s4),
+        |s5 AS (SELECT r.vec_id, r.e, r.rel FROM r
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM g4)
+        |  ORDER BY r.rel - (SELECT max(list_cosine_similarity(r.e, s.e))
+        |      FROM g4 s)
+        |    DESC, r.vec_id LIMIT 1),
+        |g5 AS (SELECT * FROM g4 UNION ALL SELECT * FROM s5)
+        |SELECT * FROM (SELECT 1::BIGINT AS sel_rank, vec_id FROM s1 UNION ALL SELECT 2::BIGINT AS sel_rank, vec_id FROM s2 UNION ALL SELECT 3::BIGINT AS sel_rank, vec_id FROM s3 UNION ALL SELECT 4::BIGINT AS sel_rank, vec_id FROM s4 UNION ALL SELECT 5::BIGINT AS sel_rank, vec_id FROM s5) ORDER BY sel_rank""".stripMargin,
+    // unrolled farthest-point sampling (k = 5, seed vec 0): argmax of
+    // min squared L2 to the selected set; distance spelled
+    // (a2+b2)-2ab exactly as Similarity.fpsCoreset
+    "emb_fps_coreset" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s1 AS (SELECT vec_id, e FROM c WHERE vec_id = 0),
+        |g1 AS (SELECT * FROM s1),
+        |s2 AS (SELECT c.vec_id, c.e FROM c
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM g1)
+        |  ORDER BY (SELECT min((list_inner_product(c.e,c.e) + list_inner_product(s.e,s.e)) - 2*list_inner_product(c.e,s.e))
+        |      FROM g1 s) DESC, c.vec_id LIMIT 1),
+        |g2 AS (SELECT * FROM g1 UNION ALL SELECT * FROM s2),
+        |s3 AS (SELECT c.vec_id, c.e FROM c
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM g2)
+        |  ORDER BY (SELECT min((list_inner_product(c.e,c.e) + list_inner_product(s.e,s.e)) - 2*list_inner_product(c.e,s.e))
+        |      FROM g2 s) DESC, c.vec_id LIMIT 1),
+        |g3 AS (SELECT * FROM g2 UNION ALL SELECT * FROM s3),
+        |s4 AS (SELECT c.vec_id, c.e FROM c
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM g3)
+        |  ORDER BY (SELECT min((list_inner_product(c.e,c.e) + list_inner_product(s.e,s.e)) - 2*list_inner_product(c.e,s.e))
+        |      FROM g3 s) DESC, c.vec_id LIMIT 1),
+        |g4 AS (SELECT * FROM g3 UNION ALL SELECT * FROM s4),
+        |s5 AS (SELECT c.vec_id, c.e FROM c
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM g4)
+        |  ORDER BY (SELECT min((list_inner_product(c.e,c.e) + list_inner_product(s.e,s.e)) - 2*list_inner_product(c.e,s.e))
+        |      FROM g4 s) DESC, c.vec_id LIMIT 1),
+        |g5 AS (SELECT * FROM g4 UNION ALL SELECT * FROM s5)
+        |SELECT * FROM (SELECT 1::BIGINT AS sel_rank, vec_id FROM s1 UNION ALL SELECT 2::BIGINT AS sel_rank, vec_id FROM s2 UNION ALL SELECT 3::BIGINT AS sel_rank, vec_id FROM s3 UNION ALL SELECT 4::BIGINT AS sel_rank, vec_id FROM s4 UNION ALL SELECT 5::BIGINT AS sel_rank, vec_id FROM s5) ORDER BY sel_rank""".stripMargin,
     "wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
     "wordcount_rdd" ->
@@ -1836,9 +1950,9 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
     "doc_hashed_features" ->
       s"""SELECT doc_id,
-         |  list_sum(list_transform(range(15), i ->
+         |  CAST(list_sum(list_transform(range(15), i ->
          |    (strpos('0123456789abcdef', substr(md5(word), i+1, 1)) - 1)::BIGINT
-         |      << (4*(14-i)))) % 64 AS bucket,
+         |      << (4*(14-i)))) % 64 AS BIGINT) AS bucket,
          |  count(*)::BIGINT AS cnt
          |FROM (${sqlWords(" doc_id,")})
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -3331,7 +3445,7 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "docs_modern_agg" ->
       s"""SELECT source, count(*) AS n_docs,
-         |  count_if(n_chars > 200) AS n_long,
+         |  CAST(count_if(n_chars > 200) AS BIGINT) AS n_long,
          |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "sql_pivot" ->
@@ -3494,8 +3608,11 @@ object SparkEntry {
         |    ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |adj AS (SELECT a AS w, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+        |dg AS (SELECT w, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |mid AS (SELECT adj.w, adj.n FROM adj JOIN dg ON adj.w = dg.w
+        |  WHERE dg.deg <= 1000),
         |cn AS (SELECT n1.n AS u, n2.n AS v, count(*) AS n_common
-        |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n GROUP BY 1, 2)
+        |  FROM mid n1 JOIN mid n2 ON n1.w = n2.w AND n1.n < n2.n GROUP BY 1, 2)
         |SELECT u AS part_a, v AS part_b, n_common FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY n_common DESC, part_a, part_b LIMIT 50""".stripMargin,
@@ -3558,7 +3675,7 @@ object SparkEntry {
         |    CAST(sum(1000000 // dg.deg) AS BIGINT) AS ra_ppm,
         |    count(*) AS n_common
         |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n
-        |  JOIN dg ON dg.w = n1.w GROUP BY 1, 2)
+        |  JOIN dg ON dg.w = n1.w WHERE dg.deg <= 1000 GROUP BY 1, 2)
         |SELECT u AS part_a, v AS part_b, n_common, ra_ppm FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = cn.u AND e0.b = cn.v)
         |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
@@ -3599,8 +3716,10 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |adj AS (SELECT a AS w, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
         |dg AS (SELECT w, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |mid AS (SELECT adj.w, adj.n FROM adj JOIN dg ON adj.w = dg.w
+        |  WHERE dg.deg <= 1000),
         |cn AS (SELECT n1.n AS u, n2.n AS v, count(*)::BIGINT AS n_common
-        |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n
+        |  FROM mid n1 JOIN mid n2 ON n1.w = n2.w AND n1.n < n2.n
         |  GROUP BY 1, 2)
         |SELECT u AS part_a, v AS part_b, n_common,
         |  n_common * 1000000 // (du.deg + dv.deg - n_common) AS jaccard_ppm
@@ -3987,14 +4106,15 @@ object SparkEntry {
         |FROM d ORDER BY epoch_day""".stripMargin,
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
-        |      AS converted
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND CAST(round(value * 100) AS BIGINT) >= 15000
+        |      THEN 1 ELSE 0 END)::BIGINT AS converted
         |  FROM events GROUP BY 1),
         |a AS (SELECT user_id, converted,
-        |    list_sum(list_transform(range(15), i ->
+        |    CAST(list_sum(list_transform(range(15), i ->
         |      (strpos('0123456789abcdef',
         |        substr(md5(CAST(user_id AS VARCHAR)), i+1, 1)) - 1)::BIGINT
-        |        << (4*(14-i)))) % 2 AS arm
+        |        << (4*(14-i)))) % 2 AS BIGINT) AS arm
         |  FROM u)
         |SELECT arm, count(*)::BIGINT AS n_users,
         |  CAST(sum(converted) AS BIGINT) AS n_converted,
@@ -4161,7 +4281,7 @@ object SparkEntry {
         |SELECT CASE WHEN lt_ms IS NOT NULL AND lt_ms >= ts_ms - 604800000
         |    THEN lt_type ELSE 'direct' END AS channel,
         |  count(*)::BIGINT AS n_purchases,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_journey_paths" ->
@@ -5017,7 +5137,7 @@ object SparkEntry {
          |SELECT bin, n, n_err,
          |  CAST((n_err * 1000000) // n AS BIGINT) AS err_ppm,
          |  CAST(((n_err * 1000000) // n) * 1000000
-         |    // ((tot_err * 1000000) // tot) AS BIGINT) AS lift_ppm
+         |    // greatest(1, (tot_err * 1000000) // tot) AS BIGINT) AS lift_ppm
          |FROM per CROSS JOIN t ORDER BY bin""".stripMargin,
     "multi_keyword_tag" ->
       s"""SELECT doc_id, count(*)::BIGINT AS n_matched,
@@ -5512,7 +5632,7 @@ object SparkEntry {
          |    CAST(length(bin(cnt)) - 1 AS BIGINT) AS y FROM c)
          |SELECT count(*)::BIGINT AS n_words,
          |  CAST((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000000
-         |    // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+         |    // greatest(1, count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
          |    AS slope_micro
          |FROM xy""".stripMargin,
     // brute ε-join mirror of the grid DBSCAN (the grid is a pruning,

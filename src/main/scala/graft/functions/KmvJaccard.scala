@@ -99,7 +99,9 @@ case class KmvJaccard(
       val jPpm = inBoth * 1000000L / s.size
       val uniEst = est(s)
       out.update(0, est(buf.a)); out.update(1, est(buf.b))
-      out.update(2, math.round(uniEst * (jPpm / 1000000.0)))
+      // integer form (truncating): keeps the estimator branch inside
+      // the same integer-determinism contract as the exact branch
+      out.update(2, uniEst * jPpm / 1000000L)
       out.update(3, jPpm)
     }
     out

@@ -602,29 +602,47 @@ object Graph {
     * pairs u < v per node), counted per pair — cost Σ deg(w)², the
     * inherent wedge bound — then adjacent pairs leave via LEFT ANTI
     * against the edge set. Two shuffles: wedge keys, then the anti
-    * join. At 100 TB-scale graphs the standard mitigation applies
-    * unchanged: drop the top-degree hub nodes before the self-join
-    * (their wedges are noise), bounding fan-out the same way
-    * [[triangleCount]]'s orientation does; the oriented trick itself
-    * does NOT apply here — a common neighbor must see BOTH endpoints,
-    * whatever their degrees.
+    * join. The `maxDeg` hub prune (same shape as
+    * [[Basket.cfNeighbors]]'s `maxDf`) drops middle vertices above the
+    * cap BEFORE the self-join, bounding wedge volume at
+    * Σ min(deg, maxDeg)² — one "everyone buys it" part no longer
+    * contributes deg² rows. The prune is part of the operator's
+    * contract and mirrored verbatim in the oracle; the oriented trick
+    * from [[triangleCount]] does NOT apply here — a common neighbor
+    * must see BOTH endpoints, whatever their degrees.
     */
   /** Resource-allocation link prediction (Zhou et al. 2009): like
     * [[commonNeighborPairs]] but each shared neighbor `w` contributes
     * `1/deg(w)` instead of 1 — a hub connecting half the catalog says
     * little; a rare part bridging two others says a lot. Integer-exact
     * as `Σ 10⁶ div deg(w)` (per-wedge truncation, mirrored verbatim in
-    * the oracle). Same wedge bound and the same hub-dropping
-    * mitigation at scale; the degree frame is one extra (node)-keyed
-    * agg joined back at the wedge middle before fan-out.
+    * the oracle). Same wedge bound, with the `maxDeg` hub prune ACTIVE
+    * (middles above the cap dropped before fan-out, mirrored in the
+    * oracle); the degree frame is one extra (node)-keyed agg joined
+    * back at the wedge middle, where it also carries the prune.
     */
-  def resourceAllocationPairs(e0: DataFrame, topK: Int = 50): DataFrame = {
+  /** Hub prune shared by the link-prediction family: keep only
+    * adjacency rows whose MIDDLE vertex `w` has degree ≤ `maxDeg`,
+    * bounding wedge volume at Σ min(deg, maxDeg)² — the
+    * [[Basket.cfNeighbors]] `maxDf` pattern. The degree agg shuffles
+    * on `w`, the same key the wedge self-join needs, so the filter
+    * adds no extra exchange on the wedge path.
+    */
+  private def hubPruned(adj: DataFrame, maxDeg: Long): DataFrame = {
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    adj.join(deg.where(col("deg") <= maxDeg).select("w"), "w")
+      .select("w", "n")
+  }
+
+  def resourceAllocationPairs(e0: DataFrame, topK: Int = 50,
+                              maxDeg: Long = 1000L): DataFrame = {
     val adj = e0.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e0.select(col("b").as("w"), col("a").as("n")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
-    val wadj = adj.join(deg, "w")
+    val wadj = adj.join(deg.where(col("deg") <= maxDeg), "w")
     val wedges = wadj.select(col("w"), col("n").as("u"), col("deg"))
-      .join(adj.toDF("w2", "v"), col("w") === col("w2") && col("u") < col("v"))
+      .join(wadj.select(col("w").as("w2"), col("n").as("v")),
+        col("w") === col("w2") && col("u") < col("v"))
       .groupBy("u", "v")
       .agg(sum(expr("1000000 div deg")).as("ra_ppm"),
         count(lit(1)).as("n_common"))
@@ -643,19 +661,25 @@ object Graph {
     * inclusion–exclusion (`deg_u + deg_v − common`), all exact
     * integers. Normalizing by the union ranks selective overlap above
     * hub-driven overlap — what CN's raw count can't distinguish.
-    * Same wedge join + degree broadcast + anti-join shape as
-    * [[resourceAllocationPairs]].
+    * Same wedge join + `maxDeg` hub prune + anti-join shape as
+    * [[resourceAllocationPairs]]; the endpoint degrees stay FULL-graph
+    * degrees (only the wedge middle is pruned), joined un-hinted so
+    * AQE decides broadcast vs shuffle by actual size.
     */
-  def jaccardLinkPred(e0: DataFrame, topK: Int = 50): DataFrame = {
+  def jaccardLinkPred(e0: DataFrame, topK: Int = 50,
+                      maxDeg: Long = 1000L): DataFrame = {
     val adj = e0.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e0.select(col("b").as("w"), col("a").as("n")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
-    val wedges = adj.toDF("w", "u")
-      .join(adj.toDF("w2", "v"), col("w") === col("w2") && col("u") < col("v"))
+    val mid = hubPruned(adj, maxDeg)
+    val wedges = mid.toDF("w", "u")
+      .join(mid.toDF("w2", "v"), col("w") === col("w2") && col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+    // degree joins un-hinted: `deg` is node-cardinality, which can
+    // exceed any broadcast budget at scale — AQE picks the strategy
     wedges
-      .join(broadcast(deg.toDF("u", "du")), "u")
-      .join(broadcast(deg.toDF("v", "dv")), "v")
+      .join(deg.toDF("u", "du"), "u")
+      .join(deg.toDF("v", "dv"), "v")
       .join(e0, wedges("u") === e0("a") && wedges("v") === e0("b"),
         "left_anti")
       .select(col("u").as("part_a"), col("v").as("part_b"), col("n_common"),
@@ -672,16 +696,18 @@ object Graph {
     * undirected edge list, so one denominator suffices), emitted raw
     * plus as a truncating ppm ratio. Positive: hubs link hubs
     * (social-graph shape); negative: hubs link leaves (dependency /
-    * recommendation shape). One degree aggregation (broadcast back),
-    * one fused five-sum scan — no quadratic anything.
+    * recommendation shape). One degree aggregation joined back un-hinted
+    * (AQE broadcasts when it fits), one fused five-sum scan — no
+    * quadratic anything.
     */
   def degreeAssortativity(e0: DataFrame): DataFrame = {
     val adj = e0.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e0.select(col("b").as("w"), col("a").as("n")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    // un-hinted: deg is node-cardinality; AQE broadcasts when small
     adj
-      .join(broadcast(deg.toDF("w", "x")), "w")
-      .join(broadcast(deg.toDF("n", "y")), "n")
+      .join(deg.toDF("w", "x"), "w")
+      .join(deg.toDF("n", "y"), "n")
       .agg(count(lit(1)).as("n_dir_edges"), sum("x").as("sx"),
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
       .select(col("n_dir_edges"),
@@ -690,11 +716,13 @@ object Graph {
       .withColumn("r_ppm", expr("num * 1000000 div den"))
   }
 
-  def commonNeighborPairs(e0: DataFrame, topK: Int = 50): DataFrame = {
+  def commonNeighborPairs(e0: DataFrame, topK: Int = 50,
+                          maxDeg: Long = 1000L): DataFrame = {
     val adj = e0.select(col("a").as("w"), col("b").as("n"))
       .unionByName(e0.select(col("b").as("w"), col("a").as("n")))
-    val wedges = adj.toDF("w", "u")
-      .join(adj.toDF("w2", "v"), col("w") === col("w2") && col("u") < col("v"))
+    val mid = hubPruned(adj, maxDeg)
+    val wedges = mid.toDF("w", "u")
+      .join(mid.toDF("w2", "v"), col("w") === col("w2") && col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
     wedges
       .join(e0, wedges("u") === e0("a") && wedges("v") === e0("b"),
@@ -842,5 +870,45 @@ object Graph {
       Dedup.release(prev)
     }
     dist.orderBy("word")
+  }
+
+  /** Bowtie decomposition of the DIRECTED word-adjacency graph
+    * (Broder et al. 2000, "Graph structure in the Web") relative to
+    * the canonical pivot (lexicographic-min node): forward BFS gives
+    * the nodes the pivot reaches, backward BFS (edges reversed) the
+    * nodes that reach the pivot; their intersection is EXACTLY the
+    * pivot's strongly connected component, the remainders are the
+    * classic `in` / `out` wings, and nodes in neither are `disc`. One
+    * row per nonempty class with count and min/max member.
+    *
+    * This is the FW-BW pivot step of distributed SCC algorithms — two
+    * frontier BFS sweeps (each round one join keyed on the frontier +
+    * one anti-join, nothing quadratic), which is why it scales where
+    * any pairwise mutual-reachability formulation cannot. The oracle
+    * mirrors both sweeps as depth-capped recursive CTEs.
+    */
+  def bowtie(docs: DataFrame, maxHops: Int = 20): DataFrame = {
+    val e = bigramEdges(docs).localCheckpoint()
+    val nodes = e.select(col("src").as("word"))
+      .union(e.select(col("dst").as("word"))).distinct().localCheckpoint()
+    val pivot = nodes.agg(min(col("word")).as("word"))
+      .where(col("word").isNotNull)
+    val fwd = bfsCore(e, pivot, maxHops)
+      .select(col("word")).withColumn("f", lit(1))
+    val bwd = bfsCore(e.select(col("dst").as("src"), col("src").as("dst")),
+        pivot, maxHops)
+      .select(col("word")).withColumn("b", lit(1))
+    nodes
+      .join(fwd, Seq("word"), "left")
+      .join(bwd, Seq("word"), "left")
+      .select(col("word"),
+        when(col("f").isNotNull && col("b").isNotNull, lit("scc"))
+          .when(col("f").isNotNull, lit("out"))
+          .when(col("b").isNotNull, lit("in"))
+          .otherwise(lit("disc")).as("cls"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("word").as("min_word"), max("word").as("max_word"))
+      .orderBy("cls")
   }
 }

@@ -378,8 +378,11 @@ object Relational {
         sum("n_err").as("tot_err"))))
       .select(col("bin"), col("n"), col("n_err"),
         expr("(n_err * 1000000L) div n").as("err_ppm"),
+        // greatest(1, ·) guards the zero-error corpus: both engines
+        // then report lift vs a 1-ppm floor instead of diverging
+        // (Spark NULL vs DuckDB division-by-zero error)
         expr("((n_err * 1000000L) div n) * 1000000L div " +
-          "((tot_err * 1000000L) div tot)").as("lift_ppm"))
+          "greatest(1L, (tot_err * 1000000L) div tot)").as("lift_ppm"))
       .orderBy("bin")
   }
 
@@ -2646,15 +2649,19 @@ object Relational {
     * hash into arm 0/1 by md5 parity (the hash-based bucketing every
     * experimentation system uses — stable across sessions, no RNG, no
     * assignment table), and each arm reports exposed users, converted
-    * users (≥ 1 purchase), and the ppm conversion rate. Shape: one
-    * per-user rollup (any-purchase flag rides the same shuffle), then
-    * a 2-row arm aggregate — no distinct-count expansion, no second
-    * scan.
+    * users (≥ 1 HIGH-VALUE purchase — `value ≥ convCents/100`; the
+    * any-purchase predicate converts ~100 % of the synthetic corpus,
+    * so the rate column would carry no signal), and the ppm conversion
+    * rate. Shape: one per-user rollup (the conversion flag rides the
+    * same shuffle), then a 2-row arm aggregate — no distinct-count
+    * expansion, no second scan.
     */
-  def abTestReport(events: DataFrame): DataFrame =
+  def abTestReport(events: DataFrame, convCents: Long = 15000L): DataFrame =
     events
       .select(col("user_id"),
-        (col("event_type") === "purchase").cast("long").as("p"))
+        (col("event_type") === "purchase" &&
+          expr("cast(round(value * 100) as bigint)") >= convCents)
+          .cast("long").as("p"))
       .groupBy("user_id").agg(max("p").as("converted"))
       .withColumn("arm", pmod(expr(
         "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"),

@@ -761,4 +761,100 @@ object Similarity {
     }.reduce((a, b) => a.join(broadcast(b), "query_id"))
     (codes, qlut)
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    * — diversified top-k: greedily pick the candidate maximizing
+    * `rel − max_{s∈S} sim(c, s)` (λ = ½ folded out: argmax is
+    * invariant under the common factor), where `rel` is cosine to the
+    * query vector (`vec_id = queryId`). The retrieval/data-selection
+    * primitive the plain top-k family can't express: the 2nd pick is
+    * penalized for resembling the 1st, so near-duplicate results never
+    * crowd the slate.
+    *
+    * Loop state is the k-element selected set — the [[graft.operators
+    * .TextAnalysis.bpeLearn]] pattern: a 1-row driver fetch per round
+    * is the argmax, everything data-sized stays distributed. Per round
+    * ONE shuffle-free scan of the candidates (the ≤k selected rows are
+    * broadcast; the per-candidate penalty is a max over ≤k broadcast
+    * rows computed in the map side) plus a TakeOrdered(1). 100 TB
+    * shape: k scans of the corpus, zero corpus shuffles.
+    *
+    * Determinism: doubles with the same expression tree as the DuckDB
+    * oracle (`rel − max sim`), ties by vec_id — the [[knnBruteForce]]
+    * contract. Output is integer-only (sel_rank, vec_id).
+    */
+  def mmrSelect(emb: DataFrame, k: Int = 5, queryId: Long = 0L): DataFrame = {
+    val spark = emb.sparkSession
+    val pre = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e")))).localCheckpoint()
+    val q = pre.where(col("vec_id") === queryId)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    val rel = pre.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        (dot(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("rel"))
+      .localCheckpoint()
+    var chosen = Vector.empty[Long]
+    while (chosen.size < k) {
+      val cand = if (chosen.isEmpty) rel
+        else rel.where(!col("vec_id").isin(chosen: _*))
+      val scored =
+        if (chosen.isEmpty) cand.select(col("vec_id"), col("rel").as("score"))
+        else {
+          val sel = rel.where(col("vec_id").isin(chosen: _*))
+            .select(col("vec_id").as("sid"), col("e").as("se"),
+              col("nrm").as("sn"))
+          cand.crossJoin(broadcast(sel))
+            .select(col("vec_id"), col("rel"),
+              (dot(col("e"), col("se")) / (col("nrm") * col("sn"))).as("sim"))
+            .groupBy("vec_id", "rel").agg(max("sim").as("pen"))
+            .select(col("vec_id"), (col("rel") - col("pen")).as("score"))
+        }
+      chosen :+= scored.orderBy(col("score").desc, col("vec_id")).limit(1)
+        .collect().head.getLong(0) // 1-row loop state, not a data plane
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }
+      .toDF("sel_rank", "vec_id")
+  }
+
+  /** Farthest-point sampling (greedy k-center, Gonzalez 1985) — the
+    * coreset-selection primitive: starting from `seedId`, repeatedly
+    * add the point whose squared L2 distance to its NEAREST selected
+    * point is largest. The classic 2-approximation to k-center cover;
+    * as data curation it picks a maximally spread subset (the opposite
+    * failure mode of random sampling, which oversamples dense modes).
+    *
+    * Same loop shape, scale posture, and determinism contract as
+    * [[mmrSelect]] (per-candidate MIN over the ≤k broadcast selected
+    * rows, argMAX of that, ties by vec_id); distance is
+    * `(‖a‖² + ‖b‖²) − 2·a·b` with the norms hoisted once per row and
+    * the exact association mirrored by the oracle.
+    */
+  def fpsCoreset(emb: DataFrame, k: Int = 5, seedId: Long = 0L): DataFrame = {
+    val spark = emb.sparkSession
+    val pre = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("n2", dot(col("e"), col("e"))).localCheckpoint()
+    var chosen = Vector(seedId)
+    while (chosen.size < k) {
+      val sel = pre.where(col("vec_id").isin(chosen: _*))
+        .select(col("e").as("se"), col("n2").as("sn2"))
+      val next = pre.where(!col("vec_id").isin(chosen: _*))
+        .crossJoin(broadcast(sel))
+        .select(col("vec_id"),
+          ((col("n2") + col("sn2")) - lit(2.0) * dot(col("e"), col("se")))
+            .as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .collect().head.getLong(0) // 1-row loop state, not a data plane
+      chosen :+= next
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }
+      .toDF("sel_rank", "vec_id")
+  }
 }

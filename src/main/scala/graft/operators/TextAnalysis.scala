@@ -857,8 +857,11 @@ object TextAnalysis {
         expr("length(bin(rnk)) - 1").cast("long").as("x"),
         expr("length(bin(cnt)) - 1").cast("long").as("y"))
       .agg(count(lit(1)).as("n_words"),
+        // greatest(1, ·): a degenerate corpus (all ranks in one log2
+        // bucket) zeroes the OLS denominator — both engines then emit
+        // slope 0 instead of diverging (Spark NULL vs DuckDB error)
         expr("""(count(1) * sum(x * y) - sum(x) * sum(y)) * 1000000L
-               |  div (count(1) * sum(x * x) - sum(x) * sum(x))"""
+               |  div greatest(1L, count(1) * sum(x * x) - sum(x) * sum(x))"""
           .stripMargin).as("slope_micro"))
   }
 

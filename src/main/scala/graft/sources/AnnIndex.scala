@@ -72,8 +72,10 @@ object AnnIndex {
       .orderBy("query_id", "rank")
   }
 
+  // dir -> tag, populated under computeIfAbsent so the index write
+  // completes before any concurrent caller can query it
   private val staged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Gate query: IVF top-k through the PERSISTED index — built once
     * per (session, sf dir), probed on every rerun; same parameters and
@@ -82,8 +84,11 @@ object AnnIndex {
   def annReport(spark: SparkSession, dir: String, nQueries: Int, k: Int,
                 nClusters: Int = 8, iters: Int = 5): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
-    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    if (staged.add(dir)) writeIndex(emb, tag, nClusters, iters)
+    val tag = staged.computeIfAbsent(dir, { _ =>
+      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      writeIndex(emb, t, nClusters, iters)
+      t
+    })
     query(spark, tag, emb.where(col("vec_id") < nQueries), k)
   }
 }

@@ -22,8 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object BloomParquet {
 
-  private val staged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val dirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -32,8 +30,11 @@ object BloomParquet {
     * column bloom filters are for). Row groups kept small so the sf0.01
     * fixture has several groups for the filter to prune between.
     */
-  def stage(spark: SparkSession, dir: String): String = {
-    if (staged.add(dir)) {
+  def stage(spark: SparkSession, dir: String): String =
+    // computeIfAbsent: the write completes before ANY caller observes
+    // the path (a check-then-act pair would let a concurrent second
+    // caller read null or a directory mid-write)
+    dirs.computeIfAbsent(dir, { dir =>
       val out = graft.TempDirs.scratchString("graft_bloom_li_")
       graft.Tables.lineitem(spark, dir)
         .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"),
@@ -52,10 +53,8 @@ object BloomParquet {
         .option("parquet.enable.dictionary#l_partkey", "false")
         .option("parquet.block.size", (1 << 20).toString)
         .parquet(out)
-      dirs.put(dir, out)
-    }
-    dirs.get(dir)
-  }
+      out
+    })
 
   /** Gate query: needle lookup `l_partkey = 1` through the bloom
     * layout — count and exact cents totals for the matching lines. The

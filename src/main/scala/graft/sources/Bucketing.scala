@@ -25,8 +25,10 @@ object Bucketing {
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  // dir -> tag under computeIfAbsent: write-before-visible (see
+  // AnnIndex.staged)
   private val staged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Gate query: revenue per order priority through the bucketed
     * layout — both sides written bucketed+sorted on `orderkey` ONCE per
@@ -37,18 +39,19 @@ object Bucketing {
     */
   def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
-    if (staged.add(dir)) {
+    val tag = staged.computeIfAbsent(dir, { _ =>
+      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       writeBucketed(graft.Tables.orders(spark, dir)
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority")),
-        ot, "orderkey", 8)
+        s"graft_bkt_orders_$t", "orderkey", 8)
       writeBucketed(graft.Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("orderkey"),
           round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
             .cast("long").as("rev_c")),
-        lt, "orderkey", 8)
-    }
+        s"graft_bkt_lineitem_$t", "orderkey", 8)
+      t
+    })
+    val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     joinBucketed(spark, ot, lt, "orderkey")
       .groupBy("o_orderpriority")
       .agg(sum("rev_c").as("revenue_cents"), count(lit(1)).as("n_lines"))

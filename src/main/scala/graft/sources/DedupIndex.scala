@@ -88,8 +88,10 @@ object DedupIndex {
       .orderBy("doc_id")
   }
 
+  // dir -> tag under computeIfAbsent: write-before-visible (see
+  // AnnIndex.staged)
   private val staged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Gate query: the incremental dedup report through the persisted
     * index — base (doc_id ≤ baseMaxId) indexed ONCE per (session,
@@ -100,10 +102,12 @@ object DedupIndex {
   def incrementReport(spark: SparkSession, dir: String,
                       baseMaxId: Long): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    if (staged.add(dir))
-      writeIndex(docs.where(col("doc_id") <= baseMaxId), tag,
+    val tag = staged.computeIfAbsent(dir, { _ =>
+      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      writeIndex(docs.where(col("doc_id") <= baseMaxId), t,
         n = 3, b = 32, r = 4)
+      t
+    })
     incrementAgainstIndex(spark, tag, docs.where(col("doc_id") > baseMaxId),
       n = 3, b = 32, r = 4, num = 4, den = 5)
   }

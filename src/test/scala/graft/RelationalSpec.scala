@@ -633,13 +633,13 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 600000L), (2L, 2L, 900000L), (3L, 3L, 1000000L)))
   }
 
-  test("abTestReport: hash arms partition users, conversion is per-user any-purchase") {
+  test("abTestReport: hash arms partition users, conversion is per-user high-value purchase") {
     val e = events(
-      (1L, 1L, 1000L, "purchase", 5.0, "{}"),
-      (2L, 1L, 2000L, "purchase", 5.0, "{}"),  // same user converts once
+      (1L, 1L, 1000L, "purchase", 155.0, "{}"),
+      (2L, 1L, 2000L, "purchase", 155.0, "{}"),  // same user converts once
       (3L, 2L, 1000L, "view", 0.0, "{}"),
-      (4L, 3L, 1000L, "purchase", 5.0, "{}"),
-      (5L, 4L, 1000L, "click", 0.0, "{}"))
+      (4L, 3L, 1000L, "purchase", 150.0, "{}"),  // boundary: 15000 cents
+      (5L, 4L, 1000L, "purchase", 149.99, "{}")) // below threshold: no conv
     val got = Relational.abTestReport(e).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.map(_._1).toSeq.sorted == got.map(_._1).toSeq) // ordered by arm

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Graph
+
+/** Round-8 additions: the `maxDeg` hub prune on the CN/RA/Jaccard
+  * link-prediction family (VERDICT r7 next-items #3/#4).
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hub h with 5 spokes (deg 5) plus a low path p-m-q (m deg 2).
+    * With maxDeg = 4 the hub's C(5,2) = 10 wedges vanish; only the
+    * (p,q) wedge through m survives.
+    */
+  private val hubGraph = Seq(
+    ("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4"), ("h", "s5"),
+    ("m", "p"), ("m", "q")).toDF("a", "b")
+
+  test("commonNeighborPairs maxDeg prunes hub-middle wedges") {
+    val full = Graph.commonNeighborPairs(hubGraph).collect()
+    assert(full.length == 11) // C(5,2) hub pairs + (p,q)
+    val pruned = Graph.commonNeighborPairs(hubGraph, maxDeg = 4L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(pruned.toMap == Map(("p", "q") -> 1L))
+  }
+
+  test("resourceAllocationPairs maxDeg prunes hub-middle wedges") {
+    val pruned = Graph.resourceAllocationPairs(hubGraph, maxDeg = 4L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    // only (p,q) through m (deg 2): ra = 10^6 div 2
+    assert(pruned.toSeq == Seq((("p", "q"), 1L, 500000L)))
+  }
+
+  test("jaccardLinkPred maxDeg prunes middles but keeps full endpoint degrees") {
+    val pruned = Graph.jaccardLinkPred(hubGraph, maxDeg = 4L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(3)))
+    // (p,q): common=1, deg(p)=deg(q)=1 (full graph) -> 10^6 div (1+1-1)
+    assert(pruned.toSeq == Seq((("p", "q"), 1L, 1000000L)))
+    // and with the default cap nothing is pruned on this small graph
+    assert(Graph.jaccardLinkPred(hubGraph).collect().length == 11)
+  }
+
+  test("bowtie: pivot SCC, in/out wings, and disconnected nodes") {
+    // graph over words: "a b c a" gives cycle a->b->c->a (SCC of pivot
+    // a); "z a" gives z -> a (IN wing); "c d" continues c -> d (OUT,
+    // d has no path back); "x y" is a separate component (DISC for
+    // both x and y relative to pivot a)
+    val docs = Seq((1L, "a b c a"), (2L, "z a"), (3L, "c d"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val got = Graph.bowtie(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("disc", 2L, "x", "y"),
+      ("in", 1L, "z", "z"),
+      ("out", 1L, "d", "d"),
+      ("scc", 3L, "a", "c")))
+  }
+
+  private def embs(rows: (Long, Seq[Float])*) =
+    rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+
+  test("mmrSelect diversifies: 2nd pick avoids the near-duplicate of the 1st") {
+    // query q = (1,0); c2 = 2·c1 is an exact duplicate direction of c1
+    // (sim = 1, so its round-2 score is rel − 1 < 0); c3 = (0.6,−0.8)
+    // is less relevant (0.6) but nearly orthogonal to c1, scoring
+    // 0.6 − 0.592 > 0. Plain top-2 by relevance = {c1, c2}; MMR picks
+    // c1 then c3.
+    val e = embs(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0.01f),
+      2L -> Seq(2f, 0.02f), 3L -> Seq(0.6f, -0.8f))
+    val got = operators.Similarity.mmrSelect(e, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L)))
+  }
+
+  test("fpsCoreset spreads: picks the farthest point each round") {
+    // seed 0 at origin; 1 at (10,0), 2 at (9.5,0), 3 at (0,4).
+    // Round 2 picks 1 (d2=100); round 3 picks 3 (d2 to nearest
+    // selected = 16 beats 2's 0.25)
+    val e = embs(0L -> Seq(0f, 0f), 1L -> Seq(10f, 0f),
+      2L -> Seq(9.5f, 0f), 3L -> Seq(0f, 4f))
+    val got = operators.Similarity.fpsCoreset(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 3L)))
+  }
+}

@@ -42,7 +42,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         try:
-            exp = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            # Driver-parity: its hasher canonicalizes HUGEINT/DECIMAL
+            # differently from BIGINT, so value-identical results still
+            # hash-mismatch. Fail any oracle that binds such a type —
+            # the fix is a CAST(... AS BIGINT) in the oracle SQL.
+            bad = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t).upper()
+                   or "DECIMAL" in str(t).upper()]
+            if bad:
+                print(f"FAIL {name}: driver-unsafe oracle types {bad} "
+                      f"(cast to BIGINT in the oracle SQL)")
+                failures += 1
+                continue
+            exp = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
@@ -54,6 +67,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            failures += 1
+            continue
+        kinds_g = [d.kind for d in g.dtypes]
+        kinds_e = [d.kind for d in e.dtypes]
+        if kinds_g != kinds_e:
+            print(f"FAIL {name}: dtype kinds differ "
+                  f"{list(zip(g.columns, kinds_g, kinds_e))}")
             failures += 1
             continue
         try:
