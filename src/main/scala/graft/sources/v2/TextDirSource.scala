@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -96,24 +96,42 @@ class TextDirScanBuilder(path: String) extends ScanBuilder
 }
 
 class TextDirScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-textdir path=$path pushed=[${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def survivingFiles: Array[java.io.File] = {
     val all = Option(new java.io.File(path).listFiles()).getOrElse(Array())
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
-      .map(_.getAbsolutePath).sorted
+      .sortBy(_.getAbsolutePath)
     all.filter(f => pushed.forall {
-        case EqualTo("file", v: String) => f == v
-        case StringStartsWith("file", p) => f.startsWith(p)
-        case _ => true
-      })
-      .map(f => TextFilePartition(f): InputPartition)
+      case EqualTo("file", v: String) => f.getAbsolutePath == v
+      case StringStartsWith("file", p) => f.getAbsolutePath.startsWith(p)
+      case _ => true
+    })
   }
+
+  /** POST-PRUNING size estimate: joins against a filtered textdir scan
+    * see the surviving bytes, not the whole directory — so AQE/the
+    * planner can broadcast a pruned side it would otherwise
+    * sort-merge. Row count stays unknown (line counts need a scan);
+    * sizeInBytes is what join planning keys on.
+    */
+  override def estimateStatistics(): Statistics = {
+    val bytes = survivingFiles.map(_.length).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivingFiles.map(f => TextFilePartition(f.getAbsolutePath): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new TextDirReaderFactory(required)
 }

@@ -47,6 +47,22 @@ class TextDirV2Spec extends SparkSpec {
     assert(mixed.collect().map(_.getString(2)).toSeq == Seq("gamma"))
   }
 
+  test("v2 source: reported statistics shrink with pushed file pruning") {
+    // full scan: sizeInBytes = sum of the three data files' lengths
+    val total = Seq("a.txt", "b.txt", "c.txt")
+      .map(f => Files.size(Paths.get(dir, f))).sum
+    val full = read()
+    assert(full.queryExecution.optimizedPlan.stats.sizeInBytes
+      == BigInt(total))
+    // pruned scan: only b.txt's bytes survive into the estimate, so
+    // join planning sees the post-pruning size (broadcastable side)
+    val pruned = read().where(col("file") === s"$dir/b.txt")
+    assert(pruned.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.sizeInBytes
+    }.contains(BigInt(Files.size(Paths.get(dir, "b.txt")))))
+  }
+
   test("v2 sink: Rank_*_Thread_0 layout round-trips through the v2 reader") {
     val out = TempDirs.scratchString("graft_v2sink_")
     val counts = Seq(("alpha", 3L), ("beta", 2L), ("gamma", 7L))
