@@ -96,6 +96,28 @@ object SparkEntry {
        |WHERE inter * $den > (sa.n_sh + sb.n_sh - inter) * $num
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB CTE chain mirroring [[operators.Dedup.winnowFingerprints]]
+    * at k = 4, w = 4: `fp` holds (doc_id, fps) where fps are the
+    * rightmost-window-min selected gram hashes. The md5-prefix hash
+    * uses `nb` for the nibble index — an `i` would be captured by the
+    * enclosing gram lambda and hash every gram identically.
+    */
+  private val SqlWinnowCtes = {
+    val md5big =
+      "list_sum(list_transform(range(15), nb -> (strpos('0123456789abcdef', " +
+        "substr(md5(array_to_string(list_slice(ws, i+1, i+4), ' ')), nb+1, 1)) - 1)::BIGINT << (4*(14-nb))))"
+    s"""t AS (SELECT doc_id, $SqlWs AS ws FROM documents),
+       |g AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
+       |        $md5big) AS hs
+       |      FROM t WHERE len(ws) >= 7),
+       |sel AS (SELECT doc_id, hs,
+       |          list_distinct(list_transform(range(0, len(hs) - 3), j ->
+       |            j + 4 - list_position(list_reverse(list_slice(hs, j+1, j+4)),
+       |                                  list_min(list_slice(hs, j+1, j+4))))) AS ps
+       |        FROM g),
+       |fp AS (SELECT doc_id, list_transform(ps, p -> hs[p+1]) AS fps FROM sel)""".stripMargin
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -1599,6 +1621,18 @@ object SparkEntry {
     // farthest-point sampling: greedy k-center coreset from seed 0
     "emb_fps_coreset" -> ((s, dir) =>
       operators.Similarity.fpsCoreset(Tables.embeddings(s, dir))),
+    // MOSS winnowing: rightmost-min of each w-window of k-gram hashes —
+    // density 2/(w+1) with the shared-run coverage guarantee
+    "doc_winnow_fingerprint" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables.documents(s, dir), k = 4, w = 4)),
+    // near-dup pairs over the winnowed (2.5x smaller) inverted index
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.documents(s, dir), k = 4, w = 4, minShared = 3)),
+    // DeepWalk-style deterministic walk corpus: the sentences a
+    // skip-gram graph-embedding model trains on, hash-driven so both
+    // engines walk identical trajectories
+    "word_walk_corpus" -> ((s, dir) =>
+      Graph.walkCorpus(Tables.documents(s, dir), nWalks = 2, len = 3)),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1723,6 +1757,25 @@ object SparkEntry {
         |      FROM g4 s) DESC, c.vec_id LIMIT 1),
         |g5 AS (SELECT * FROM g4 UNION ALL SELECT * FROM s5)
         |SELECT * FROM (SELECT 1::BIGINT AS sel_rank, vec_id FROM s1 UNION ALL SELECT 2::BIGINT AS sel_rank, vec_id FROM s2 UNION ALL SELECT 3::BIGINT AS sel_rank, vec_id FROM s3 UNION ALL SELECT 4::BIGINT AS sel_rank, vec_id FROM s4 UNION ALL SELECT 5::BIGINT AS sel_rank, vec_id FROM s5) ORDER BY sel_rank""".stripMargin,
+    // winnowing (k=4, w=4): rightmost window-min spelled with the SAME
+    // primitive formula as the Spark side — j + w − position(
+    // reverse(window), min(window)) — no lambda-reduce semantics to
+    // diverge on; inner nibble var is `nb` so it can't shadow the
+    // outer gram index (lambda shadowing silently hashes one gram)
+    "doc_winnow_fingerprint" ->
+      s"""WITH $SqlWinnowCtes
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+         |  CAST(list_aggregate(fps, 'bit_xor') AS BIGINT) AS fp_xor
+         |FROM fp ORDER BY doc_id""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $SqlWinnowCtes,
+         |e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        count(*)::BIGINT AS shared
+         |      FROM e a JOIN e b USING (f) WHERE a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared FROM p WHERE shared >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
     "wordcount_rdd" ->
@@ -4480,6 +4533,31 @@ object SparkEntry {
       }
       (base +: iterCtes).mkString("WITH ", ",\n", "") +
         s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node"
+    },
+    // deterministic walk corpus: 3 unrolled hash-driven steps; the
+    // nibble index var is `q` so it can't shadow the walk columns
+    "word_walk_corpus" -> {
+      def h(cur: String, t: Int) =
+        s"list_sum(list_transform(range(15), q -> (strpos('0123456789abcdef', " +
+          s"substr(md5($cur || ':$t:' || CAST(walk AS VARCHAR)), q+1, 1)) - 1)::BIGINT << (4*(14-q))))"
+      val base =
+        s"""edges AS (SELECT DISTINCT ws[i+1] AS src, ws[i+2] AS dst
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2),
+           |adj AS (SELECT src, list_slice(list_sort(array_agg(DISTINCT dst)), 1, 64) AS nb
+           |        FROM edges GROUP BY 1),
+           |w0 AS (SELECT src AS start, wr AS walk, src AS cur, src AS path
+           |       FROM adj, LATERAL (SELECT unnest(range(0, 2)) AS wr) t)""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s"""w$i AS (SELECT start, walk, coalesce(nx, cur) AS cur,
+           |  CASE WHEN nx IS NULL THEN path ELSE path || ' ' || nx END AS path
+           |  FROM (SELECT w.start, w.walk, w.cur, w.path,
+           |          a.nb[(1 + (${h("w.cur", i - 1)} % len(a.nb)))::INT] AS nx
+           |        FROM w${i - 1} w LEFT JOIN adj a ON w.cur = a.src))""".stripMargin
+      }
+      (base +: steps).mkString("WITH ", ",\n", "") +
+        "\nSELECT start, walk, path FROM w3 ORDER BY start, walk"
     },
     // synchronous LPA: adopt the most frequent neighbor label, ties to
     // the smallest — a pure function of the prior round, so 2 unrolled

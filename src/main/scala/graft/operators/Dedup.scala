@@ -1078,4 +1078,63 @@ object Dedup {
       .where(col("inter") * den > col("uni") * num)
       .orderBy("id_a", "id_b")
   }
+
+  /** MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): hash
+    * every word k-gram, then in each window of `w` consecutive hashes
+    * keep the RIGHTMOST minimum — guaranteed density 2/(w+1) with a
+    * coverage guarantee (any shared run of w+k-1 tokens shares at least
+    * one selected fingerprint). Emits (doc_id, n_fps, fp_xor), the
+    * per-doc fingerprint-set digest.
+    *
+    * Scale posture: entirely per-row array math inside codegen — zero
+    * shuffles, and the fingerprint set is ~2/(w+1) the size of the full
+    * gram stream, which is exactly the win over shingle-based indexes
+    * at 100 TB (the index that gets shuffled/joined downstream is 2.5×
+    * smaller at w=4 while keeping the match guarantee).
+    *
+    * Both engines compute the rightmost-min by the same primitive
+    * formula — `j + w − position(reverse(window), min(window))` — so
+    * the selection is bit-identical without lambda-reduce semantics.
+    */
+  private def winnowSelected(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.operators.WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(ws) - $k), i ->
+           |  cast(conv(substr(md5(concat_ws(' ', slice(ws, i + 1, $k))), 1, 15), 16, 10) AS bigint))"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), col("hs"), expr(
+        s"""array_distinct(transform(sequence(0, size(hs) - $w), j ->
+           |  j + $w - array_position(reverse(slice(hs, cast(j + 1 AS int), $w)),
+           |                          array_min(slice(hs, cast(j + 1 AS int), $w)))))"""
+          .stripMargin).as("ps"))
+      .select(col("doc_id"),
+        expr("transform(ps, p -> element_at(hs, cast(p + 1 AS int)))").as("fps"))
+
+  /** Per-doc winnowing digest: (doc_id, n_fps, fp_xor). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
+    winnowSelected(docs, k, w)
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+        expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
+      .orderBy("doc_id")
+
+  /** Near-duplicate pairs by shared winnowing fingerprints: the
+    * fingerprint inverted index is 2/(w+1) the size of the full shingle
+    * index, and the coverage guarantee means any pair sharing a run of
+    * ≥ w+k-1 tokens still collides. One shuffle on fp; pair volume is
+    * Σ df² over the winnowed (not full) index.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Int = 3): DataFrame = {
+    val e = winnowSelected(docs, k, w)
+      .select(col("doc_id"), explode(array_distinct(col("fps"))).as("fp"))
+    val a = e.select(col("doc_id").as("id_a"), col("fp"))
+    val b = e.select(col("doc_id").as("id_b"), col("fp"))
+    a.join(b, "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
 }

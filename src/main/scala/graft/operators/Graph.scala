@@ -911,4 +911,51 @@ object Graph {
         min("word").as("min_word"), max("word").as("max_word"))
       .orderBy("cls")
   }
+
+  /** Deterministic DeepWalk-style walk corpus over the directed
+    * word-adjacency graph — the graph-embedding training-data op: the
+    * emitted paths ARE the sentences a skip-gram model trains on.
+    * `nWalks` walks of `len` steps start from every node with
+    * out-edges; step t of walker r at node v moves to
+    * `nb[h(v,t,r) mod |nb|]` where nb is the sorted distinct neighbor
+    * list capped at `maxNeighbors` (deterministic prefix — the hub
+    * bound) and h is the dual-engine md5-prefix hash, so both engines
+    * walk the identical pseudo-random trajectory. Dead ends absorb.
+    *
+    * Scale shape: adjacency is node-sized with bounded lists; the walk
+    * frontier is |V|·nWalks rows; each step is ONE keyed join on the
+    * current node — len shuffles total, no driver state, no explosion
+    * (frontier cardinality is invariant across steps).
+    */
+  def walkCorpus(docs: DataFrame, nWalks: Int = 2, len: Int = 3,
+                 maxNeighbors: Int = 64): DataFrame = {
+    val adj = bigramEdges(docs)
+      .groupBy(col("src"))
+      .agg(slice(sort_array(collect_set(col("dst"))), 1, maxNeighbors).as("nb"))
+      .localCheckpoint()
+    var walks = adj
+      .select(col("src").as("start"),
+        explode(expr(s"sequence(0, ${nWalks - 1})")).as("w"))
+      .select(col("start"), col("w").cast("long").as("walk"),
+        col("start").as("cur"), col("start").as("path"))
+    var t = 0
+    while (t < len) {
+      val stepped = walks.join(adj, walks("cur") === adj("src"), "left")
+        .select(col("start"), col("walk"),
+          expr(s"""element_at(nb, cast(1 + pmod(
+                  |  cast(conv(substr(md5(concat(cur, ':', '$t', ':', cast(walk AS string))), 1, 15), 16, 10) AS bigint),
+                  |  size(nb)) AS int))""".stripMargin).as("nx"),
+          col("cur"), col("path"))
+        .select(col("start"), col("walk"),
+          coalesce(col("nx"), col("cur")).as("cur"),
+          when(col("nx").isNull, col("path"))
+            .otherwise(concat(col("path"), lit(" "), col("nx"))).as("path"))
+      val prev = walks
+      walks = stepped.localCheckpoint()
+      Dedup.release(prev)
+      t += 1
+    }
+    walks.select(col("start"), col("walk"), col("path"))
+      .orderBy("start", "walk")
+  }
 }

@@ -83,4 +83,58 @@ class Round8Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 3L)))
   }
+
+  // letter-only synthetic words (digits would be stripped by the
+  // reference cleaner — NOTES round-7 spec-data trap)
+  private def w8(i: Int): String =
+    "" + ('a' + i % 26).toChar + ('a' + (i / 26) % 26).toChar + ('a' + i / 676).toChar
+
+  test("winnowing density bounds: ceil(nWindows/w) <= n_fps <= nWindows") {
+    // 20 tokens, k=4 -> 17 grams, w=4 -> 14 windows; each selected
+    // position can be the rightmost-min of at most w windows, so
+    // n_fps >= ceil(14/4) = 4; and at most one selection per window.
+    val d = Seq((1L, (0 until 20).map(w8).mkString(" "))).toDF("doc_id", "text")
+    val r = operators.Dedup.winnowFingerprints(d, k = 4, w = 4).collect()
+    assert(r.length == 1)
+    val nFps = r(0).getLong(1)
+    assert(nFps >= 4 && nFps <= 14, s"n_fps=$nFps outside [4,14]")
+  }
+
+  test("winnowing digest is content-determined: duplicate doc, same digest") {
+    val text = (0 until 30).map(w8).mkString(" ")
+    val d = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val r = operators.Dedup.winnowFingerprints(d, 4, 4).collect()
+      .map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(r.size == 1) // both docs collapse to one (n_fps, fp_xor)
+  }
+
+  test("winnowing match guarantee: a shared run of w+k-1 tokens collides") {
+    // run of exactly 7 shared tokens = 4 shared grams = ONE window
+    // fully inside the shared region; its rightmost-min depends only
+    // on window content, so both docs select the same fingerprint.
+    val shared = (100 until 107).map(w8).mkString(" ")
+    val a = (0 until 10).map(w8).mkString(" ") + " " + shared + " " +
+      (200 until 210).map(w8).mkString(" ")
+    val b = (300 until 310).map(w8).mkString(" ") + " " + shared + " " +
+      (400 until 410).map(w8).mkString(" ")
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = operators.Dedup.winnowPairs(d, 4, 4, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("walkCorpus: singleton adjacency forces the path; dead ends absorb") {
+    // word chain a->b->c->d: every neighbor list is a singleton, so the
+    // hash-driven choice is forced and the walk from `a` must be
+    // "a b c d"; from `c` (2 steps available) it's "c d" then absorbs.
+    val d = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val got = Graph.walkCorpus(d, nWalks = 2, len = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // starts = nodes with out-edges: aa, bb, cc (dd is a sink)
+    assert(got.length == 6)
+    assert(got.count(_._1 == "aa") == 2)
+    assert(got.filter(_._1 == "aa").forall(_._3 == "aa bb cc dd"))
+    assert(got.filter(_._1 == "cc").forall(_._3 == "cc dd")) // absorbed
+    assert(got.map(_._2).toSet == Set(0L, 1L))
+  }
 }
