@@ -1633,6 +1633,19 @@ object SparkEntry {
     // engines walk identical trajectories
     "word_walk_corpus" -> ((s, dir) =>
       Graph.walkCorpus(Tables.documents(s, dir), nWalks = 2, len = 3)),
+    // Rényi-2 collision probability per doc (ppm): the integer-exact
+    // character-diversity quality signal (Σ cnt² / tot²)
+    "doc_char_collision" -> ((s, dir) =>
+      TextAnalysis.charCollision(Tables.documents(s, dir))),
+    // greedy bigram-LM decode from the 3 most frequent seeds
+    "bigram_generate" -> ((s, dir) =>
+      TextAnalysis.bigramGenerate(Tables.documents(s, dir), nSeeds = 3, steps = 6)),
+    // rolling-origin EWMA forecast backtest: per-type MAE/bias x1000
+    "events_backtest_ewma" -> ((s, dir) =>
+      Relational.ewmaBacktest(Tables.events(s, dir))),
+    // MDM survivorship: one golden record per fuzzy entity cluster
+    "fuzzy_golden_record" -> ((s, dir) =>
+      Dedup.goldenRecord(Tables.customer(s, dir), maxDist = 1)),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1776,6 +1789,89 @@ object SparkEntry {
          |      GROUP BY 1, 2)
          |SELECT id_a, id_b, shared FROM p WHERE shared >= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    "doc_char_collision" ->
+      s"""SELECT doc_id, CAST(len(cs) AS BIGINT) AS tot_chars,
+         |  CAST(list_sum(list_transform(list_distinct(cs),
+         |      c -> (len(list_filter(cs, x -> x = c)))::BIGINT
+         |         * (len(list_filter(cs, x2 -> x2 = c)))::BIGINT))
+         |    * 1000000 // (len(cs) * len(cs)) AS BIGINT) AS coll_ppm
+         |FROM (SELECT doc_id,
+         |        string_split(array_to_string(ws, ''), '') AS cs
+         |      FROM (SELECT doc_id, $SqlWs AS ws FROM documents)
+         |      WHERE len(ws) > 0)
+         |ORDER BY doc_id""".stripMargin,
+    "bigram_generate" -> {
+      val base =
+        s"""bi AS (SELECT ws[i+1] AS w, ws[i+2] AS nx, count(*)::BIGINT AS cnt
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2 GROUP BY 1, 2),
+           |nxt AS (SELECT w, nx FROM (
+           |  SELECT w, nx, row_number() OVER (
+           |    PARTITION BY w ORDER BY cnt DESC, nx) AS rn FROM bi)
+           |  WHERE rn = 1),
+           |seeds AS (SELECT word AS seed FROM (
+           |  SELECT word, count(*) AS c FROM (${sqlWords()}) GROUP BY 1)
+           |  ORDER BY c DESC, word LIMIT 3),
+           |g0 AS (SELECT seed, seed AS cur, seed AS generated FROM seeds)""".stripMargin
+      val steps = (1 to 6).map { i =>
+        s"""g$i AS (SELECT seed, coalesce(n.nx, g.cur) AS cur,
+           |  CASE WHEN n.nx IS NULL THEN g.generated
+           |       ELSE g.generated || ' ' || n.nx END AS generated
+           |  FROM g${i - 1} g LEFT JOIN nxt n ON g.cur = n.w)""".stripMargin
+      }
+      (base +: steps).mkString("WITH ", ",\n", "") +
+        "\nSELECT seed, generated FROM g6 ORDER BY seed"
+    },
+    "events_backtest_ewma" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY epoch_day) AS i FROM d),
+        |r(event_type, i, n, ewma) AS (
+        |  SELECT event_type, i, n, n FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, idx.n, (idx.n + r.ewma) // 2
+        |  FROM idx JOIN r ON idx.event_type = r.event_type
+        |    AND idx.i = r.i + 1),
+        |f AS (SELECT event_type, n,
+        |        lag(ewma) OVER (PARTITION BY event_type ORDER BY i) AS fc
+        |      FROM r)
+        |SELECT event_type,
+        |  CAST(count(fc) AS BIGINT) AS n_eval,
+        |  CAST(CAST(coalesce(sum(abs(n - fc)) FILTER (WHERE fc IS NOT NULL), 0) AS BIGINT)
+        |    * 1000 // greatest(1, count(fc)) AS BIGINT) AS mae_x1000,
+        |  CAST(CAST(coalesce(sum(n - fc) FILTER (WHERE fc IS NOT NULL), 0) AS BIGINT)
+        |    * 1000 // greatest(1, count(fc)) AS BIGINT) AS bias_x1000
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fuzzy_golden_record" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.c_custkey AS id_a, c.c_custkey AS id_b
+         |  FROM customer a JOIN customer c
+         |    ON a.c_nationkey = c.c_nationkey AND a.c_custkey < c.c_custkey
+         |  WHERE levenshtein(a.c_name, c.c_name) <= 1),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |),
+         |cl AS (SELECT id AS custkey, min(r) AS comp FROM reach GROUP BY 1),
+         |m AS (SELECT cl.comp, c.c_name,
+         |        CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c
+         |      FROM cl JOIN customer c ON cl.custkey = c.c_custkey),
+         |best AS (SELECT comp, c_name AS golden_name FROM (
+         |  SELECT comp, c_name, row_number() OVER (PARTITION BY comp
+         |    ORDER BY length(c_name) DESC, c_name) AS rn FROM m)
+         |  WHERE rn = 1)
+         |SELECT m.comp, b.golden_name, count(*)::BIGINT AS n_members,
+         |  CAST(sum(m.bal_c) AS BIGINT) AS bal_cents
+         |FROM m JOIN best b ON m.comp = b.comp
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY word ORDER BY word""",
     "wordcount_rdd" ->

@@ -1119,6 +1119,32 @@ object Dedup {
         expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
       .orderBy("doc_id")
 
+  /** Golden-record construction (MDM survivorship) over the fuzzy
+    * entity clusters: per cluster the canonical name is the longest
+    * (ties to the lexicographically smallest), plus member count and
+    * summed balance cents — the merge step that turns ER clusters into
+    * one master record each. Cluster shape is [[componentsStar]] over
+    * [[blockedFuzzyPairs]]; the survivorship pick is one window over
+    * cluster-sized groups, so the whole merge is two keyed shuffles.
+    */
+  def goldenRecord(customer: DataFrame, maxDist: Int = 1): DataFrame = {
+    val cl = componentsStar(blockedFuzzyPairs(customer, maxDist))
+      .select(col("doc_id").as("custkey"), col("comp"))
+    val m = cl.join(customer, cl("custkey") === customer("c_custkey"))
+      .select(col("comp"), col("c_name"),
+        expr("cast(round(c_acctbal * 100) AS bigint)").as("bal_c"))
+    val best = m
+      .withColumn("rn", row_number().over(Window.partitionBy("comp")
+        .orderBy(length(col("c_name")).desc, col("c_name"))))
+      .where(col("rn") === 1)
+      .select(col("comp"), col("c_name").as("golden_name"))
+    m.groupBy("comp")
+      .agg(count(lit(1)).as("n_members"), sum(col("bal_c")).as("bal_cents"))
+      .join(best, "comp")
+      .select(col("comp"), col("golden_name"), col("n_members"), col("bal_cents"))
+      .orderBy("comp")
+  }
+
   /** Near-duplicate pairs by shared winnowing fingerprints: the
     * fingerprint inverted index is 2/(w+1) the size of the full shingle
     * index, and the coverage guarantee means any pair sharing a run of

@@ -2579,6 +2579,37 @@ object Relational {
       .orderBy("event_type", "epoch_day")
   }
 
+  /** Rolling-origin backtest of the α = 1/2 EWMA forecaster: for every
+    * day after the first, the one-step-ahead forecast is the EWMA state
+    * BEFORE that day; report per type the evaluated-day count, the mean
+    * absolute error and the mean signed error (both ×1000, truncating)
+    * — the "would this forecaster have worked" evaluation loop, folded
+    * in one pass over each type's calendar-bounded daily series (same
+    * shape as [[eventsEwma]]: one rollup shuffle, then per-row fold).
+    */
+  def ewmaBacktest(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("epoch_day", expr("ts_ms div 86400000"))
+      .groupBy("event_type", "epoch_day").agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("epoch_day"), col("n"))))
+        .as("xs"))
+      .select(col("event_type"), expr(
+        """aggregate(xs,
+          |  struct(cast(-1 as bigint) as s, cast(0 as bigint) as n_eval,
+          |         cast(0 as bigint) as abs_sum, cast(0 as bigint) as err_sum),
+          |  (acc, x) -> struct(
+          |    cast(if(acc.s < 0, x.n, (x.n + acc.s) div 2) as bigint) as s,
+          |    cast(acc.n_eval + if(acc.s < 0, 0, 1) as bigint) as n_eval,
+          |    cast(acc.abs_sum + if(acc.s < 0, 0, abs(x.n - acc.s)) as bigint) as abs_sum,
+          |    cast(acc.err_sum + if(acc.s < 0, 0, x.n - acc.s) as bigint) as err_sum))""".stripMargin)
+        .as("a"))
+      .select(col("event_type"), col("a.n_eval").as("n_eval"),
+        expr("a.abs_sum * 1000 div greatest(1L, a.n_eval)").as("mae_x1000"),
+        expr("a.err_sum * 1000 div greatest(1L, a.n_eval)").as("bias_x1000"))
+      .orderBy("event_type")
+  }
+
   /** Holt double-exponential smoothing (level + trend) of daily event
     * counts per type, integer-exact with α = β = 1/2: l₁ = n₁, b₁ = 0,
     * then lₜ = (nₜ + lₜ₋₁ + bₜ₋₁) div 2 and

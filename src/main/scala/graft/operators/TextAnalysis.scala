@@ -1588,4 +1588,73 @@ object TextAnalysis {
         array_join(col("hits"), ",").as("matched"))
       .orderBy("doc_id")
   }
+
+  /** Rényi-2 (collision) entropy signal per document, integer-exact:
+    * the probability (in ppm) that two uniformly drawn characters of
+    * the cleaned text coincide — Σ cnt² ⋅ 10⁶ div tot². High collision
+    * = low character diversity (boilerplate, repeated filler); the
+    * quadratic form replaces Shannon's Σ p·log p, which no two engines
+    * compute bit-identically. Pure per-row codegen array math — the
+    * distinct-character factor is bounded by the alphabet, so the
+    * per-row cost is O(|alphabet|·len), and there is no shuffle at all
+    * before the final ordering.
+    */
+  def charCollision(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        expr("filter(split(concat_ws('', ws), ''), x -> x <> '')").as("cs"))
+      .select(col("doc_id"), size(col("cs")).cast("long").as("tot_chars"),
+        expr("""aggregate(
+                |  transform(array_distinct(cs),
+                |    c -> cast(size(filter(cs, x -> x = c)) AS bigint)),
+                |  0L, (acc, n) -> acc + n * n)""".stripMargin).as("ss"))
+      .select(col("doc_id"), col("tot_chars"),
+        expr("ss * 1000000 div (tot_chars * tot_chars)").as("coll_ppm"))
+      .orderBy("doc_id")
+
+  /** Greedy bigram-LM decoding: from each of the `nSeeds` most
+    * frequent words, repeatedly append the argmax next word (corpus
+    * bigram count, ties to the lexicographically smaller word) for
+    * `steps` steps; sinks absorb. The generation counterpart of
+    * [[bigramLm]] — what a maximum-likelihood unsmoothed bigram model
+    * actually writes.
+    *
+    * Scale shape: the argmax table is one window over the bigram
+    * counts (vocab-sized result); each decode step joins the
+    * nSeeds-row frontier against it — bounded work per step no matter
+    * the corpus size.
+    */
+  def bigramGenerate(docs: DataFrame, nSeeds: Int = 3, steps: Int = 6): DataFrame = {
+    val ws = WordCount.cleanWords(col("text"))
+    val next = docs.select(ws.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w, ws[i+1] AS nx))"))
+        .as("p"))
+      .groupBy(col("p.w").as("w"), col("p.nx").as("nx"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("w").orderBy(col("cnt").desc, col("nx"))))
+      .where(col("rn") === 1)
+      .select(col("w"), col("nx"))
+      .localCheckpoint()
+    val seeds = docs.select(explode(ws).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(nSeeds)
+      .select(col("word").as("seed"))
+    var gen = seeds.select(col("seed"), col("seed").as("cur"),
+      col("seed").as("generated"))
+    var t = 0
+    while (t < steps) {
+      gen = gen.join(next, gen("cur") === next("w"), "left")
+        .select(col("seed"), coalesce(col("nx"), col("cur")).as("cur"),
+          when(col("nx").isNull, col("generated"))
+            .otherwise(concat(col("generated"), lit(" "), col("nx")))
+            .as("generated"))
+      t += 1
+    }
+    gen.select(col("seed"), col("generated")).orderBy("seed")
+  }
 }

@@ -137,4 +137,48 @@ class Round8Spec extends SparkSpec {
     assert(got.filter(_._1 == "cc").forall(_._3 == "cc dd")) // absorbed
     assert(got.map(_._2).toSet == Set(0L, 1L))
   }
+
+  test("charCollision: uniform text is 1/k, constant text is 1") {
+    val d = Seq((1L, "aaaa"), (2L, "ab ab")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.charCollision(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: all 'a' -> collision certain; doc 2: a,b,a,b -> 8/16
+    assert(got == Set((1L, 4L, 1000000L), (2L, 4L, 500000L)))
+  }
+
+  test("bigramGenerate follows the corpus argmax and absorbs at sinks") {
+    // bigrams: (aa,bb)x2, (bb,aa)x2, (aa,cc)x1 -> argmax aa->bb, bb->aa
+    val d = Seq((1L, "aa bb aa bb aa cc")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bigramGenerate(d, nSeeds = 1, steps = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("aa", "aa bb aa bb"))) // seed = most frequent
+    // cc is a sink: a seed landing there stops growing
+    val got2 = operators.TextAnalysis.bigramGenerate(
+      Seq((1L, "cc dd")).toDF("doc_id", "text"), nSeeds = 2, steps = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got2 == Map("cc" -> "cc dd", "dd" -> "dd"))
+  }
+
+  test("ewmaBacktest: hand-traced MAE/bias, negative bias truncates alike") {
+    def ev(rows: (String, Long)*) = rows.toDF("event_type", "ts_ms")
+    val day = 86400000L
+    // type x days [4, 8, 8]: fc=4 err=+4, s=6; fc=6 err=+2 -> mae 3000
+    val x = (1 to 4).map(_ => ("x", 0L)) ++ (1 to 8).map(_ => ("x", day)) ++
+      (1 to 8).map(_ => ("x", 2 * day))
+    // type y days [8, 4]: fc=8 err=-4 -> mae 4000, bias -4000
+    val y = (1 to 8).map(_ => ("y", 0L)) ++ (1 to 4).map(_ => ("y", day))
+    val got = operators.Relational.ewmaBacktest(ev(x ++ y: _*)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("x", 2L, 3000L, 3000L), ("y", 1L, 4000L, -4000L)))
+  }
+
+  test("goldenRecord: longest-then-lex name survives, balances merge") {
+    val c = Seq(
+      (1L, "aaaa", 7L, 1.50), (2L, "aaab", 7L, 2.25), // lev-1 cluster
+      (3L, "zzzz", 7L, 9.99)                          // singleton: dropped
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val got = operators.Dedup.goldenRecord(c, maxDist = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "aaaa", 2L, 375L)))
+  }
 }
