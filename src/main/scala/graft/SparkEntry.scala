@@ -1646,6 +1646,11 @@ object SparkEntry {
     // MDM survivorship: one golden record per fuzzy entity cluster
     "fuzzy_golden_record" -> ((s, dir) =>
       Dedup.goldenRecord(Tables.customer(s, dir), maxDist = 1)),
+    // cross-modal retrieval: text-tower embeddings vs byte-feature
+    // image tower, integer dot product, top-3 per query
+    "media_crossmodal_topk" -> ((s, dir) =>
+      Multimodal.crossmodalTopk(s, Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1846,6 +1851,27 @@ object SparkEntry {
         |  CAST(CAST(coalesce(sum(n - fc) FILTER (WHERE fc IS NOT NULL), 0) AS BIGINT)
         |    * 1000 // greatest(1, count(fc)) AS BIGINT) AS bias_x1000
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "media_crossmodal_topk" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |        octet_length(encode(text))::BIGINT AS nb
+         |      FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
+         |f AS (SELECT media_id, list_transform(range(16), i ->
+         |        CASE WHEN nb > i THEN
+         |          ((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+         |           + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1))::BIGINT
+         |        ELSE 0 END) AS fv FROM m),
+         |q AS (SELECT vec_id, list_transform(list_slice(embedding, 1, 16),
+         |        x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+         |      FROM embeddings WHERE vec_id < 20),
+         |s AS (SELECT q.vec_id, f.media_id,
+         |        CAST(list_sum(list_transform(range(1, 17), i -> qv[i] * fv[i]))
+         |          AS BIGINT) AS score
+         |      FROM q CROSS JOIN f),
+         |r AS (SELECT vec_id, media_id, score, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY score DESC, media_id) AS rk
+         |      FROM s)
+         |SELECT vec_id, CAST(rk AS BIGINT) AS rk, media_id, score
+         |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "fuzzy_golden_record" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a.c_custkey AS id_a, c.c_custkey AS id_b

@@ -265,4 +265,50 @@ object Multimodal {
         sum("nb").as("sum_bytes"))
       .orderBy("kind")
   }
+
+  /** First-`dim` payload bytes as an integer feature vector (0-padded)
+    * through the real per-partition batch path — the stand-in for an
+    * image-tower embedding (a real deployment swaps the byte read for
+    * model inference at the same call site; schema and batch shape are
+    * identical).
+    */
+  def byteFeatures(media: Dataset[MediaRow], dim: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val v = Array.tabulate(dim)(i =>
+        if (m.payload.length > i) (m.payload(i) & 0xFF).toLong else 0L)
+      (m.media_id, m.kind, v)
+    }).toDF("media_id", "kind", "fv")
+  }
+
+  /** Cross-modal retrieval: for each of the first `nQueries` text-tower
+    * embeddings, the top-`k` image-kind media items by integer dot
+    * product against the byte-feature "image tower". The brute scan is
+    * the oracle baseline (the knn_cosine contract); at scale the image
+    * side routes through the ANN index family instead. Queries are a
+    * broadcast grid-sized frame; the media side never shuffles — score,
+    * rank, filter all happen partition-local until the final top-k
+    * window on nQueries keys.
+    */
+  def crossmodalTopk(spark: SparkSession, docs: DataFrame, emb: DataFrame,
+                     nQueries: Int = 20, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val feats = byteFeatures(syntheticMedia(docs).as[MediaRow])
+      .where(col("kind") === "image")
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), expr(
+        "transform(slice(embedding, 1, 16), x -> cast(round(cast(x AS double) * 1000) AS bigint))")
+        .as("qv"))
+    feats.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("media_id"),
+        expr("aggregate(zip_with(qv, fv, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+          .as("score"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("media_id"))))
+      .where(col("rk") <= k)
+      .select(col("vec_id"), col("rk").cast("long").as("rk"),
+        col("media_id"), col("score"))
+      .orderBy("vec_id", "rk")
+  }
 }
