@@ -1651,6 +1651,12 @@ object SparkEntry {
     "media_crossmodal_topk" -> ((s, dir) =>
       Multimodal.crossmodalTopk(s, Tables.documents(s, dir),
         Tables.embeddings(s, dir))),
+    // RAKE keyphrases: stopword-free runs scored by deg/freq word stats
+    "doc_rake_keyphrases" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(Tables.documents(s, dir))),
+    // order-independent per-source content checksum (migration check)
+    "table_checksum" -> ((s, dir) =>
+      DataQuality.tableChecksum(Tables.documents(s, dir))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1851,6 +1857,39 @@ object SparkEntry {
         |  CAST(CAST(coalesce(sum(n - fc) FILTER (WHERE fc IS NOT NULL), 0) AS BIGINT)
         |    * 1000 // greatest(1, count(fc)) AS BIGINT) AS bias_x1000
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_rake_keyphrases" ->
+      s"""WITH toks AS (SELECT doc_id, i AS pos, ws[i+1] AS word
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws))) AS i) r),
+         |mk AS (SELECT doc_id, pos, word,
+         |         word IN ${TextAnalysis.Stopwords.map(w => s"'$w'")
+                     .mkString("(", ", ", ")")} AS is_sw
+         |       FROM toks),
+         |grp AS (SELECT doc_id, pos, word, is_sw,
+         |          sum(CASE WHEN is_sw THEN 1 ELSE 0 END) OVER (
+         |            PARTITION BY doc_id ORDER BY pos) AS g
+         |        FROM mk),
+         |nt AS (SELECT doc_id, pos, word, g FROM grp WHERE NOT is_sw),
+         |ph AS (SELECT doc_id, g, count(*)::BIGINT AS plen,
+         |         string_agg(word, ' ' ORDER BY pos) AS phrase
+         |       FROM nt GROUP BY 1, 2 HAVING count(*) <= 4),
+         |ws2 AS (SELECT nt.word,
+         |          CAST(CAST(sum(ph.plen) AS BIGINT) * 1000 // count(*) AS BIGINT) AS wscore
+         |        FROM nt JOIN ph USING (doc_id, g) GROUP BY 1),
+         |sc AS (SELECT nt.doc_id, nt.g, ph.phrase, ph.plen,
+         |         CAST(sum(w.wscore) AS BIGINT) AS score
+         |       FROM nt JOIN ph USING (doc_id, g) JOIN ws2 w ON nt.word = w.word
+         |       GROUP BY 1, 2, 3, 4)
+         |SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+         |  count(*)::BIGINT AS cnt, CAST(min(score) AS BIGINT) AS score_x1000
+         |FROM sc GROUP BY 1 ORDER BY score_x1000 DESC, phrase LIMIT 25""".stripMargin,
+    "table_checksum" ->
+      s"""SELECT source, count(*)::BIGINT AS n_rows,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  CAST(bit_xor(list_sum(list_transform(range(15), nb ->
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), nb+1, 1)) - 1)::BIGINT
+         |      << (4*(14-nb))))) AS BIGINT) AS checksum
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "media_crossmodal_topk" ->
       s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          |        octet_length(encode(text))::BIGINT AS nb

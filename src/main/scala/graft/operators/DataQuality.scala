@@ -135,4 +135,22 @@ object DataQuality {
           expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
           col("qs")(0).as("p50_cnt"), col("qs")(1).as("p99_cnt"))
     }.reduce(_ unionByName _).orderBy("key_col")
+
+  /** Order-independent per-source table fingerprint: row count, id
+    * range, and the XOR of a 60-bit content hash over (doc_id, text) —
+    * the cheap "did replication/compaction/migration preserve the
+    * table" integrity check. XOR is commutative and associative, so
+    * the checksum is identical no matter how rows are partitioned or
+    * which executor folds them — one map-side-combining shuffle on
+    * source, constant state per partition, valid at any scale.
+    */
+  def tableChecksum(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        expr("cast(conv(substr(md5(concat(cast(doc_id AS string), ':', text)), 1, 15), 16, 10) AS bigint)")
+          .as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy("source")
 }

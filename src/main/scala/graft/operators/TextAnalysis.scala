@@ -1589,6 +1589,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010), integer-exact:
+    * candidate phrases are maximal stopword-free token runs (capped at
+    * `maxLen` words); each word scores deg/freq where deg sums the
+    * lengths of the phrases it appears in and freq counts its
+    * occurrences; a phrase scores the sum of its words' scores
+    * (×1000, truncating). Emits the global top-`k` phrases by score.
+    *
+    * Scale shape: the run-splitting window is doc-bounded (partition by
+    * doc), word stats are one wordcount-shaped shuffle, and the final
+    * top-k is TakeOrderedAndProject — no quadratic anywhere.
+    */
+  def rakeKeyphrases(docs: DataFrame, maxLen: Int = 4, k: Int = 25): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(WordCount.cleanWords(col("text"))))
+      .toDF("doc_id", "pos", "word")
+      .withColumn("is_sw", col("word").isInCollection(Stopwords))
+      .withColumn("g", sum(when(col("is_sw"), 1).otherwise(0))
+        .over(Window.partitionBy("doc_id").orderBy("pos")))
+      .where(!col("is_sw"))
+      .select(col("doc_id"), col("pos"), col("word"), col("g"))
+      .localCheckpoint()
+    val ph = toks.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("plen"),
+        expr("concat_ws(' ', transform(sort_array(collect_list(struct(pos, word))), s -> s.word))")
+          .as("phrase"))
+      .where(col("plen") <= maxLen)
+    val wstat = toks.join(ph.select("doc_id", "g", "plen"), Seq("doc_id", "g"))
+      .groupBy("word")
+      .agg(expr("sum(plen) * 1000 div count(1)").as("wscore"))
+    val scored = toks.join(ph, Seq("doc_id", "g"))
+      .join(wstat, "word")
+      .groupBy(col("doc_id"), col("g"), col("phrase"), col("plen"))
+      .agg(sum("wscore").as("score"))
+    scored.groupBy("phrase")
+      .agg(max(col("plen")).as("n_words"), count(lit(1)).as("cnt"),
+        min(col("score")).as("score_x1000"))
+      .orderBy(col("score_x1000").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Rényi-2 (collision) entropy signal per document, integer-exact:
     * the probability (in ppm) that two uniformly drawn characters of
     * the cleaned text coincide — Σ cnt² ⋅ 10⁶ div tot². High collision

@@ -193,4 +193,32 @@ class Round8Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((0L, 1L, 0L, 98000L), (0L, 2L, 3L, 97000L)))
   }
+
+  test("rakeKeyphrases: hand-traced deg/freq scores; long runs drop") {
+    // phrases: [red apple] x2, [green tree], [sun]; every word in a
+    // 2-phrase scores 2000 (deg 4 / freq 2 or deg 2 / freq 1), sun 1000
+    val d = Seq(
+      (1L, "red apple the red apple of green tree a sun is"),
+      (2L, "qq ww ee rr tt")   // 5-word run: over maxLen, excluded
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.rakeKeyphrases(d, maxLen = 4, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("green tree", 2L, 1L, 4000L),
+      ("red apple", 2L, 2L, 4000L),
+      ("sun", 1L, 1L, 1000L)))
+  }
+
+  test("tableChecksum is row-order independent") {
+    val a = Seq((1L, "x", "s1"), (2L, "y", "s1"), (2L, "y", "s2"), (1L, "x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.DataQuality.tableChecksum(a).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(got.length == 2 && got(0)._3 == got(1)._3) // same content, same checksum
+    // one changed byte must move the checksum
+    val b = Seq((1L, "x", "s1"), (2L, "z", "s2")).toDF("doc_id", "text", "source")
+    val g2 = operators.DataQuality.tableChecksum(b).collect()
+      .map(r => r.getLong(4))
+    assert(g2(0) != g2(1))
+  }
 }
