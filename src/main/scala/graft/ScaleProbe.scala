@@ -162,7 +162,22 @@ object ScaleProbe {
             count(lit(1)).as("n")),
         () => liBig.groupBy("l_returnflag", "l_linestatus")
           .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"),
-            count(lit(1)).as("n"))))
+            count(lit(1)).as("n"))),
+      ("winnow_pairs",
+        () => operators.Dedup.winnowPairs(docsBase),
+        () => operators.Dedup.winnowPairs(docsBig)),
+      ("walk_corpus",
+        () => operators.Graph.walkCorpus(docsBase),
+        () => operators.Graph.walkCorpus(docsBig)),
+      ("rake_keyphrases",
+        () => operators.TextAnalysis.rakeKeyphrases(docsBase),
+        () => operators.TextAnalysis.rakeKeyphrases(docsBig)),
+      ("char_collision",
+        () => operators.TextAnalysis.charCollision(docsBase),
+        () => operators.TextAnalysis.charCollision(docsBig)),
+      ("table_checksum",
+        () => operators.DataQuality.tableChecksum(docsBase),
+        () => operators.DataQuality.tableChecksum(docsBig)))
 
     val results = probes.map { case (name, base, big) =>
       val tb = time(base()); val tg = time(big())

@@ -1657,6 +1657,10 @@ object SparkEntry {
     // order-independent per-source content checksum (migration check)
     "table_checksum" -> ((s, dir) =>
       DataQuality.tableChecksum(Tables.documents(s, dir))),
+    // nightly-batch winnow probe: new docs vs the base fingerprint
+    // index only (base never re-paired)
+    "dedup_winnow_increment" -> ((s, dir) =>
+      Dedup.winnowIncrement(Tables.documents(s, dir), baseMaxId = 250L)),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1857,6 +1861,16 @@ object SparkEntry {
         |  CAST(CAST(coalesce(sum(n - fc) FILTER (WHERE fc IS NOT NULL), 0) AS BIGINT)
         |    * 1000 // greatest(1, count(fc)) AS BIGINT) AS bias_x1000
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_winnow_increment" ->
+      s"""WITH $SqlWinnowCtes,
+         |e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
+         |p AS (SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+         |        count(*)::BIGINT AS shared
+         |      FROM (SELECT * FROM e WHERE doc_id > 250) n
+         |      JOIN (SELECT * FROM e WHERE doc_id <= 250) b USING (f)
+         |      GROUP BY 1, 2)
+         |SELECT new_id, base_id, shared FROM p WHERE shared >= 3
+         |ORDER BY new_id, base_id""".stripMargin,
     "doc_rake_keyphrases" ->
       s"""WITH toks AS (SELECT doc_id, i AS pos, ws[i+1] AS word
          |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),

@@ -1119,6 +1119,27 @@ object Dedup {
         expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
       .orderBy("doc_id")
 
+  /** Incremental winnow probe — the nightly-batch shape of
+    * [[winnowPairs]]: only documents with `doc_id > baseMaxId` (the
+    * new arrivals) probe the base corpus' winnowed fingerprint index;
+    * base documents are NEVER re-paired with each other, so the join
+    * volume is |new index| × collision rate, not |corpus|². Emits
+    * (new_id, base_id, shared).
+    */
+  def winnowIncrement(docs: DataFrame, baseMaxId: Long, k: Int = 4,
+                      w: Int = 4, minShared: Int = 3): DataFrame = {
+    val e = winnowSelected(docs, k, w)
+      .select(col("doc_id"), explode(array_distinct(col("fps"))).as("fp"))
+    val base = e.where(col("doc_id") <= baseMaxId)
+      .select(col("doc_id").as("base_id"), col("fp"))
+    val fresh = e.where(col("doc_id") > baseMaxId)
+      .select(col("doc_id").as("new_id"), col("fp"))
+    fresh.join(base, "fp")
+      .groupBy("new_id", "base_id").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("new_id", "base_id")
+  }
+
   /** Golden-record construction (MDM survivorship) over the fuzzy
     * entity clusters: per cluster the canonical name is the longest
     * (ties to the lexicographically smallest), plus member count and

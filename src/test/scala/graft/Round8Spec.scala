@@ -209,6 +209,15 @@ class Round8Spec extends SparkSpec {
       ("sun", 1L, 1L, 1000L)))
   }
 
+  test("winnowIncrement probes base but never re-pairs base with base") {
+    val text = (0 until 30).map(w8).mkString(" ")
+    // 1 and 2 are identical BASE docs; 3 is a NEW copy of both
+    val d = Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+    val got = operators.Dedup.winnowIncrement(d, baseMaxId = 2L, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L), (3L, 2L))) // (1,2) absent by contract
+  }
+
   test("tableChecksum is row-order independent") {
     val a = Seq((1L, "x", "s1"), (2L, "y", "s1"), (2L, "y", "s2"), (1L, "x", "s2"))
       .toDF("doc_id", "text", "source")
