@@ -448,4 +448,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"codes/LUTs are broadcast-sized; nothing may sort-merge:\n$p")
   }
+
+  test("table_checksum: ONE exchange, partial XOR before it") {
+    val p = planOf("table_checksum")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"the checksum must combine map-side, one shuffle on source:\n$p")
+    assert(p.contains("partial_bit_xor") || p.contains("partial"),
+      s"partial aggregation must precede the exchange:\n$p")
+  }
+
+  test("winnow fingerprints: per-row selection, no exchange before the sort") {
+    val p = planOf("doc_winnow_fingerprint")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0,
+      s"winnow selection is pure per-row array math; only the output ordering may exchange:\n$p")
+  }
+
+  test("rake keyphrases: final top-k is TakeOrdered, not a global sort") {
+    val p = planOf("doc_rake_keyphrases")
+    assert(p.contains("TakeOrderedAndProject"), s"top-25 must not global-sort:\n$p")
+  }
+
+  test("crossmodal: query tower broadcast; media side never pre-shuffles") {
+    val p = planOf("media_crossmodal_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 20-query grid must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here may sort-merge:\n$p")
+  }
 }
