@@ -364,6 +364,8 @@ object SparkEntry {
           docs.write.mode("overwrite").option("header", "true").csv(out)
         case "json" => docs.write.mode("overwrite").json(out)
         case "orc"  => docs.write.mode("overwrite").orc(out)
+        case "xml"  => docs.write.mode("overwrite").format("xml")
+          .option("rootTag", "docs").option("rowTag", "doc").save(out)
       }
       out
     })
@@ -412,6 +414,12 @@ object SparkEntry {
         .json(docsAsFormat(s, dir, "json")))),
     "orc_wordcount" -> ((s, dir) =>
       WordCount.wordCount(s.read.orc(docsAsFormat(s, dir, "orc")))),
+    // Spark 4 native XML source: same roundtrip contract as csv/orc
+    // (entity escaping can't change the token multiset)
+    "xml_wordcount" -> ((s, dir) =>
+      WordCount.wordCount(s.read.option("rowTag", "doc")
+        .schema("doc_id LONG, text STRING")
+        .format("xml").load(docsAsFormat(s, dir, "xml")))),
     // hive-partitioned lake: the filter prunes to one partition dir
     "partitioned_pruned_scan" -> ((s, dir) =>
       graft.sources.PartitionedLake.prunedDailySpend(s, dir)),
@@ -1690,7 +1698,9 @@ object SparkEntry {
       // ordered per-key replay of the CDC reset equals the batch window
       "streaming_since_last_error" -> "events_since_last_error",
       // the V2 connector reads the same staged lines
-      "textdir_v2_wordcount" -> "wordcount")
+      "textdir_v2_wordcount" -> "wordcount",
+      // XML roundtrip: entity escaping can't change the token multiset
+      "xml_wordcount" -> "wordcount")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

@@ -26,6 +26,19 @@ class FormatsSpec extends SparkSpec {
     assert(counts(fromJson) == base)
   }
 
+  test("xml round-trip escapes entities without changing the text") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    val d = Seq((1L, "a <b> & \"c\" 'd'"), (2L, "plain words here"))
+      .toDF("doc_id", "text")
+    d.write.format("xml").option("rootTag", "docs").option("rowTag", "doc")
+      .save(s"$tmp/xml")
+    val back = spark.read.option("rowTag", "doc")
+      .schema("doc_id LONG, text STRING").format("xml").load(s"$tmp/xml")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(back == Map(1L -> "a <b> & \"c\" 'd'", 2L -> "plain words here"))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val tmp = Files.createTempDirectory("graft_part").toString
     docs.write.partitionBy("lang").parquet(s"$tmp/bylang")
