@@ -1669,6 +1669,10 @@ object SparkEntry {
     // index only (base never re-paired)
     "dedup_winnow_increment" -> ((s, dir) =>
       Dedup.winnowIncrement(Tables.documents(s, dir), baseMaxId = 250L)),
+    // zone-map skipping A/B: date-clustered files vs arrival order
+    // under the same 30-day predicate
+    "lake_zone_map_skipping" -> ((s, dir) =>
+      operators.Layout.zoneMapSkipping(Tables.lineitem(s, dir))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1871,6 +1875,30 @@ object SparkEntry {
         |  CAST(CAST(coalesce(sum(n - fc) FILTER (WHERE fc IS NOT NULL), 0) AS BIGINT)
         |    * 1000 // greatest(1, count(fc)) AS BIGINT) AS bias_x1000
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lake_zone_map_skipping" ->
+      """WITH base AS (SELECT l_orderkey // 512 AS nat_file,
+        |        epoch_ms(l_shipdate) // 86400000 AS d
+        |      FROM lineitem),
+        |b2 AS (SELECT nat_file, d, d // 7 AS srt_file FROM base),
+        |nat AS (SELECT nat_file AS f, min(d) mn, max(d) mx, count(*)::BIGINT n
+        |        FROM b2 GROUP BY 1),
+        |srt AS (SELECT srt_file AS f, min(d) mn, max(d) mx, count(*)::BIGINT n
+        |        FROM b2 GROUP BY 1),
+        |roll AS (
+        |  SELECT 'date_sorted' AS layout, count(*)::BIGINT AS n_files,
+        |    CAST(sum(CASE WHEN mx >= 9500 AND mn <= 9529 THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+        |    CAST(sum(n) AS BIGINT) AS rows_total,
+        |    CAST(sum(CASE WHEN mx >= 9500 AND mn <= 9529 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+        |  FROM srt
+        |  UNION ALL
+        |  SELECT 'natural', count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN mx >= 9500 AND mn <= 9529 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(n) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx >= 9500 AND mn <= 9529 THEN n ELSE 0 END) AS BIGINT)
+        |  FROM nat)
+        |SELECT layout, n_files, n_scanned, rows_total, rows_scanned,
+        |  CAST(rows_scanned * 1000000 // rows_total AS BIGINT) AS scan_ppm
+        |FROM roll ORDER BY layout""".stripMargin,
     "dedup_winnow_increment" ->
       s"""WITH $SqlWinnowCtes,
          |e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),

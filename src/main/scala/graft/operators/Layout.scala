@@ -77,6 +77,40 @@ object Layout {
       .orderBy(keyCol)
   }
 
+  /** Zone-map (per-file min/max) skipping effectiveness A/B: the same
+    * 30-day ship-date range predicate evaluated against two simulated
+    * file layouts of lineitem — `natural` (files = arrival order,
+    * binned by orderkey) and `date_sorted` (files = clustered by ship
+    * day). Per layout: file count, files whose [min,max] day range
+    * intersects the predicate (those must be scanned), total rows, and
+    * rows inside scanned files — the measured "why you cluster your
+    * lake" number that parquet min/max pruning realizes at scale. Two
+    * bin rollups plus a 2-row union; no other shuffle.
+    */
+  def zoneMapSkipping(lineitem: DataFrame, loDay: Long = 9500L,
+                      hiDay: Long = 9529L, keyBin: Long = 512L,
+                      daysPerFile: Long = 7L): DataFrame = {
+    val base = lineitem.select(
+      expr("l_orderkey div " + keyBin).as("nat_file"),
+      expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000").as("d"))
+      .withColumn("srt_file", expr(s"d div $daysPerFile"))
+    def layout(name: String, fileCol: String): DataFrame =
+      base.groupBy(col(fileCol).as("file"))
+        .agg(min("d").as("mn"), max("d").as("mx"), count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("mx") >= loDay && col("mn") <= hiDay, 1L).otherwise(0L))
+            .as("n_scanned"),
+          sum("n").as("rows_total"),
+          sum(when(col("mx") >= loDay && col("mn") <= hiDay, col("n"))
+            .otherwise(0L)).as("rows_scanned"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_scanned"),
+          col("rows_total"), col("rows_scanned"),
+          expr("rows_scanned * 1000000 div rows_total").as("scan_ppm"))
+    layout("date_sorted", "srt_file")
+      .unionByName(layout("natural", "nat_file"))
+      .orderBy("layout")
+  }
+
   /** Write `df` z-ordered on (xCol, yCol): range-partition by z-value
     * (balanced output files via range exchange, not hash), sort rows
     * within each partition, drop the helper column. The result is a

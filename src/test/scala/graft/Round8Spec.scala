@@ -218,6 +218,20 @@ class Round8Spec extends SparkSpec {
     assert(got == Set((3L, 1L), (3L, 2L))) // (1,2) absent by contract
   }
 
+  test("zoneMapSkipping: date files prune, arrival-order files cannot") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // natural files {0,1} and {600,601} EACH contain one in-range day,
+    // so arrival order scans everything; date clustering isolates the
+    // two in-range rows into their own files
+    val li = Seq((0L, ts(9500)), (1L, ts(8000)), (600L, ts(9510)), (601L, ts(7000)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = operators.Layout.zoneMapSkipping(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("date_sorted", 4L, 2L, 2L),  // 4 files, 2 scanned, 2 rows read
+      ("natural", 2L, 2L, 4L)))     // both files scanned, all rows read
+  }
+
   test("tableChecksum is row-order independent") {
     val a = Seq((1L, "x", "s1"), (2L, "y", "s1"), (2L, "y", "s2"), (1L, "x", "s2"))
       .toDF("doc_id", "text", "source")
