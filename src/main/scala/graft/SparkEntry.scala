@@ -1673,6 +1673,13 @@ object SparkEntry {
     // under the same 30-day predicate
     "lake_zone_map_skipping" -> ((s, dir) =>
       operators.Layout.zoneMapSkipping(Tables.lineitem(s, dir))),
+    // delta+varint postings accounting for the inverted index
+    "index_compression_stats" -> ((s, dir) =>
+      TextAnalysis.indexCompressionStats(Tables.documents(s, dir))),
+    // FD / key-candidate profile over documents metadata
+    "dq_fd_profile" -> ((s, dir) =>
+      DataQuality.fdProfile(Tables.documents(s, dir),
+        Seq("doc_id" -> "source", "source" -> "lang", "lang" -> "source"))),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1875,6 +1882,38 @@ object SparkEntry {
         |  CAST(CAST(coalesce(sum(n - fc) FILTER (WHERE fc IS NOT NULL), 0) AS BIGINT)
         |    * 1000 // greatest(1, count(fc)) AS BIGINT) AS bias_x1000
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "index_compression_stats" ->
+      s"""WITH post AS (SELECT DISTINCT doc_id, word FROM (${sqlWords(" doc_id,")})),
+         |gaps AS (SELECT word,
+         |    CASE WHEN lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id) IS NULL
+         |         THEN doc_id
+         |         ELSE doc_id - lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id)
+         |    END AS v
+         |  FROM post)
+         |SELECT count(DISTINCT word)::BIGINT AS n_terms,
+         |  count(*)::BIGINT AS n_postings,
+         |  (count(*) * 8)::BIGINT AS raw_bytes,
+         |  CAST(sum((length(bin(v)) + 6) // 7) AS BIGINT) AS varint_bytes,
+         |  CAST((count(*) * 8 - CAST(sum((length(bin(v)) + 6) // 7) AS BIGINT))
+         |    * 1000000 // (count(*) * 8) AS BIGINT) AS savings_ppm
+         |FROM gaps""".stripMargin,
+    "dq_fd_profile" ->
+      """SELECT * FROM (
+        |SELECT 'doc_id->source' AS fd, count(*)::BIGINT AS n_lhs,
+        |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(max(n_rhs) AS BIGINT) AS max_fanout
+        |FROM (SELECT doc_id, count(DISTINCT source) AS n_rhs FROM documents GROUP BY 1)
+        |UNION ALL
+        |SELECT 'source->lang', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(n_rhs) AS BIGINT)
+        |FROM (SELECT source, count(DISTINCT lang) AS n_rhs FROM documents GROUP BY 1)
+        |UNION ALL
+        |SELECT 'lang->source', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(n_rhs) AS BIGINT)
+        |FROM (SELECT lang, count(DISTINCT source) AS n_rhs FROM documents GROUP BY 1)
+        |) ORDER BY fd""".stripMargin,
     "lake_zone_map_skipping" ->
       """WITH base AS (SELECT l_orderkey // 512 AS nat_file,
         |        epoch_ms(l_shipdate) // 86400000 AS d

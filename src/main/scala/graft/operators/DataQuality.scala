@@ -136,6 +136,25 @@ object DataQuality {
           col("qs")(0).as("p50_cnt"), col("qs")(1).as("p99_cnt"))
     }.reduce(_ unionByName _).orderBy("key_col")
 
+  /** Functional-dependency / key-candidate profile: for each declared
+    * `lhs → rhs` pair, how many distinct lhs values exist, how many map
+    * to MORE than one rhs (FD violations; 0 = the dependency holds,
+    * i.e. lhs is a key for rhs), and the worst fan-out. The
+    * schema-inference pass a profiler runs before trusting a join key
+    * or a dimension hierarchy. One distinct-aggregate shuffle per
+    * checked pair, constant-size output.
+    */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    pairs.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("n_rhs"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("n_rhs").as("max_fanout"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"),
+          col("n_violating"), col("max_fanout"))
+    }.reduce(_ unionByName _).orderBy("fd")
+
   /** Order-independent per-source table fingerprint: row count, id
     * range, and the XOR of a 60-bit content hash over (doc_id, text) —
     * the cheap "did replication/compaction/migration preserve the

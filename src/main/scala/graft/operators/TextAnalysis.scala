@@ -1589,6 +1589,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Postings-compression accounting for the inverted index: store the
+    * first posting absolute and the rest as strictly-positive deltas,
+    * varint-encoded (7 payload bits per byte, so
+    * bytes(v) = (len(bin(v)) + 6) div 7 — the `length(bin(·))` log2
+    * both engines share). Emits one row: term/posting counts, raw
+    * 8-byte-per-posting size, varint size, and the savings in ppm —
+    * the "how big is the index really" planning number; at 100 TB the
+    * delta+varint layout is the difference between an index that fits
+    * and one that doesn't. One shuffle on word (the lag window), one
+    * global rollup.
+    */
+  def indexCompressionStats(docs: DataFrame): DataFrame = {
+    val post = docs
+      .select(col("doc_id"), explode(WordCount.cleanWords(col("text"))).as("word"))
+      .distinct()
+    val gaps = post
+      .withColumn("prev", lag("doc_id", 1).over(
+        Window.partitionBy("word").orderBy("doc_id")))
+      .select(col("word"),
+        when(col("prev").isNull, col("doc_id"))
+          .otherwise(col("doc_id") - col("prev")).as("v"))
+    gaps.agg(
+        countDistinct(col("word")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        (count(lit(1)) * 8).as("raw_bytes"),
+        sum(expr("(length(bin(v)) + 6) div 7")).as("varint_bytes"))
+      .select(col("n_terms"), col("n_postings"), col("raw_bytes"),
+        col("varint_bytes"),
+        expr("(raw_bytes - varint_bytes) * 1000000 div raw_bytes")
+          .as("savings_ppm"))
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010), integer-exact:
     * candidate phrases are maximal stopword-free token runs (capped at
     * `maxLen` words); each word scores deg/freq where deg sums the

@@ -218,6 +218,26 @@ class Round8Spec extends SparkSpec {
     assert(got == Set((3L, 1L), (3L, 2L))) // (1,2) absent by contract
   }
 
+  test("indexCompressionStats: hand-computed varint bytes on tiny postings") {
+    // postings aa:[0,1,300] bb:[300]; deltas 0,1,299 + absolute 300
+    // varint bytes 1+1+2+2 = 6 of raw 32 -> savings 812500 ppm
+    val d = Seq((0L, "aa"), (1L, "aa"), (300L, "aa bb")).toDF("doc_id", "text")
+    val r = operators.TextAnalysis.indexCompressionStats(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((2L, 4L, 32L, 6L, 812500L)))
+  }
+
+  test("fdProfile: held FD reports zero violations, broken FD counts them") {
+    val d = Seq((1L, "s1", "en"), (2L, "s1", "en"), (3L, "s2", "en"),
+      (4L, "s2", "de")).toDF("doc_id", "source", "lang")
+    val got = operators.DataQuality.fdProfile(d,
+      Seq("doc_id" -> "lang", "source" -> "lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("doc_id->lang", 4L, 0L, 1L),   // key: no violations
+      ("source->lang", 2L, 1L, 2L)))  // s2 maps to {en,de}
+  }
+
   test("zoneMapSkipping: date files prune, arrival-order files cannot") {
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
     // natural files {0,1} and {600,601} EACH contain one in-range day,
