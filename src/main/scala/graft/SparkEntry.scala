@@ -1680,6 +1680,16 @@ object SparkEntry {
     "dq_fd_profile" -> ((s, dir) =>
       DataQuality.fdProfile(Tables.documents(s, dir),
         Seq("doc_id" -> "source", "source" -> "lang", "lang" -> "source"))),
+    // Catalyst rewrite: COUNT(DISTINCT word) through the KMV sketch
+    // aggregate (k=4096 > vocab -> exact; plan shape spec-audited)
+    "distinct_words_rewrite" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.plans.SketchDistinctRewrite.rewrite(
+        WordCount.explodeWords(Tables.documents(s, dir), "text", Seq("source"))
+          .groupBy("source")
+          .agg(countDistinct(col("word")).as("n_distinct"))
+          .orderBy("source"))
+    }),
   )
 
   /** Dictionary for [[operators.TextAnalysis.keywordTag]] — shared
@@ -1882,6 +1892,9 @@ object SparkEntry {
         |  CAST(CAST(coalesce(sum(n - fc) FILTER (WHERE fc IS NOT NULL), 0) AS BIGINT)
         |    * 1000 // greatest(1, count(fc)) AS BIGINT) AS bias_x1000
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "distinct_words_rewrite" ->
+      s"""SELECT source, count(DISTINCT word)::BIGINT AS n_distinct
+         |FROM (${sqlWords(" source,")}) GROUP BY source ORDER BY source""".stripMargin,
     "index_compression_stats" ->
       s"""WITH post AS (SELECT DISTINCT doc_id, word FROM (${sqlWords(" doc_id,")})),
          |gaps AS (SELECT word,

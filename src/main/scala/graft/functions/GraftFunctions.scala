@@ -120,5 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (TopKPerKey.perKey also self-registers for ad-hoc sessions)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKLimitPushdown)
+    // opt-in COUNT(DISTINCT) -> KMV sketch (spark.graft.sketchDistinct)
+    ext.injectOptimizerRule(_ => graft.plans.SketchDistinctRewrite)
   }
 }
