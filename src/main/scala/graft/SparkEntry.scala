@@ -1680,6 +1680,10 @@ object SparkEntry {
     "dq_fd_profile" -> ((s, dir) =>
       DataQuality.fdProfile(Tables.documents(s, dir),
         Seq("doc_id" -> "source", "source" -> "lang", "lang" -> "source"))),
+    // streaming ingest-integrity monitor: running per-source checksum,
+    // order/batch-boundary independent (XOR state), equals the batch op
+    "streaming_table_checksum" -> ((s, dir) =>
+      graft.streaming.Streams.tableChecksumAvailableNow(s, dir)),
     // Catalyst rewrite: COUNT(DISTINCT word) through the KMV sketch
     // aggregate (k=4096 > vocab -> exact; plan shape spec-audited)
     "distinct_words_rewrite" -> ((s, dir) => {
@@ -1721,7 +1725,10 @@ object SparkEntry {
       // the V2 connector reads the same staged lines
       "textdir_v2_wordcount" -> "wordcount",
       // XML roundtrip: entity escaping can't change the token multiset
-      "xml_wordcount" -> "wordcount")
+      "xml_wordcount" -> "wordcount",
+      // XOR state is arrival-order independent; driven to completion
+      // the stream equals the batch checksum
+      "streaming_table_checksum" -> "table_checksum")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

@@ -164,6 +164,29 @@ object Streams {
       mode = "append")
   }
 
+  /** Per-source running table checksum as a streaming aggregation:
+    * XOR is commutative and self-inverse, so the complete-mode state
+    * is 8 bytes + count per source REGARDLESS of arrival order or
+    * batch boundaries — the streaming ingest-integrity monitor. Driven
+    * to completion it must equal the batch
+    * [[graft.operators.DataQuality.tableChecksum]] (the driver's
+    * oracle, via the alias map).
+    */
+  def tableChecksumAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(stagedFileDir(path))
+    runAvailableNow(
+      raw.select(col("source"), col("doc_id"),
+          expr("cast(conv(substr(md5(concat(cast(doc_id AS string), ':', text)), 1, 15), 16, 10) AS bigint)")
+            .as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          expr("bit_xor(h)").as("checksum")),
+      Seq("source"))
+  }
+
   /** [[sessionCounts]] (mapGroupsWithState) over the events file
     * stream, driven to completion in update mode: one staged file =
     * one batch, so each user's final session count is emitted exactly
