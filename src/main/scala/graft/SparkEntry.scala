@@ -1680,6 +1680,9 @@ object SparkEntry {
     "dq_fd_profile" -> ((s, dir) =>
       DataQuality.fdProfile(Tables.documents(s, dir),
         Seq("doc_id" -> "source", "source" -> "lang", "lang" -> "source"))),
+    // candidate-generator evaluation: winnow recall vs jaccard truth
+    "dedup_winnow_eval" -> ((s, dir) =>
+      Dedup.winnowEval(Tables.documents(s, dir))),
     // streaming ingest-integrity monitor: running per-source checksum,
     // order/batch-boundary independent (XOR state), equals the batch op
     "streaming_table_checksum" -> ((s, dir) =>
@@ -1958,6 +1961,30 @@ object SparkEntry {
         |SELECT layout, n_files, n_scanned, rows_total, rows_scanned,
         |  CAST(rows_scanned * 1000000 // rows_total AS BIGINT) AS scan_ppm
         |FROM roll ORDER BY layout""".stripMargin,
+    "dedup_winnow_eval" ->
+      s"""WITH $SqlWinnowCtes,
+         |e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
+         |det AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM e a JOIN e b USING (f) WHERE a.doc_id < b.doc_id),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(list_slice(ws, i+1, i+3), ' ') AS shingle
+         |       FROM t, LATERAL (SELECT unnest(range(0, len(ws) - 2)) AS i) r
+         |       WHERE len(ws) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM sh a JOIN sh b USING (shingle)
+         |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b FROM pp
+         |          JOIN sz sa ON pp.id_a = sa.doc_id
+         |          JOIN sz sb ON pp.id_b = sb.doc_id
+         |          WHERE inter * 5 > (sa.n_sh + sb.n_sh - inter) * 4),
+         |c AS (SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         |        (SELECT count(*) FROM det)::BIGINT AS n_detected,
+         |        (SELECT count(*) FROM truth JOIN det USING (id_a, id_b))::BIGINT AS n_hit)
+         |SELECT n_truth, n_detected, n_hit,
+         |  CAST(n_hit * 1000000 // greatest(1, n_detected) AS BIGINT) AS precision_ppm,
+         |  CAST(n_hit * 1000000 // greatest(1, n_truth) AS BIGINT) AS recall_ppm
+         |FROM c""".stripMargin,
     "dedup_winnow_increment" ->
       s"""WITH $SqlWinnowCtes,
          |e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),

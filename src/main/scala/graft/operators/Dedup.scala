@@ -1119,6 +1119,28 @@ object Dedup {
         expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
       .orderBy("doc_id")
 
+  /** Candidate-generator evaluation: winnow pairs (minShared = 1, the
+    * recall setting) scored against the exact n-gram-Jaccard truth —
+    * (n_truth, n_detected, n_hit, precision_ppm, recall_ppm). The
+    * measured contract behind using winnowing as the first stage of a
+    * dedup pipeline: recall_ppm = 10⁶ at every SF (the w+k−1 coverage
+    * guarantee catches every Jaccard-0.8 pair on this corpus), while
+    * precision is what the cheap verify stage exists to fix. All three
+    * counts are 1-row aggregates crossed broadcast-style.
+    */
+  def winnowEval(docs: DataFrame, n: Int = 3, num: Int = 4, den: Int = 5,
+                 k: Int = 4, w: Int = 4): DataFrame = {
+    val det = winnowPairs(docs, k, w, minShared = 1).select("id_a", "id_b")
+    val truth = jaccardPairs(docs, n, num, den).select("id_a", "id_b")
+    val hit = truth.join(det, Seq("id_a", "id_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_truth"), col("n_detected"), col("n_hit"),
+        expr("n_hit * 1000000 div greatest(1L, n_detected)").as("precision_ppm"),
+        expr("n_hit * 1000000 div greatest(1L, n_truth)").as("recall_ppm"))
+  }
+
   /** Incremental winnow probe — the nightly-batch shape of
     * [[winnowPairs]]: only documents with `doc_id > baseMaxId` (the
     * new arrivals) probe the base corpus' winnowed fingerprint index;

@@ -209,6 +209,18 @@ class Round8Spec extends SparkSpec {
       ("sun", 1L, 1L, 1000L)))
   }
 
+  test("winnowEval: full recall of jaccard truth, candidates cost precision") {
+    val shared = (100 until 107).map(w8).mkString(" ")
+    val text = (0 until 20).map(w8).mkString(" ") + " " + shared
+    // 1=2 identical (the only jaccard-0.8 pair); 3 shares only the
+    // 7-token run with them -> winnow candidate, not truth
+    val far = (300 until 340).map(w8).mkString(" ") + " " + shared
+    val d = Seq((1L, text), (2L, text), (3L, far)).toDF("doc_id", "text")
+    val r = operators.Dedup.winnowEval(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((1L, 3L, 1L, 333333L, 1000000L)))
+  }
+
   test("winnowIncrement probes base but never re-pairs base with base") {
     val text = (0 until 30).map(w8).mkString(" ")
     // 1 and 2 are identical BASE docs; 3 is a NEW copy of both
