@@ -1683,6 +1683,9 @@ object SparkEntry {
     // candidate-generator evaluation: winnow recall vs jaccard truth
     "dedup_winnow_eval" -> ((s, dir) =>
       Dedup.winnowEval(Tables.documents(s, dir))),
+    // index-choice cost model: Σ df(df-1)/2 per candidate index
+    "dedup_cost_model" -> ((s, dir) =>
+      Dedup.dedupCostModel(Tables.documents(s, dir))),
     // streaming ingest-integrity monitor: running per-source checksum,
     // order/batch-boundary independent (XOR state), equals the batch op
     "streaming_table_checksum" -> ((s, dir) =>
@@ -1961,6 +1964,25 @@ object SparkEntry {
         |SELECT layout, n_files, n_scanned, rows_total, rows_scanned,
         |  CAST(rows_scanned * 1000000 // rows_total AS BIGINT) AS scan_ppm
         |FROM roll ORDER BY layout""".stripMargin,
+    "dedup_cost_model" ->
+      s"""WITH $SqlWinnowCtes,
+         |wk AS (SELECT DISTINCT doc_id, unnest(fps) AS k FROM fp),
+         |s3 AS (${sqlShingles(3)}),
+         |s4 AS (${sqlShingles(4)}),
+         |d3 AS (SELECT shingle, count(*)::BIGINT AS df FROM s3 GROUP BY 1),
+         |d4 AS (SELECT shingle, count(*)::BIGINT AS df FROM s4 GROUP BY 1),
+         |dw AS (SELECT k, count(*)::BIGINT AS df FROM wk GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT 'shingle3' AS method, count(*)::BIGINT AS n_keys,
+         |    CAST(sum(df) AS BIGINT) AS n_postings,
+         |    CAST(sum(df * (df - 1) // 2) AS BIGINT) AS est_pairs FROM d3
+         |  UNION ALL
+         |  SELECT 'shingle4', count(*)::BIGINT, CAST(sum(df) AS BIGINT),
+         |    CAST(sum(df * (df - 1) // 2) AS BIGINT) FROM d4
+         |  UNION ALL
+         |  SELECT 'winnow4', count(*)::BIGINT, CAST(sum(df) AS BIGINT),
+         |    CAST(sum(df * (df - 1) // 2) AS BIGINT) FROM dw)
+         |ORDER BY method""".stripMargin,
     "dedup_winnow_eval" ->
       s"""WITH $SqlWinnowCtes,
          |e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),

@@ -1119,6 +1119,33 @@ object Dedup {
         expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
       .orderBy("doc_id")
 
+  /** Index cost model: for each candidate index (distinct 3-gram
+    * shingles, distinct 4-gram shingles, winnowed 4-gram fingerprints)
+    * the key count, posting count, and the candidate-pair volume a
+    * self-join of that index would emit — est_pairs = Σ df·(df−1)/2
+    * over keys. This is the number that decides index choice at
+    * 100 TB BEFORE running the join; the winnow row quantifies the
+    * density claim (≈ 2/(w+1) of the 4-gram postings) directly.
+    * One df rollup per index, 1-row outputs unioned.
+    */
+  def dedupCostModel(docs: DataFrame): DataFrame = {
+    def stat(name: String, keyed: DataFrame): DataFrame =
+      keyed.groupBy("key").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_keys"), sum("df").as("n_postings"),
+          sum(expr("df * (df - 1) div 2")).as("est_pairs"))
+        .select(lit(name).as("method"), col("n_keys"), col("n_postings"),
+          col("est_pairs"))
+    val sh3 = shingles(docs, 3).select(col("shingle").as("key"))
+    val sh4 = shingles(docs, 4).select(col("shingle").as("key"))
+    val wn = winnowSelected(docs, 4, 4)
+      .select(col("doc_id"), explode(array_distinct(col("fps"))).as("key"))
+      .select("key")
+    stat("shingle3", sh3)
+      .unionByName(stat("shingle4", sh4))
+      .unionByName(stat("winnow4", wn))
+      .orderBy("method")
+  }
+
   /** Candidate-generator evaluation: winnow pairs (minShared = 1, the
     * recall setting) scored against the exact n-gram-Jaccard truth —
     * (n_truth, n_detected, n_hit, precision_ppm, recall_ppm). The

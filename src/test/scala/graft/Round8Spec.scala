@@ -209,6 +209,19 @@ class Round8Spec extends SparkSpec {
       ("sun", 1L, 1L, 1000L)))
   }
 
+  test("dedupCostModel: exact shingle stats, winnow index strictly smaller") {
+    val text = (0 until 8).map(w8).mkString(" ") // 8 tokens
+    val d = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val rows = operators.Dedup.dedupCostModel(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("shingle3") == ((6L, 12L, 6L))) // 6 grams x df 2
+    assert(rows("shingle4") == ((5L, 10L, 5L)))
+    val (wk, wp, we) = rows("winnow4")
+    assert(wp < 10L, "winnow postings must undercut the full 4-gram index")
+    assert(we >= 1L, "identical docs must still collide in the winnow index")
+    assert(wk <= wp)
+  }
+
   test("winnowEval: full recall of jaccard truth, candidates cost precision") {
     val shared = (100 until 107).map(w8).mkString(" ")
     val text = (0 until 20).map(w8).mkString(" ") + " " + shared
