@@ -1686,6 +1686,10 @@ object SparkEntry {
     // index-choice cost model: Σ df(df-1)/2 per candidate index
     "dedup_cost_model" -> ((s, dir) =>
       Dedup.dedupCostModel(Tables.documents(s, dir))),
+    // k-anonymity generalization: smallest power-of-two balance bin
+    // whose minimum equivalence class reaches k
+    "pii_generalize" -> ((s, dir) =>
+      Basket.kAnonymityGeneralize(Tables.customer(s, dir))),
     // streaming ingest-integrity monitor: running per-source checksum,
     // order/batch-boundary independent (XOR state), equals the batch op
     "streaming_table_checksum" -> ((s, dir) =>
@@ -1964,6 +1968,19 @@ object SparkEntry {
         |SELECT layout, n_files, n_scanned, rows_total, rows_scanned,
         |  CAST(rows_scanned * 1000000 // rows_total AS BIGINT) AS scan_ppm
         |FROM roll ORDER BY layout""".stripMargin,
+    "pii_generalize" ->
+      """WITH b AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |lv AS (SELECT l, bal_c // (100 * (1 << l)) AS bin
+        |       FROM b, LATERAL (SELECT unnest(range(0, 13)) AS l) t),
+        |g AS (SELECT l, bin, count(*)::BIGINT AS n FROM lv GROUP BY 1, 2),
+        |st AS (SELECT l, count(*)::BIGINT AS n_groups, min(n) AS min_group
+        |       FROM g GROUP BY 1),
+        |ch AS (SELECT min(l) AS level FROM st WHERE min_group >= 10)
+        |SELECT CAST(ch.level AS BIGINT) AS level,
+        |  CAST(100 * (1 << ch.level) AS BIGINT) AS bin_width_cents,
+        |  st.n_groups, st.min_group,
+        |  (SELECT count(*)::BIGINT FROM customer) AS n_rows
+        |FROM ch JOIN st ON ch.level = st.l""".stripMargin,
     "dedup_cost_model" ->
       s"""WITH $SqlWinnowCtes,
          |wk AS (SELECT DISTINCT doc_id, unnest(fps) AS k FROM fp),

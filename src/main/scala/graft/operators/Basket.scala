@@ -46,6 +46,35 @@ object Basket {
       .withColumn("risky", col("class_size") < k)
       .orderBy("class_size")
 
+  /** k-anonymity GENERALIZATION (the fix, where [[kAnonymityProfile]]
+    * is the audit): widen the balance-cents quasi-identifier bin by
+    * powers of two — bin = bal_c div (100·2^l) — and pick the SMALLEST
+    * level whose minimum equivalence class reaches `k`. Emits one row:
+    * (level, bin_width_cents, n_groups, min_group, n_rows). The ladder
+    * is evaluated in ONE pass (rows × levels explode → two hash
+    * aggregates); state is bounded by Σ per-level group counts, never
+    * the row count, and truncating `div` bins identically in both
+    * engines (negative balances included).
+    */
+  def kAnonymityGeneralize(customer: DataFrame, k: Int = 10,
+                           maxLevel: Int = 12): DataFrame = {
+    val lv = customer
+      .select(expr("cast(round(c_acctbal * 100) AS bigint)").as("bal_c"))
+      .select(explode(expr(s"sequence(0, $maxLevel)")).as("l"), col("bal_c"))
+      .select(col("l"), expr("bal_c div (100 * shiftleft(1L, l))").as("bin"))
+    val st = lv.groupBy("l", "bin").agg(count(lit(1)).as("n"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"), min("n").as("min_group"))
+    val chosen = st.where(col("min_group") >= k)
+      .agg(min("l").as("level"))
+    val nRows = customer.agg(count(lit(1)).as("n_rows"))
+    chosen.join(st, chosen("level") === st("l"))
+      .crossJoin(broadcast(nRows))
+      .select(col("level").cast("long").as("level"),
+        expr("100 * shiftleft(1L, level)").as("bin_width_cents"),
+        col("n_groups"), col("min_group"), col("n_rows"))
+  }
+
   /** Item-based collaborative-filtering neighbors: for each customer,
     * the top-k most similar customers by squared cosine over the
     * df-pruned customer×part purchase matrix, in exact scaled

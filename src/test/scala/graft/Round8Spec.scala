@@ -209,6 +209,16 @@ class Round8Spec extends SparkSpec {
       ("sun", 1L, 1L, 1000L)))
   }
 
+  test("kAnonymityGeneralize: smallest level whose min class reaches k") {
+    // balances 0..19 dollars, all distinct: level 4 leaves a class of
+    // 4 (16..19), level 5 collapses to one class of 20 >= k
+    val c = (0 until 20).map(i => (i.toLong, i.toDouble))
+      .toDF("c_custkey", "c_acctbal")
+    val r = operators.Basket.kAnonymityGeneralize(c, k = 10).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((5L, 3200L, 1L, 20L, 20L)))
+  }
+
   test("dedupCostModel: exact shingle stats, winnow index strictly smaller") {
     val text = (0 until 8).map(w8).mkString(" ") // 8 tokens
     val d = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
