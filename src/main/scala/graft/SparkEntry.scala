@@ -1690,6 +1690,15 @@ object SparkEntry {
     // whose minimum equivalence class reaches k
     "pii_generalize" -> ((s, dir) =>
       Basket.kAnonymityGeneralize(Tables.customer(s, dir))),
+    // the DeepWalk pipeline end to end: hash-driven walk corpus ->
+    // skip-gram bigram PMI (the co-occurrence statistics a graph
+    // embedding trains on)
+    "walk_skipgram_pmi" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sentences = Graph.walkCorpus(Tables.documents(s, dir), 2, 3)
+        .select(col("path").as("text"), lit(0L).as("doc_id"))
+      TextAnalysis.bigramPmi(sentences, minCnt = 2, k = 25)
+    }),
     // streaming ingest-integrity monitor: running per-source checksum,
     // order/batch-boundary independent (XOR state), equals the batch op
     "streaming_table_checksum" -> ((s, dir) =>
@@ -1968,6 +1977,46 @@ object SparkEntry {
         |SELECT layout, n_files, n_scanned, rows_total, rows_scanned,
         |  CAST(rows_scanned * 1000000 // rows_total AS BIGINT) AS scan_ppm
         |FROM roll ORDER BY layout""".stripMargin,
+    // walk CTEs (same chain as word_walk_corpus) -> bigram_pmi shape
+    // over the generated paths; path words are already cleaned so
+    // string_split suffices
+    "walk_skipgram_pmi" -> {
+      def h(cur: String, t: Int) =
+        s"list_sum(list_transform(range(15), q -> (strpos('0123456789abcdef', " +
+          s"substr(md5($cur || ':$t:' || CAST(walk AS VARCHAR)), q+1, 1)) - 1)::BIGINT << (4*(14-q))))"
+      val base =
+        s"""edges AS (SELECT DISTINCT ws[i+1] AS src, ws[i+2] AS dst
+           |  FROM (SELECT $SqlWs AS ws FROM documents),
+           |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+           |  WHERE len(ws) >= 2),
+           |adj AS (SELECT src, list_slice(list_sort(array_agg(DISTINCT dst)), 1, 64) AS nb
+           |        FROM edges GROUP BY 1),
+           |w0 AS (SELECT src AS start, wr AS walk, src AS cur, src AS path
+           |       FROM adj, LATERAL (SELECT unnest(range(0, 2)) AS wr) t)""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s"""w$i AS (SELECT start, walk, coalesce(nx, cur) AS cur,
+           |  CASE WHEN nx IS NULL THEN path ELSE path || ' ' || nx END AS path
+           |  FROM (SELECT w.start, w.walk, w.cur, w.path,
+           |          a.nb[(1 + (${h("w.cur", i - 1)} % len(a.nb)))::INT] AS nx
+           |        FROM w${i - 1} w LEFT JOIN adj a ON w.cur = a.src))""".stripMargin
+      }
+      val pmi =
+        """wt AS (SELECT string_split(path, ' ') AS ws FROM w3),
+          |uni AS (SELECT w AS word, count(*)::BIGINT AS uc
+          |        FROM (SELECT unnest(ws) AS w FROM wt) GROUP BY 1),
+          |n AS (SELECT CAST(sum(uc) AS BIGINT) AS n_total FROM uni),
+          |bi AS (SELECT ngram, count(*)::BIGINT AS cnt FROM (
+          |  SELECT array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS ngram
+          |  FROM wt, LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+          |  WHERE len(ws) >= 2) GROUP BY 1 HAVING count(*) >= 2)
+          |SELECT ngram, cnt, u1.uc AS c1, u2.uc AS c2,
+          |  cnt * n_total * 1000 // (u1.uc * u2.uc) AS pmi_x1000
+          |FROM bi, n, uni u1, uni u2
+          |WHERE u1.word = string_split(ngram, ' ')[1]
+          |  AND u2.word = string_split(ngram, ' ')[2]
+          |ORDER BY pmi_x1000 DESC, ngram LIMIT 25""".stripMargin
+      ((base +: steps) :+ pmi).mkString("WITH ", ",\n", "")
+    },
     "pii_generalize" ->
       """WITH b AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
         |lv AS (SELECT l, bal_c // (100 * (1 << l)) AS bin

@@ -209,6 +209,21 @@ class Round8Spec extends SparkSpec {
       ("sun", 1L, 1L, 1000L)))
   }
 
+  test("walk corpus -> bigram PMI composition: hand-traced forced chain") {
+    import org.apache.spark.sql.functions.lit
+    // chain aa->bb->cc->dd: walks (x2 walkers) are forced, so the
+    // sentence corpus is exactly {aa bb cc dd, bb cc dd, cc dd} x 2
+    // and PMI is computable by hand: n_total=18, (aa,bb) 2*18k/8=4500
+    val d = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val sentences = Graph.walkCorpus(d, nWalks = 2, len = 3)
+      .select(org.apache.spark.sql.functions.col("path").as("text"),
+        lit(0L).as("doc_id"))
+    val got = operators.TextAnalysis.bigramPmi(sentences, minCnt = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("aa bb", 2L, 4500L), ("bb cc", 4L, 3000L), ("cc dd", 6L, 3000L)))
+  }
+
   test("kAnonymityGeneralize: smallest level whose min class reaches k") {
     // balances 0..19 dollars, all distinct: level 4 leaves a class of
     // 4 (16..19), level 5 collapses to one class of 20 >= k
