@@ -47,12 +47,22 @@ object Bench {
     // the total + failure list
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(headline)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(full)
     // ...and AGAIN after it: BENCH_r04.json was tail-captured (kept the
     // END of output), which lost the leading headline — emitting it on
     // both sides survives truncation from either direction.
     println(headline)
+    // The stdout capture has been truncated to ~15% of the per-query
+    // map every round; ALSO persist the full map to a file so per-query
+    // regressions stay diffable round over round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      sys.props.getOrElse("user.dir", ".") + "/BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // bench output file is best-effort
     spark.stop()
   }
 }

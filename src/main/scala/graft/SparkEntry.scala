@@ -2024,7 +2024,7 @@ object SparkEntry {
         |g AS (SELECT l, bin, count(*)::BIGINT AS n FROM lv GROUP BY 1, 2),
         |st AS (SELECT l, count(*)::BIGINT AS n_groups, min(n) AS min_group
         |       FROM g GROUP BY 1),
-        |ch AS (SELECT min(l) AS level FROM st WHERE min_group >= 10)
+        |ch AS (SELECT coalesce(min(CASE WHEN min_group >= 10 THEN l END), 12) AS level FROM st)
         |SELECT CAST(ch.level AS BIGINT) AS level,
         |  CAST(100 * (1 << ch.level) AS BIGINT) AS bin_width_cents,
         |  st.n_groups, st.min_group,
@@ -2111,9 +2111,10 @@ object SparkEntry {
          |FROM sc GROUP BY 1 ORDER BY score_x1000 DESC, phrase LIMIT 25""".stripMargin,
     "table_checksum" ->
       s"""SELECT source, count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN doc_id IS NULL OR text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_rows,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id,
          |  CAST(bit_xor(list_sum(list_transform(range(15), nb ->
-         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), nb+1, 1)) - 1)::BIGINT
+         |    (strpos('0123456789abcdef', substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(1)) || ':' || coalesce(text, chr(1))), nb+1, 1)) - 1)::BIGINT
          |      << (4*(14-nb))))) AS BIGINT) AS checksum
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "media_crossmodal_topk" ->
@@ -2127,7 +2128,7 @@ object SparkEntry {
          |        ELSE 0 END) AS fv FROM m),
          |q AS (SELECT vec_id, list_transform(list_slice(embedding, 1, 16),
          |        x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
-         |      FROM embeddings WHERE vec_id < 20),
+         |      FROM embeddings WHERE vec_id < 20 AND len(embedding) >= 16),
          |s AS (SELECT q.vec_id, f.media_id,
          |        CAST(list_sum(list_transform(range(1, 17), i -> qv[i] * fv[i]))
          |          AS BIGINT) AS score

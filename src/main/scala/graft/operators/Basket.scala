@@ -55,6 +55,12 @@ object Basket {
     * aggregates); state is bounded by Σ per-level group counts, never
     * the row count, and truncating `div` bins identically in both
     * engines (negative balances included).
+    *
+    * Contract when NO level ≤ maxLevel reaches k (k > row count, very
+    * long-tailed balances): falls back to the maxLevel row rather than
+    * silently returning an empty frame — exactly one row always comes
+    * back, and "achieved" is `min_group >= k` on it (a privacy fix
+    * whose empty output reads as "nothing to generalize" is a trap).
     */
   def kAnonymityGeneralize(customer: DataFrame, k: Int = 10,
                            maxLevel: Int = 12): DataFrame = {
@@ -65,8 +71,9 @@ object Basket {
     val st = lv.groupBy("l", "bin").agg(count(lit(1)).as("n"))
       .groupBy("l")
       .agg(count(lit(1)).as("n_groups"), min("n").as("min_group"))
-    val chosen = st.where(col("min_group") >= k)
-      .agg(min("l").as("level"))
+    val chosen = st
+      .agg(coalesce(min(when(col("min_group") >= k, col("l"))),
+        lit(maxLevel)).as("level"))
     val nRows = customer.agg(count(lit(1)).as("n_rows"))
     chosen.join(st, chosen("level") === st("l"))
       .crossJoin(broadcast(nRows))

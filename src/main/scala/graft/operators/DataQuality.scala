@@ -124,7 +124,9 @@ object DataQuality {
     * cardinality swap in the KLL sketch (`valueQuantilesSketch`
     * pattern) — max/share/cardinality stay exact either way.
     */
-  def skewProfile(df: DataFrame, keys: Seq[String]): DataFrame =
+  def skewProfile(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty,
+      "skewProfile needs at least one key column to profile")
     keys.map { kc =>
       df.groupBy(col(kc).as("k")).agg(count(lit(1)).as("cnt"))
         .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
@@ -135,6 +137,7 @@ object DataQuality {
           expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
           col("qs")(0).as("p50_cnt"), col("qs")(1).as("p99_cnt"))
     }.reduce(_ unionByName _).orderBy("key_col")
+  }
 
   /** Functional-dependency / key-candidate profile: for each declared
     * `lhs → rhs` pair, how many distinct lhs values exist, how many map
@@ -144,7 +147,9 @@ object DataQuality {
     * or a dimension hierarchy. One distinct-aggregate shuffle per
     * checked pair, constant-size output.
     */
-  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty,
+      "fdProfile needs at least one (lhs, rhs) dependency to check")
     pairs.map { case (lhs, rhs) =>
       df.groupBy(col(lhs))
         .agg(countDistinct(col(rhs)).as("n_rhs"))
@@ -154,6 +159,7 @@ object DataQuality {
         .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"),
           col("n_violating"), col("max_fanout"))
     }.reduce(_ unionByName _).orderBy("fd")
+  }
 
   /** Order-independent per-source table fingerprint: row count, id
     * range, and the XOR of a 60-bit content hash over (doc_id, text) —
@@ -162,13 +168,21 @@ object DataQuality {
     * the checksum is identical no matter how rows are partitioned or
     * which executor folds them — one map-side-combining shuffle on
     * source, constant state per partition, valid at any scale.
+    *
+    * NULL-proof: a NULL doc_id/text hashes through a `chr(1)` sentinel
+    * (a plain concat would go NULL and bit_xor would silently SKIP the
+    * row — null-corruption invisible to an integrity check), and
+    * `null_rows` counts them outright, so even a sentinel collision
+    * ('' literally in the text) cannot hide a nulled-out row.
     */
   def tableChecksum(docs: DataFrame): DataFrame =
     docs.select(col("source"), col("doc_id"),
-        expr("cast(conv(substr(md5(concat(cast(doc_id AS string), ':', text)), 1, 15), 16, 10) AS bigint)")
+        when(col("doc_id").isNull || col("text").isNull, 1L).otherwise(0L)
+          .as("isnull"),
+        expr("cast(conv(substr(md5(concat(coalesce(cast(doc_id AS string), chr(1)), ':', coalesce(text, chr(1)))), 1, 15), 16, 10) AS bigint)")
           .as("h"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_rows"),
+      .agg(count(lit(1)).as("n_rows"), sum("isnull").as("null_rows"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"),
         expr("bit_xor(h)").as("checksum"))
       .orderBy("source")

@@ -197,8 +197,10 @@ object Graph {
     * property — wedge fan-out per node is bounded by its ORIENTED
     * out-degree (≤ √m on the heavy nodes), giving the classic
     * O(m^{3/2}) distributed join instead of a hub node exploding the
-    * wedge set. Degree table is vocabulary-sized → broadcast; the two
-    * big joins shuffle on wedge keys.
+    * wedge set. Degree table is vocabulary-sized — un-hinted so AQE
+    * sizes the join (broadcast at this scale, shuffle when the
+    * vocabulary outgrows an executor); the two big joins shuffle on
+    * wedge keys.
     */
   def triangleCount(docs: DataFrame): DataFrame = {
     val e0 = bigramEdges(docs)
@@ -210,8 +212,8 @@ object Graph {
       .union(e0.select(col("b").as("w")))
       .groupBy("w").agg(count(lit(1)).as("d"))
     val withDeg = e0
-      .join(broadcast(deg.toDF("wa", "da")), col("a") === col("wa"))
-      .join(broadcast(deg.toDF("wb", "db")), col("b") === col("wb"))
+      .join(deg.toDF("wa", "da"), col("a") === col("wa"))
+      .join(deg.toDF("wb", "db"), col("b") === col("wb"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val o = withDeg.select(
@@ -404,12 +406,14 @@ object Graph {
     * `(4m·10⁶·Σᵢₙ − 10⁶·ΣDᶜ²) div 4m²` — one truncation at the very
     * end, so both engines agree bit-for-bit. The standard quality
     * score for any clustering the engine produces (LPA, CC, star CC).
-    * Shape: one broadcast of the label table onto the edges, one
-    * degree agg, one community rollup — all output frames are
-    * community-sized or single-row.
+    * Shape: the node-sized label table joins the edges un-hinted (AQE
+    * broadcasts it while it fits, shuffles when the node domain
+    * outgrows an executor), one degree agg, one community rollup — all
+    * output frames are community-sized or single-row; only the two
+    * SINGLE-ROW side frames keep explicit broadcast hints.
     */
   def modularity(e0: DataFrame, labels: DataFrame): DataFrame = {
-    val lab = broadcast(labels.select(col("node"), col("community")))
+    val lab = labels.select(col("node"), col("community"))
     val intra = e0
       .join(lab.toDF("node", "ca"), col("a") === col("node")).drop("node")
       .join(lab.toDF("node", "cb"), col("b") === col("node")).drop("node")

@@ -295,7 +295,11 @@ object Multimodal {
     import spark.implicits._
     val feats = byteFeatures(syntheticMedia(docs).as[MediaRow])
       .where(col("kind") === "image")
-    val q = emb.where(col("vec_id") < nQueries)
+    // guard: a <16-dim embedding would zip_with-pad with NULLs and fold
+    // the whole score to NULL (while a SQL list_sum would skip them —
+    // a silent cross-engine divergence); short vectors are not valid
+    // queries for a 16-dim tower, so filter them out in BOTH engines
+    val q = emb.where(col("vec_id") < nQueries && size(col("embedding")) >= 16)
       .select(col("vec_id"), expr(
         "transform(slice(embedding, 1, 16), x -> cast(round(cast(x AS double) * 1000) AS bigint))")
         .as("qv"))

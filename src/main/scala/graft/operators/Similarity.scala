@@ -785,6 +785,7 @@ object Similarity {
     */
   def mmrSelect(emb: DataFrame, k: Int = 5, queryId: Long = 0L): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val pre = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e")))).localCheckpoint()
@@ -797,12 +798,15 @@ object Similarity {
       .localCheckpoint()
     var chosen = Vector.empty[Long]
     while (chosen.size < k) {
-      val cand = if (chosen.isEmpty) rel
-        else rel.where(!col("vec_id").isin(chosen: _*))
       val scored =
-        if (chosen.isEmpty) cand.select(col("vec_id"), col("rel").as("score"))
+        if (chosen.isEmpty) rel.select(col("vec_id"), col("rel").as("score"))
         else {
-          val sel = rel.where(col("vec_id").isin(chosen: _*))
+          // selected-set membership via a broadcast (anti-)join on a
+          // k-row frame, not isin(...) literals — the plan stays O(1)
+          // in k (one join node) instead of growing a k-term predicate
+          val ch = broadcast(chosen.toDF("vec_id"))
+          val cand = rel.join(ch, Seq("vec_id"), "left_anti")
+          val sel = rel.join(ch, Seq("vec_id"))
             .select(col("vec_id").as("sid"), col("e").as("se"),
               col("nrm").as("sn"))
           cand.crossJoin(broadcast(sel))
@@ -814,7 +818,6 @@ object Similarity {
       chosen :+= scored.orderBy(col("score").desc, col("vec_id")).limit(1)
         .collect().head.getLong(0) // 1-row loop state, not a data plane
     }
-    import spark.implicits._
     chosen.zipWithIndex
       .map { case (id, i) => (i + 1L, id) }
       .toDF("sel_rank", "vec_id")
@@ -835,14 +838,18 @@ object Similarity {
     */
   def fpsCoreset(emb: DataFrame, k: Int = 5, seedId: Long = 0L): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val pre = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("n2", dot(col("e"), col("e"))).localCheckpoint()
     var chosen = Vector(seedId)
     while (chosen.size < k) {
-      val sel = pre.where(col("vec_id").isin(chosen: _*))
+      // same broadcast-(anti-)join membership as [[mmrSelect]]: the
+      // k-row selected set joins, it never becomes k isin literals
+      val ch = broadcast(chosen.toDF("vec_id"))
+      val sel = pre.join(ch, Seq("vec_id"))
         .select(col("e").as("se"), col("n2").as("sn2"))
-      val next = pre.where(!col("vec_id").isin(chosen: _*))
+      val next = pre.join(ch, Seq("vec_id"), "left_anti")
         .crossJoin(broadcast(sel))
         .select(col("vec_id"),
           ((col("n2") + col("sn2")) - lit(2.0) * dot(col("e"), col("se")))
@@ -852,7 +859,6 @@ object Similarity {
         .collect().head.getLong(0) // 1-row loop state, not a data plane
       chosen :+= next
     }
-    import spark.implicits._
     chosen.zipWithIndex
       .map { case (id, i) => (i + 1L, id) }
       .toDF("sel_rank", "vec_id")

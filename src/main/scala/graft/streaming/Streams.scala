@@ -178,10 +178,15 @@ object Streams {
     val raw = spark.readStream.schema(schema).parquet(stagedFileDir(path))
     runAvailableNow(
       raw.select(col("source"), col("doc_id"),
-          expr("cast(conv(substr(md5(concat(cast(doc_id AS string), ':', text)), 1, 15), 16, 10) AS bigint)")
+          when(col("doc_id").isNull || col("text").isNull, 1L).otherwise(0L)
+            .as("isnull"),
+          // chr(1) NULL sentinel + null_rows count — mirrors the batch
+          // tableChecksum exactly (a NULL row must move the checksum,
+          // not vanish from it)
+          expr("cast(conv(substr(md5(concat(coalesce(cast(doc_id AS string), chr(1)), ':', coalesce(text, chr(1)))), 1, 15), 16, 10) AS bigint)")
             .as("h"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_rows"),
+        .agg(count(lit(1)).as("n_rows"), sum("isnull").as("null_rows"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"),
           expr("bit_xor(h)").as("checksum")),
       Seq("source"))

@@ -476,4 +476,37 @@ class PlanAuditSpec extends SparkSpec {
       s"the 20-query grid must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"nothing here may sort-merge:\n$p")
   }
+
+  test("graph family: no forced broadcast of a node-cardinality frame") {
+    // Tripwire for the whole graph family: a broadcast() HINT is only
+    // legitimate on a frame that is provably tiny regardless of graph
+    // size — a global aggregate (maxRows == 1) or the caller-supplied
+    // seed set. A hint on a node/edge-cardinality frame (degree table,
+    // label table, rank vector) works at sf0.1 and OOMs the driver at
+    // 100 TB; AQE must make that call from runtime stats instead.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val graphQueries = Seq(
+      "word_pagerank", "word_pagerank_weighted", "word_ppr", "word_hits",
+      "word_triangles", "word_bfs_dist", "word_kcore", "word_communities",
+      "word_modularity", "word_sssp", "word_diameter_2sweep",
+      "word_ktruss_edges", "word_bowtie", "word_walk_corpus",
+      "part_copurchase", "part_link_pred", "part_link_pred_ra",
+      "part_link_pred_jaccard", "part_assoc_rules", "part_assortativity",
+      "part_closeness")
+    for (q <- graphQueries) {
+      val analyzed = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.analyzed
+      val hints = analyzed.collect { case h: ResolvedHint => h }
+      for (h <- hints) {
+        val oneRow = h.child.maxRows.contains(1L)
+        val isSeedFrame =
+          h.child.output.map(_.name).toSet == Set("node", "is_seed")
+        assert(oneRow || isSeedFrame,
+          s"$q force-broadcasts a frame that is neither a 1-row global " +
+            s"aggregate nor the seed set (cols " +
+            s"${h.child.output.map(_.name).mkString(",")}); " +
+            s"node-cardinality frames must be left to AQE:\n${h.child}")
+      }
+    }
+  }
 }

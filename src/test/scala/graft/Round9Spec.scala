@@ -1,0 +1,88 @@
+package graft
+
+/** Round-9 hardening specs: the MMR/FPS selection loops after the
+  * isin(literals) → broadcast-anti-join rewrite (VERDICT r8 item #6)
+  * must still converge at slate-sized k, and the ADVICE r8 guards
+  * (NULL-proof table checksum, k-anonymity fallback, short-embedding
+  * crossmodal guard, fdProfile empty-input contract) hold.
+  */
+class Round9Spec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def embs(n: Int) =
+    // n points on a noisy integer grid — all pairwise-distinct vectors
+    (0 until n).map(i =>
+      (i.toLong, Array((i % 7).toFloat + 1f, (i / 7).toFloat,
+        (i % 3).toFloat))).toDF("vec_id", "embedding")
+
+  test("mmrSelect converges at k=50 with join-based membership") {
+    val got = operators.Similarity.mmrSelect(embs(60), k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 50)
+    assert(got.map(_._1).toSeq == (1L to 50L), "ranks must be 1..50")
+    assert(got.map(_._2).distinct.length == 50, "picks must be distinct")
+    assert(!got.map(_._2).contains(0L), "the query row is never selected")
+  }
+
+  test("fpsCoreset converges at k=50 with join-based membership") {
+    val got = operators.Similarity.fpsCoreset(embs(60), k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 50)
+    assert(got.map(_._1).toSeq == (1L to 50L), "ranks must be 1..50")
+    assert(got.map(_._2).distinct.length == 50, "picks must be distinct")
+    assert(got.head == (1L, 0L), "the seed is rank 1")
+  }
+
+  test("tableChecksum: a nulled-out text MOVES the checksum and counts") {
+    def docs(text1: String) = Seq(
+      ("a", 1L, text1), ("a", 2L, "world")
+    ).toDF("source", "doc_id", "text")
+      .select(col("source"), col("doc_id"),
+        when(col("text") === "?", lit(null: String)).otherwise(col("text"))
+          .as("text"))
+    val clean = operators.DataQuality.tableChecksum(docs("hello")).collect()
+    val nulled = operators.DataQuality.tableChecksum(docs("?")).collect()
+    assert(clean.head.getLong(1) == 2L && clean.head.getLong(2) == 0L,
+      "clean table: n_rows=2, null_rows=0")
+    assert(nulled.head.getLong(1) == 2L, "nulled row still counted")
+    assert(nulled.head.getLong(2) == 1L, "null_rows flags the corruption")
+    assert(nulled.head.getLong(5) != clean.head.getLong(5),
+      "a NULL text must change the checksum, not vanish from the XOR")
+  }
+
+  test("kAnonymityGeneralize: unreachable k falls back to the maxLevel row") {
+    val tiny = Seq(1.0, 2.0, 3.0).toDF("c_acctbal")
+    val got = operators.Basket.kAnonymityGeneralize(tiny, k = 10,
+      maxLevel = 4).collect()
+    assert(got.length == 1, "never an empty frame")
+    assert(got.head.getLong(0) == 4L, "falls back to maxLevel")
+    assert(got.head.getLong(3) < 10L,
+      "caller can see k was NOT achieved: min_group < k")
+  }
+
+  test("crossmodalTopk: a short (<16-dim) embedding is excluded, not NULLed") {
+    val docs = Seq(("s", 0L, "aa bb"), ("s", 3L, "cc dd"), ("s", 6L, "ee ff"))
+      .toDF("source", "doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 2f)), // short: would zip_with-pad to a NULL score
+      (1L, Array.tabulate(16)(_.toFloat))).toDF("vec_id", "embedding")
+    val got = operators.Multimodal.crossmodalTopk(spark, docs, emb,
+      nQueries = 20, k = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) == 1L),
+      "only the full-width query survives")
+    assert(got.forall(!_.isNullAt(3)), "no NULL scores may escape")
+  }
+
+  test("fdProfile and skewProfile reject empty inputs loudly") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      operators.DataQuality.fdProfile(df, Seq.empty)
+    }
+    assert(e1.getMessage.contains("fdProfile"))
+    val e2 = intercept[IllegalArgumentException] {
+      operators.DataQuality.skewProfile(df, Seq.empty)
+    }
+    assert(e2.getMessage.contains("skewProfile"))
+  }
+}
