@@ -737,34 +737,51 @@ object Graph {
   }
 
   /** Bounded k-truss peel (k = `minSupport` + 2) over the word graph:
-    * each round enumerates triangles in the CURRENT graph (canonical
-    * x<y<z wedge join — each triangle once, mirrored 1:1 by the
-    * oracle), credits each of its three edges, and drops edges below
-    * `minSupport` triangles; after `rounds` peels the surviving edges
-    * are reported with their support in the final graph. A fixed round
-    * budget bounds the cohesion refinement the same way the fixed-round
-    * SSSP bounds path length; the peel is idempotent at its fixed
-    * point, so early convergence equals the unrolled result.
+    * each round enumerates triangles in the CURRENT graph, credits each
+    * of its three edges, and drops edges below `minSupport` triangles;
+    * after `rounds` peels the surviving edges are reported with their
+    * support in the final graph. A fixed round budget bounds the
+    * cohesion refinement the same way the fixed-round SSSP bounds path
+    * length; the peel is idempotent at its fixed point, so early
+    * convergence equals the unrolled result.
     *
-    * Scale shape: per round two self-joins keyed on edge endpoints and
-    * one edge-keyed count — all edge/triangle-sized; the edge frame is
-    * `localCheckpoint`ed per peel. (The count-only
-    * [[triangleCount]] keeps its degree-oriented join; here the
-    * canonical orientation keeps Spark and SQL enumeration identical.)
+    * Scale shape: each round re-orients the SURVIVING edge set by its
+    * current degrees (the [[triangleCount]] pattern — every edge points
+    * low-degree → high-degree) before the wedge self-join, so wedge
+    * fan-out per node is bounded by oriented out-degree (≤ √m) instead
+    * of a hub's full degree exploding C(deg, 2) wedges. The triangle
+    * SET and per-edge supports are orientation-independent — edges are
+    * re-canonicalized (least, greatest) before the support count, so
+    * the SQL oracle's canonical enumeration matches bit-for-bit. Per
+    * round: one degree agg + two wedge joins + one edge-keyed count,
+    * all edge/triangle-sized; the edge frame is `localCheckpoint`ed
+    * per peel.
     */
   def ktrussEdges(docs: DataFrame, minSupport: Long = 2L, rounds: Int = 3,
                   topK: Int = 20): DataFrame = {
     def support(edges: DataFrame): DataFrame = {
-      val tris = edges.toDF("x", "y")
-        .join(edges.toDF("x2", "z"),
-          col("x") === col("x2") && col("y") < col("z"))
-        .join(edges.toDF("y3", "z3"),
-          col("y") === col("y3") && col("z") === col("z3"))
-        .select(col("x"), col("y"), col("z"))
+      val deg = edges.select(col("ea").as("w"))
+        .union(edges.select(col("eb").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("d"))
+      val withDeg = edges
+        .join(deg.toDF("wa", "da"), col("ea") === col("wa"))
+        .join(deg.toDF("wb", "db"), col("eb") === col("wb"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("ea") < col("eb"))
+      val o = withDeg.select(
+        when(aFirst, col("ea")).otherwise(col("eb")).as("src"),
+        when(aFirst, col("eb")).otherwise(col("ea")).as("dst"))
+      val tris = o.toDF("u", "v")
+        .join(o.toDF("u2", "w2"), col("u") === col("u2") && col("v") =!= col("w2"))
+        .join(o.toDF("v3", "w3"), col("v") === col("v3") && col("w2") === col("w3"))
+        .select(col("u").as("x"), col("v").as("y"), col("w2").as("z"))
       tris.select(explode(array(
-          struct(col("x").as("ea"), col("y").as("eb")),
-          struct(col("x").as("ea"), col("z").as("eb")),
-          struct(col("y").as("ea"), col("z").as("eb")))).as("e"))
+          struct(least(col("x"), col("y")).as("ea"),
+            greatest(col("x"), col("y")).as("eb")),
+          struct(least(col("x"), col("z")).as("ea"),
+            greatest(col("x"), col("z")).as("eb")),
+          struct(least(col("y"), col("z")).as("ea"),
+            greatest(col("y"), col("z")).as("eb")))).as("e"))
         .select(col("e.ea").as("ea"), col("e.eb").as("eb"))
         .groupBy("ea", "eb").agg(count(lit(1)).as("tri_support"))
     }
