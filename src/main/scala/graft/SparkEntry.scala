@@ -1669,6 +1669,12 @@ object SparkEntry {
     // index only (base never re-paired)
     "dedup_winnow_increment" -> ((s, dir) =>
       Dedup.winnowIncrement(Tables.documents(s, dir), baseMaxId = 250L)),
+    // ...and the same probe against the PERSISTED bucketed winnow
+    // index (the cost-model winner at 0.39x shingle postings): base
+    // winnowed once per (session, dir), probe join exchange-free on
+    // the base side — equivalent by construction, shared oracle
+    "dedup_increment_winnow" -> ((s, dir) =>
+      graft.sources.DedupIndex.winnowIncrementReport(s, dir, baseMaxId = 250L)),
     // zone-map skipping A/B: date-clustered files vs arrival order
     // under the same 30-day predicate
     "lake_zone_map_skipping" -> ((s, dir) =>
@@ -1735,6 +1741,9 @@ object SparkEntry {
       "doc_mixture_sample_salted" -> "doc_mixture_sample",
       "doc_shard_assign_refined" -> "doc_shard_assign",
       "dedup_increment_indexed" -> "dedup_increment",
+      // the persisted winnow index is a materialization of the same
+      // fingerprint relation the recompute probe derives
+      "dedup_increment_winnow" -> "dedup_winnow_increment",
       // prefix filtering is LOSSLESS — the oracle is the brute join
       "dedup_prefix_filter" -> "dedup_ngram_jaccard",
       // driven to completion, the streaming sketch equals the batch one

@@ -1096,7 +1096,7 @@ object Dedup {
     * formula — `j + w − position(reverse(window), min(window))` — so
     * the selection is bit-identical without lambda-reduce semantics.
     */
-  private def winnowSelected(docs: DataFrame, k: Int, w: Int): DataFrame =
+  private[graft] def winnowSelected(docs: DataFrame, k: Int, w: Int): DataFrame =
     docs.select(col("doc_id"),
         graft.operators.WordCount.cleanWords(col("text")).as("ws"))
       .where(size(col("ws")) >= k + w - 1)

@@ -15,6 +15,10 @@ import graft.operators.Dedup
   *  - `fp`   (doc_id, fp)             bucketed by fp      — exact probe
   *  - `band` (doc_id, band, bucket)   bucketed by bucket  — LSH probe
   *  - `sh`   (doc_id, shingle)        bucketed by doc_id  — verify side
+  *  - `wn`   (doc_id, fp)             bucketed by fp      — winnow probe
+  *    (the cost model says the winnowed index carries ≈0.39× the
+  *    postings of full 4-gram shingles at the same run-coverage
+  *    guarantee, so it is the near-dup index of choice at scale)
   *
   * The shuffle that builds each table happens at write time and is
   * amortized over every subsequent increment (the [[Bucketing]]
@@ -25,6 +29,8 @@ object DedupIndex {
 
   private def tables(tag: String): (String, String, String) =
     (s"graft_ddx_fp_$tag", s"graft_ddx_band_$tag", s"graft_ddx_sh_$tag")
+
+  private def winnowTable(tag: String): String = s"graft_ddx_wn_$tag"
 
   /** Materialize the base corpus's dedup index as bucketed tables.
     * Base doc_ids must all be smaller than any future increment's ids
@@ -42,6 +48,32 @@ object DedupIndex {
     Dedup.shingles(base, n)
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "doc_id").saveAsTable(shT)
+    Dedup.winnowSelected(base, k = 4, w = 4)
+      .select(col("doc_id"), explode(array_distinct(col("fps"))).as("fp"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "fp").saveAsTable(winnowTable(tag))
+  }
+
+  /** [[Dedup.winnowIncrement]] semantics against the PERSISTED winnow
+    * index: new arrivals compute their own fingerprints fresh and probe
+    * the base's bucketed (doc_id, fp) table — the base corpus is never
+    * re-winnowed and never re-paired with itself, and the base side of
+    * the probe join plans WITHOUT an Exchange (it is bucketed on fp,
+    * the join key). Output (new_id, base_id, shared) is identical to
+    * the recompute operator, which is what the shared oracle asserts.
+    */
+  def winnowIncrementAgainstIndex(spark: SparkSession, tag: String,
+                                  incoming: DataFrame, k: Int = 4,
+                                  w: Int = 4, minShared: Int = 3): DataFrame = {
+    val base = spark.table(winnowTable(tag))
+      .select(col("doc_id").as("base_id"), col("fp"))
+    val fresh = Dedup.winnowSelected(incoming, k, w)
+      .select(col("doc_id").as("new_id"),
+        explode(array_distinct(col("fps"))).as("fp"))
+    fresh.join(base, "fp")
+      .groupBy("new_id", "base_id").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("new_id", "base_id")
   }
 
   /** [[Dedup.dedupIncrement]] semantics against the PERSISTED index:
@@ -110,5 +142,22 @@ object DedupIndex {
     })
     incrementAgainstIndex(spark, tag, docs.where(col("doc_id") > baseMaxId),
       n = 3, b = 32, r = 4, num = 4, den = 5)
+  }
+
+  /** Gate query: [[Dedup.winnowIncrement]] through the persisted winnow
+    * index — same staging (one index build per (session, sf dir)), same
+    * oracle as the recompute path.
+    */
+  def winnowIncrementReport(spark: SparkSession, dir: String,
+                            baseMaxId: Long): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val tag = staged.computeIfAbsent(dir, { _ =>
+      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      writeIndex(docs.where(col("doc_id") <= baseMaxId), t,
+        n = 3, b = 32, r = 4)
+      t
+    })
+    winnowIncrementAgainstIndex(spark, tag,
+      docs.where(col("doc_id") > baseMaxId))
   }
 }

@@ -477,6 +477,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"nothing here may sort-merge:\n$p")
   }
 
+  test("winnow increment: base side scans the bucketed index exchange-free") {
+    val p = planOf("dedup_increment_winnow")
+    assert(p.contains("graft_ddx_wn_"),
+      s"the probe must read the PERSISTED winnow table, not re-winnow the base:\n$p")
+    // the bucketed (fp) base side must reach the join without its own
+    // shuffle: at most the increment side + the final agg may exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"base side of the probe join must be exchange-free (bucketed on fp):\n$p")
+  }
+
   test("graph family: no forced broadcast of a node-cardinality frame") {
     // Tripwire for the whole graph family: a broadcast() HINT is only
     // legitimate on a frame that is provably tiny regardless of graph
