@@ -533,6 +533,10 @@ object SparkEntry {
       TextAnalysis.corpusBuild(Tables.documents(s, dir))),
     "doc_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    // Gopher REPETITION rules (top-2-gram / duplicated-3-gram char
+    // fractions) — the duplication half of the A1.1 screen
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(Tables.documents(s, dir))),
     "doc_reservoir_per_lang" -> ((s, dir) =>
       TextAnalysis.reservoirPerGroup(Tables.documents(s, dir), "lang", n = 5)),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -2327,6 +2331,35 @@ object SparkEntry {
          |    )
          |  )
          |) ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      s"""WITH base AS (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |bc AS (SELECT doc_id,
+         |  coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT AS n_chars FROM base),
+         |g2 AS (SELECT doc_id, array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS g
+         |       FROM base, LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |       WHERE len(ws) >= 2),
+         |c2 AS (SELECT doc_id, g, (length(g) - 1)::BIGINT AS gchars,
+         |         count(*)::BIGINT AS cnt FROM g2 GROUP BY 1, 2, 3),
+         |t2 AS (SELECT doc_id,
+         |         CAST(cnt * gchars * 1000000 // greatest(1, n_chars) AS BIGINT) AS top2_char_ppm
+         |       FROM (SELECT c2.*, bc.n_chars,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+         |             FROM c2 JOIN bc USING (doc_id)) WHERE rn = 1),
+         |g3 AS (SELECT doc_id, array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS g
+         |       FROM base, LATERAL (SELECT unnest(range(0, len(ws) - 2)) AS i) r
+         |       WHERE len(ws) >= 3),
+         |c3 AS (SELECT doc_id, g, (length(g) - 2)::BIGINT AS gchars,
+         |         count(*)::BIGINT AS cnt FROM g3 GROUP BY 1, 2, 3),
+         |d3 AS (SELECT doc_id,
+         |         CAST(sum(cnt * gchars) * 1000000 // greatest(1, max(n_chars)) AS BIGINT) AS dup3_char_ppm
+         |       FROM c3 JOIN bc USING (doc_id) WHERE cnt >= 2 GROUP BY doc_id)
+         |SELECT bc.doc_id, n_chars,
+         |  coalesce(top2_char_ppm, 0)::BIGINT AS top2_char_ppm,
+         |  coalesce(dup3_char_ppm, 0)::BIGINT AS dup3_char_ppm,
+         |  (coalesce(top2_char_ppm, 0) <= 200000
+         |    AND coalesce(dup3_char_ppm, 0) <= 300000) AS rep_ok
+         |FROM bc LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "doc_reservoir_per_lang" ->
       s"""SELECT lang, rn, doc_id FROM (
          |  SELECT lang, doc_id,

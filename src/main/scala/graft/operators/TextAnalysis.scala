@@ -112,6 +112,66 @@ object TextAnalysis {
           col("flag_distinct") && col("flag_stop"))
       .orderBy("doc_id")
 
+  /** Gopher REPETITION screen (Rae et al. 2021 appendix A1.1 — the
+    * duplication rules [[gopherRules]]' static screen doesn't cover):
+    * per document,
+    *  - `top2_char_ppm`: characters inside every occurrence of the
+    *    single most-repeated word 2-gram, as ppm of total word chars
+    *    (Gopher "fraction of characters in most common n-gram");
+    *  - `dup3_char_ppm`: characters inside ALL occurrences of 3-grams
+    *    that appear ≥ 2 times (Gopher "fraction of characters in
+    *    duplicated n-grams"; overlaps double-count, as in the paper —
+    *    the value is a screen, not a measure, so raw determinism
+    *    beats overlap bookkeeping);
+    *  - `rep_ok`: thresholds adapted to this corpus (top2 ≤ 20%,
+    *    dup3 ≤ 30% — Gopher table A1 scaled to short documents).
+    * Boilerplate-heavy and templated documents fail exactly these
+    * rules while passing every static Gopher flag.
+    *
+    * Scale shape: gram counting is ONE hash shuffle on (doc_id, gram)
+    * per n — the wordcount shape, state bounded by distinct grams per
+    * doc; the top-1 window partitions by doc_id (never global). Char
+    * lengths are `length(gram) − (n−1)` so both engines derive them
+    * from the same string; ties on the most-common gram break
+    * lexicographically (ASCII-identical ordering in both engines).
+    */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_chars"))
+    def gramCounts(n: Int) = base
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), col("n_chars"), explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))"))
+        .as("g"))
+      .withColumn("gchars", (length(col("g")) - lit(n - 1)).cast("long"))
+      .groupBy("doc_id", "n_chars", "g", "gchars")
+      .agg(count(lit(1)).as("cnt"))
+    val top2 = gramCounts(2)
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("g"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"),
+        expr("cnt * gchars * 1000000 div greatest(1L, n_chars)")
+          .as("top2_char_ppm"))
+    val dup3 = gramCounts(3)
+      .where(col("cnt") >= 2)
+      .groupBy("doc_id", "n_chars")
+      .agg(sum(expr("cnt * gchars")).as("dupchars"))
+      .select(col("doc_id"),
+        expr("dupchars * 1000000 div greatest(1L, n_chars)")
+          .as("dup3_char_ppm"))
+    base.select(col("doc_id"), col("n_chars"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("top2_char_ppm"), lit(0L)).as("top2_char_ppm"),
+        coalesce(col("dup3_char_ppm"), lit(0L)).as("dup3_char_ppm"))
+      .withColumn("rep_ok",
+        col("top2_char_ppm") <= 200000L && col("dup3_char_ppm") <= 300000L)
+      .orderBy("doc_id")
+  }
+
   /** Fixed-quota deterministic per-stratum sample ("reservoir" by
     * stable hash rank): within each stratum keep the `n` documents with
     * the smallest dual-engine id hash — the fixed-count companion of

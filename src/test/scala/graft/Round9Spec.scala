@@ -74,6 +74,25 @@ class Round9Spec extends SparkSpec {
     assert(got.forall(!_.isNullAt(3)), "no NULL scores may escape")
   }
 
+  test("repetitionProfile: hand-traced Gopher duplication fractions") {
+    // doc 1: "a b a b a b" — ws=[a,b,a,b,a,b], n_chars=6.
+    //   2-grams: "a b"x3, "b a"x2 -> top2 = 3*2*1e6/6 = 1,000,000 ppm.
+    //   3-grams: "a b a"x2, "b a b"x2, both duplicated ->
+    //   dup3 = (2*3 + 2*3)*1e6/6 = 2,000,000 ppm (overlaps double-count
+    //   by contract). rep_ok = false.
+    // doc 2: 12 distinct 2-char words — every 2-gram unique: top2 =
+    //   1*4*1e6/24 = 166,666 ppm <= 200,000; dup3 = 0 -> rep_ok = true.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll")
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.repetitionProfile(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1000000L, 2000000L, false),
+      (2L, 166666L, 0L, true)))
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
