@@ -537,6 +537,10 @@ object SparkEntry {
     // fractions) — the duplication half of the A1.1 screen
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, dir))),
+    // context-window packing accounting: concat per source in doc_id
+    // order, cut every 256 tokens — sequences, fill, straddle rate
+    "doc_seq_pack" -> ((s, dir) =>
+      TextAnalysis.seqPackStats(Tables.documents(s, dir), budget = 256L)),
     "doc_reservoir_per_lang" -> ((s, dir) =>
       TextAnalysis.reservoirPerGroup(Tables.documents(s, dir), "lang", n = 5)),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -682,6 +686,10 @@ object SparkEntry {
       graft.sources.DedupIndex.incrementReport(s, dir, baseMaxId = 250)),
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
+    // memorization/curation signal: per new doc, how many of its
+    // 8-grams the base corpus already contains (novel fraction, ppm)
+    "doc_novelty" -> ((s, dir) =>
+      Dedup.noveltyReport(Tables.documents(s, dir), baseMaxId = 250L, n = 8)),
     "decontaminate_strict" -> ((s, dir) =>
       Dedup.decontaminateStrict(Tables.documents(s, dir), benchMaxId = 50, n = 8)),
     // the filter VERDICT table: per-doc reason bitmask (gopher=1,
@@ -2360,6 +2368,30 @@ object SparkEntry {
          |    AND coalesce(dup3_char_ppm, 0) <= 300000) AS rep_ok
          |FROM bc LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "doc_seq_pack" ->
+      s"""WITH t AS (SELECT source, doc_id, len(ws)::BIGINT AS n_tok
+         |           FROM (SELECT source, doc_id, $SqlWs AS ws FROM documents)),
+         |c AS (SELECT source, doc_id, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS endc
+         |      FROM t)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_tok)::BIGINT AS total_tokens,
+         |  sum(CASE WHEN n_tok > 0 AND (endc - n_tok) // 256 <> (endc - 1) // 256
+         |           THEN 1 ELSE 0 END)::BIGINT AS n_straddlers,
+         |  CAST((sum(n_tok) + 255) // 256 AS BIGINT) AS n_sequences,
+         |  CAST(CASE WHEN sum(n_tok) = 0 THEN 0
+         |            WHEN sum(n_tok) % 256 = 0 THEN 1000000
+         |            ELSE (sum(n_tok) % 256) * 1000000 // 256 END AS BIGINT) AS last_fill_ppm
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "doc_novelty" ->
+      s"""WITH nb AS (SELECT DISTINCT shingle FROM (${sqlShingles(8, distinct = true, " WHERE doc_id <= 250")})),
+         |ng AS (${sqlShingles(8, distinct = true, " WHERE doc_id > 250")})
+         |SELECT ng.doc_id, count(*)::BIGINT AS n_grams,
+         |  sum(CASE WHEN nb.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+         |  CAST((count(*) - sum(CASE WHEN nb.shingle IS NOT NULL THEN 1 ELSE 0 END))
+         |    * 1000000 // greatest(1, count(*)) AS BIGINT) AS novelty_ppm
+         |FROM ng LEFT JOIN nb ON ng.shingle = nb.shingle
+         |GROUP BY ng.doc_id ORDER BY ng.doc_id""".stripMargin,
     "doc_reservoir_per_lang" ->
       s"""SELECT lang, rn, doc_id FROM (
          |  SELECT lang, doc_id,

@@ -352,6 +352,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-document n-gram NOVELTY against the base corpus — the
+    * memorization/curation signal next to [[decontaminate]]'s
+    * benchmark screen: for each new arrival (doc_id > baseMaxId), how
+    * many of its distinct n-grams the base corpus (doc_id ≤ baseMaxId)
+    * already contains, and the novel fraction in ppm. Low novelty =
+    * boilerplate or near-copy (dedup it); a curation pipeline tracks
+    * the corpus-level novelty trend per ingest batch.
+    *
+    * Scale shape: one shuffle on the gram for the base semi-join
+    * (grams, not documents, are the join key — identical posture to
+    * [[decontaminate]]), one count-up per new doc. Docs too short to
+    * shingle emit no row (they carry no n-gram evidence either way).
+    */
+  def noveltyReport(docs: DataFrame, baseMaxId: Long, n: Int): DataFrame = {
+    val base = shingles(docs.where(col("doc_id") <= baseMaxId), n)
+      .select("shingle").distinct()
+    shingles(docs.where(col("doc_id") > baseMaxId), n)
+      .join(base.withColumn("seen", lit(1)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("seen"), lit(0))).cast("long").as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        expr("(n_grams - n_seen) * 1000000 div greatest(1L, n_grams)")
+          .as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Strict decontamination: corpus documents sharing NO n-gram with
     * the benchmark set — the keep side of [[decontaminate]], via a
     * left-anti join against the contaminated ids. Documents too short

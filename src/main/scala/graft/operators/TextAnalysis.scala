@@ -172,6 +172,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Context-window packing accounting — the pretraining data-prep
+    * cut: documents are concatenated per source in doc_id order and
+    * sliced every `budget` tokens into training sequences. Per source:
+    * total tokens, document count, sequence count (= ⌈total/budget⌉),
+    * the fill of the final partial sequence (ppm of budget), and how
+    * many documents STRADDLE a cut boundary — each straddler costs
+    * either a truncation or cross-document attention, so the straddle
+    * rate × budget choice is a real pretraining-quality dial.
+    *
+    * Scale shape: the cumulative token offset is a window cumsum
+    * PARTITIONED by source (never a global single-partition window) —
+    * one shuffle on source; everything else is per-row arithmetic on
+    * the prefix sums, and output is source-cardinality.
+    */
+  def seqPackStats(docs: DataFrame, budget: Long = 256L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("source"), col("doc_id"), size(ws).cast("long").as("n_tok"))
+      .withColumn("endc", sum("n_tok").over(w))
+      .withColumn("startc", col("endc") - col("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        expr(s"sum(CASE WHEN n_tok > 0 AND startc div $budget <> (endc - 1) div $budget THEN 1 ELSE 0 END)")
+          .as("n_straddlers"),
+        expr(s"(sum(n_tok) + $budget - 1) div $budget").as("n_sequences"),
+        expr(s"""CASE WHEN sum(n_tok) = 0 THEN 0
+                 |     WHEN sum(n_tok) % $budget = 0 THEN 1000000
+                 |     ELSE (sum(n_tok) % $budget) * 1000000 div $budget
+                 |END""".stripMargin).as("last_fill_ppm"))
+      .orderBy("source")
+  }
+
   /** Fixed-quota deterministic per-stratum sample ("reservoir" by
     * stable hash rank): within each stratum keep the `n` documents with
     * the smallest dual-engine id hash — the fixed-count companion of

@@ -93,6 +93,31 @@ class Round9Spec extends SparkSpec {
       (2L, 166666L, 0L, true)))
   }
 
+  test("seqPackStats: hand-traced straddle / fill at budget 4") {
+    // source s, doc order 1,2,3: "a b c" fills tokens 0-2 of seq 0 (no
+    // straddle); "d e f" spans tokens 3-5 = seqs 0 and 1 (straddles);
+    // doc 3 is empty. total=6 -> 2 sequences, last fill 2/4 = 500000.
+    val docs = Seq(
+      ("s", 1L, "a b c"), ("s", 2L, "d e f"), ("s", 3L, "")
+    ).toDF("source", "doc_id", "text")
+    val got = operators.TextAnalysis.seqPackStats(docs, budget = 4L).collect()
+    val r = got.head
+    assert(got.length == 1 &&
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        == ((3L, 6L, 1L, 2L, 500000L)))
+  }
+
+  test("noveltyReport: exact copy scores 0 ppm, fresh text 10^6 ppm") {
+    val docs = Seq(
+      (1L, "x y z"),   // base
+      (10L, "x y z"),  // exact copy of base -> novelty 0
+      (11L, "p q r")   // nothing shared -> novelty 10^6
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.noveltyReport(docs, baseMaxId = 5L, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((10L, 2L, 2L, 0L), (11L, 2L, 0L, 1000000L)))
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
