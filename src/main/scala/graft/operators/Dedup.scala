@@ -353,6 +353,8 @@ object Dedup {
   }
 
   /** Per-document n-gram NOVELTY against the base corpus — the
+    * INCREMENTAL-BATCH twin of [[ngramNovelty]] (which profiles
+    * first-appearance novelty inside one corpus pass) and the
     * memorization/curation signal next to [[decontaminate]]'s
     * benchmark screen: for each new arrival (doc_id > baseMaxId), how
     * many of its distinct n-grams the base corpus (doc_id ≤ baseMaxId)

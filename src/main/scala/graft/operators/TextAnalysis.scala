@@ -113,7 +113,9 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Gopher REPETITION screen (Rae et al. 2021 appendix A1.1 — the
-    * duplication rules [[gopherRules]]' static screen doesn't cover):
+    * duplication rules [[gopherRules]]' static screen doesn't cover;
+    * [[graft.operators.Dedup.repetitionStats]] counts total-vs-distinct
+    * grams, this computes the paper's CHARACTER fractions and flags):
     * per document,
     *  - `top2_char_ppm`: characters inside every occurrence of the
     *    single most-repeated word 2-gram, as ppm of total word chars
@@ -172,14 +174,15 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Context-window packing accounting — the pretraining data-prep
-    * cut: documents are concatenated per source in doc_id order and
-    * sliced every `budget` tokens into training sequences. Per source:
-    * total tokens, document count, sequence count (= ⌈total/budget⌉),
-    * the fill of the final partial sequence (ppm of budget), and how
-    * many documents STRADDLE a cut boundary — each straddler costs
-    * either a truncation or cross-document attention, so the straddle
-    * rate × budget choice is a real pretraining-quality dial.
+  /** Context-window packing accounting — the boundary-cut report over
+    * the same concat-and-chunk layout [[packSequences]] assigns and
+    * [[packEfficiency]] scores for fill: per source — total tokens,
+    * document count, sequence count (= ⌈total/budget⌉), the fill of
+    * the final partial sequence (ppm of budget), and how many
+    * documents STRADDLE a cut boundary, the number neither sibling
+    * reports. Each straddler costs either a truncation or
+    * cross-document attention, so straddle rate × budget choice is a
+    * real pretraining-quality dial.
     *
     * Scale shape: the cumulative token offset is a window cumsum
     * PARTITIONED by source (never a global single-partition window) —
