@@ -177,7 +177,27 @@ object ScaleProbe {
         () => operators.TextAnalysis.charCollision(docsBig)),
       ("table_checksum",
         () => operators.DataQuality.tableChecksum(docsBase),
-        () => operators.DataQuality.tableChecksum(docsBig)))
+        () => operators.DataQuality.tableChecksum(docsBig)),
+      ("ktruss_edges",
+        () => operators.Graph.ktrussEdges(docsBase),
+        () => operators.Graph.ktrussEdges(docsBig)),
+      ("word_triangles",
+        () => operators.Graph.triangleCount(docsBase),
+        () => operators.Graph.triangleCount(docsBig)),
+      ("word_modularity",
+        () => operators.Graph.wordModularity(docsBase),
+        () => operators.Graph.wordModularity(docsBig)),
+      ("repetition_profile",
+        () => operators.TextAnalysis.repetitionProfile(docsBase),
+        () => operators.TextAnalysis.repetitionProfile(docsBig)),
+      // base stays copy-0-sized while arrivals 10x: measures the
+      // increment-probe side alone, the nightly-batch cost that matters
+      ("novelty_report",
+        () => operators.Dedup.noveltyReport(docsBase, 250L, 8),
+        () => operators.Dedup.noveltyReport(docsBig, 250L, 8)),
+      ("seq_pack_stats",
+        () => operators.TextAnalysis.seqPackStats(docsBase),
+        () => operators.TextAnalysis.seqPackStats(docsBig)))
 
     val results = probes.map { case (name, base, big) =>
       val tb = time(base()); val tg = time(big())
