@@ -38,6 +38,10 @@ object DedupIndex {
     */
   def writeIndex(base: DataFrame, tag: String, n: Int, b: Int, r: Int,
                  seed: Long = 42L, buckets: Int = 8): Unit = {
+    // measured at sf0.1/local[32]: 8 buckets probe in 4.7 s, 32
+    // buckets in 5.9 s — small-file scan overhead beats the extra
+    // task parallelism at this scale; a real deployment sizes buckets
+    // to executor count x a small factor
     val (fpT, bandT, shT) = tables(tag)
     base.select(col("doc_id"), md5(col("text")).as("fp"))
       .write.mode("overwrite").format("parquet")
@@ -91,8 +95,12 @@ object DedupIndex {
     val baseBand = spark.table(bandT)
     val baseSh = spark.table(shT)
     // exact: fingerprint already in the base index, or an earlier
-    // incoming doc carries the same fingerprint
+    // incoming doc carries the same fingerprint. The incoming-side
+    // derivations (fp, banded minhash) are each consumed by 2+
+    // branches of one plan — materialize them once (increment-sized
+    // frames) instead of re-hashing the increment per branch
     val inFp = incoming.select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint()
     val exVsBase = inFp.join(baseFp.select("fp"), Seq("fp"), "left_semi")
       .select("doc_id")
     val exVsEarlier = inFp.groupBy("fp").agg(min("doc_id").as("keep_id"))
@@ -104,6 +112,7 @@ object DedupIndex {
     // (new-new); base-base pairs are structurally impossible
     val inBand = Dedup.bandedSigs(
       Dedup.minhashSignatures(incoming, n, b * r, seed), b, r)
+      .localCheckpoint()
     val candBaseNew = baseBand.as("a").join(inBand.as("b"), Seq("band", "bucket"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val candNewNew = inBand.as("a").join(inBand.as("b"), Seq("band", "bucket"))
