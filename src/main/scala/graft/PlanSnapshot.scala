@@ -1,0 +1,72 @@
+package graft
+
+/** Plan-shape snapshot main: for every SparkEntry query, record a
+  * NORMALIZED physical-plan skeleton (operator names in tree order,
+  * with expression ids, codegen ids, session-unique table tags and
+  * temp paths stripped) plus a stable digest of it. Written as JSON to
+  * SPARK_GRAFT_PLAN_OUT (default <cwd>/PLAN_SNAPSHOT.json).
+  *
+  * Purpose: the bench map catches TIME regressions; this catches PLAN
+  * regressions that timing noise hides at bench SF but that kill a
+  * 100 TB run — a broadcast join silently degrading to sort-merge, a
+  * lost partial aggregate, a new exchange. Diff two snapshots with
+  * `tools/plandiff.py`; only queries whose skeleton digest changed
+  * need a human look.
+  */
+object PlanSnapshot {
+  /** Strip everything session- or data-dependent from a plan line so
+    * the skeleton is stable across runs: expr ids (#123), codegen
+    * stage ids, plan node ids "(42)", staged table tags, temp dirs,
+    * statistics, and sizes.
+    */
+  private[graft] def normalize(plan: String): Seq[String] =
+    plan.linesIterator.map { raw =>
+      raw
+        .replaceAll("#\\d+L?", "#x")
+        .replaceAll("\\(\\d+\\)", "")
+        .replaceAll("\\[id=#x\\]", "")
+        .replaceAll("\\[plan_id=\\d+\\]", "")
+        .replaceAll("(graft_ddx_\\w+?_)[0-9a-f]+", "$1TAG")
+        .replaceAll("(graft_annx?_\\w+?_)[0-9a-f]+", "$1TAG")
+        .replaceAll("/tmp/\\S*", "/tmp/PATH")
+        .replaceAll("file:/\\S*", "file:PATH")
+        .replaceAll("Statistics\\(.*?\\)", "Statistics()")
+        .replaceAll("size=\\S+", "size=N")
+        .replaceAll("rowCount=\\S+", "rowCount=N")
+        .trim
+    }.filter(_.nonEmpty)
+      // keep only the operator skeleton: the tree lines, not the
+      // "(42) Project ..." detail sections of the formatted dump
+      .takeWhile(l => !l.startsWith("= Subqueries ="))
+      .toSeq
+
+  private def digest(lines: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(lines.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession
+      .builder("graft-plansnap", s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val entries = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val fp = try {
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        digest(normalize(p))
+      } catch { case _: Throwable => "ERROR" }
+      s""""$name":"$fp""""
+    }
+    val json = entries.mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PLAN_OUT",
+      sys.props.getOrElse("user.dir", ".") + "/PLAN_SNAPSHOT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(s"[plansnap] wrote ${SparkEntry.queries.size} plan digests to $outPath")
+    spark.stop()
+  }
+}

@@ -534,8 +534,9 @@ object SparkEntry {
     "doc_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir))),
     // Gopher REPETITION rules (top-2-gram / duplicated-3-gram char
-    // fractions) — the duplication half of the A1.1 screen
-    "doc_repetition" -> ((s, dir) =>
+    // fractions) — the duplication half of the A1.1 screen (the plain
+    // gram-count repetition stats are doc_repetition)
+    "doc_repetition_gopher" -> ((s, dir) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, dir))),
     // context-window packing accounting: concat per source in doc_id
     // order, cut every 256 tokens — sequences, fill, straddle rate
@@ -2339,7 +2340,7 @@ object SparkEntry {
          |    )
          |  )
          |) ORDER BY doc_id""".stripMargin,
-    "doc_repetition" ->
+    "doc_repetition_gopher" ->
       s"""WITH base AS (SELECT doc_id, $SqlWs AS ws FROM documents),
          |bc AS (SELECT doc_id,
          |  coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT AS n_chars FROM base),

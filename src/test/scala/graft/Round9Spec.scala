@@ -118,6 +118,26 @@ class Round9Spec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 2L, 2L, 0L), (11L, 2L, 0L, 1000000L)))
   }
 
+  test("no duplicate query/oracle registrations (Map would silently shadow)") {
+    // Scala Map literals keep the LAST duplicate key: a re-registered
+    // name silently drops the older query AND its oracle while the
+    // gate stays green (caught live in round 9 with doc_repetition).
+    // Count the registrations in the source and compare to Map sizes.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val regs = "\"([a-z0-9_]+)\" -> \\(\\(".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val dups = regs.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate query registrations: ${dups.mkString(",")}")
+    assert(regs.size == SparkEntry.queries.size,
+      s"${regs.size} registrations but ${SparkEntry.queries.size} Map keys")
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "every query needs exactly one oracle (and vice versa): " +
+        (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet).mkString(",") +
+        " / " +
+        (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet).mkString(","))
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
