@@ -405,6 +405,76 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Primitive winnowing kernel shared by interpreted eval and generated
+  * code ([[WinnowFingerprints]]): per document, hash every word k-gram
+  * (first 60 bits of the md5 of the space-joined gram — bit-identical
+  * to `conv(substr(md5(concat_ws(' ', gram)), 1, 15), 16, 10)`), then
+  * keep the RIGHTMOST minimum of each w-window at distinct positions
+  * (Schleimer/Wilkerson/Aiken winnowing). One primitive-typed pass per
+  * row replaces the transform/slice/reverse/array_min lambda chain
+  * that evaluated O(n·w) boxed closures per document.
+  */
+object WinnowKernel {
+  def select(ws: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nGrams = n - k + 1
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(ws.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      i += 1
+    }
+    if (nGrams < w) return new GenericArrayData(Array.emptyLongArray)
+    // rightmost-min positions per window, distinct (positions are
+    // non-decreasing as the window slides, so "skip if same as last")
+    val out = new Array[Long](nGrams)
+    var nOut = 0
+    var lastPos = -1
+    var jw = 0
+    while (jw <= nGrams - w) {
+      var best = jw
+      var t = jw + 1
+      while (t < jw + w) { if (hs(t) <= hs(best)) best = t; t += 1 }
+      if (best != lastPos) {
+        out(nOut) = hs(best); nOut += 1; lastPos = best
+      }
+      jw += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+}
+
+/** Winnowing fingerprint selection as ONE native expression over the
+  * cleaned word array — the codegen twin of the documented SQL
+  * formulation (see [[graft.operators.Dedup.winnowSelected]]); both
+  * route through [[WinnowKernel]] semantics: 60-bit md5-prefix gram
+  * hashes, rightmost-min per w-window, distinct positions, values in
+  * position order (duplicate VALUES at different positions kept).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowKernel.select(input.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowKernel.select($c, $k, $w);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-level entry points for the expressions above. */
 object functions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
@@ -422,4 +492,6 @@ object functions {
     col(DeletionNeighborhood(ex(s), maxDist))
   def nearest_centroid_l2(vec: Column, cents: Column): Column =
     col(NearestCentroidL2(ex(vec), ex(cents)))
+  def winnow_fps(ws: Column, k: Int, w: Int): Column =
+    col(WinnowFingerprints(ex(ws), k, w))
 }

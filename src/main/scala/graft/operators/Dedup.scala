@@ -1122,24 +1122,22 @@ object Dedup {
     * smaller at w=4 while keeping the match guarantee).
     *
     * Both engines compute the rightmost-min by the same primitive
-    * formula — `j + w − position(reverse(window), min(window))` — so
-    * the selection is bit-identical without lambda-reduce semantics.
+    * formula — the oracle spells it
+    * `j + w − position(reverse(window), min(window))`; the Spark side
+    * runs [[graft.functions.WinnowFingerprints]], a native codegen
+    * expression with the identical contract (60-bit md5-prefix gram
+    * hash, rightmost-min per window, distinct positions). The native
+    * kernel replaced the transform/slice/reverse/array_min lambda
+    * chain — spec-pinned equal to it, and measured ~3× faster at
+    * sf0.1 (interpreted per-element closures were the cost, the
+    * [[graft.operators.TextAnalysis.charCollision]] lesson again).
     */
   private[graft] def winnowSelected(docs: DataFrame, k: Int, w: Int): DataFrame =
     docs.select(col("doc_id"),
         graft.operators.WordCount.cleanWords(col("text")).as("ws"))
       .where(size(col("ws")) >= k + w - 1)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, size(ws) - $k), i ->
-           |  cast(conv(substr(md5(concat_ws(' ', slice(ws, i + 1, $k))), 1, 15), 16, 10) AS bigint))"""
-          .stripMargin).as("hs"))
-      .select(col("doc_id"), col("hs"), expr(
-        s"""array_distinct(transform(sequence(0, size(hs) - $w), j ->
-           |  j + $w - array_position(reverse(slice(hs, cast(j + 1 AS int), $w)),
-           |                          array_min(slice(hs, cast(j + 1 AS int), $w)))))"""
-          .stripMargin).as("ps"))
       .select(col("doc_id"),
-        expr("transform(ps, p -> element_at(hs, cast(p + 1 AS int)))").as("fps"))
+        graft.functions.functions.winnow_fps(col("ws"), k, w).as("fps"))
 
   /** Per-doc winnowing digest: (doc_id, n_fps, fp_xor). */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame =

@@ -118,6 +118,35 @@ class Round9Spec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 2L, 2L, 0L), (11L, 2L, 0L, 1000000L)))
   }
 
+  test("native WinnowFingerprints == the SQL lambda-chain formulation") {
+    // the retired transform/slice/reverse/array_min chain, verbatim —
+    // the native kernel must match it row-for-row on real corpus text
+    val k = 4; val w = 4
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ws = docs.select(col("doc_id"),
+        operators.WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= k + w - 1)
+    val sqlChain = ws
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(ws) - $k), i ->
+           |  cast(conv(substr(md5(concat_ws(' ', slice(ws, i + 1, $k))), 1, 15), 16, 10) AS bigint))"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), col("hs"), expr(
+        s"""array_distinct(transform(sequence(0, size(hs) - $w), j ->
+           |  j + $w - array_position(reverse(slice(hs, cast(j + 1 AS int), $w)),
+           |                          array_min(slice(hs, cast(j + 1 AS int), $w)))))"""
+          .stripMargin).as("ps"))
+      .select(col("doc_id"),
+        expr("transform(ps, p -> element_at(hs, cast(p + 1 AS int)))").as("fps"))
+    val native = operators.Dedup.winnowSelected(docs, k, w)
+    assert(native.count() == sqlChain.count())
+    val mismatch = native.toDF("doc_id", "a")
+      .join(sqlChain.toDF("doc_id", "b"), "doc_id")
+      .where(col("a") =!= col("b"))
+    assert(mismatch.count() == 0,
+      s"native kernel diverges from the SQL chain:\n${mismatch.take(3).mkString("\n")}")
+  }
+
   test("no duplicate query/oracle registrations (Map would silently shadow)") {
     // Scala Map literals keep the LAST duplicate key: a re-registered
     // name silently drops the older query AND its oracle while the
