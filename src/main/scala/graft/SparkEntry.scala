@@ -911,6 +911,11 @@ object SparkEntry {
     "part_link_pred" -> ((s, dir) =>
       Graph.commonNeighborPairs(
         Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+    // per-node local clustering coefficient on the co-purchase graph
+    // (ppm): tree-like hubs score 0, clique members 10^6
+    "part_clustering_coeff" -> ((s, dir) =>
+      Graph.clusteringCoefficients(
+        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
     // association rules: ppm confidence + lift over the directed pairs
     "part_assoc_rules" -> ((s, dir) =>
       Graph.associationRules(Tables.lineitem(s, dir))),
@@ -1692,6 +1697,10 @@ object SparkEntry {
     // under the same 30-day predicate
     "lake_zone_map_skipping" -> ((s, dir) =>
       operators.Layout.zoneMapSkipping(Tables.lineitem(s, dir))),
+    // deletion-vector lifecycle: merge-on-read bookkeeping + the
+    // rewrite-vs-keep-DV compaction policy outcome, priced from data
+    "lake_delete_vectors" -> ((s, dir) =>
+      operators.Layout.deleteVectorStats(Tables.lineitem(s, dir))),
     // delta+varint postings accounting for the inverted index
     "index_compression_stats" -> ((s, dir) =>
       TextAnalysis.indexCompressionStats(Tables.documents(s, dir))),
@@ -1705,6 +1714,14 @@ object SparkEntry {
     // index-choice cost model: Σ df(df-1)/2 per candidate index
     "dedup_cost_model" -> ((s, dir) =>
       Dedup.dedupCostModel(Tables.documents(s, dir))),
+    // sketch-error eval: k-permutation minhash estimate vs exact
+    // jaccard on the true near-dup pairs, in ppm
+    "dedup_minhash_eval" -> ((s, dir) =>
+      Dedup.minhashEval(Tables.documents(s, dir))),
+    // measured Bloom false-positive rate: probes provably absent from
+    // the base, so every positive is false — ground truth, not theory
+    "dedup_bloom_fpr" -> ((s, dir) =>
+      Dedup.bloomFprEval(Tables.documents(s, dir))),
     // k-anonymity generalization: smallest power-of-two balance bin
     // whose minimum equivalence class reaches k
     "pii_generalize" -> ((s, dir) =>
@@ -1975,6 +1992,25 @@ object SparkEntry {
         |  CAST(max(n_rhs) AS BIGINT)
         |FROM (SELECT lang, count(DISTINCT source) AS n_rhs FROM documents GROUP BY 1)
         |) ORDER BY fd""".stripMargin,
+    // merge-on-read deletion vectors: per-file deleted fraction, then
+    // the compaction split at the 12000-ppm rewrite threshold
+    "lake_delete_vectors" ->
+      """WITH r AS (SELECT l_orderkey // 128 AS f,
+        |    CASE WHEN epoch_ms(l_shipdate) // 86400000 BETWEEN 9500 AND 9529
+        |         THEN 1 ELSE 0 END AS del
+        |  FROM lineitem),
+        |pf AS (SELECT f, count(*)::BIGINT AS n, CAST(sum(del) AS BIGINT) AS dv
+        |       FROM r GROUP BY 1),
+        |pol AS (SELECT *, dv * 1000000 // n >= 12000 AS rw FROM pf)
+        |SELECT count(*)::BIGINT AS n_files,
+        |  count(*) FILTER (WHERE dv > 0)::BIGINT AS files_with_dv,
+        |  CAST(sum(n) AS BIGINT) AS rows_total,
+        |  CAST(sum(dv) AS BIGINT) AS dv_total,
+        |  CAST(sum(n) - sum(dv) AS BIGINT) AS rows_live,
+        |  count(*) FILTER (WHERE rw)::BIGINT AS files_rewritten,
+        |  CAST(coalesce(sum(n - dv) FILTER (WHERE rw), 0) AS BIGINT) AS rows_rewritten,
+        |  CAST(coalesce(sum(dv) FILTER (WHERE NOT rw), 0) AS BIGINT) AS dv_after
+        |FROM pol""".stripMargin,
     "lake_zone_map_skipping" ->
       """WITH base AS (SELECT l_orderkey // 512 AS nat_file,
         |        epoch_ms(l_shipdate) // 86400000 AS d
@@ -2095,6 +2131,67 @@ object SparkEntry {
          |  CAST(n_hit * 1000000 // greatest(1, n_detected) AS BIGINT) AS precision_ppm,
          |  CAST(n_hit * 1000000 // greatest(1, n_truth) AS BIGINT) AS recall_ppm
          |FROM c""".stripMargin,
+    // same seed-derived affine permutation family as the Spark-side
+    // MinHashSignature expression, inlined as literals; shingle hashes
+    // are the dual-engine md5-prefix 60-bit value
+    "dedup_minhash_eval" -> {
+      val P = 2147483647L
+      val rnd = new java.util.Random(42L)
+      val ab = Seq.fill(16) {
+        val a = rnd.nextInt((P - 1).toInt).toLong + 1L
+        val b = rnd.nextInt(P.toInt).toLong
+        (a, b)
+      }
+      val md5h = "list_sum(list_transform(range(15), nb -> (strpos('0123456789abcdef', " +
+        "substr(md5(array_to_string(list_slice(ws, i+1, i+3), ' ')), nb+1, 1)) - 1)::BIGINT << (4*(14-nb))))"
+      val sigList = ab.map { case (a, b) =>
+        s"list_min(list_transform(hs, hv -> ($a * (hv % $P) + $b) % $P))"
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(0, len(ws) - 2), i -> $md5h) AS hs
+         |      FROM t WHERE len(ws) >= 3),
+         |sg AS (SELECT doc_id, $sigList AS sig FROM g),
+         |sh AS ($SqlShingles),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM sh a JOIN sh b USING (shingle)
+         |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT id_a, id_b, inter, sa.n_sh + sb.n_sh - inter AS uni
+         |       FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+         |       WHERE inter * 5 > (sa.n_sh + sb.n_sh - inter) * 1),
+         |e AS (SELECT
+         |        CAST(len(list_filter(range(16), q -> sa.sig[q+1] = sb.sig[q+1])) AS BIGINT)
+         |          * 1000000 // 16 AS est_ppm,
+         |        inter * 1000000 // uni AS exact_ppm
+         |      FROM pr JOIN sg sa ON pr.id_a = sa.doc_id JOIN sg sb ON pr.id_b = sb.doc_id)
+         |SELECT count(*)::BIGINT AS n_pairs,
+         |  CAST(CAST(sum(abs(est_ppm - exact_ppm)) AS BIGINT) // count(*) AS BIGINT) AS mean_abs_err_ppm,
+         |  CAST(max(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+         |FROM e""".stripMargin
+    },
+    // Kirsch–Mitzenmacher positions over two md5 slices; the bit array
+    // is the distinct base position set, a probe is positive iff all k
+    // positions join — the same relational filter the Spark side runs
+    "dedup_bloom_fpr" ->
+      s"""WITH fpx AS (SELECT md5(text) AS f, min(doc_id) AS mn FROM documents GROUP BY 1),
+         |h AS (SELECT f, mn,
+         |  list_sum(list_transform(range(15), nb -> (strpos('0123456789abcdef',
+         |    substr(f, nb+1, 1)) - 1)::BIGINT << (4*(14-nb)))) % 2048 AS h1,
+         |  list_sum(list_transform(range(15), nb -> (strpos('0123456789abcdef',
+         |    substr(f, nb+16, 1)) - 1)::BIGINT << (4*(14-nb)))) % 2048 AS h2
+         |  FROM fpx),
+         |bb AS (SELECT DISTINCT (h1 + j*h2) % 2048 AS pos FROM h,
+         |       LATERAL (SELECT unnest(range(4)) AS j) r WHERE mn <= 250),
+         |pro AS (SELECT f, h1, h2 FROM h WHERE mn > 250),
+         |pp AS (SELECT f, (h1 + j*h2) % 2048 AS pos FROM pro,
+         |       LATERAL (SELECT unnest(range(4)) AS j) r),
+         |hit AS (SELECT f FROM pp JOIN bb USING (pos) GROUP BY f HAVING count(*) = 4)
+         |SELECT (SELECT count(*) FROM bb)::BIGINT AS bits_set,
+         |  (SELECT count(*) FROM h WHERE mn <= 250)::BIGINT AS n_base,
+         |  (SELECT count(*) FROM pro)::BIGINT AS n_probes,
+         |  (SELECT count(*) FROM hit)::BIGINT AS n_fp,
+         |  CAST((SELECT count(*) FROM hit) * 1000000
+         |       // greatest(1, (SELECT count(*) FROM pro)) AS BIGINT) AS fpr_ppm""".stripMargin,
     "dedup_winnow_increment" ->
       s"""WITH $SqlWinnowCtes,
          |e AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
@@ -4118,6 +4215,25 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT part_a, part_b, supp FROM e
         |ORDER BY supp DESC, part_a, part_b LIMIT 100""".stripMargin,
+    // undirected triangle enumeration is orientation-free in SQL:
+    // x<y<z with all three canonical edges present; each triangle then
+    // credits its three corners
+    "part_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+        |    ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT w, count(*)::BIGINT AS d FROM (
+        |          SELECT a AS w FROM e UNION ALL SELECT b AS w FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tpn AS (SELECT w, count(*)::BIGINT AS t FROM (
+        |          SELECT unnest([x, y, z]) AS w FROM tri) GROUP BY 1)
+        |SELECT deg.w AS node, deg.d AS deg, coalesce(t, 0)::BIGINT AS n_tri,
+        |  CAST(coalesce(t, 0) * 2 * 1000000 // (d * (d - 1)) AS BIGINT) AS coeff_ppm
+        |FROM deg LEFT JOIN tpn USING (w)
+        |WHERE d >= 2 ORDER BY node""".stripMargin,
     "part_link_pred" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b

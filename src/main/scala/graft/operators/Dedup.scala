@@ -1264,4 +1264,79 @@ object Dedup {
       .where(col("shared") >= minShared)
       .orderBy("id_a", "id_b")
   }
+
+  /** MinHash ESTIMATOR accuracy — the sketch-error twin of
+    * [[winnowEval]] (which measures candidate-generator recall): for
+    * every true near-dup pair (exact shingle Jaccard > num/den), the
+    * k-permutation signature-agreement estimate `matches·10⁶ div k`
+    * is compared against the exact `inter·10⁶ div uni`; emits one row
+    * (n_pairs, mean_abs_err_ppm, max_abs_err_ppm). Shingles hash
+    * through the dual-engine md5-prefix 60-bit hash (not xxhash64) so
+    * the signatures — and hence the error ppm values — are
+    * reproducible outside the JVM; permutation constants are the
+    * seed-derived affine family of
+    * [[graft.functions.MinHashSignature]].
+    *
+    * At 100 TB this runs over a pair SAMPLE next to the production
+    * minhash job and answers "how many signature rows do I need for
+    * the banding thresholds I chose" with a measurement, not the
+    * textbook 1/sqrt(k) bound.
+    */
+  def minhashEval(docs: DataFrame, n: Int = 3, k: Int = 16,
+                  seed: Long = 42L, num: Int = 1, den: Int = 5): DataFrame = {
+    val hs = docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(ws) - $n), i -> " +
+          s"cast(conv(substr(md5(concat_ws(' ', slice(ws, i + 1, $n))), 1, 15), 16, 10) AS bigint))")
+        .as("hs"))
+    val sigs = hs.select(col("doc_id"),
+      graft.functions.functions.minhash_sig(col("hs"), k, seed).as("sig"))
+    val scored = jaccardPairs(docs, n, num, den)
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(
+        expr(s"cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS bigint)" +
+          s" * 1000000 div $k").as("est_ppm"),
+        expr("inter * 1000000 div uni").as("exact_ppm"))
+      .select(abs(col("est_ppm") - col("exact_ppm")).as("err"))
+    scored.agg(count(lit(1)).as("n_pairs"),
+      expr("sum(err) div count(1)").as("mean_abs_err_ppm"),
+      max(col("err")).as("max_abs_err_ppm"))
+  }
+
+  /** Measured Bloom-filter false-positive rate — the sketch-error eval
+    * for the membership prefilter the exact-dedup increment path would
+    * deploy at 100 TB (probe a compact bit set BEFORE the exact
+    * fingerprint anti-join; every Bloom negative skips the shuffle).
+    * The filter is expressed RELATIONALLY so both engines share it
+    * bit-for-bit: positions j∈[0,k) of a fingerprint are the
+    * Kirsch–Mitzenmacher double hashes `(h1 + j·h2) mod m` over two
+    * 60-bit md5 slices; the "bit array" is the distinct position set
+    * of the base corpus (one small broadcastable frame), and a probe
+    * is Bloom-positive iff all k of its positions join. Probes are the
+    * fingerprints provably ABSENT from the base, so every positive is
+    * false: fpr_ppm is a ground-truth measurement, not an estimate.
+    */
+  def bloomFprEval(docs: DataFrame, baseMaxId: Long = 250L,
+                   m: Int = 2048, k: Int = 4): DataFrame = {
+    val fp = docs.groupBy(md5(col("text")).as("f")).agg(min("doc_id").as("mn"))
+    val h = fp.select(col("f"), col("mn"),
+      expr(s"cast(conv(substr(f, 1, 15), 16, 10) AS bigint) % $m").as("h1"),
+      expr(s"cast(conv(substr(f, 16, 15), 16, 10) AS bigint) % $m").as("h2"))
+    def positions = expr(s"transform(sequence(0, ${k - 1}), j -> (h1 + j * h2) % $m)")
+    val base = h.where(col("mn") <= baseMaxId)
+    val baseBits = base.select(explode(positions).as("pos")).distinct()
+    val probes = h.where(col("mn") > baseMaxId)
+    val falsePos = probes.select(col("f"), explode(positions).as("pos"))
+      .join(baseBits, "pos")
+      .groupBy("f").agg(count(lit(1)).as("c"))
+      .where(col("c") === k)
+    baseBits.agg(count(lit(1)).as("bits_set"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_base"))))
+      .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+      .crossJoin(broadcast(falsePos.agg(count(lit(1)).as("n_fp"))))
+      .select(col("bits_set"), col("n_base"), col("n_probes"), col("n_fp"),
+        expr("n_fp * 1000000 div greatest(1L, n_probes)").as("fpr_ppm"))
+  }
 }

@@ -227,6 +227,45 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient over an undirected
+    * canonical (a < b) edge frame: coeff(v) = 2·tri(v)·10⁶ div
+    * (deg(v)·(deg(v)−1)) in exact ppm, emitted for every node with
+    * deg ≥ 2. Triangle enumeration reuses [[triangleCount]]'s
+    * degree-ordered orientation (each triangle lands once, wedge
+    * fan-out bounded by oriented out-degree, O(m^{3/2}) total), then
+    * each triangle credits its three corners through one explode —
+    * per-node counts are a keyed agg, never a per-node neighborhood
+    * scan. The coefficient is how "community-like" a node's
+    * neighborhood is — tree-like hubs score 0, clique members 10⁶.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("a"), col("b"))
+    val deg = e0.select(col("a").as("w"))
+      .union(e0.select(col("b").as("w")))
+      .groupBy("w").agg(count(lit(1)).as("d"))
+    val withDeg = e0
+      .join(deg.toDF("wa", "da"), col("a") === col("wa"))
+      .join(deg.toDF("wb", "db"), col("b") === col("wb"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    val tri = o.toDF("u", "v")
+      .join(o.toDF("u2", "w2"), col("u") === col("u2") && col("v") =!= col("w2"))
+      .join(o.toDF("v3", "w3"), col("v") === col("v3") && col("w2") === col("w3"))
+      .select(col("u"), col("v"), col("w2"))
+    val triPerNode = tri
+      .select(explode(array(col("u"), col("v"), col("w2"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("t"))
+    deg.join(triPerNode, Seq("w"), "left")
+      .where(col("d") >= 2)
+      .select(col("w").as("node"), col("d").as("deg"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        expr("coalesce(t, 0L) * 2 * 1000000 div (d * (d - 1))").as("coeff_ppm"))
+      .orderBy("node")
+  }
+
   /** HITS hubs-and-authorities (Kleinberg) over (src, dst) edges —
     * the bipartite-reinforcement centrality next to [[pageRank]]'s
     * random-walk one: a node is a good AUTHORITY when good hubs point

@@ -111,6 +111,44 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** Deletion-vector lifecycle accounting — the merge-on-read
+    * bookkeeping a lakehouse delete (GDPR purge, retention window)
+    * produces when row-level deletes land as per-file position vectors
+    * instead of eager rewrites. Files are modeled as `l_orderkey div
+    * keyBin` bins (the arrival-order layout, so a date-range delete
+    * scatters across every file — the worst case zone maps can't
+    * help); the delete predicate is a `[loDay, hiDay]` ship-date
+    * window. Emits ONE summary row: file/row totals, DV totals, live
+    * rows (what every merge-on-read scan must anti-join), plus the
+    * compaction policy outcome at `rewritePpm` — files whose deleted
+    * fraction crosses the threshold are rewritten (their live rows =
+    * the write amplification paid), the rest keep their DVs (the scan
+    * tax that remains). One keyed agg + one global agg — the planner
+    * for "when do deletes justify rewriting" priced from data, not
+    * guessed.
+    */
+  def deleteVectorStats(lineitem: DataFrame, keyBin: Long = 128L,
+                        loDay: Long = 9500L, hiDay: Long = 9529L,
+                        rewritePpm: Long = 12000L): DataFrame = {
+    val rows = lineitem.select(
+      expr(s"l_orderkey div $keyBin").as("file"),
+      when(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+        .between(loDay, hiDay), 1L).otherwise(0L).as("del"))
+    rows.groupBy("file")
+      .agg(count(lit(1)).as("n_rows"), sum("del").as("dv"))
+      .withColumn("del_ppm", expr("dv * 1000000 div n_rows"))
+      .withColumn("rw", col("del_ppm") >= rewritePpm)
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("dv") > 0, 1L).otherwise(0L)).as("files_with_dv"),
+        sum("n_rows").as("rows_total"),
+        sum("dv").as("dv_total"),
+        (sum("n_rows") - sum("dv")).as("rows_live"),
+        sum(when(col("rw"), 1L).otherwise(0L)).as("files_rewritten"),
+        sum(when(col("rw"), col("n_rows") - col("dv")).otherwise(0L))
+          .as("rows_rewritten"),
+        sum(when(!col("rw"), col("dv")).otherwise(0L)).as("dv_after"))
+  }
+
   /** Write `df` z-ordered on (xCol, yCol): range-partition by z-value
     * (balanced output files via range exchange, not hash), sort rows
     * within each partition, drop the helper column. The result is a

@@ -167,6 +167,75 @@ class Round9Spec extends SparkSpec {
         (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet).mkString(","))
   }
 
+  test("minhashEval: identical documents estimate with zero error") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val r = operators.Dedup.minhashEval(d).collect()(0)
+    assert(r.getLong(0) == 1L, "exactly the identical pair qualifies")
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L,
+      "identical shingle sets -> identical signatures -> zero error")
+  }
+
+  test("minhashEval: error is bounded and pairs match the truth count") {
+    // overlapping-but-not-identical docs: estimator may err, never
+    // past the ppm scale, and the pair universe is the jaccard truth
+    val d = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k zz"),
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val r = operators.Dedup.minhashEval(d).collect()(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(2) >= r.getLong(1), "max >= mean")
+    assert(r.getLong(2) <= 1000000L, "abs error can never exceed 10^6 ppm")
+  }
+
+  test("bloomFprEval: probes are the absent fingerprints; counts cohere") {
+    val d = Seq(
+      (0L, "base document one"), (1L, "base document two"),
+      (2L, "base document one"),              // dup of base text: NOT a probe
+      (3L, "novel text alpha"), (4L, "novel text beta")
+    ).toDF("doc_id", "text")
+    val r = operators.Dedup.bloomFprEval(d, baseMaxId = 1L).collect()(0)
+    assert(r.getLong(1) == 2L, "two distinct base fingerprints")
+    assert(r.getLong(2) == 2L,
+      "doc 2 repeats a base text so only docs 3,4 probe")
+    assert(r.getLong(0) <= 8L, "k=4 positions per base fp, deduped")
+    assert(r.getLong(3) <= r.getLong(2), "FPs bounded by probe count")
+    assert(r.getLong(4) == r.getLong(3) * 1000000L / 2L)
+  }
+
+  test("clusteringCoefficients: triangle + pendant hand-trace") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = operators.Graph.clusteringCoefficients(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // node 4 (deg 1) is excluded; node 1 sits on 1 of C(3,2)=3 wedges
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 333333L), (2L, 2L, 1L, 1000000L), (3L, 2L, 1L, 1000000L)))
+  }
+
+  test("deleteVectorStats: rewrite-vs-keep split at the ppm threshold") {
+    import org.apache.spark.sql.functions._
+    // file 0 (keys < 128): 4 rows, 2 deleted = 500000 ppm -> rewrite;
+    // file 1 (keys >= 128): 100 rows, 1 deleted = 10000 ppm -> keep DV
+    val rows =
+      (0 until 4).map(i => (i.toLong, if (i < 2) 9510L else 9400L)) ++
+        (0 until 100).map(i => (128L + i, if (i == 0) 9510L else 9400L))
+    val li = rows.toDF("l_orderkey", "day")
+      .select(col("l_orderkey"),
+        expr("timestamp_millis(day * 86400000)").as("l_shipdate"))
+    val r = operators.Layout.deleteVectorStats(li).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, "2 files, both have DVs")
+    assert(r.getLong(2) == 104L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 101L, "live = total - deleted")
+    assert(r.getLong(5) == 1L, "only the dense-delete file is rewritten")
+    assert(r.getLong(6) == 2L, "rewrite pays the file's live rows")
+    assert(r.getLong(7) == 1L, "the kept file's DV entry remains")
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
