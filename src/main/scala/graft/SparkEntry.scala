@@ -747,6 +747,10 @@ object SparkEntry {
       Multimodal.mediaMeta(Tables.documents(s, dir))),
     "media_feature_stats" -> ((s, dir) =>
       Multimodal.mediaFeatureStats(s, Tables.documents(s, dir))),
+    // VAD-style audio screen: per-item frame energy + silent-run
+    // profile through the real per-partition decode path
+    "media_silence_profile" -> ((s, dir) =>
+      Multimodal.silenceProfileQuery(s, Tables.documents(s, dir))),
     // perceptual-hash (aHash) near-dup with planted clone pairs
     "media_phash_neardup" -> ((s, dir) =>
       Multimodal.phashNearDup(s, Tables.documents(s, dir))),
@@ -3044,6 +3048,33 @@ object SparkEntry {
          |  CAST(CASE WHEN kind = 'image' AND n_bytes >= 4 THEN 3
          |       ELSE hdr[3]*256 + hdr[4] END AS BIGINT) AS height
          |FROM b ORDER BY media_id""".stripMargin,
+    // the full decode -> frame-energy -> run-length pipeline replayed
+    // from the payload bytes: energy is sum |byte-128| per 16-byte
+    // frame, silent < 460, runs via gaps-and-islands on frame index
+    "media_silence_profile" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text))::BIGINT AS nb
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |f AS (SELECT media_id, fi,
+         |    list_sum(list_transform(range(16), j ->
+         |      abs((strpos('0123456789ABCDEF', substr(hx, 2*(fi*16+j)+1, 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF', substr(hx, 2*(fi*16+j)+2, 1)) - 1) - 128))) AS e
+         |  FROM m, LATERAL (SELECT unnest(range(nb // 16)) AS fi) r
+         |  WHERE nb >= 16),
+         |fl AS (SELECT media_id, fi, e, e < 460 AS s FROM f),
+         |runs AS (SELECT media_id, count(*)::BIGINT AS rl FROM (
+         |    SELECT media_id, fi,
+         |      fi - row_number() OVER (PARTITION BY media_id ORDER BY fi) AS g
+         |    FROM fl WHERE s) GROUP BY media_id, g),
+         |mr AS (SELECT media_id, max(rl) AS max_run FROM runs GROUP BY 1),
+         |agg AS (SELECT media_id, count(*)::BIGINT AS n_frames,
+         |    count(*) FILTER (WHERE s)::BIGINT AS n_silent,
+         |    CAST(sum(e) AS BIGINT) AS total_energy
+         |  FROM fl GROUP BY 1)
+         |SELECT a.media_id, n_frames, n_silent,
+         |  coalesce(max_run, 0)::BIGINT AS max_silent_run, total_energy
+         |FROM agg a LEFT JOIN mr USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     "media_feature_stats" ->
       s"""WITH m AS (
          |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -266,6 +266,53 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  /** Per-audio-item silence/energy profile — the VAD-style screen a
+    * speech-data pipeline runs BEFORE paying for transcription: frames
+    * of `frameBytes` samples score integer energy Σ|b−128| (the
+    * deviation-from-midpoint a real PCM decoder would compute; the
+    * byte read stands in for the codec exactly as in [[byteFeatures]]),
+    * frames under `silentThresh` are silent, and the longest silent
+    * RUN is tracked imperatively in the same per-partition pass — one
+    * scan, constant memory per item, no shuffle until the final sort.
+    * Emits (media_id, n_frames, n_silent, max_silent_run,
+    * total_energy), all exact integers so a SQL oracle replays the
+    * whole decode → frame → run-length pipeline from the raw bytes.
+    */
+  def silenceProfile(media: Dataset[MediaRow], frameBytes: Int = 16,
+                     silentThresh: Long = 460L): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(m => m.kind == "audio" && m.payload.length >= frameBytes)
+        .map { m =>
+          val n = m.payload.length / frameBytes
+          var i = 0; var silent = 0L; var run = 0L; var maxRun = 0L
+          var tot = 0L
+          while (i < n) {
+            var e = 0L
+            var j = i * frameBytes
+            val end = j + frameBytes
+            while (j < end) { e += math.abs((m.payload(j) & 0xFF) - 128); j += 1 }
+            tot += e
+            if (e < silentThresh) {
+              silent += 1; run += 1; if (run > maxRun) maxRun = run
+            } else run = 0
+            i += 1
+          }
+          (m.media_id, n.toLong, silent, maxRun, tot)
+        }
+    }.toDF("media_id", "n_frames", "n_silent", "max_silent_run",
+        "total_energy")
+      .orderBy("media_id")
+  }
+
+  /** [[silenceProfile]] as a driver query over the synthetic media
+    * table (audio kind only).
+    */
+  def silenceProfileQuery(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    silenceProfile(syntheticMedia(docs).as[MediaRow])
+  }
+
   /** First-`dim` payload bytes as an integer feature vector (0-padded)
     * through the real per-partition batch path — the stand-in for an
     * image-tower embedding (a real deployment swaps the byte read for

@@ -236,6 +236,26 @@ class Round9Spec extends SparkSpec {
     assert(r.getLong(7) == 1L, "the kept file's DV entry remains")
   }
 
+  test("silenceProfile: frame energies, runs, and kind filter hand-trace") {
+    import operators.Multimodal.MediaRow
+    def frame(b: Int) = Array.fill(16)(b.toByte)
+    // 4 frames: silent, silent, loud, silent (+7 trailing bytes dropped)
+    val audio = MediaRow(1L, "audio",
+      frame(128) ++ frame(130) ++ frame(0) ++ frame(128) ++ Array.fill(7)(1.toByte))
+    val image = MediaRow(2L, "image", frame(128))
+    val short = MediaRow(3L, "audio", Array.fill(5)(128.toByte))
+    val media = spark.createDataset(Seq(audio, image, short))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val got = operators.Multimodal.silenceProfile(media).collect()
+    assert(got.length == 1, "image and sub-frame audio rows are excluded")
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 3L, "three frames under the threshold")
+    assert(r.getLong(3) == 2L, "longest silent run is the leading pair")
+    assert(r.getLong(4) == 0L + 32L + 16L * 128L + 0L,
+      "energy = sum |b-128| over full frames only")
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
