@@ -571,6 +571,11 @@ object SparkEntry {
     // n-word generalization: top trigram, one-shuffle offset-vote plan
     "phrase_search_3" -> ((s, dir) =>
       TextAnalysis.phraseSearchN(Tables.documents(s, dir), n = 3)),
+    // sloppy-phrase proximity: all three terms within a 6-token
+    // minimal cover window
+    "proximity_search" -> ((s, dir) =>
+      TextAnalysis.proximitySearch(Tables.documents(s, dir),
+        Seq("hash", "join", "scan"), window = 6)),
     // word2vec-style windowed co-occurrence via positional equi-join
     "skipgram_counts" -> ((s, dir) =>
       TextAnalysis.skipgramCounts(Tables.documents(s, dir))),
@@ -1580,6 +1585,10 @@ object SparkEntry {
     // top-N part recommendations from the CF neighbor graph
     "customer_recommendations" -> ((s, dir) =>
       Basket.recommendations(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // leave-latest-order-out offline eval of the CF recommender:
+    // hit-rate and user coverage in exact ppm, leakage-free split
+    "customer_rec_eval" -> ((s, dir) =>
+      Basket.recEval(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // union-normalized link prediction (CN / RA / Jaccard family)
     "part_link_pred_jaccard" -> ((s, dir) =>
       Graph.jaccardLinkPred(
@@ -2592,6 +2601,23 @@ object SparkEntry {
          |  FROM p)
          |SELECT center, rk, neg_word, priority FROM r WHERE rk <= 5
          |ORDER BY center, rk""".stripMargin,
+    // minimal cover window over one occurrence of each term: the
+    // bounded per-doc cross product of the pruned postings
+    "proximity_search" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, i AS pos, ws[i + 1] AS word
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws))) AS i) r),
+         |p0 AS (SELECT doc_id, pos FROM w WHERE word = 'hash'),
+         |p1 AS (SELECT doc_id, pos FROM w WHERE word = 'join'),
+         |p2 AS (SELECT doc_id, pos FROM w WHERE word = 'scan'),
+         |s AS (SELECT p0.doc_id,
+         |        greatest(p0.pos, p1.pos, p2.pos)
+         |          - least(p0.pos, p1.pos, p2.pos) AS span
+         |      FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id))
+         |SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+         |FROM s GROUP BY 1 HAVING min(span) <= 6
+         |ORDER BY doc_id""".stripMargin,
     "phrase_search_3" ->
       s"""WITH w AS (
          |  SELECT doc_id, i AS pos, ws[i + 1] AS word
@@ -6133,6 +6159,54 @@ object SparkEntry {
          |SELECT c_a AS custkey, p AS part_id, rec_score, n_votes,
          |  CAST(rnk AS BIGINT) AS rank
          |FROM rr WHERE rnk <= 3 ORDER BY custkey, rank""".stripMargin,
+    // the recommender CTE chain replayed over the train split (latest
+    // order per customer anti-joined away), then hits vs the held-out
+    // baskets
+    "customer_rec_eval" ->
+      s"""WITH lo AS (SELECT o_custkey AS last_c, o_orderkey AS last_ok FROM (
+         |    SELECT o_custkey, o_orderkey, row_number() OVER (
+         |      PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders) WHERE rn = 1),
+         |cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderkey NOT IN (SELECT last_ok FROM lo)),
+         |test AS (SELECT DISTINCT lo.last_c AS c, l_partkey AS p
+         |  FROM lineitem JOIN lo ON l_orderkey = last_ok),
+         |kept AS (SELECT cp.c, cp.p FROM cp
+         |         JOIN (SELECT p FROM cp GROUP BY p HAVING count(*) <= 30) d
+         |         USING (p)),
+         |deg AS (SELECT c, count(*) AS deg FROM kept GROUP BY 1),
+         |sh AS (SELECT a.c AS c_a, b.c AS c_b, count(*) AS shared
+         |       FROM kept a JOIN kept b ON a.p = b.p AND a.c <> b.c
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sc AS (SELECT c_a, c_b, shared,
+         |         shared * shared * 1000000 // (da.deg * db.deg) AS score_ppm
+         |       FROM sh JOIN deg da ON sh.c_a = da.c
+         |             JOIN deg db ON sh.c_b = db.c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY c_a
+         |        ORDER BY score_ppm DESC, c_b) AS rank FROM sc),
+         |nb AS (SELECT c_a, c_b, score_ppm FROM r WHERE rank <= 3),
+         |cand AS (SELECT nb.c_a, o.p,
+         |    CAST(sum(nb.score_ppm) AS BIGINT) AS rec_score,
+         |    count(*)::BIGINT AS n_votes
+         |  FROM nb JOIN cp o ON o.c = nb.c_b GROUP BY 1, 2),
+         |fresh AS (SELECT cand.* FROM cand WHERE NOT EXISTS (
+         |  SELECT 1 FROM cp own WHERE own.c = cand.c_a AND own.p = cand.p)),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY c_a
+         |    ORDER BY rec_score DESC, n_votes DESC, p) AS rnk FROM fresh),
+         |recs AS (SELECT c_a AS c, p FROM rr WHERE rnk <= 3),
+         |j AS (SELECT recs.c, recs.p, test.p IS NOT NULL AS hit
+         |      FROM recs LEFT JOIN test ON recs.c = test.c AND recs.p = test.p),
+         |a AS (SELECT count(*)::BIGINT AS n_recs,
+         |        count(*) FILTER (WHERE hit)::BIGINT AS n_hits,
+         |        count(DISTINCT c)::BIGINT AS n_users,
+         |        count(DISTINCT c) FILTER (WHERE hit)::BIGINT AS users_hit
+         |      FROM j)
+         |SELECT n_recs, n_hits, n_users, users_hit,
+         |  CAST(n_hits * 1000000 // greatest(1, n_recs) AS BIGINT) AS hit_ppm,
+         |  CAST(users_hit * 1000000 // greatest(1, n_users) AS BIGINT) AS user_hit_ppm
+         |FROM a""".stripMargin,
     "events_rolling_median_7d" ->
       """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
         |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2)

@@ -165,6 +165,47 @@ object Basket {
       .orderBy("custkey", "rank")
   }
 
+  /** Leave-latest-order-out evaluation of the CF recommender — the
+    * offline eval loop every production recsys runs before shipping a
+    * model change: each customer's LATEST order (by date, orderkey
+    * tiebreak) is held out, [[recommendations]] runs on the remaining
+    * history only, and a recommendation scores a hit when the held-out
+    * basket contains it. One summary row: rec/hit counts, user
+    * coverage, and hit-rate / user-hit-rate in exact ppm.
+    *
+    * Scale shape: the split is one window over orders (customer-keyed)
+    * + one anti-join — the expensive part IS the recommender, which
+    * keeps its own bounded-candidate contract; the eval adds one
+    * (custkey, part) hash join against held-out baskets. Leakage-free
+    * by construction: train rows are the anti-join complement of the
+    * held-out order keys, so no feature of the test basket can reach
+    * the similarity graph.
+    */
+  def recEval(lineitem: DataFrame, orders: DataFrame, maxDf: Int = 30,
+              minShared: Int = 2, kNb: Int = 3, topN: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val lo = orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey").as("last_c"), col("o_orderkey").as("last_ok"))
+    val trainOrders = orders.join(
+      lo.select(col("last_ok").as("o_orderkey")), Seq("o_orderkey"), "left_anti")
+    val recs = recommendations(lineitem, trainOrders, maxDf, minShared,
+        kNb, topN)
+      .select(col("custkey"), col("part_id"))
+    val test = lineitem.join(lo, col("l_orderkey") === col("last_ok"))
+      .select(col("last_c").as("custkey"), col("l_partkey").as("part_id"))
+      .distinct()
+    recs.join(test.withColumn("hit", lit(1L)), Seq("custkey", "part_id"), "left")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        countDistinct(col("custkey")).as("n_users"),
+        countDistinct(when(col("hit") === 1L, col("custkey"))).as("users_hit"))
+      .select(col("n_recs"), col("n_hits"), col("n_users"), col("users_hit"),
+        expr("n_hits * 1000000 div greatest(1L, n_recs)").as("hit_ppm"),
+        expr("users_hit * 1000000 div greatest(1L, n_users)").as("user_hit_ppm"))
+  }
+
   /** MATCH_RECOGNIZE-lite sequence pattern matching: each user's
     * event stream (ordered by ts, event_id) is rendered as a string of
     * type initials (c/v/p/s/e — distinct across the schema's types)

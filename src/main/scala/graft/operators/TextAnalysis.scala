@@ -1197,6 +1197,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Proximity search ("all terms within a w-token window", the
+    * sloppy-phrase operator next to [[phraseSearchN]]'s exact
+    * adjacency): a document matches when its MINIMAL cover window —
+    * min over one occurrence of each term of (max pos − min pos) — is
+    * ≤ `window`; emits (doc_id, min_span) for the matches. Postings
+    * prune to the broadcast term list BEFORE any shuffle, the inner
+    * joins keep only documents containing EVERY term, and the
+    * per-document occurrence cross product is bounded by per-doc term
+    * frequency (query-sized, not corpus-sized) — so at 100 TB the
+    * cost is the pruned-postings shuffle, same as the phrase path.
+    */
+  def proximitySearch(docs: DataFrame, terms: Seq[String],
+                      window: Int): DataFrame = {
+    require(terms.size >= 2, "proximity needs at least two terms")
+    val toks = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+      .where(col("word").isin(terms: _*))
+    val per = terms.zipWithIndex.map { case (t, i) =>
+      toks.where(col("word") === t).select(col("doc_id"), col("pos").as(s"p$i"))
+    }
+    val joined = per.reduce((a, b) => a.join(b, "doc_id"))
+    val ps = terms.indices.map(i => col(s"p$i"))
+    joined
+      .select(col("doc_id"), (greatest(ps: _*) - least(ps: _*)).as("span"))
+      .groupBy("doc_id").agg(min("span").as("min_span"))
+      .where(col("min_span") <= window)
+      .orderBy("doc_id")
+  }
+
   /** PMI-ranked bigram collocations: score each adjacent word pair by
     * pointwise mutual information, computed as the integer
     * cross-multiplication `cnt_ab · N · 1000 div (cnt_a · cnt_b)`

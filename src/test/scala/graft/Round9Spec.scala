@@ -256,6 +256,41 @@ class Round9Spec extends SparkSpec {
       "energy = sum |b-128| over full frames only")
   }
 
+  test("proximitySearch: minimal cover window hand-trace") {
+    val d = Seq(
+      (1L, "a x x b c"),        // span(a,b,c) = 4
+      (2L, "a b x x x a c"),    // best uses the SECOND a: span 5
+      (3L, "a b b b a")         // no c: never a candidate
+    ).toDF("doc_id", "text")
+    def run(w: Int) = operators.TextAnalysis
+      .proximitySearch(d, Seq("a", "b", "c"), w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(6) == Seq((1L, 4L), (2L, 5L)))
+    assert(run(4) == Seq((1L, 4L)))
+    assert(run(3) == Seq())
+  }
+
+  test("recEval: held-out basket hit hand-trace") {
+    import org.apache.spark.sql.functions._
+    // train: c1 owns {10,11}, c2 owns {10,11,12} -> neighbors (2 shared)
+    // held out: c1's latest order {12} (hit: rec'd from c2),
+    //           c2's latest order {13} (no rec: c1 has nothing new)
+    val orders = Seq(
+      (1L, 1L, 1L), (2L, 2L, 1L), (3L, 1L, 2L), (4L, 2L, 2L)
+    ).toDF("o_orderkey", "o_custkey", "day")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("timestamp_millis(day * 86400000)").as("o_orderdate"))
+    val lineitem = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 12L), (4L, 13L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = operators.Basket.recEval(lineitem, orders).collect()(0)
+    assert(r.getLong(0) == 1L, "one recommendation (part 12 for c1)")
+    assert(r.getLong(1) == 1L, "and it is in c1's held-out basket")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 1000000L && r.getLong(5) == 1000000L)
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
