@@ -197,12 +197,41 @@ object ScaleProbe {
         () => operators.Dedup.noveltyReport(docsBig, 250L, 8)),
       ("seq_pack_stats",
         () => operators.TextAnalysis.seqPackStats(docsBase),
-        () => operators.TextAnalysis.seqPackStats(docsBig)))
+        () => operators.TextAnalysis.seqPackStats(docsBig)),
+      ("minhash_eval",
+        () => operators.Dedup.minhashEval(docsBase),
+        () => operators.Dedup.minhashEval(docsBig)),
+      ("bloom_fpr",
+        () => operators.Dedup.bloomFprEval(docsBase, 250L),
+        () => operators.Dedup.bloomFprEval(docsBig, 250L)),
+      ("clustering_coeff",
+        () => operators.Graph.clusteringCoefficients(
+          operators.Graph.copurchaseEdges(liBase).select("a", "b")),
+        () => operators.Graph.clusteringCoefficients(
+          operators.Graph.copurchaseEdges(liBig).select("a", "b"))),
+      ("delete_vectors",
+        () => operators.Layout.deleteVectorStats(liBase),
+        () => operators.Layout.deleteVectorStats(liBig)),
+      ("silence_profile",
+        () => operators.Multimodal.silenceProfileQuery(spark, docsBase),
+        () => operators.Multimodal.silenceProfileQuery(spark, docsBig)),
+      ("rec_eval",
+        () => operators.Basket.recEval(liBase, ordsBase),
+        () => operators.Basket.recEval(liBig, ordsBig)),
+      ("proximity_search",
+        () => operators.TextAnalysis.proximitySearch(docsBase,
+          Seq("hash", "join", "scan"), 6),
+        () => operators.TextAnalysis.proximitySearch(docsBig,
+          Seq("hash", "join", "scan"), 6)))
 
-    val results = probes.map { case (name, base, big) =>
-      val tb = time(base()); val tg = time(big())
-      (name, tb, tg)
-    }
+    // optional args beyond the factor: probe-name filter (iteration aid)
+    val only = args.drop(1).toSet
+    val results = probes
+      .filter { case (name, _, _) => only.isEmpty || only(name) }
+      .map { case (name, base, big) =>
+        val tb = time(base()); val tg = time(big())
+        (name, tb, tg)
+      }
     val json = results.map { case (n, tb, tg) =>
       f"""\"$n\":{\"base_sec\":$tb%.2f,\"x$factor%d_sec\":$tg%.2f,\"ratio\":${tg / tb}%.2f}"""
     }.mkString("{", ",", s""","factor":$factor,"sf":"$sfDir"}""")

@@ -188,8 +188,13 @@ object Basket {
     val lo = orders.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("o_custkey").as("last_c"), col("o_orderkey").as("last_ok"))
+    // the split subtree (window + anti-join) feeds cp builds inside
+    // BOTH recommendations() and its cfNeighbors() — checkpoint the
+    // orders-sized result once instead of re-running the window per
+    // consumer (measured 9.5 -> ~7 s at sf0.1)
     val trainOrders = orders.join(
-      lo.select(col("last_ok").as("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        lo.select(col("last_ok").as("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .localCheckpoint()
     val recs = recommendations(lineitem, trainOrders, maxDf, minShared,
         kNb, topN)
       .select(col("custkey"), col("part_id"))
