@@ -1731,6 +1731,10 @@ object SparkEntry {
     // jaccard on the true near-dup pairs, in ppm
     "dedup_minhash_eval" -> ((s, dir) =>
       Dedup.minhashEval(Tables.documents(s, dir))),
+    // cluster-level eval: pair-counting Rand index between the
+    // exact-jaccard components and the winnow-index components
+    "dedup_rand_index" -> ((s, dir) =>
+      Dedup.randIndexEval(Tables.documents(s, dir))),
     // measured Bloom false-positive rate: probes provably absent from
     // the base, so every positive is false — ground truth, not theory
     "dedup_bloom_fpr" -> ((s, dir) =>
@@ -2182,6 +2186,55 @@ object SparkEntry {
          |  CAST(max(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
          |FROM e""".stripMargin
     },
+    // two recursive-CTE component labelings (exact-jaccard vs winnow
+    // pairs), co-clustered pair sets per labeling, then the pair-level
+    // agreement quadrants; every multiply-referenced CTE MATERIALIZED
+    "dedup_rand_index" ->
+      s"""WITH RECURSIVE $SqlWinnowCtes,
+         |e AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
+         |wp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM e a JOIN e b USING (f) WHERE a.doc_id < b.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sh AS MATERIALIZED ($SqlShingles),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM sh a JOIN sh b USING (shingle)
+         |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS MATERIALIZED (SELECT id_a, id_b
+         |      FROM pp JOIN sz sa ON pp.id_a = sa.doc_id
+         |      JOIN sz sb ON pp.id_b = sb.doc_id
+         |      WHERE inter * 5 > (sa.n_sh + sb.n_sh - inter) * 4),
+         |edgesA AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
+         |         UNION ALL SELECT id_b, id_a FROM jp),
+         |nodesA AS (SELECT DISTINCT src AS id FROM edgesA),
+         |reachA(id, r) AS (
+         |  SELECT id, id FROM nodesA
+         |  UNION
+         |  SELECT ea.src, reachA.r FROM edgesA ea JOIN reachA ON ea.dst = reachA.id),
+         |ccA AS MATERIALIZED (SELECT id, min(r) AS comp FROM reachA GROUP BY 1),
+         |edgesB AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM wp
+         |         UNION ALL SELECT id_b, id_a FROM wp),
+         |nodesB AS (SELECT DISTINCT src AS id FROM edgesB),
+         |reachB(id, r) AS (
+         |  SELECT id, id FROM nodesB
+         |  UNION
+         |  SELECT eb.src, reachB.r FROM edgesB eb JOIN reachB ON eb.dst = reachB.id),
+         |ccB AS MATERIALIZED (SELECT id, min(r) AS comp FROM reachB GROUP BY 1),
+         |paA AS MATERIALIZED (SELECT a.id AS x, b.id AS y FROM ccA a
+         |      JOIN ccA b ON a.comp = b.comp AND a.id < b.id),
+         |paB AS MATERIALIZED (SELECT a.id AS x, b.id AS y FROM ccB a
+         |      JOIN ccB b ON a.comp = b.comp AND a.id < b.id),
+         |cnt AS (SELECT
+         |  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |  (SELECT count(*) FROM paA)::BIGINT AS pe,
+         |  (SELECT count(*) FROM paB)::BIGINT AS pw,
+         |  (SELECT count(*) FROM paA JOIN paB USING (x, y))::BIGINT AS ab)
+         |SELECT n_docs, pe AS pairs_exact, pw AS pairs_winnow,
+         |  ab AS pairs_both,
+         |  CAST((ab + (n_docs * (n_docs - 1) // 2) - pe - pw + ab) * 1000000
+         |       // greatest(1, n_docs * (n_docs - 1) // 2) AS BIGINT)
+         |    AS rand_index_ppm
+         |FROM cnt""".stripMargin,
     // Kirsch–Mitzenmacher positions over two md5 slices; the bit array
     // is the distinct base position set, a probe is positive iff all k
     // positions join — the same relational filter the Spark side runs

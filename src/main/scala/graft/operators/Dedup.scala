@@ -1265,6 +1265,48 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Pair-counting Rand index between two dedup CLUSTERINGS — the
+    * cluster-level eval above [[winnowEval]]'s pair-level one: the
+    * exact-Jaccard components (truth) vs the winnow-fingerprint
+    * components (the cheap index's view), compared on every unordered
+    * document pair (together-in-both + apart-in-both over C(n,2), in
+    * exact ppm). The quadrant counts (pairs_exact / pairs_winnow /
+    * pairs_both) show WHERE the index clustering diverges — extra
+    * merges (winnow-only pairs) vs missed merges (exact-only) —
+    * which a single recall number cannot.
+    *
+    * Scale shape: both clusterings run the existing CC machinery;
+    * co-clustered pair explosion is Σ C(|cluster|,2) — bounded by
+    * true duplication, never corpus² — and the quadrant counts are
+    * three count-aggregates. C(n,2) enters only as arithmetic on the
+    * 1-row doc count, never as a frame.
+    */
+  def randIndexEval(docs: DataFrame, n: Int = 3, num: Int = 4,
+                    den: Int = 5, k: Int = 4, w: Int = 4,
+                    minShared: Int = 3): DataFrame = {
+    def coPairs(cc: DataFrame): DataFrame = {
+      val a = cc.select(col("doc_id").as("x"), col("comp"))
+      val b = cc.select(col("doc_id").as("y"), col("comp"))
+      a.join(b, Seq("comp")).where(col("x") < col("y")).select("x", "y")
+    }
+    val pa = coPairs(componentsAdaptive(
+      jaccardPairs(docs, n, num, den).select("id_a", "id_b")))
+    val pb = coPairs(componentsAdaptive(
+      winnowPairs(docs, k, w, minShared).select("id_a", "id_b")))
+    val both = pa.join(pb, Seq("x", "y"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(pa.agg(count(lit(1)).as("pairs_exact"))))
+      .crossJoin(broadcast(pb.agg(count(lit(1)).as("pairs_winnow"))))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("pairs_both"))))
+      .select(col("n_docs"), col("pairs_exact"), col("pairs_winnow"),
+        col("pairs_both"),
+        // agree = both + apart-in-both = C - pe - pw + 2*ab
+        expr("(pairs_both + (n_docs * (n_docs - 1) div 2) - pairs_exact" +
+          " - pairs_winnow + pairs_both) * 1000000" +
+          " div greatest(1L, n_docs * (n_docs - 1) div 2)")
+          .as("rand_index_ppm"))
+  }
+
   /** MinHash ESTIMATOR accuracy — the sketch-error twin of
     * [[winnowEval]] (which measures candidate-generator recall): for
     * every true near-dup pair (exact shingle Jaccard > num/den), the

@@ -291,6 +291,22 @@ class Round9Spec extends SparkSpec {
     assert(r.getLong(4) == 1000000L && r.getLong(5) == 1000000L)
   }
 
+  test("randIndexEval: winnow over-merge vs exact clustering hand-trace") {
+    // docs 1,2 identical (exact-jaccard pair); doc 3 shares a 12-token
+    // run with them (>= w+k-1 guarantees winnow collision) but its
+    // fresh tail keeps jaccard ~0.38 < 0.8. So exact clusters {1,2}
+    // {3}; winnow clusters {1,2,3}: pe=1, pw=3, ab=1 -> rand=1/3.
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, run + " nu xi omicron pi rho sigma tau upsilon"),
+      (2L, run + " nu xi omicron pi rho sigma tau upsilon"),
+      (3L, run + " aa bb cc dd ee ff gg hh")
+    ).toDF("doc_id", "text")
+    val r = operators.Dedup.randIndexEval(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 1L, 3L, 1L, 333333L)))
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
