@@ -488,6 +488,18 @@ class PlanAuditSpec extends SparkSpec {
       s"base side of the probe join must be exchange-free (bucketed on fp):\n$p")
   }
 
+  test("proximity: postings prune to the term list, equi-joins only") {
+    val p = planOf("proximity_search")
+    // the per-term word filters must sit below the joins (pruned
+    // postings are what shuffles), and no join may degrade to a
+    // nested-loop/cartesian product
+    assert(p.contains("hash") && p.contains("join") && p.contains("scan"),
+      s"term literals missing from the plan filters:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"proximity joins must stay equi-joins on doc_id:\n$p")
+  }
+
   test("graph family: no forced broadcast of a node-cardinality frame") {
     // Tripwire for the whole graph family: a broadcast() HINT is only
     // legitimate on a frame that is provably tiny regardless of graph
@@ -503,7 +515,7 @@ class PlanAuditSpec extends SparkSpec {
       "word_ktruss_edges", "word_bowtie", "word_walk_corpus",
       "part_copurchase", "part_link_pred", "part_link_pred_ra",
       "part_link_pred_jaccard", "part_assoc_rules", "part_assortativity",
-      "part_closeness")
+      "part_closeness", "part_clustering_coeff")
     for (q <- graphQueries) {
       val analyzed = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.analyzed
