@@ -2182,8 +2182,9 @@ object SparkEntry {
          |        inter * 1000000 // uni AS exact_ppm
          |      FROM pr JOIN sg sa ON pr.id_a = sa.doc_id JOIN sg sb ON pr.id_b = sb.doc_id)
          |SELECT count(*)::BIGINT AS n_pairs,
-         |  CAST(CAST(sum(abs(est_ppm - exact_ppm)) AS BIGINT) // count(*) AS BIGINT) AS mean_abs_err_ppm,
-         |  CAST(max(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+         |  CAST(CAST(coalesce(sum(abs(est_ppm - exact_ppm)), 0) AS BIGINT)
+         |       // greatest(1, count(*)) AS BIGINT) AS mean_abs_err_ppm,
+         |  CAST(coalesce(max(abs(est_ppm - exact_ppm)), 0) AS BIGINT) AS max_abs_err_ppm
          |FROM e""".stripMargin
     },
     // two recursive-CTE component labelings (exact-jaccard vs winnow

@@ -1343,8 +1343,9 @@ object Dedup {
         expr("inter * 1000000 div uni").as("exact_ppm"))
       .select(abs(col("est_ppm") - col("exact_ppm")).as("err"))
     scored.agg(count(lit(1)).as("n_pairs"),
-      expr("sum(err) div count(1)").as("mean_abs_err_ppm"),
-      max(col("err")).as("max_abs_err_ppm"))
+      expr("coalesce(sum(err), 0L) div greatest(1L, count(1))")
+        .as("mean_abs_err_ppm"),
+      coalesce(max(col("err")), lit(0L)).as("max_abs_err_ppm"))
   }
 
   /** Measured Bloom-filter false-positive rate — the sketch-error eval

@@ -191,6 +191,11 @@ class Round9Spec extends SparkSpec {
     assert(r.getLong(0) == 1L)
     assert(r.getLong(2) >= r.getLong(1), "max >= mean")
     assert(r.getLong(2) <= 1000000L, "abs error can never exceed 10^6 ppm")
+    // zero qualifying pairs must yield (0, 0, 0), not an ANSI div error
+    val empty = operators.Dedup.minhashEval(
+      Seq((1L, "totally unrelated words"), (2L, "and other text here"))
+        .toDF("doc_id", "text")).collect()(0)
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2)) == ((0L, 0L, 0L)))
   }
 
   test("bloomFprEval: probes are the absent fingerprints; counts cohere") {
