@@ -1756,6 +1756,10 @@ object SparkEntry {
     // order/batch-boundary independent (XOR state), equals the batch op
     "streaming_table_checksum" -> ((s, dir) =>
       graft.streaming.Streams.tableChecksumAvailableNow(s, dir)),
+    // realtime near-dup: arriving docs probe the STATIC winnow index
+    // (stream-static join, zero join state); equals the batch probe
+    "streaming_winnow_increment" -> ((s, dir) =>
+      graft.streaming.Streams.winnowIncrementAvailableNow(s, dir)),
     // Catalyst rewrite: COUNT(DISTINCT word) through the KMV sketch
     // aggregate (k=4096 > vocab -> exact; plan shape spec-audited)
     "distinct_words_rewrite" -> ((s, dir) => {
@@ -1803,7 +1807,9 @@ object SparkEntry {
       "xml_wordcount" -> "wordcount",
       // XOR state is arrival-order independent; driven to completion
       // the stream equals the batch checksum
-      "streaming_table_checksum" -> "table_checksum")
+      "streaming_table_checksum" -> "table_checksum",
+      // stream-static probe driven to completion = the batch increment
+      "streaming_winnow_increment" -> "dedup_winnow_increment")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

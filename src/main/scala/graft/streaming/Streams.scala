@@ -192,6 +192,41 @@ object Streams {
       Seq("source"))
   }
 
+  /** Stream-static near-duplicate probe — the REALTIME form of the
+    * nightly [[graft.operators.Dedup.winnowIncrement]] batch: arriving
+    * documents (doc_id > baseMaxId on the file stream) compute their
+    * winnow fingerprints with the same stateless codegen expression
+    * the batch path uses, explode, and equi-join the STATIC base
+    * fingerprint index — a stream-static join keeps zero join state,
+    * so the only streaming state is the (new_id, base_id) shared-count
+    * aggregate, bounded by true collisions. Driven to completion it
+    * must equal the batch increment probe (the driver's oracle, via
+    * the alias map). At 100 TB the static side is the persisted
+    * bucketed winnow index ([[graft.sources.DedupIndex]]); each
+    * micro-batch pays |batch fingerprints| × collision rate, never
+    * base².
+    */
+  def winnowIncrementAvailableNow(spark: SparkSession, dir: String,
+                                  baseMaxId: Long = 250L,
+                                  minShared: Int = 3): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val base = graft.operators.Dedup.winnowSelected(
+        spark.read.parquet(path).where(col("doc_id") <= baseMaxId), 4, 4)
+      .select(col("doc_id").as("base_id"),
+        explode(array_distinct(col("fps"))).as("fp"))
+    val raw = spark.readStream.schema(schema).parquet(stagedFileDir(path))
+      .where(col("doc_id") > baseMaxId)
+    val arrivals = graft.operators.Dedup.winnowSelected(raw, 4, 4)
+      .select(col("doc_id").as("new_id"),
+        explode(array_distinct(col("fps"))).as("fp"))
+    runAvailableNow(
+      arrivals.join(base, "fp")
+        .groupBy("new_id", "base_id").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= minShared),
+      Seq("new_id", "base_id"))
+  }
+
   /** [[sessionCounts]] (mapGroupsWithState) over the events file
     * stream, driven to completion in update mode: one staged file =
     * one batch, so each user's final session count is emitted exactly

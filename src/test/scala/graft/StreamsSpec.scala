@@ -311,4 +311,14 @@ class StreamsSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming winnow increment equals the batch probe") {
+    val got = Streams.winnowIncrementAvailableNow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = operators.Dedup
+      .winnowIncrement(Tables.documents(spark, sf0001), 250L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "the sf0.001 fixture must produce probe hits")
+    assert(got == want)
+  }
 }
