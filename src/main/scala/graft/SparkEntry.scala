@@ -427,6 +427,10 @@ object SparkEntry {
     // rows read NULL for the column generation 2 added
     "lake_schema_evolution" -> ((s, dir) =>
       graft.sources.PartitionedLake.schemaEvolutionStats(s, dir)),
+    // dynamic partition overwrite: patch ONE partition's corrected
+    // rows; the other partitions' survival is the semantics under test
+    "lake_dynamic_overwrite" -> ((s, dir) =>
+      graft.sources.PartitionedLake.dynamicOverwriteStats(s, dir)),
     "distinct_words" -> ((s, dir) =>
       WordCount.distinctWords(Tables.documents(s, dir))),
     // same count through the KMV TypedImperativeAggregate sketch
@@ -2388,6 +2392,13 @@ object SparkEntry {
          |             THEN CAST(round(value * 100) AS BIGINT) END AS value_cents
          |      FROM events)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the error partition was overwritten with doubled cents; all
+    // other partitions keep their original rows
+    "lake_dynamic_overwrite" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 2 ELSE 1 END
+         |           * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_ntile" ->
       s"""SELECT event_type, tile, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_value_cents FROM (
          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c,

@@ -63,6 +63,46 @@ object PartitionedLake {
         sum(col("value_cents")).as("sum_cents"))
       .orderBy("event_type")
 
+  /** Dynamic partition overwrite — the surgical-correction write every
+    * partitioned lake needs: re-publishing ONE partition's corrected
+    * rows replaces exactly that directory and leaves every other
+    * partition's files untouched. Under the default `static` mode the
+    * same `.mode("overwrite")` would TRUNCATE THE WHOLE TABLE first —
+    * the conf is the difference between a partition patch and a data
+    * loss incident, which is why this gate exists. The lake here is
+    * events partitioned by type; the patch doubles the `error`
+    * partition's cents. The conf is scoped-and-restored (read at write
+    * execution, the `runAvailableNow` shuffle-partition pattern).
+    */
+  def dynamicOverwriteLake(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent(s"$dir#dynov", _ => {
+      val out = graft.TempDirs.scratchString("graft_dynov_")
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("value_c"),
+          col("event_type"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val saved = spark.conf.get(key, "static")
+      spark.conf.set(key, "dynamic")
+      try ev.where(col("event_type") === "error")
+        .withColumn("value_c", col("value_c") * 2)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      finally spark.conf.set(key, saved)
+      out
+    })
+
+  /** Read-back proof of [[dynamicOverwriteLake]]: the patched
+    * partition carries the corrected (doubled) cents, every other
+    * partition its original rows — survival of the non-targeted
+    * partitions IS the dynamic-mode semantics under test.
+    */
+  def dynamicOverwriteStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dynamicOverwriteLake(spark, dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_c").as("sum_cents"))
+      .orderBy("event_type")
+
   /** Daily spend for ONE event type through the partitioned lake — the
     * `event_type = t` predicate is a partition filter (directory
     * prune), not a row filter; `PlanAuditSpec` asserts the scan's

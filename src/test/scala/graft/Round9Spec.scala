@@ -312,6 +312,25 @@ class Round9Spec extends SparkSpec {
       == ((3L, 1L, 3L, 1L, 333333L)))
   }
 
+  test("dynamicOverwrite: patched partition doubled, the rest untouched") {
+    import org.apache.spark.sql.functions._
+    val got = graft.sources.PartitionedLake
+      .dynamicOverwriteStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) AS bigint)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(want.nonEmpty && want.exists(_._1 == "error"))
+    for ((t, n, s) <- want) {
+      val (gn, gs) = got(t)
+      assert(gn == n, s"$t row count must survive the patch write")
+      assert(gs == (if (t == "error") 2 * s else s),
+        s"$t cents: only the patched partition doubles")
+    }
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
