@@ -580,6 +580,10 @@ object SparkEntry {
     "proximity_search" -> ((s, dir) =>
       TextAnalysis.proximitySearch(Tables.documents(s, dir),
         Seq("hash", "join", "scan"), window = 6)),
+    // consecutive 0..n-1 example ids WITHOUT the 1-partition global
+    // sort: range partitions + per-partition offsets (zipWithIndex)
+    "doc_global_index" -> ((s, dir) =>
+      TextAnalysis.globalIndex(Tables.documents(s, dir))),
     // word2vec-style windowed co-occurrence via positional equi-join
     "skipgram_counts" -> ((s, dir) =>
       TextAnalysis.skipgramCounts(Tables.documents(s, dir))),
@@ -2672,6 +2676,11 @@ object SparkEntry {
          |  FROM p)
          |SELECT center, rk, neg_word, priority FROM r WHERE rk <= 5
          |ORDER BY center, rk""".stripMargin,
+    // the distributed numbering must equal the sequential definition
+    "doc_global_index" ->
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // minimal cover window over one occurrence of each term: the
     // bounded per-doc cross product of the pruned postings
     "proximity_search" ->

@@ -1197,6 +1197,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Consecutive global row numbering WITHOUT a single-partition
+    * window — the id-assignment primitive a training pipeline needs
+    * (sample indices, shard-stable example ids). `row_number() OVER
+    * (ORDER BY ...)` plans a 1-partition global sort that caps at one
+    * executor; this is the two-pass distributed form instead:
+    * range-partition on the order key (partition i holds smaller keys
+    * than partition i+1), sort within partitions, then
+    * `RDD.zipWithIndex` — which runs one count job over the partition
+    * sizes and numbers rows as (partition offset + local position),
+    * exactly the offsets-broadcast idiom. Emits (doc_id, idx) with
+    * idx consecutive 0..n−1 in doc_id order. One of the few places an
+    * RDD primitive is the RIGHT tool: the per-partition offset
+    * arithmetic has no DataFrame equivalent that avoids the global
+    * sort.
+    */
+  def globalIndex(docs: DataFrame, parts: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val ordered = docs.select(col("doc_id"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val rdd = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getLong(0), i)
+    }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy("doc_id")
+  }
+
   /** Proximity search ("all terms within a w-token window", the
     * sloppy-phrase operator next to [[phraseSearchN]]'s exact
     * adjacency): a document matches when its MINIMAL cover window —

@@ -331,6 +331,16 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("globalIndex: consecutive ids across range partitions") {
+    // non-contiguous, shuffled doc_ids across more rows than parts
+    val d = scala.util.Random.shuffle((0 until 40).map(i => i.toLong * 7 + 3))
+      .toDF("doc_id")
+    val got = operators.TextAnalysis.globalIndex(d, parts = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0 until 40).map(i => (i.toLong * 7 + 3, i.toLong))
+    assert(got == want, "idx must be consecutive 0..n-1 in doc_id order")
+  }
+
   test("fdProfile and skewProfile reject empty inputs loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
