@@ -1768,6 +1768,32 @@ object SparkEntry {
     // (stream-static join, zero join state); equals the batch probe
     "streaming_winnow_increment" -> ((s, dir) =>
       graft.streaming.Streams.winnowIncrementAvailableNow(s, dir)),
+    // HyperLogLog distinct-shingle estimator (dedup-index capacity
+    // metering): m=64 register table via the dual-engine md5 hash,
+    // raw estimate beside the exact count
+    "distinct_shingles_hll" -> ((s, dir) =>
+      TextAnalysis.hllDistinct(Tables.documents(s, dir))),
+    // ...and the same registers maintained as streaming max state
+    // (m longs forever) — equals the batch summary driven to completion
+    "streaming_hll_distinct" -> ((s, dir) =>
+      graft.streaming.Streams.hllDistinctAvailableNow(s, dir)),
+    // incremental view maintenance: patch the pricing rollup with a
+    // signed CDC delta; oracle recomputes from scratch
+    "ivm_agg_delta" -> ((s, dir) => Relational.ivmAggDelta(s, dir)),
+    // ER blocking quality: reduction ratio + pairs completeness of the
+    // SymSpell deletion-variant blocks vs the banded-lev truth
+    "fuzzy_blocking_eval" -> ((s, dir) =>
+      Dedup.blockingEval(Tables.customer(s, dir))),
+    // Kaplan-Meier life table for time-to-repurchase (right-censored)
+    "customer_survival_table" -> ((s, dir) =>
+      Relational.survivalTable(Tables.orders(s, dir))),
+    // depth-3 sequential patterns: distinct-user subsequence support
+    "events_seq_patterns3" -> ((s, dir) =>
+      operators.Basket.seqPatterns3(Tables.events(s, dir))),
+    // bitmap secondary-index utility: row groups touched per flag,
+    // current layout vs flag-clustered layout
+    "lake_bitmap_index" -> ((s, dir) =>
+      Layout.bitmapIndexStats(Tables.lineitem(s, dir))),
     // Catalyst rewrite: COUNT(DISTINCT word) through the KMV sketch
     // aggregate (k=4096 > vocab -> exact; plan shape spec-audited)
     "distinct_words_rewrite" -> ((s, dir) => {
@@ -1817,11 +1843,135 @@ object SparkEntry {
       // the stream equals the batch checksum
       "streaming_table_checksum" -> "table_checksum",
       // stream-static probe driven to completion = the batch increment
-      "streaming_winnow_increment" -> "dedup_winnow_increment")
+      "streaming_winnow_increment" -> "dedup_winnow_increment",
+      // register maxes are arrival-order independent; driven to
+      // completion the streamed HLL equals the batch summary
+      "streaming_hll_distinct" -> "distinct_shingles_hll")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 
+  /** The dual-engine md5-prefix 60-bit hash of a column, DuckDB
+    * spelling (nibble sum — DuckDB has no conv()); mirrors Spark's
+    * `cast(conv(substr(md5(x), 1, 15), 16, 10) AS bigint)`.
+    */
+  private def sqlMd5Big(x: String): String =
+    s"CAST(list_sum(list_transform(range(15), nb -> (strpos('0123456789abcdef', " +
+      s"substr(md5($x), nb+1, 1)) - 1)::BIGINT << (4*(14-nb)))) AS BIGINT)"
+
   private lazy val oracleSqlBase: Map[String, String] = Map(
+    "distinct_shingles_hll" -> {
+      val c = operators.TextAnalysis.hllAlphaNum(64).toString
+      s"""WITH w AS (SELECT DISTINCT shingle FROM (${sqlShingles(3, distinct = false)})),
+         |hh AS (SELECT ${sqlMd5Big("shingle")} AS h FROM w),
+         |r AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM hh),
+         |regs AS (SELECT bucket,
+         |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END) AS max_rho
+         |  FROM r GROUP BY 1),
+         |s AS (SELECT count(*) AS n_buckets,
+         |    CAST(sum(1::BIGINT << (55 - max_rho)) AS BIGINT)
+         |      + (64 - count(*)) * (1::BIGINT << 55) AS s_scaled
+         |  FROM regs),
+         |e AS (SELECT count(DISTINCT shingle) AS n_exact
+         |  FROM (${sqlShingles(3, distinct = false)}))
+         |SELECT n_buckets, s_scaled,
+         |  CAST(floor($c / CAST(s_scaled AS DOUBLE)) AS BIGINT) AS est_distinct,
+         |  n_exact,
+         |  (abs(CAST(floor($c / CAST(s_scaled AS DOUBLE)) AS BIGINT) - n_exact)
+         |    * 1000000) // n_exact AS err_ppm
+         |FROM s, e""".stripMargin
+    },
+    "ivm_agg_delta" ->
+      s"""WITH li AS (SELECT l_orderkey, l_returnflag,
+         |    CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+         |  FROM lineitem),
+         |upd AS (SELECT l_returnflag, qty, price_c FROM li WHERE l_orderkey % 97 <> 0
+         |        UNION ALL
+         |        SELECT l_returnflag, qty + 3, price_c + 500 FROM li WHERE l_orderkey % 101 = 0)
+         |SELECT l_returnflag, count(*) AS cnt,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fuzzy_blocking_eval" ->
+      s"""WITH c AS (SELECT c_custkey, c_name, c_nationkey AS nk FROM customer),
+         |truth AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM c a JOIN c b ON a.nk = b.nk AND a.c_custkey < b.c_custkey
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+         |v AS (SELECT c_custkey, nk,
+         |    unnest(list_distinct(list_prepend(c_name,
+         |      list_transform(range(0, length(c_name)),
+         |        i -> substr(c_name, 1, i) || substr(c_name, i + 2))))) AS v
+         |  FROM c),
+         |cand AS (SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM v a JOIN v b ON a.nk = b.nk AND a.v = b.v
+         |    AND a.c_custkey < b.c_custkey),
+         |np AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_all_pairs
+         |  FROM (SELECT count(*) AS n FROM c GROUP BY nk)),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |nc AS (SELECT count(*) AS n_cand FROM cand),
+         |nh AS (SELECT count(*) AS n_hit FROM cand JOIN truth USING (id_a, id_b))
+         |SELECT n_all_pairs, n_truth, n_cand, n_hit,
+         |  (n_hit * 1000000) // n_truth AS completeness_ppm,
+         |  ((n_all_pairs - n_cand) * 1000000) // n_all_pairs AS reduction_ppm
+         |FROM np, nt, nc, nh""".stripMargin,
+    "customer_survival_table" ->
+      s"""WITH r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS rn
+         |  FROM orders),
+         |f AS (SELECT o_custkey, min(CASE WHEN rn = 1 THEN d END) AS d0,
+         |    min(CASE WHEN rn = 2 THEN d END) AS d1
+         |  FROM r WHERE rn <= 2 GROUP BY 1),
+         |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+         |subj AS (SELECT CASE WHEN d1 IS NOT NULL THEN date_diff('day', d0, d1)
+         |      ELSE date_diff('day', d0, dmax) END // 28 AS t_bucket,
+         |    CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM f, mx),
+         |g AS (SELECT t_bucket, CAST(sum(ev) AS BIGINT) AS n_events,
+         |    CAST(sum(1 - ev) AS BIGINT) AS n_censored FROM subj GROUP BY 1),
+         |k AS (SELECT t_bucket, n_events, n_censored,
+         |    CAST(sum(n_events + n_censored) OVER (ORDER BY t_bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+         |  FROM g)
+         |SELECT t_bucket, n_risk, n_events, n_censored,
+         |  (n_events * 1000000) // n_risk AS hazard_ppm
+         |FROM k ORDER BY t_bucket""".stripMargin,
+    "events_seq_patterns3" ->
+      s"""WITH p AS (SELECT user_id, event_type,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_id) AS BIGINT) AS p
+         |  FROM events),
+         |pa AS (SELECT user_id, event_type AS t1, min(p) AS pa FROM p GROUP BY 1, 2),
+         |pb AS (SELECT pa.user_id, pa.t1, p.event_type AS t2, min(p.p) AS pb
+         |  FROM pa JOIN p ON p.user_id = pa.user_id AND p.p > pa.pa
+         |  GROUP BY 1, 2, 3),
+         |hit AS (SELECT DISTINCT pb.user_id, pb.t1, pb.t2, p.event_type AS t3
+         |  FROM pb JOIN p ON p.user_id = pb.user_id AND p.p > pb.pb)
+         |SELECT t1, t2, t3, count(*) AS n_users FROM hit GROUP BY 1, 2, 3
+         |ORDER BY n_users DESC, t1, t2, t3""".stripMargin,
+    "lake_bitmap_index" ->
+      s"""WITH r AS (SELECT l_returnflag, l_orderkey // 32 AS grp,
+         |    CAST(l_orderkey % 32 AS INT) AS slot FROM lineitem),
+         |bm AS (SELECT l_returnflag, grp, bit_or(1::BIGINT << slot) AS mask
+         |  FROM r GROUP BY 1, 2),
+         |ro AS (SELECT l_returnflag, count(*) AS n_groups_roworder,
+         |    CAST(sum(bit_count(mask)) AS BIGINT) AS n_slots_set
+         |  FROM bm GROUP BY 1),
+         |t AS (SELECT count(DISTINCT grp) AS n_total_groups,
+         |    count(*) AS n_total_rows FROM r),
+         |bf AS (SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1),
+         |srt AS (SELECT l_returnflag, n_rows,
+         |    coalesce(CAST(sum(n_rows) OVER (ORDER BY l_returnflag
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS row_start
+         |  FROM bf)
+         |SELECT ro.l_returnflag, srt.n_rows, ro.n_slots_set, ro.n_groups_roworder,
+         |  (ro.n_groups_roworder * 1000000) // t.n_total_groups AS sel_roworder_ppm,
+         |  (srt.row_start + srt.n_rows - 1) // 32 - srt.row_start // 32 + 1
+         |    AS n_groups_sorted,
+         |  (((srt.row_start + srt.n_rows - 1) // 32 - srt.row_start // 32 + 1)
+         |    * 1000000) // ((t.n_total_rows - 1) // 32 + 1) AS sel_sorted_ppm
+         |FROM ro JOIN srt USING (l_returnflag), t
+         |ORDER BY l_returnflag""".stripMargin,
     "word_bowtie" ->
       s"""WITH RECURSIVE e0 AS (SELECT DISTINCT ws[i+1] AS s, ws[i+2] AS t
          |  FROM (SELECT $SqlWs AS ws FROM documents),

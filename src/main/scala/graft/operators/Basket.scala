@@ -30,6 +30,42 @@ object Basket {
       .orderBy(col("n_users").desc, col("prev_type"), col("event_type"))
   }
 
+  /** Depth-3 sequential-pattern mining (the PrefixSpan support
+    * semantics at fixed length): for every ordered type triple
+    * a → b → c, the number of distinct users whose event stream
+    * contains it as a SUBSEQUENCE (gaps allowed — the semantics
+    * `events_seq_bigrams`' adjacent pairs cannot express; "view …
+    * eventually error … eventually purchase" is a different cohort
+    * from "view,error,purchase adjacent"). Existence is decided by
+    * the greedy earliest-occurrence scan, join-relationally: pa =
+    * first a-position, pb = first b-position after pa, then any
+    * c-position after pb — three equi-joins ON user_id (one shuffle
+    * key reused throughout; each join's fan-out is bounded by
+    * |user's events| × |types|, never quadratic in events). Position
+    * = row_number over (ts, id) so ties are deterministic in both
+    * engines.
+    */
+  def seqPatterns3(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val pos = events
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("p", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("event_type"), col("p"))
+    val pa = pos.groupBy(col("user_id"), col("event_type").as("t1"))
+      .agg(min("p").as("pa"))
+    val pb = pa.join(pos, Seq("user_id"))
+      .where(col("p") > col("pa"))
+      .groupBy(col("user_id"), col("t1"), col("event_type").as("t2"))
+      .agg(min("p").as("pb"))
+    val hits = pb.join(pos, Seq("user_id"))
+      .where(col("p") > col("pb"))
+      .select(col("user_id"), col("t1"), col("t2"),
+        col("event_type").as("t3"))
+      .distinct()
+    hits.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("t1"), col("t2"), col("t3"))
+  }
+
   /** k-anonymity audit over the quasi-identifier (nation, segment):
     * the equivalence-class-size histogram with a `risky` flag for
     * classes below k — the release-readiness profile (a bare

@@ -258,6 +258,51 @@ object Dedup {
     }
   }
 
+  /** Blocking-quality report for the SymSpell candidate generator —
+    * the two numbers every ER blocking scheme must publish (Christen's
+    * survey metrics): REDUCTION RATIO (what fraction of the all-pairs
+    * comparison space the blocks avoid) and PAIRS COMPLETENESS (what
+    * fraction of true lev≤1 pairs the blocks retain — the SymSpell
+    * deletion-variant invariant says 10⁶ ppm, and this MEASURES it
+    * instead of assuming it, the `dedup_winnow_eval` posture). Truth
+    * is the same-nation banded-lev join — quadratic BY CONTRACT within
+    * each nation block (the declared sample-scale baseline, same
+    * contract as `dedup_ngram_jaccard`); candidates are the
+    * deletion-variant equi-join BEFORE any verify, so the report
+    * prices the blocking itself, not the verified output. Scale
+    * shape: candidates ∝ true pairs (one narrow shuffle on
+    * (nation, variant)); the truth join is the eval-only cost.
+    */
+  def blockingEval(customer: DataFrame): DataFrame = {
+    val b = customer.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey").cast("long").as("nk"))
+    val variants = b.select(col("c_custkey"), col("nk"),
+      explode(graft.functions.functions.deletion_neighborhood(col("c_name"), 1))
+        .as("v"))
+    val cand = variants.as("a").join(variants.as("b"),
+        col("a.nk") === col("b.nk") && col("a.v") === col("b.v") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"))
+      .distinct()
+    val truth = b.as("a").join(b.as("b"),
+        col("a.nk") === col("b.nk") &&
+          col("a.c_custkey") < col("b.c_custkey") &&
+          levenshtein(col("a.c_name"), col("b.c_name"), 1) >= 0)
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"))
+    val nAll = b.groupBy("nk").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("n_all_pairs"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = cand.join(truth, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nAll.crossJoin(nTruth).crossJoin(nCand).crossJoin(nHit) // 1-row frames
+      .select(col("n_all_pairs"), col("n_truth"), col("n_cand"),
+        col("n_hit"),
+        expr("n_hit * 1000000 div n_truth").as("completeness_ppm"),
+        expr("(n_all_pairs - n_cand) * 1000000 div n_all_pairs")
+          .as("reduction_ppm"))
+  }
+
   /** The corpus AFTER span-level dedup — applies [[crossDocSpans]]'s
     * intervals by dropping every token they cover and reassembling the
     * survivors in position order (the `string_agg ORDER BY` /

@@ -149,6 +149,60 @@ object Layout {
         sum(when(!col("rw"), col("dv")).otherwise(0L)).as("dv_after"))
   }
 
+  /** Bitmap secondary-index utility report for a low-cardinality
+    * column — the classic OLAP question "would a bitmap index on
+    * l_returnflag let scans skip row groups?", answered from data in
+    * both the CURRENT layout and the best-case one. Rows land in
+    * 32-row groups (`l_orderkey div 32`; slot = key mod 32 — 31 is
+    * the max shift DuckDB's checked `<<` allows on BIGINT) and each
+    * (value, group) bitmap is a single bigint built by a
+    * map-side-combinable `bit_or(1 << slot)` — the real encoding
+    * trick of roaring-style indexes, state = one word per group per
+    * value. `n_groups_roworder` (groups a flag-filtered scan must
+    * touch today) comes from that bitmap; `n_groups_sorted` (groups
+    * it would touch if the table were CLUSTERED by the flag) needs no
+    * rewrite at all — it falls out of the cumulative row counts:
+    * value spanning rows [s, e) occupies groups s div 32 … (e−1)
+    * div 32. The verdict this emits — selectivity ≈ 10⁶ ppm unsorted
+    * vs ≈ ⅓ sorted — is the measured form of the rule that index
+    * utility is a property of LAYOUT, not of the index (same lesson
+    * as `lake_zone_map_skipping`, one level below zone maps).
+    */
+  def bitmapIndexStats(lineitem: DataFrame): DataFrame = {
+    val rows = lineitem.select(col("l_returnflag"),
+      expr("l_orderkey div 32").as("grp"),
+      expr("cast(l_orderkey % 32 AS int)").as("slot"))
+    val bitmaps = rows.groupBy("l_returnflag", "grp")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), slot))").as("mask"))
+    val roworder = bitmaps.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_groups_roworder"),
+        sum(expr("bit_count(mask)")).cast("long").as("n_slots_set"))
+    val totals = rows.agg(
+      count_distinct(col("grp")).as("n_total_groups"),
+      count(lit(1)).as("n_total_rows"))
+    // flag-sorted layout: contiguous row ranges from cumulative counts
+    val byFlag = lineitem.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .orderBy("l_returnflag")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sorted = byFlag // 3-row frame; the window is value-domain-sized
+      .withColumn("row_start", coalesce(sum("n_rows").over(cumW), lit(0L)))
+      .select(col("l_returnflag"), col("n_rows"),
+        expr("(row_start + n_rows - 1) div 32 - row_start div 32 + 1")
+          .as("n_groups_sorted"))
+    roworder.join(sorted, Seq("l_returnflag"))
+      .crossJoin(broadcast(totals))
+      .select(col("l_returnflag"), col("n_rows"), col("n_slots_set"),
+        col("n_groups_roworder"),
+        expr("n_groups_roworder * 1000000 div n_total_groups")
+          .as("sel_roworder_ppm"),
+        col("n_groups_sorted"),
+        expr("n_groups_sorted * 1000000 div ((n_total_rows - 1) div 32 + 1)")
+          .as("sel_sorted_ppm"))
+      .orderBy("l_returnflag")
+  }
+
   /** Write `df` z-ordered on (xCol, yCol): range-partition by z-value
     * (balanced output files via range exchange, not hash), sort rows
     * within each partition, drop the helper column. The result is a

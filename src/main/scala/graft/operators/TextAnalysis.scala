@@ -932,6 +932,111 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** HyperLogLog register table over an item column — THE
+    * mergeable cardinality sketch (Flajolet et al. 2007, reference:
+    * the same distinct-count need `sendFileByFile.cpp:353-374`'s
+    * final word aggregation serves), built relationally so both
+    * engines replay it bit-for-bit: h = the dual-engine 60-bit
+    * md5-prefix hash of the item, bucket = h mod m, and
+    * rho = (leading zeros of the remaining (60−log₂m)-bit field) + 1
+    * computed as `W + 1 − bit_length(rest)` — the zipfSlope
+    * `length(bin(x)) − 1` idiom; no floating log anywhere. The
+    * register table is `groupBy(bucket).max(rho)`: a map-side-
+    * combinable agg whose state is m longs NO MATTER how many rows
+    * stream through — the property that makes HLL the 100 TB distinct
+    * sketch (registers merge by elementwise max across partitions,
+    * shards, or days, unlike COUNT(DISTINCT)'s full-key shuffle).
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 4096,
+      "bucket count must be a power of two (the hash-split needs exact bit fields)")
+    val w = 60 - java.lang.Integer.numberOfTrailingZeros(m) // rest-field width
+    items
+      .select(expr(s"cast(conv(substr(md5($itemCol), 1, 15), 16, 10) AS bigint)")
+        .as("h"))
+      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - (length(expr("bin(rest)"))))
+          .cast("long").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** The measured-accuracy HLL report (sibling of `dedup_minhash_eval`
+    * and `dedup_bloom_fpr`: an estimator ships with its error, not an
+    * assumption): the m=64 register table collapsed to the raw HLL
+    * estimate alpha·m²/Σ2^−rho beside the exact distinct count. The
+    * harmonic sum stays integer — S = Σ 2^(W+1−rho) over all m buckets
+    * (empty buckets contribute 2^(W+1)), a bigint — and the single
+    * double step `C / S` (C = alpha·m²·2^(W+1), one Scala-computed
+    * literal shared verbatim with the oracle) is IEEE-correctly-
+    * rounded division + floor, deterministic in both engines. Scale
+    * shape: one register agg (m-long state) + one exact-count agg for
+    * the eval column; the production path at 100 TB keeps only the
+    * former.
+    */
+  def hllDistinct(docs: DataFrame, m: Int = 64, n: Int = 3): DataFrame = {
+    val grams = hllGramStream(docs, n)
+    hllSummarize(hllRegisters(grams, "gram", m),
+      grams.agg(count_distinct(col("gram")).as("n_exact")), m)
+  }
+
+  /** The RAW n-gram shingle stream (duplicates kept — register max is
+    * idempotent, so HLL never needs the per-doc distinct that
+    * [[Dedup.shingles]] pays for its join consumers). Distinct shingle
+    * cardinality is the capacity number the dedup-index cost model
+    * prices postings with; the corpus vocabulary itself (31 words) sits
+    * in HLL's small-range regime where linear counting takes over, so
+    * the estimator is exercised on the domain it would really meter.
+    */
+  def hllGramStream(docs: DataFrame, n: Int): DataFrame =
+    docs.select(ws.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))"))
+        .as("gram"))
+
+  /** Collapse a `(bucket, max_rho)` register table (batch-built or
+    * streamed to completion — registers are the mergeable state, so
+    * the assembly is the same) into the one-row accuracy report.
+    */
+  def hllSummarize(regs: DataFrame, exact: DataFrame, m: Int): DataFrame = {
+    val w = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    regs
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${w + 1} - max_rho AS INT))"))
+          .as("s_present"))
+      .select(col("n_buckets"),
+        (col("s_present") +
+          (lit(m.toLong) - col("n_buckets")) * lit(1L << (w + 1)))
+          .as("s_scaled"))
+      .crossJoin(exact) // both sides are single-row aggregates
+      .select(col("n_buckets"), col("s_scaled"),
+        floor(lit(hllAlphaNum(m)) / col("s_scaled").cast("double"))
+          .cast("long").as("est_distinct"),
+        col("n_exact"))
+      .select(col("n_buckets"), col("s_scaled"), col("est_distinct"),
+        col("n_exact"),
+        expr("(abs(est_distinct - n_exact) * 1000000) div n_exact")
+          .as("err_ppm"))
+  }
+
+  /** C = alpha_m·m²·2^(W+1): the one floating constant of the HLL
+    * estimate, computed HERE so the oracle generator inlines the exact
+    * same double literal (the minhash-eval seeded-constant idiom).
+    * alpha uses the standard small-m values from the HLL paper.
+    */
+  def hllAlphaNum(m: Int): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val w = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    alpha * m * m * math.pow(2.0, (w + 1).toDouble)
+  }
+
   /** Zipf slope of the corpus frequency–rank curve in EXACT integer
     * arithmetic: both axes are the floor-log₂ surrogate
     * `length(bin(x)) − 1` (bit length is engine-identical; no float

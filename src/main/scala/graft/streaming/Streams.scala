@@ -192,6 +192,35 @@ object Streams {
       Seq("source"))
   }
 
+  /** Streaming HyperLogLog — the register table of
+    * [[graft.operators.TextAnalysis.hllRegisters]] maintained as a
+    * streaming `groupBy(bucket).max(rho)`: max is the canonical
+    * mergeable streaming aggregate (monotone, no retraction ever
+    * needed), so the state store holds exactly m longs REGARDLESS of
+    * input volume — the always-on distinct-shingle monitor (dedup
+    * index capacity metering on the live stream) whose memory
+    * cannot grow, where a streaming COUNT(DISTINCT) would keep every
+    * key. Driven to completion the registers equal the batch ones
+    * bit-for-bit (max is arrival-order independent), so the summary
+    * row equals `distinct_shingles_hll` (the driver's oracle, via the
+    * alias map). The exact-count eval column comes from the batch
+    * table — eval plumbing, not stream state.
+    */
+  def hllDistinctAvailableNow(spark: SparkSession, dir: String,
+                              m: Int = 64): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(stagedFileDir(path))
+    val regs = runAvailableNow(
+      graft.operators.TextAnalysis.hllRegisters(
+        graft.operators.TextAnalysis.hllGramStream(raw, 3), "gram", m),
+      Seq("bucket"))
+    val exact = graft.operators.TextAnalysis
+      .hllGramStream(spark.read.parquet(path), 3)
+      .agg(count_distinct(col("gram")).as("n_exact"))
+    graft.operators.TextAnalysis.hllSummarize(regs, exact, m)
+  }
+
   /** Stream-static near-duplicate probe — the REALTIME form of the
     * nightly [[graft.operators.Dedup.winnowIncrement]] batch: arriving
     * documents (doc_id > baseMaxId on the file stream) compute their
