@@ -222,7 +222,31 @@ object ScaleProbe {
         () => operators.TextAnalysis.proximitySearch(docsBase,
           Seq("hash", "join", "scan"), 6),
         () => operators.TextAnalysis.proximitySearch(docsBig,
-          Seq("hash", "join", "scan"), 6)))
+          Seq("hash", "join", "scan"), 6)),
+      ("hll_distinct",
+        () => operators.TextAnalysis.hllDistinct(docsBase),
+        () => operators.TextAnalysis.hllDistinct(docsBig)),
+      ("seq_patterns3",
+        () => operators.Basket.seqPatterns3(eventsBase),
+        () => operators.Basket.seqPatterns3(eventsBig)),
+      ("survival_table",
+        () => operators.Relational.survivalTable(ordsBase),
+        () => operators.Relational.survivalTable(ordsBig)),
+      ("ivm_agg_delta",
+        () => operators.Relational.ivmAggDelta(liBase),
+        () => operators.Relational.ivmAggDelta(liBig)),
+      ("bitmap_index",
+        () => operators.Layout.bitmapIndexStats(liBase),
+        () => operators.Layout.bitmapIndexStats(liBig)),
+      ("classifier_score",
+        () => operators.TextAnalysis.classifierScore(docsBase),
+        () => operators.TextAnalysis.classifierScore(docsBig)),
+      ("join_card_estimate",
+        () => operators.DataQuality.joinCardEstimate(liBase),
+        () => operators.DataQuality.joinCardEstimate(liBig)),
+      ("hll_merged",
+        () => operators.TextAnalysis.hllDistinctMerged(docsBase),
+        () => operators.TextAnalysis.hllDistinctMerged(docsBig)))
 
     // optional args beyond the factor: probe-name filter (iteration aid)
     val only = args.drop(1).toSet

@@ -1777,9 +1777,21 @@ object SparkEntry {
     // (m longs forever) — equals the batch summary driven to completion
     "streaming_hll_distinct" -> ((s, dir) =>
       graft.streaming.Streams.hllDistinctAvailableNow(s, dir)),
+    // ...and the distributed-merge form: per-source registers merged
+    // by elementwise max — must equal the single-pass summary
+    "hll_merge_by_source" -> ((s, dir) =>
+      TextAnalysis.hllDistinctMerged(Tables.documents(s, dir))),
+    // hashed-linear quality-classifier inference (fastText shape):
+    // zero-shuffle per-doc dot product over hashed bigram features
+    "doc_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(Tables.documents(s, dir))),
+    // CMS inner-product join-size estimate beside the exact sum c^2
+    "join_card_estimate" -> ((s, dir) =>
+      DataQuality.joinCardEstimate(Tables.lineitem(s, dir))),
     // incremental view maintenance: patch the pricing rollup with a
     // signed CDC delta; oracle recomputes from scratch
-    "ivm_agg_delta" -> ((s, dir) => Relational.ivmAggDelta(s, dir)),
+    "ivm_agg_delta" -> ((s, dir) =>
+      Relational.ivmAggDelta(Tables.lineitem(s, dir))),
     // ER blocking quality: reduction ratio + pairs completeness of the
     // SymSpell deletion-variant blocks vs the banded-lev truth
     "fuzzy_blocking_eval" -> ((s, dir) =>
@@ -1846,7 +1858,10 @@ object SparkEntry {
       "streaming_winnow_increment" -> "dedup_winnow_increment",
       // register maxes are arrival-order independent; driven to
       // completion the streamed HLL equals the batch summary
-      "streaming_hll_distinct" -> "distinct_shingles_hll")
+      "streaming_hll_distinct" -> "distinct_shingles_hll",
+      // register merge is associative/commutative max — the per-source
+      // merged summary equals the single-pass one by construction
+      "hll_merge_by_source" -> "distinct_shingles_hll")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 
@@ -1880,6 +1895,32 @@ object SparkEntry {
          |    * 1000000) // n_exact AS err_ppm
          |FROM s, e""".stripMargin
     },
+    "doc_classifier_score" ->
+      s"""SELECT doc_id,
+         |  CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_feats,
+         |  CAST(CASE WHEN len(ws) < 2 THEN 0
+         |    ELSE list_sum(list_transform(range(0, len(ws) - 1),
+         |      i -> ${sqlMd5Big("array_to_string(list_slice(ws, i + 1, i + 2), ' ')")}
+         |        % 4096 * 2654435761 % 2001 - 1000)) END AS BIGINT) AS logit_micro,
+         |  CAST(CASE WHEN len(ws) < 2 THEN 0
+         |    ELSE list_sum(list_transform(range(0, len(ws) - 1),
+         |      i -> ${sqlMd5Big("array_to_string(list_slice(ws, i + 1, i + 2), ' ')")}
+         |        % 4096 * 2654435761 % 2001 - 1000)) END AS BIGINT) > 0 AS accept
+         |FROM (SELECT doc_id, $SqlWs AS ws FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "join_card_estimate" ->
+      s"""WITH b AS (SELECT i,
+         |    ${sqlMd5Big("CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)")} % 65536 AS bucket
+         |  FROM lineitem, LATERAL (SELECT unnest(range(4)) AS i) r),
+         |c AS (SELECT i, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+         |e AS (SELECT CAST(min(est) AS BIGINT) AS est_pairs FROM (
+         |  SELECT i, sum(c * c) AS est FROM c GROUP BY 1)),
+         |x AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM (
+         |  SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+         |SELECT exact_pairs, est_pairs,
+         |  ((est_pairs - exact_pairs) * 1000000) // exact_pairs AS overest_ppm,
+         |  4::BIGINT AS d, 65536::BIGINT AS w
+         |FROM x, e""".stripMargin,
     "ivm_agg_delta" ->
       s"""WITH li AS (SELECT l_orderkey, l_returnflag,
          |    CAST(l_quantity AS BIGINT) AS qty,

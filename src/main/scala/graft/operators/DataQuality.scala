@@ -186,4 +186,40 @@ object DataQuality {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"),
         expr("bit_xor(h)").as("checksum"))
       .orderBy("source")
+
+  /** Join-size estimation from Count-Min sketch inner products
+    * (Cormode–Muthukrishnan) — the optimizer-statistics question
+    * "how big would the self-join on this key be?" answered WITHOUT
+    * running the join: |R ⋈ R| on a key = Σ_k c(k)², and the CMS
+    * estimate is min over d independent hash rows of Σ_b cnt[i][b]²
+    * (each row is an upward-biased estimate — colliding keys only ADD
+    * cross terms — so est ≥ exact always, and the min tightens it).
+    * Hash row i uses the dual-engine md5 of `i:key`, so the oracle
+    * replays the sketch bit-for-bit; the exact Σc² sits beside it as
+    * the measured-error contract. Scale shape: the sketch side
+    * shuffles d·w counters (a few KB) no matter the table size —
+    * at 100 TB this is how a planner prices a fact-fact join before
+    * committing to it; the exact side is the eval-only cost. Width is
+    * sized from the estimator's error term: each row overestimates by
+    * ≈ N²/w in expectation, so w must be ≳ N²/Σc² for the answer to
+    * be usable — 1024 buckets read 19× over at sf0.1 (measured),
+    * 65536 brings the collision term under the true Σc².
+    */
+  def joinCardEstimate(lineitem: DataFrame, d: Int = 4,
+                       w: Int = 65536): DataFrame = {
+    val keys = lineitem.select(col("l_partkey").cast("string").as("k"))
+    val buckets = keys.select(posexplode(array((0 until d).map(i =>
+        expr(s"cast(conv(substr(md5(concat('$i:', k)), 1, 15), 16, 10) AS bigint) % $w")): _*)))
+      .toDF("i", "bucket")
+    val est = buckets.groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("i").agg(sum(expr("c * c")).as("est"))
+      .agg(min("est").as("est_pairs"))
+    val exact = lineitem.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * c")).as("exact_pairs"))
+    exact.crossJoin(est) // two single-row aggregates
+      .select(col("exact_pairs"), col("est_pairs"),
+        expr("(est_pairs - exact_pairs) * 1000000 div exact_pairs")
+          .as("overest_ppm"),
+        lit(d.toLong).as("d"), lit(w.toLong).as("w"))
+  }
 }

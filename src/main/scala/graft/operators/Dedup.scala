@@ -279,6 +279,10 @@ object Dedup {
     val variants = b.select(col("c_custkey"), col("nk"),
       explode(graft.functions.functions.deletion_neighborhood(col("c_name"), 1))
         .as("v"))
+    // both pair sets feed TWO consumers (their count and the hit
+    // join); measured: an explicit localCheckpoint does NOT help —
+    // the shared shuffle subtrees are already deduplicated by
+    // exchange reuse, and the barrier only adds materialization cost
     val cand = variants.as("a").join(variants.as("b"),
         col("a.nk") === col("b.nk") && col("a.v") === col("b.v") &&
           col("a.c_custkey") < col("b.c_custkey"))

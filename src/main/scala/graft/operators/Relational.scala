@@ -3106,8 +3106,8 @@ object Relational {
     * plus a group-key-sized merge join — the reason nightly pipelines
     * maintain instead of recompute.
     */
-  def ivmAggDelta(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(
+  def ivmAggDelta(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(
       col("l_orderkey"), col("l_returnflag"),
       col("l_quantity").cast("long").as("qty"),
       cents("l_extendedprice").as("price_c"))

@@ -989,12 +989,72 @@ object TextAnalysis {
     * in HLL's small-range regime where linear counting takes over, so
     * the estimator is exercised on the domain it would really meter.
     */
-  def hllGramStream(docs: DataFrame, n: Int): DataFrame =
-    docs.select(ws.as("ws"))
+  def hllGramStream(docs: DataFrame, n: Int,
+                    keep: Seq[String] = Nil): DataFrame =
+    docs.select(keep.map(col) :+ ws.as("ws"): _*)
       .where(size(col("ws")) >= n)
-      .select(explode(expr(
+      .select(keep.map(col) :+ explode(expr(
         s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))"))
-        .as("gram"))
+        .as("gram"): _*)
+
+  /** The distributed-merge form of [[hllDistinct]]: per-source register
+    * tables (the shape a 100 TB pipeline actually persists — one tiny
+    * register row-set per shard/day/source) merged into the global
+    * registers by elementwise max, then summarized. The merge is the
+    * whole point of HLL — Σ of per-partition exact distinct counts is
+    * WRONG under overlap, but register max composes associatively and
+    * commutatively, so the merged summary must equal the single-pass
+    * one bit-for-bit (the driver checks it against the very same
+    * oracle via the alias map).
+    */
+  def hllDistinctMerged(docs: DataFrame, m: Int = 64): DataFrame = {
+    val perSource = hllGramStream(docs, 3, Seq("source"))
+      .select(col("source"),
+        expr("cast(conv(substr(md5(gram), 1, 15), 16, 10) AS bigint)").as("h"))
+      .select(col("source"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("rest"))
+      .select(col("source"), col("bucket"),
+        when(col("rest") === 0, lit(61 - java.lang.Integer.numberOfTrailingZeros(m)))
+          .otherwise(lit(61 - java.lang.Integer.numberOfTrailingZeros(m))
+            - length(expr("bin(rest)")))
+          .cast("long").as("rho"))
+      .groupBy("source", "bucket").agg(max(col("rho")).as("max_rho"))
+    val merged = perSource.groupBy("bucket").agg(max("max_rho").as("max_rho"))
+    hllSummarize(merged,
+      hllGramStream(docs, 3).agg(count_distinct(col("gram")).as("n_exact")), m)
+  }
+
+  /** Hashed-linear text-quality classifier INFERENCE — the fastText /
+    * CCNet deployment shape that scores every pretraining document:
+    * features are word bigrams pushed through the hashing trick
+    * (md5-prefix hash mod `slots` — no vocabulary file to ship), the
+    * model is a weight per slot, and the document score is the plain
+    * dot product. Weights here are a deterministic integer stand-in
+    * for trained parameters (w(slot) = (slot·2654435761) mod 2001 −
+    * 1000 in micro units — the documented STUB, exactly like the
+    * multimodal decode stubs: what's real and tested is the inference
+    * plumbing). Scale shape: ZERO shuffles — the per-document
+    * aggregate runs inside the row (one `aggregate` over the bigram
+    * array), so scoring 100 TB is a single codegen'd scan, which is
+    * why the hashing trick is THE way quality classifiers deploy.
+    */
+  def classifierScore(docs: DataFrame, slots: Int = 4096): DataFrame =
+    docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_feats"),
+        // sequence(0, -1) DESCENDS in Spark — a <2-token doc must score
+        // exactly 0, not hash a phantom gram
+        when(size(col("ws")) < 2, lit(0L)).otherwise(expr(
+          s"""aggregate(
+             |  transform(sequence(0, size(ws) - 2),
+             |    i -> concat_ws(' ', slice(ws, i + 1, 2))),
+             |  0L,
+             |  (acc, g) -> acc +
+             |    cast(conv(substr(md5(g), 1, 15), 16, 10) AS bigint)
+             |      % $slots * 2654435761 % 2001 - 1000)""".stripMargin))
+          .as("logit_micro"))
+      .withColumn("accept", col("logit_micro") > 0)
+      .orderBy("doc_id")
 
   /** Collapse a `(bucket, max_rho)` register table (batch-built or
     * streamed to completion — registers are the mergeable state, so

@@ -77,7 +77,7 @@ class Round9cSpec extends SparkSpec {
         sum("price_c").as("sum_price_c"))
       .orderBy("l_returnflag").collect().toSeq
     val maintained =
-      operators.Relational.ivmAggDelta(spark, sf0001).collect().toSeq
+      operators.Relational.ivmAggDelta(Tables.lineitem(spark, sf0001)).collect().toSeq
     assert(maintained == recomputed, "M + delta must equal recompute")
   }
 
@@ -88,7 +88,8 @@ class Round9cSpec extends SparkSpec {
         (1L, "K", 7.0, 30.0), (101L, "K", 8.0, 40.0))
       .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val got = operators.Relational.ivmAggDelta(spark, dir).collect()
+    val got = operators.Relational.ivmAggDelta(
+      spark.read.parquet(s"$dir/lineitem.parquet")).collect()
     assert(got.map(_.getString(0)).toSeq == Seq("K"),
       "the fully-deleted group must vanish from the maintained view")
     // K: rows 1 and 101 survive; 101 also reinserted with qty+3/+5.00
@@ -143,6 +144,44 @@ class Round9cSpec extends SparkSpec {
       got(("c", "b", "c")) == 1L)
     assert(!got.contains(("b", "a", "c")), "order matters")
     assert(got.values.sum == 5L, "no other triple is supported")
+  }
+
+  test("hllDistinctMerged equals the single-pass summary on testdata") {
+    val merged = operators.TextAnalysis
+      .hllDistinctMerged(Tables.documents(spark, sf0001)).collect().toSeq
+    val single = operators.TextAnalysis
+      .hllDistinct(Tables.documents(spark, sf0001)).collect().toSeq
+    assert(merged == single,
+      "per-source register merge must be lossless (max is associative)")
+  }
+
+  test("classifierScore: short docs score exactly zero, scores are stable") {
+    val docs = Seq((1L, "hello world foo"), (2L, "single"), (3L, ""),
+      (4L, "hello world foo")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.classifierScore(docs).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 2L), "n_feats")
+    assert(got(1).getLong(2) == 0L && got(2).getLong(2) == 0L,
+      "<2-token docs carry no features, logit 0")
+    assert(got(0).getLong(2) == got(3).getLong(2),
+      "identical text scores identically (pure function of content)")
+    assert(!got(1).getBoolean(3), "logit 0 is not accepted")
+  }
+
+  test("joinCardEstimate: upward-biased, exact when buckets dwarf keys") {
+    // 10 keys, multiplicities 1..10 => exact sum c^2 = 385; with
+    // w=65536 >> 10 keys collisions are near-impossible
+    val li = (1 to 10).flatMap(k => Seq.fill(k)(k.toLong))
+      .toDF("l_partkey")
+    val row = operators.DataQuality.joinCardEstimate(li).collect().head
+    assert(row.getAs[Long]("exact_pairs") == 385L)
+    assert(row.getAs[Long]("est_pairs") == 385L,
+      "no collisions at w=65536 for 10 keys -> estimate is exact")
+    val skewed = (1 to 10).flatMap(k => Seq.fill(k)(k.toLong))
+      .toDF("l_partkey")
+      .withColumn("l_partkey", col("l_partkey") % 2) // 2 keys, heavy
+    val r2 = operators.DataQuality.joinCardEstimate(skewed).collect().head
+    assert(r2.getAs[Long]("est_pairs") >= r2.getAs[Long]("exact_pairs"),
+      "CMS inner product never underestimates")
   }
 
   test("bitmapIndexStats: interleaved flags scan everything, sorted scans half") {
