@@ -246,7 +246,16 @@ object ScaleProbe {
         () => operators.DataQuality.joinCardEstimate(liBig)),
       ("hll_merged",
         () => operators.TextAnalysis.hllDistinctMerged(docsBase),
-        () => operators.TextAnalysis.hllDistinctMerged(docsBig)))
+        () => operators.TextAnalysis.hllDistinctMerged(docsBig)),
+      ("theilsen_trend",
+        () => operators.Relational.theilSenTrend(eventsBase),
+        () => operators.Relational.theilSenTrend(eventsBig)),
+      ("markov_eval",
+        () => operators.Relational.markovEval(eventsBase),
+        () => operators.Relational.markovEval(eventsBig)),
+      ("classifier_calibration",
+        () => operators.TextAnalysis.classifierCalibration(docsBase),
+        () => operators.TextAnalysis.classifierCalibration(docsBig)))
 
     // optional args beyond the factor: probe-name filter (iteration aid)
     val only = args.drop(1).toSet

@@ -1788,6 +1788,19 @@ object SparkEntry {
     // CMS inner-product join-size estimate beside the exact sum c^2
     "join_card_estimate" -> ((s, dir) =>
       DataQuality.joinCardEstimate(Tables.lineitem(s, dir))),
+    // calibration bins of the classifier score vs the lang label
+    "doc_classifier_calibration" -> ((s, dir) =>
+      TextAnalysis.classifierCalibration(Tables.documents(s, dir))),
+    // Theil-Sen robust daily trend: doubled median of pairwise slopes
+    "events_theilsen_trend" -> ((s, dir) =>
+      Relational.theilSenTrend(Tables.events(s, dir))),
+    // leave-last-event-out eval of the Markov next-type predictor
+    "events_markov_eval" -> ((s, dir) =>
+      Relational.markovEval(Tables.events(s, dir))),
+    // GDPR purge cascade accounting + post-purge FK integrity proofs
+    "pii_purge_cascade" -> ((s, dir) =>
+      operators.Basket.purgeCascade(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // incremental view maintenance: patch the pricing rollup with a
     // signed CDC delta; oracle recomputes from scratch
     "ivm_agg_delta" -> ((s, dir) =>
@@ -1908,6 +1921,75 @@ object SparkEntry {
          |        % 4096 * 2654435761 % 2001 - 1000)) END AS BIGINT) > 0 AS accept
          |FROM (SELECT doc_id, $SqlWs AS ws FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "doc_classifier_calibration" ->
+      s"""WITH sc AS (SELECT lang,
+         |  CAST(CASE WHEN len(ws) < 2 THEN 0
+         |    ELSE list_sum(list_transform(range(0, len(ws) - 1),
+         |      i -> ${sqlMd5Big("array_to_string(list_slice(ws, i + 1, i + 2), ' ')")}
+         |        % 4096 * 2654435761 % 2001 - 1000)) END AS BIGINT) AS logit_micro
+         |  FROM (SELECT lang, $SqlWs AS ws FROM documents))
+         |SELECT logit_micro // 2000 AS bin, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+         |  (count(*) FILTER (WHERE lang = 'en') * 1000000) // count(*) AS en_ppm
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_theilsen_trend" ->
+      s"""WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT (b.n - a.n) * 1000000 // (b.d - a.d) AS slope_micro
+         |  FROM daily a JOIN daily b ON b.d > a.d)
+         |SELECT (SELECT count(*) FROM daily) AS n_days, count(*) AS n_pairs,
+         |  CAST(round(quantile_cont(slope_micro, 0.5) * 2) AS BIGINT)
+         |    AS slope_med2_micro
+         |FROM s""".stripMargin,
+    "events_markov_eval" ->
+      s"""WITH p AS (SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_id) AS k,
+         |    count(*) OVER (PARTITION BY user_id) AS last_k
+         |  FROM events),
+         |p2 AS (SELECT * FROM p WHERE last_k >= 2),
+         |pr AS (SELECT a.user_id, a.event_type AS prev, b.event_type AS next,
+         |    b.k, b.last_k
+         |  FROM p2 a JOIN p2 b ON a.user_id = b.user_id AND b.k = a.k + 1),
+         |train AS (SELECT prev, next, count(*) AS cnt FROM pr
+         |  WHERE k < last_k GROUP BY 1, 2),
+         |pred AS (SELECT prev, next AS predicted FROM (
+         |  SELECT prev, next, row_number() OVER (PARTITION BY prev
+         |    ORDER BY cnt DESC, next) AS rk FROM train) WHERE rk = 1),
+         |gt AS (SELECT next AS base_pred FROM (
+         |  SELECT next, sum(cnt) AS c FROM train GROUP BY 1
+         |  ORDER BY c DESC, next LIMIT 1)),
+         |test AS (SELECT user_id, prev, next AS actual FROM pr
+         |  WHERE k = last_k)
+         |SELECT count(*) AS n_users,
+         |  CAST(count(*) FILTER (WHERE predicted = actual) AS BIGINT) AS n_hits,
+         |  CAST(count(*) FILTER (WHERE base_pred = actual) AS BIGINT)
+         |    AS n_base_hits,
+         |  (count(*) FILTER (WHERE predicted = actual) * 1000000) // count(*)
+         |    AS hit_ppm,
+         |  (count(*) FILTER (WHERE base_pred = actual) * 1000000) // count(*)
+         |    AS base_ppm
+         |FROM test LEFT JOIN pred USING (prev), gt""".stripMargin,
+    "pii_purge_cascade" ->
+      s"""WITH pc AS (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+         |po AS (SELECT o_orderkey FROM orders
+         |  WHERE o_custkey IN (SELECT c_custkey FROM pc)),
+         |kc AS (SELECT c_custkey FROM customer
+         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM pc)),
+         |ko AS (SELECT o_orderkey, o_custkey FROM orders
+         |  WHERE o_custkey NOT IN (SELECT c_custkey FROM pc)),
+         |kl AS (SELECT l_orderkey FROM lineitem
+         |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))
+         |SELECT
+         |  (SELECT count(*) FROM pc) AS n_cust_purged,
+         |  (SELECT count(*) FROM po) AS n_orders_purged,
+         |  (SELECT count(*) FROM lineitem
+         |    WHERE l_orderkey IN (SELECT o_orderkey FROM po)) AS n_lineitems_purged,
+         |  (SELECT count(*) FROM kc) AS n_cust_kept,
+         |  (SELECT count(*) FROM ko
+         |    WHERE o_custkey NOT IN (SELECT c_custkey FROM kc)) AS orphan_orders,
+         |  (SELECT count(*) FROM kl
+         |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ko)) AS orphan_lineitems""".stripMargin,
     "join_card_estimate" ->
       s"""WITH b AS (SELECT i,
          |    ${sqlMd5Big("CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)")} % 65536 AS bucket

@@ -30,6 +30,49 @@ object Basket {
       .orderBy(col("n_users").desc, col("prev_type"), col("event_type"))
   }
 
+  /** Right-to-be-forgotten cascade accounting — the GDPR/CCPA purge
+    * planned as set arithmetic BEFORE any row is touched: a deletion
+    * request set (modeled as custkey ≡ 0 mod 53) cascades customer →
+    * orders → lineitem along the foreign keys, and the report prices
+    * every table's delete volume plus the two POST-PURGE referential
+    * integrity proofs (surviving orders with no surviving customer,
+    * surviving lineitems with no surviving order — both must be 0 or
+    * the cascade order was wrong). Scale shape: the request set
+    * broadcasts (purge lists are small against a 100 TB fact table);
+    * orders take one semi-join, lineitems one semi-join against the
+    * purged-order keys; the orphan proofs are anti-joins on the same
+    * keys — no fact-fact shuffle anywhere.
+    */
+  def purgeCascade(customer: DataFrame, orders: DataFrame,
+                   lineitem: DataFrame, mod: Long = 53L): DataFrame = {
+    val purgeCust = customer.where(col("c_custkey") % mod === 0)
+      .select(col("c_custkey")).localCheckpoint(eager = false)
+    val purgeOrders = orders.join(broadcast(purgeCust),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).localCheckpoint(eager = false)
+    val keptCust = customer.join(broadcast(purgeCust),
+      Seq("c_custkey"), "left_anti")
+    val keptOrders = orders.join(broadcast(purgeCust),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .localCheckpoint(eager = false)
+    val keptLi = lineitem.join(purgeOrders,
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val counts = Seq(
+      purgeCust.agg(count(lit(1)).as("n_cust_purged")),
+      purgeOrders.agg(count(lit(1)).as("n_orders_purged")),
+      lineitem.join(purgeOrders, col("l_orderkey") === col("o_orderkey"),
+        "left_semi").agg(count(lit(1)).as("n_lineitems_purged")),
+      keptCust.agg(count(lit(1)).as("n_cust_kept")),
+      // integrity proofs over the SURVIVORS
+      keptOrders.join(keptCust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orders")),
+      keptLi.join(keptOrders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems")))
+    counts.reduce(_ crossJoin _) // six single-row aggregates
+  }
+
   /** Depth-3 sequential-pattern mining (the PrefixSpan support
     * semantics at fixed length): for every ordered type triple
     * a → b → c, the number of distinct users whose event stream

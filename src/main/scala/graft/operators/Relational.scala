@@ -3091,6 +3091,86 @@ object Relational {
         expr("num * 1000000 div den").as("r_ppm"))
   }
 
+  /** Theil–Sen robust trend of the daily event volume: the median of
+    * all pairwise day-slopes — the estimator that shrugs off the
+    * outlier days OLS (`sales_discount_slope`, `events_daily_trend`)
+    * gets dragged by (one ingestion-backfill spike can flip an OLS
+    * trend; it moves the pairwise-slope median not at all, up to a
+    * 29% contamination breakdown point). Slopes are integer micros
+    * (dy·10⁶ div dx); the median is emitted DOUBLED
+    * (`2·quantile(0.5)` = the sum of the two middle slopes) so the
+    * even-count interpolation stays integer-exact in both engines.
+    * Scale shape: one daily rollup shuffle; the pairwise self-join is
+    * calendar-bounded (days², not rows²) with the day frame broadcast
+    * — at 100 TB the data size never touches the pair count.
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("ts_ms div 86400000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val slopes = daily.as("a")
+      .join(broadcast(daily.as("b")), col("b.d") > col("a.d"))
+      .select(expr("(b.n - a.n) * 1000000 div (b.d - a.d)")
+        .as("slope_micro"))
+    slopes.agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope_micro, 0.5D) * 2").as("m2"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("m2")).cast("long").as("slope_med2_micro"))
+  }
+
+  /** Offline eval of the Markov next-event predictor — the
+    * leave-last-event-out loop for [[eventTransitions]], sibling of
+    * `customer_rec_eval`: each user's FINAL transition is held out,
+    * the transition counts train on everything else (leakage-free —
+    * the predicted transition never contributes to its own
+    * statistics), the prediction for a user is the argmax next-type
+    * given their second-to-last event (count desc, type asc — a total
+    * deterministic order), and the report compares hits against the
+    * always-predict-the-globally-most-common-next baseline a model
+    * must beat to justify itself. Scale shape: one row_number window
+    * per user, transition counts are type²-bounded, and the argmax
+    * table (types rows) broadcasts to the per-user eval join.
+    */
+  def markovEval(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val pos = events
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("k", row_number().over(byUser))
+      .withColumn("last_k", max("k").over(Window.partitionBy("user_id")))
+      .select(col("user_id"), col("event_type"), col("k"), col("last_k"))
+      .where(col("last_k") >= 2)
+      .localCheckpoint(eager = false) // feeds train, test, and contexts
+    val pairs = pos.as("a").join(pos.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.k") === col("a.k") + 1)
+      .select(col("a.user_id"), col("a.event_type").as("prev"),
+        col("b.event_type").as("next"), col("b.k"), col("b.last_k"))
+    val train = pairs.where(col("k") < col("last_k"))
+      .groupBy("prev", "next").agg(count(lit(1)).as("cnt"))
+    val argmaxW = Window.partitionBy("prev")
+      .orderBy(col("cnt").desc, col("next"))
+    val predicted = train
+      .withColumn("rk", row_number().over(argmaxW))
+      .where(col("rk") === 1)
+      .select(col("prev"), col("next").as("predicted"))
+    val globalTop = train.groupBy("next").agg(sum("cnt").as("c"))
+      .orderBy(col("c").desc, col("next")).limit(1)
+      .select(col("next").as("base_pred"))
+    val test = pairs.where(col("k") === col("last_k"))
+      .select(col("user_id"), col("prev"), col("next").as("actual"))
+    test.join(broadcast(predicted), Seq("prev"), "left")
+      .crossJoin(broadcast(globalTop))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("predicted") === col("actual"), 1L).otherwise(0L))
+          .as("n_hits"),
+        sum(when(col("base_pred") === col("actual"), 1L).otherwise(0L))
+          .as("n_base_hits"))
+      .select(col("n_users"), col("n_hits"), col("n_base_hits"),
+        expr("n_hits * 1000000 div n_users").as("hit_ppm"),
+        expr("n_base_hits * 1000000 div n_users").as("base_ppm"))
+  }
+
   /** Incremental view maintenance of a grouped aggregate: the
     * materialized pricing rollup M = γ(base) is patched with a CDC
     * batch — deletes (every line of orders ≡ 0 mod 97) carry weight

@@ -1038,9 +1038,10 @@ object TextAnalysis {
     * array), so scoring 100 TB is a single codegen'd scan, which is
     * why the hashing trick is THE way quality classifiers deploy.
     */
-  def classifierScore(docs: DataFrame, slots: Int = 4096): DataFrame =
-    docs.select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"),
+  def classifierScore(docs: DataFrame, slots: Int = 4096,
+                      keep: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: keep.map(col) :+ ws.as("ws"): _*)
+      .select((col("doc_id") +: keep.map(col)) ++ Seq(
         greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_feats"),
         // sequence(0, -1) DESCENDS in Spark — a <2-token doc must score
         // exactly 0, not hash a phantom gram
@@ -1052,7 +1053,7 @@ object TextAnalysis {
              |  (acc, g) -> acc +
              |    cast(conv(substr(md5(g), 1, 15), 16, 10) AS bigint)
              |      % $slots * 2654435761 % 2001 - 1000)""".stripMargin))
-          .as("logit_micro"))
+          .as("logit_micro")): _*)
       .withColumn("accept", col("logit_micro") > 0)
       .orderBy("doc_id")
 
@@ -1096,6 +1097,26 @@ object TextAnalysis {
     val w = 60 - java.lang.Integer.numberOfTrailingZeros(m)
     alpha * m * m * math.pow(2.0, (w + 1).toDouble)
   }
+
+  /** Calibration table for [[classifierScore]] — the eval a score
+    * must pass before it gates a corpus: bucket documents by fixed
+    * logit bins (div 2000 micro — fixed-width bins, NOT ntile, so no
+    * corpus-sized global window exists at 100 TB) and report each
+    * bin's document count and positive rate against a cheap reference
+    * label (lang = 'en' here — the stand-in for human labels, as the
+    * weights are the stand-in for training). A well-calibrated score
+    * shows monotone rate over bins; a flat profile says the score
+    * carries no signal for the label. One hash aggregate after the
+    * zero-shuffle scoring scan.
+    */
+  def classifierCalibration(docs: DataFrame, binMicro: Int = 2000): DataFrame =
+    classifierScore(docs, keep = Seq("lang"))
+      .groupBy(expr(s"logit_micro div $binMicro").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("bin"), col("n_docs"), col("n_en"),
+        expr("n_en * 1000000 div n_docs").as("en_ppm"))
+      .orderBy("bin")
 
   /** Zipf slope of the corpus frequency–rank curve in EXACT integer
     * arithmetic: both axes are the floor-log₂ surrogate

@@ -184,6 +184,57 @@ class Round9cSpec extends SparkSpec {
       "CMS inner product never underestimates")
   }
 
+  test("theilSenTrend hand-trace: median pairwise slope") {
+    // days 0,1,2 with counts 1,3,2 -> slopes 2e6, 5e5, -1e6; median 5e5
+    val ev = Seq((1L, 0L), (2L, 86400000L), (3L, 86400000L),
+      (4L, 86400000L), (5L, 172800000L), (6L, 172800000L))
+      .toDF("event_id", "ts_ms")
+    val row = operators.Relational.theilSenTrend(ev).collect().head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 3L)
+    assert(row.getLong(2) == 1000000L, "doubled median slope = 2*5e5")
+  }
+
+  test("markovEval hand-trace: held-out transition never trains itself") {
+    val ev = Seq(
+      (1L, 1L, "a", 1000L), (2L, 1L, "b", 2000L),
+      (3L, 1L, "a", 3000L), (4L, 1L, "b", 4000L), // held out: a->b
+      (5L, 2L, "b", 1000L), (6L, 2L, "b", 2000L)  // held out: b->b
+    ).toDF("event_id", "user_id", "event_type", "ts_ms")
+    val row = operators.Relational.markovEval(ev).collect().head
+    // train = user1's first two transitions only: a->b, b->a
+    // user1 ctx a -> pred b == actual b (hit); user2 ctx b -> pred a != b
+    // baseline: next-counts tie a:1 b:1 -> alphabetical 'a' -> 0 hits
+    assert(row.getLong(0) == 2L && row.getLong(1) == 1L &&
+      row.getLong(2) == 0L)
+    assert(row.getLong(3) == 500000L)
+  }
+
+  test("purgeCascade counts the cascade and catches a pre-broken FK") {
+    val cust = Seq(53L, 1L, 2L).toDF("c_custkey")
+    val ords = Seq((10L, 53L), (20L, 1L), (30L, 99L)) // 30: orphan already
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(10L, 10L, 20L).toDF("l_orderkey")
+    val row = operators.Basket.purgeCascade(cust, ords, li).collect().head
+    assert(row.getLong(0) == 1L, "cust 53 purged")
+    assert(row.getLong(1) == 1L, "order 10 cascades")
+    assert(row.getLong(2) == 2L, "both lines of order 10 cascade")
+    assert(row.getLong(3) == 2L, "custs 1,2 kept")
+    assert(row.getAs[Long]("orphan_orders") == 1L,
+      "the integrity proof must surface the pre-existing FK break")
+    assert(row.getAs[Long]("orphan_lineitems") == 0L)
+  }
+
+  test("classifierCalibration bins partition the scored corpus") {
+    val cal = operators.TextAnalysis
+      .classifierCalibration(Tables.documents(spark, sf0001)).collect()
+    val scored = operators.TextAnalysis
+      .classifierScore(Tables.documents(spark, sf0001)).count()
+    assert(cal.map(_.getLong(1)).sum == scored, "every doc lands in a bin")
+    assert(cal.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(cal.forall(r =>
+      r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1)))
+  }
+
   test("bitmapIndexStats: interleaved flags scan everything, sorted scans half") {
     val li = (0L until 64L).map(k => (k, if (k % 2 == 0) "A" else "B"))
       .toDF("l_orderkey", "l_returnflag")
