@@ -532,4 +532,36 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("classifier score/calibration: the scoring scan is shuffle-free") {
+    // the hashing-trick dot product must stay inside the row — the only
+    // exchange the score query may have is its presentation sort, and
+    // calibration adds exactly the one bin-rollup hash exchange
+    val score = planOf("doc_classifier_score")
+    assert(score.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"scoring must not shuffle:\n$score")
+    val cal = planOf("doc_classifier_calibration")
+    assert(cal.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"calibration = scoring + ONE bin rollup:\n$cal")
+  }
+
+  test("hll: register table is one hash exchange, summary adds no data shuffle") {
+    // registers: partial max combines map-side, one exchange on bucket;
+    // everything after operates on <= m rows
+    val p = operators.TextAnalysis.hllRegisters(
+      operators.TextAnalysis.hllGramStream(Tables.documents(spark, sf0001), 3),
+      "gram", 64).queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly the bucket exchange:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"register max must combine map-side:\n$p")
+  }
+
+  test("seqPatterns3: every join keys on user_id (one reused shuffle key)") {
+    val p = planOf("events_seq_patterns3")
+    val exLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    val dataEx = exLines.filterNot(_.contains("t1#")) // final triple rollup
+    assert(dataEx.forall(_.contains("user_id")),
+      s"a non-user_id data exchange crept into the pattern join:\n$p")
+  }
 }
