@@ -1791,6 +1791,9 @@ object SparkEntry {
     // calibration bins of the classifier score vs the lang label
     "doc_classifier_calibration" -> ((s, dir) =>
       TextAnalysis.classifierCalibration(Tables.documents(s, dir))),
+    // conversion-window funnel: every step within 6h of the view
+    "events_window_funnel" -> ((s, dir) =>
+      Relational.windowFunnel(Tables.events(s, dir))),
     // Theil-Sen robust daily trend: doubled median of pairwise slopes
     "events_theilsen_trend" -> ((s, dir) =>
       Relational.theilSenTrend(Tables.events(s, dir))),
@@ -1932,6 +1935,23 @@ object SparkEntry {
          |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
          |  (count(*) FILTER (WHERE lang = 'en') * 1000000) // count(*) AS en_ppm
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_window_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+         |v AS (SELECT user_id, t AS vt FROM e WHERE event_type = 'view'),
+         |s1 AS (SELECT v.user_id, v.vt, min(s.t) AS st
+         |  FROM v JOIN e s ON s.user_id = v.user_id AND s.event_type = 'signup'
+         |    AND s.t > v.vt AND s.t <= v.vt + 21600000
+         |  GROUP BY 1, 2),
+         |p1 AS (SELECT s1.user_id, s1.vt, min(p.t) AS pt
+         |  FROM s1 JOIN e p ON p.user_id = s1.user_id AND p.event_type = 'purchase'
+         |    AND p.t > s1.st AND p.t <= s1.vt + 21600000
+         |  GROUP BY 1, 2)
+         |SELECT n_view_users, n_step2, n_step3,
+         |  (n_step2 * 1000000) // n_view_users AS step2_ppm,
+         |  (n_step3 * 1000000) // n_view_users AS step3_ppm
+         |FROM (SELECT count(DISTINCT user_id) AS n_view_users FROM v),
+         |     (SELECT count(DISTINCT user_id) AS n_step2 FROM s1),
+         |     (SELECT count(DISTINCT user_id) AS n_step3 FROM p1)""".stripMargin,
     "events_theilsen_trend" ->
       s"""WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS n
          |  FROM events GROUP BY 1),

@@ -3091,6 +3091,43 @@ object Relational {
         expr("num * 1000000 div den").as("r_ppm"))
   }
 
+  /** Conversion-window funnel (the ClickHouse `windowFunnel`
+    * semantics, which [[funnel]]'s unconstrained first-occurrence
+    * chain cannot express): a user converts at step k only if some
+    * view starts a chain view → signup → purchase with EVERY step
+    * inside `windowHours` of that view. Greedy earliest-next-step is
+    * exact here, not a heuristic: taking the FIRST signup after a
+    * view maximizes the residual window for the purchase, so a chain
+    * exists iff the greedy one completes — which keeps the plan at
+    * two (user-keyed join + min-rollup) rounds instead of an
+    * exists-quantified triple join (measured: the triple join form
+    * runs minutes at sf0.1 on this very-active-user fixture; this
+    * shape is sub-second). One shuffle key (user_id) throughout;
+    * per-user fan-out is views × signups, never cubed.
+    */
+  def windowFunnel(events: DataFrame, windowHours: Int = 6): DataFrame = {
+    val w = windowHours * 3600000L
+    val e = events.select(col("user_id"), col("event_type"), col("ts_ms"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ms").as("vt"))
+    val s = e.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ms").as("st"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms").as("pt"))
+    val s1 = v.join(s, Seq("user_id"))
+      .where(col("st") > col("vt") && col("st") <= col("vt") + w)
+      .groupBy("user_id", "vt").agg(min("st").as("st"))
+    val p1 = s1.join(p, Seq("user_id"))
+      .where(col("pt") > col("st") && col("pt") <= col("vt") + w)
+      .groupBy("user_id", "vt").agg(min("pt").as("pt"))
+    v.agg(count_distinct(col("user_id")).as("n_view_users"))
+      .crossJoin(s1.agg(count_distinct(col("user_id")).as("n_step2")))
+      .crossJoin(p1.agg(count_distinct(col("user_id")).as("n_step3")))
+      .select(col("n_view_users"), col("n_step2"), col("n_step3"),
+        expr("n_step2 * 1000000 div n_view_users").as("step2_ppm"),
+        expr("n_step3 * 1000000 div n_view_users").as("step3_ppm"))
+  }
+
   /** Theil–Sen robust trend of the daily event volume: the median of
     * all pairwise day-slopes — the estimator that shrugs off the
     * outlier days OLS (`sales_discount_slope`, `events_daily_trend`)

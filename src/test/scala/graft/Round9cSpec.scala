@@ -184,6 +184,25 @@ class Round9cSpec extends SparkSpec {
       "CMS inner product never underestimates")
   }
 
+  test("windowFunnel hand-trace: steps must fit inside the view's window") {
+    val h = 3600000L
+    val ev = Seq(
+      // user 1: full chain inside 6h of the view
+      (1L, 1L, "view", 0L), (2L, 1L, "signup", 1 * h), (3L, 1L, "purchase", 5 * h),
+      // user 2: signup lands outside the 6h window
+      (4L, 2L, "view", 0L), (5L, 2L, "signup", 7 * h), (6L, 2L, "purchase", 8 * h),
+      // user 3: signup in-window, purchase out-of-window
+      (7L, 3L, "view", 0L), (8L, 3L, "signup", 1 * h), (9L, 3L, "purchase", 7 * h),
+      // user 4: the first view fails but a LATER view starts a chain
+      (10L, 4L, "view", 0L), (11L, 4L, "view", 10 * h),
+      (12L, 4L, "signup", 11 * h), (13L, 4L, "purchase", 12 * h)
+    ).toDF("event_id", "user_id", "event_type", "ts_ms")
+    val row = operators.Relational.windowFunnel(ev).collect().head
+    assert(row.getLong(0) == 4L, "all four users viewed")
+    assert(row.getLong(1) == 3L, "users 1, 3, 4 reach signup in-window")
+    assert(row.getLong(2) == 2L, "users 1 and 4 convert fully")
+  }
+
   test("theilSenTrend hand-trace: median pairwise slope") {
     // days 0,1,2 with counts 1,3,2 -> slopes 2e6, 5e5, -1e6; median 5e5
     val ev = Seq((1L, 0L), (2L, 86400000L), (3L, 86400000L),
