@@ -1804,6 +1804,10 @@ object SparkEntry {
     "pii_purge_cascade" -> ((s, dir) =>
       operators.Basket.purgeCascade(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // 22nd streaming gate: the IVM rollup maintained per micro-batch
+    // via foreachBatch merge; equals the batch op driven to completion
+    "streaming_ivm_agg" -> ((s, dir) =>
+      graft.streaming.Streams.ivmAggAvailableNow(s, dir)),
     // incremental view maintenance: patch the pricing rollup with a
     // signed CDC delta; oracle recomputes from scratch
     "ivm_agg_delta" -> ((s, dir) =>
@@ -1877,7 +1881,10 @@ object SparkEntry {
       "streaming_hll_distinct" -> "distinct_shingles_hll",
       // register merge is associative/commutative max — the per-source
       // merged summary equals the single-pass one by construction
-      "hll_merge_by_source" -> "distinct_shingles_hll")
+      "hll_merge_by_source" -> "distinct_shingles_hll",
+      // signed sums are associative: the foreachBatch-maintained view
+      // driven to completion equals the batch IVM output
+      "streaming_ivm_agg" -> "ivm_agg_delta")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

@@ -3223,6 +3223,40 @@ object Relational {
     * plus a group-key-sized merge join — the reason nightly pipelines
     * maintain instead of recompute.
     */
+  /** The signed CDC row stream behind [[ivmAggDelta]] — base rows
+    * carry +1, the delete predicate (orderkey ≡ 0 mod 97) re-emits
+    * its rows at −1, the correction predicate (≡ 0 mod 101) emits the
+    * restated copy at +1. Signed aggregation over this union equals
+    * the maintained view, and because the signs are PER-ROW the
+    * contribution of any subset of rows is self-contained — the
+    * property that lets a micro-batch fold its slice into the stored
+    * state independently of how the stream was batched (the streaming
+    * twin's correctness argument).
+    */
+  def ivmSignedRows(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(
+      col("l_orderkey"), col("l_returnflag"),
+      col("l_quantity").cast("long").as("qty"),
+      cents("l_extendedprice").as("price_c"))
+    li.select(col("l_returnflag"), col("qty"), col("price_c"),
+        lit(1L).as("sgn"))
+      .unionByName(li.where(col("l_orderkey") % 97 === 0)
+        .select(col("l_returnflag"), col("qty"), col("price_c"),
+          lit(-1L).as("sgn")))
+      .unionByName(li.where(col("l_orderkey") % 101 === 0)
+        .select(col("l_returnflag"), (col("qty") + 3).as("qty"),
+          (col("price_c") + 500).as("price_c"), lit(1L).as("sgn")))
+  }
+
+  /** Signed aggregation of [[ivmSignedRows]]-shaped rows — the
+    * per-micro-batch step of the streaming materialized view.
+    */
+  def ivmSignedAgg(signed: DataFrame): DataFrame =
+    signed.groupBy("l_returnflag").agg(
+      sum("sgn").as("cnt"),
+      sum(col("sgn") * col("qty")).as("sum_qty"),
+      sum(col("sgn") * col("price_c")).as("sum_price_c"))
+
   def ivmAggDelta(lineitem: DataFrame): DataFrame = {
     val li = lineitem.select(
       col("l_orderkey"), col("l_returnflag"),

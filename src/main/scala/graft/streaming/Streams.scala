@@ -919,6 +919,84 @@ object Streams {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.TempDirs.deleteRecursively(p)
 
+  /** Staged copy of the lineitem table split into TWO parquet files
+    * (by orderkey parity) so `maxFilesPerTrigger=1` replays it as two
+    * micro-batches; cached per sf dir like [[stagedEventsSplit]].
+    */
+  private def stagedLineitemSplit(spark: SparkSession, dir: String): String =
+    streamDirCache.computeIfAbsent(s"$dir#lisplit", _ => {
+      val out = graft.TempDirs.scratchString("graft_ivm_src_")
+      val li = graft.Tables.lineitem(spark, dir)
+      li.where(col("l_orderkey") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(out)
+      li.where(col("l_orderkey") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(out)
+      out
+    })
+
+  /** STREAMING materialized-view maintenance — the realtime form of
+    * the batch [[graft.operators.Relational.ivmAggDelta]]: each
+    * micro-batch turns its lineitem slice into signed CDC rows
+    * ([[graft.operators.Relational.ivmSignedRows]] — the signs are
+    * per-row, so a batch's contribution is self-contained no matter
+    * how the stream was cut), aggregates ONLY that slice, and
+    * full-outer-merges the group-key-sized delta into a versioned
+    * parquet snapshot of the view (the foreachBatch MERGE shape of
+    * [[foreachBatchUpsertAvailableNow]], applied to an AGGREGATE
+    * instead of latest-row state). Signed sums are associative and
+    * commutative, so driven to completion the final version equals
+    * the batch IVM output — the driver's oracle via the alias map.
+    * Scale note: per batch the stored state rewritten is O(group
+    * keys), never O(rows seen) — the streaming-materialized-view
+    * contract that makes a 100 TB rollup maintainable at all.
+    */
+  def ivmAggAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedLineitemSplit(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val ckpt = graft.TempDirs.scratch("graft_ivm_ckpt_")
+    val targetRoot = graft.TempDirs.scratch("graft_ivm_tgt_")
+    @volatile var lastPath: String = null
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = graft.operators.Relational.ivmSignedAgg(
+          graft.operators.Relational.ivmSignedRows(batch))
+        val prev = lastPath
+        val merged =
+          if (prev == null) delta
+          else {
+            val m = batch.sparkSession.read.parquet(prev)
+            m.select(col("l_returnflag"), col("cnt").as("m_cnt"),
+                col("sum_qty").as("m_qty"), col("sum_price_c").as("m_price"))
+              .join(delta, Seq("l_returnflag"), "full_outer")
+              .select(col("l_returnflag"),
+                (coalesce(col("m_cnt"), lit(0L)) + coalesce(col("cnt"), lit(0L)))
+                  .as("cnt"),
+                (coalesce(col("m_qty"), lit(0L)) + coalesce(col("sum_qty"), lit(0L)))
+                  .as("sum_qty"),
+                (coalesce(col("m_price"), lit(0L))
+                  + coalesce(col("sum_price_c"), lit(0L))).as("sum_price_c"))
+          }
+        val out = s"$targetRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(out)
+        lastPath = out
+      }
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ckpt)
+    val state =
+      if (lastPath == null) {
+        import spark.implicits._
+        spark.emptyDataset[(String, Long, Long, Long)]
+          .toDF("l_returnflag", "cnt", "sum_qty", "sum_price_c")
+      } else spark.read.parquet(lastPath)
+    state.where(col("cnt") > 0).orderBy("l_returnflag")
+  }
+
   /** Stream-static join: the event stream enriched against a BATCH
     * dimension (customer → nation) then aggregated. The static side is
     * broadcast — each micro-batch probes it with zero shuffle and zero

@@ -96,6 +96,15 @@ class Round9cSpec extends SparkSpec {
     assert(got.head.getLong(1) == 3L && got.head.getLong(2) == 7 + 8 + 11)
   }
 
+  test("streaming IVM view equals the batch IVM after two micro-batches") {
+    val streamed = streaming.Streams
+      .ivmAggAvailableNow(spark, sf0001).collect().toSeq
+    val batch = operators.Relational
+      .ivmAggDelta(Tables.lineitem(spark, sf0001)).collect().toSeq
+    assert(streamed == batch,
+      "per-batch signed merges must compose to the batch view")
+  }
+
   test("blockingEval: SymSpell blocking is complete on a traced fixture") {
     val cust = Seq(
       (1L, "alpha", 0L), (2L, "alphax", 0L),  // lev 1 (insertion)
