@@ -1826,6 +1826,13 @@ object SparkEntry {
     // current layout vs flag-clustered layout
     "lake_bitmap_index" -> ((s, dir) =>
       Layout.bitmapIndexStats(Tables.lineitem(s, dir))),
+    // per-file NDV manifest statistics: exact vs HLL register estimate
+    "lake_file_ndv" -> ((s, dir) =>
+      Layout.fileNdvStats(Tables.lineitem(s, dir))),
+    // header-vs-lines financial reconciliation buckets
+    "orders_reconciliation" -> ((s, dir) =>
+      Relational.ordersReconciliation(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     // Catalyst rewrite: COUNT(DISTINCT word) through the KMV sketch
     // aggregate (k=4096 > vocab -> exact; plan shape spec-audited)
     "distinct_words_rewrite" -> ((s, dir) => {
@@ -2099,6 +2106,47 @@ object SparkEntry {
          |  FROM pb JOIN p ON p.user_id = pb.user_id AND p.p > pb.pb)
          |SELECT t1, t2, t3, count(*) AS n_users FROM hit GROUP BY 1, 2, 3
          |ORDER BY n_users DESC, t1, t2, t3""".stripMargin,
+    "lake_file_ndv" -> {
+      val c = operators.TextAnalysis.hllAlphaNum(64).toString
+      s"""WITH r AS (SELECT l_orderkey // 512 AS file,
+         |    ${sqlMd5Big("CAST(l_partkey AS VARCHAR)")} AS h, l_partkey
+         |  FROM lineitem),
+         |rg AS (SELECT file, h % 64 AS bucket,
+         |    max(CASE WHEN h // 64 = 0 THEN 55
+         |        ELSE 55 - length(bin(h // 64)) END) AS max_rho
+         |  FROM r GROUP BY 1, 2),
+         |s AS (SELECT file, CAST(sum(1::BIGINT << (55 - max_rho)) AS BIGINT)
+         |    + (64 - count(*)) * (1::BIGINT << 55) AS s_scaled
+         |  FROM rg GROUP BY 1),
+         |e AS (SELECT file, count(*) AS n_rows,
+         |    count(DISTINCT l_partkey) AS ndv_exact FROM r GROUP BY 1)
+         |SELECT e.file, e.n_rows, e.ndv_exact,
+         |  CAST(floor($c / CAST(s_scaled AS DOUBLE)) AS BIGINT) AS ndv_est,
+         |  (abs(CAST(floor($c / CAST(s_scaled AS DOUBLE)) AS BIGINT) - ndv_exact)
+         |    * 1000000) // ndv_exact AS err_ppm
+         |FROM e JOIN s USING (file) ORDER BY file""".stripMargin
+    },
+    "orders_reconciliation" ->
+      s"""WITH lines AS (SELECT l_orderkey,
+         |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+         |      * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS charge_c
+         |  FROM lineitem GROUP BY 1),
+         |j AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+         |    charge_c,
+         |    CASE WHEN charge_c IS NULL THEN NULL
+         |         ELSE abs((charge_c - total_c) * 1000000 // total_c)
+         |    END AS drift_ppm
+         |  FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey)
+         |SELECT count(*) AS n_orders,
+         |  CAST(count(*) FILTER (WHERE charge_c IS NULL) AS BIGINT) AS n_no_lines,
+         |  CAST(count(*) FILTER (WHERE drift_ppm = 0) AS BIGINT) AS n_exact,
+         |  CAST(count(*) FILTER (WHERE drift_ppm > 0 AND drift_ppm <= 10000)
+         |    AS BIGINT) AS n_within_1pct,
+         |  CAST(count(*) FILTER (WHERE drift_ppm > 10000 AND drift_ppm <= 100000)
+         |    AS BIGINT) AS n_within_10pct,
+         |  CAST(count(*) FILTER (WHERE drift_ppm > 100000) AS BIGINT) AS n_beyond,
+         |  max(drift_ppm) AS max_drift_ppm
+         |FROM j""".stripMargin,
     "lake_bitmap_index" ->
       s"""WITH r AS (SELECT l_returnflag, l_orderkey // 32 AS grp,
          |    CAST(l_orderkey % 32 AS INT) AS slot FROM lineitem),

@@ -203,6 +203,56 @@ object Layout {
       .orderBy("l_returnflag")
   }
 
+  /** Per-file NDV (number-of-distinct-values) statistics for a join
+    * key — the column-level metadata an optimizer's manifest stores
+    * beside min/max zone maps: files modeled as `l_orderkey div 512`
+    * bins, and for each file BOTH the exact NDV and the HLL m=64
+    * register estimate (`TextAnalysis.hllRegisters` math inlined
+    * per-file: dual-engine md5 hash, bit-length rho, integer harmonic
+    * sum, one shared double constant). At 100 TB the exact side is
+    * exactly what a writer cannot afford per file — the register
+    * sketch is 64 longs per (file, column), mergeable upward into
+    * partition- and table-level NDV without rescanning, which is why
+    * manifests store sketches and not counts. err_ppm per file is the
+    * measured contract.
+    */
+  def fileNdvStats(lineitem: DataFrame, keyBin: Long = 512L,
+                   m: Int = 64): DataFrame = {
+    val w = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    val rows = lineitem.select(
+      expr(s"l_orderkey div $keyBin").as("file"),
+      expr("cast(conv(substr(md5(cast(l_partkey AS string)), 1, 15), 16, 10) AS bigint)")
+        .as("h"),
+      col("l_partkey"))
+    val regs = rows
+      .select(col("file"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("rest"))
+      .select(col("file"), col("bucket"),
+        when(col("rest") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(expr("bin(rest)")))
+          .cast("long").as("rho"))
+      .groupBy("file", "bucket").agg(max("rho").as("max_rho"))
+    val est = regs.groupBy("file")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${w + 1} - max_rho AS INT))"))
+          .as("s_present"))
+      .select(col("file"),
+        (col("s_present") +
+          (lit(m.toLong) - col("n_buckets")) * lit(1L << (w + 1)))
+          .as("s_scaled"))
+      .select(col("file"),
+        floor(lit(graft.operators.TextAnalysis.hllAlphaNum(m))
+          / col("s_scaled").cast("double")).cast("long").as("ndv_est"))
+    val exact = rows.groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("l_partkey")).as("ndv_exact"))
+    exact.join(est, Seq("file"))
+      .select(col("file"), col("n_rows"), col("ndv_exact"), col("ndv_est"),
+        expr("(abs(ndv_est - ndv_exact) * 1000000) div ndv_exact")
+          .as("err_ppm"))
+      .orderBy("file")
+  }
+
   /** Write `df` z-ordered on (xCol, yCol): range-partition by z-value
     * (balanced output files via range exchange, not hash), sort rows
     * within each partition, drop the helper column. The result is a

@@ -3091,6 +3091,41 @@ object Relational {
         expr("num * 1000000 div den").as("r_ppm"))
   }
 
+  /** Order-vs-lines financial reconciliation — the warehouse audit
+    * that catches silent money drift between a header table and its
+    * detail lines: per order, the summed per-line charge (the Q1
+    * cents discipline: round each line, then sum — exact and
+    * order-independent) against the header total, classified into
+    * exact match / within 1% / within 10% / beyond / headers with no
+    * lines. On a real book these buckets are a closing-process gate;
+    * on this synthetic fixture the totals are independently generated,
+    * so the report honestly shows mass disagreement — the operator's
+    * value is the classification, not the verdict. One join on the
+    * order key + one conditional aggregate; at 100 TB bucket both
+    * tables on the key and the join is exchange-free.
+    */
+  def ordersReconciliation(orders: DataFrame,
+                           lineitem: DataFrame): DataFrame = {
+    val lines = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * 100).cast("long")).as("charge_c"))
+    orders.select(col("o_orderkey"), cents("o_totalprice").as("total_c"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("total_c"), col("charge_c"),
+        when(col("charge_c").isNull, lit(null))
+          .otherwise(expr("abs((charge_c - total_c) * 1000000 div total_c)"))
+          .as("drift_ppm"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("charge_c").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("drift_ppm") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("drift_ppm") > 0 && col("drift_ppm") <= 10000, 1L)
+          .otherwise(0L)).as("n_within_1pct"),
+        sum(when(col("drift_ppm") > 10000 && col("drift_ppm") <= 100000, 1L)
+          .otherwise(0L)).as("n_within_10pct"),
+        sum(when(col("drift_ppm") > 100000, 1L).otherwise(0L)).as("n_beyond"),
+        max("drift_ppm").as("max_drift_ppm"))
+  }
+
   /** Conversion-window funnel (the ClickHouse `windowFunnel`
     * semantics, which [[funnel]]'s unconstrained first-occurrence
     * chain cannot express): a user converts at step k only if some

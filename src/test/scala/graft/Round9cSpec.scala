@@ -263,6 +263,31 @@ class Round9cSpec extends SparkSpec {
       r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1)))
   }
 
+  test("ordersReconciliation hand-trace: exact, drifted, and orphan headers") {
+    val orders = Seq((1L, 100.00), (2L, 100.00), (3L, 50.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val li = Seq( // order 1 reconciles exactly; order 2 is 5% over; 3 has no lines
+      (1L, 60.0, 0.0, 0.0), (1L, 40.0, 0.0, 0.0),
+      (2L, 105.0, 0.0, 0.0)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val row = operators.Relational.ordersReconciliation(orders, li)
+      .collect().head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 1L, "orphan header")
+    assert(row.getLong(2) == 1L, "order 1 exact")
+    assert(row.getLong(4) == 1L, "order 2 in the 1-10% bucket")
+    assert(row.getAs[Long]("max_drift_ppm") == 50000L)
+  }
+
+  test("fileNdvStats: exact NDV bounded by rows, estimate self-consistent") {
+    val got = operators.Layout
+      .fileNdvStats(Tables.lineitem(spark, sf0001)).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getLong(2) <= r.getLong(1)), "ndv <= rows")
+    assert(got.forall(r => r.getLong(3) > 0), "estimate positive")
+    assert(got.forall(r => r.getLong(4) ==
+      math.abs(r.getLong(3) - r.getLong(2)) * 1000000L / r.getLong(2)))
+  }
+
   test("bitmapIndexStats: interleaved flags scan everything, sorted scans half") {
     val li = (0L until 64L).map(k => (k, if (k % 2 == 0) "A" else "B"))
       .toDF("l_orderkey", "l_returnflag")
