@@ -255,7 +255,16 @@ object ScaleProbe {
         () => operators.Relational.markovEval(eventsBig)),
       ("classifier_calibration",
         () => operators.TextAnalysis.classifierCalibration(docsBase),
-        () => operators.TextAnalysis.classifierCalibration(docsBig)))
+        () => operators.TextAnalysis.classifierCalibration(docsBig)),
+      ("window_funnel",
+        () => operators.Relational.windowFunnel(eventsBase),
+        () => operators.Relational.windowFunnel(eventsBig)),
+      ("file_ndv",
+        () => operators.Layout.fileNdvStats(liBase),
+        () => operators.Layout.fileNdvStats(liBig)),
+      ("orders_reconciliation",
+        () => operators.Relational.ordersReconciliation(ordsBase, liBase),
+        () => operators.Relational.ordersReconciliation(ordsBig, liBig)))
 
     // optional args beyond the factor: probe-name filter (iteration aid)
     val only = args.drop(1).toSet
