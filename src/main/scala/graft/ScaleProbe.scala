@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = if (args.nonEmpty) args(0).toInt else 10
+    // args: [factor] [probe names...] — a non-numeric first arg is
+    // treated as a probe name, not a factor (so `ScaleProbe file_ndv`
+    // works without remembering to write the 10)
+    val factorGiven = args.headOption.exists(_.forall(_.isDigit))
+    val factor = if (factorGiven) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession
       .builder("graft-scale-probe", s"local[$cpus]", cpus.toInt)
@@ -259,6 +263,11 @@ object ScaleProbe {
       ("window_funnel",
         () => operators.Relational.windowFunnel(eventsBase),
         () => operators.Relational.windowFunnel(eventsBig)),
+      ("window_funnel4",
+        () => operators.Relational.windowFunnelN(eventsBase,
+          Seq("view", "click", "signup", "purchase")),
+        () => operators.Relational.windowFunnelN(eventsBig,
+          Seq("view", "click", "signup", "purchase"))),
       ("file_ndv",
         () => operators.Layout.fileNdvStats(liBase),
         () => operators.Layout.fileNdvStats(liBig)),
@@ -266,8 +275,14 @@ object ScaleProbe {
         () => operators.Relational.ordersReconciliation(ordsBase, liBase),
         () => operators.Relational.ordersReconciliation(ordsBig, liBig)))
 
-    // optional args beyond the factor: probe-name filter (iteration aid)
-    val only = args.drop(1).toSet
+    // optional args beyond the factor: probe-name filter (iteration
+    // aid). A typo'd name must warn, not silently probe nothing.
+    val only = (if (factorGiven) args.drop(1) else args).toSet
+    val unknown = only -- probes.map(_._1).toSet
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[scaleprobe] WARNING: no probe named ${unknown.mkString(", ")} " +
+          s"(known: ${probes.map(_._1).mkString(", ")})")
     val results = probes
       .filter { case (name, _, _) => only.isEmpty || only(name) }
       .map { case (name, base, big) =>

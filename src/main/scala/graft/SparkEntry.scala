@@ -102,11 +102,11 @@ object SparkEntry {
     * uses `nb` for the nibble index — an `i` would be captured by the
     * enclosing gram lambda and hash every gram identically.
     */
-  private val SqlWinnowCtes = {
+  private def sqlWinnowCtes(where: String = ""): String = {
     val md5big =
       "list_sum(list_transform(range(15), nb -> (strpos('0123456789abcdef', " +
         "substr(md5(array_to_string(list_slice(ws, i+1, i+4), ' ')), nb+1, 1)) - 1)::BIGINT << (4*(14-nb))))"
-    s"""t AS (SELECT doc_id, $SqlWs AS ws FROM documents),
+    s"""t AS (SELECT doc_id, $SqlWs AS ws FROM documents$where),
        |g AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
        |        $md5big) AS hs
        |      FROM t WHERE len(ws) >= 7),
@@ -117,6 +117,8 @@ object SparkEntry {
        |        FROM g),
        |fp AS (SELECT doc_id, list_transform(ps, p -> hs[p+1]) AS fps FROM sel)""".stripMargin
   }
+
+  private val SqlWinnowCtes = sqlWinnowCtes()
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -1361,10 +1363,11 @@ object SparkEntry {
     "events_pattern_match" -> ((s, dir) =>
       operators.Basket.patternMatch(Tables.events(s, dir))),
     // user-user collaborative filtering: df-pruned inverted index,
-    // integer cosine², bounded-heap top-k per customer
+    // integer cosine², bounded-heap top-k per customer — served from
+    // the persisted bucketed CF index (built once per session+dir,
+    // shared with the recommendations/rec_eval gates)
     "customer_cf_neighbors" -> ((s, dir) =>
-      operators.Basket.cfNeighbors(Tables.lineitem(s, dir),
-        Tables.orders(s, dir))),
+      graft.sources.CfIndex.cfNeighbors(s, dir)),
     // whole-file binary source: one blob per doc, exact byte round-trip
     "binaryfile_roundtrip" -> ((s, dir) =>
       graft.sources.BinaryFiles.roundtrip(s, dir)),
@@ -1478,6 +1481,15 @@ object SparkEntry {
     // foreachBatch MERGE-style upsert into versioned parquet snapshots
     "streaming_foreachbatch_upsert" -> ((s, dir) =>
       graft.streaming.Streams.foreachBatchUpsertAvailableNow(s, dir)),
+    // conversion funnel as keyed streaming state over a time-split
+    // two-batch replay (23rd streaming gate): greedy chain frontier
+    // per user, batch-equal to events_window_funnel
+    "streaming_window_funnel" -> ((s, dir) =>
+      graft.streaming.Streams.windowFunnelAvailableNow(s, dir)),
+    // lake time-travel: version v0 of the upsert snapshot chain reads
+    // back as the batch recompute over the FIRST micro-batch only
+    "lake_time_travel" -> ((s, dir) =>
+      graft.streaming.Streams.lakeTimeTravel(s, dir)),
     // Benford first-digit audit over order totals (exact digit math)
     "benford_audit" -> ((s, dir) =>
       Relational.benfordAudit(Tables.orders(s, dir))),
@@ -1590,13 +1602,15 @@ object SparkEntry {
     // STL-style trend/seasonal/residual split in declared unit scales
     "events_stl_decompose" -> ((s, dir) =>
       Relational.stlDecompose(Tables.events(s, dir))),
-    // top-N part recommendations from the CF neighbor graph
+    // top-N part recommendations probing the persisted CF index —
+    // candidate expansion against the bucketed incidence table
     "customer_recommendations" -> ((s, dir) =>
-      Basket.recommendations(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+      graft.sources.CfIndex.recommendations(s, dir)),
     // leave-latest-order-out offline eval of the CF recommender:
-    // hit-rate and user coverage in exact ppm, leakage-free split
+    // hit-rate and user coverage in exact ppm, scored against the
+    // persisted TRAIN-split index (leakage-free at index write time)
     "customer_rec_eval" -> ((s, dir) =>
-      Basket.recEval(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+      graft.sources.CfIndex.recEval(s, dir)),
     // union-normalized link prediction (CN / RA / Jaccard family)
     "part_link_pred_jaccard" -> ((s, dir) =>
       Graph.jaccardLinkPred(
@@ -1740,9 +1754,11 @@ object SparkEntry {
     "dedup_minhash_eval" -> ((s, dir) =>
       Dedup.minhashEval(Tables.documents(s, dir))),
     // cluster-level eval: pair-counting Rand index between the
-    // exact-jaccard components and the winnow-index components
+    // exact-jaccard components and the winnow-index components,
+    // sample-bounded (deterministic 50% doc hash-sample) because the
+    // exact-Jaccard truth side is quadratic by contract
     "dedup_rand_index" -> ((s, dir) =>
-      Dedup.randIndexEval(Tables.documents(s, dir))),
+      Dedup.randIndexEval(Tables.documents(s, dir), samplePct = 50)),
     // measured Bloom false-positive rate: probes provably absent from
     // the base, so every positive is false — ground truth, not theory
     "dedup_bloom_fpr" -> ((s, dir) =>
@@ -1794,6 +1810,10 @@ object SparkEntry {
     // conversion-window funnel: every step within 6h of the view
     "events_window_funnel" -> ((s, dir) =>
       Relational.windowFunnel(Tables.events(s, dir))),
+    // variadic funnel, 4 steps: one greedy join+min round per step
+    "events_window_funnel_4" -> ((s, dir) =>
+      Relational.windowFunnelN(Tables.events(s, dir),
+        Seq("view", "click", "signup", "purchase"))),
     // Theil-Sen robust daily trend: doubled median of pairwise slopes
     "events_theilsen_trend" -> ((s, dir) =>
       Relational.theilSenTrend(Tables.events(s, dir))),
@@ -1813,9 +1833,11 @@ object SparkEntry {
     "ivm_agg_delta" -> ((s, dir) =>
       Relational.ivmAggDelta(Tables.lineitem(s, dir))),
     // ER blocking quality: reduction ratio + pairs completeness of the
-    // SymSpell deletion-variant blocks vs the banded-lev truth
+    // SymSpell deletion-variant blocks vs the banded-lev truth,
+    // sample-bounded (deterministic 50% customer hash-sample) because
+    // the banded-lev truth join is quadratic by contract
     "fuzzy_blocking_eval" -> ((s, dir) =>
-      Dedup.blockingEval(Tables.customer(s, dir))),
+      Dedup.blockingEval(Tables.customer(s, dir), samplePct = 50)),
     // Kaplan-Meier life table for time-to-repurchase (right-censored)
     "customer_survival_table" -> ((s, dir) =>
       Relational.survivalTable(Tables.orders(s, dir))),
@@ -1891,7 +1913,11 @@ object SparkEntry {
       "hll_merge_by_source" -> "distinct_shingles_hll",
       // signed sums are associative: the foreachBatch-maintained view
       // driven to completion equals the batch IVM output
-      "streaming_ivm_agg" -> "ivm_agg_delta")
+      "streaming_ivm_agg" -> "ivm_agg_delta",
+      // greedy chain state over time-ordered batches replays the
+      // batch funnel exactly (earliest-next-step is exact, and the
+      // time split preserves per-user event order across batches)
+      "streaming_window_funnel" -> "events_window_funnel")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 
@@ -1966,6 +1992,31 @@ object SparkEntry {
          |FROM (SELECT count(DISTINCT user_id) AS n_view_users FROM v),
          |     (SELECT count(DISTINCT user_id) AS n_step2 FROM s1),
          |     (SELECT count(DISTINCT user_id) AS n_step3 FROM p1)""".stripMargin,
+    // the 4-step funnel unrolled: each CTE is one greedy join+min
+    // round; same window anchor (the chain-starting view) as 3-step
+    "events_window_funnel_4" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+         |v AS (SELECT user_id, t AS vt FROM e WHERE event_type = 'view'),
+         |c2 AS (SELECT v.user_id, v.vt, min(x.t) AS t
+         |  FROM v JOIN e x ON x.user_id = v.user_id AND x.event_type = 'click'
+         |    AND x.t > v.vt AND x.t <= v.vt + 21600000
+         |  GROUP BY 1, 2),
+         |c3 AS (SELECT c2.user_id, c2.vt, min(x.t) AS t
+         |  FROM c2 JOIN e x ON x.user_id = c2.user_id AND x.event_type = 'signup'
+         |    AND x.t > c2.t AND x.t <= c2.vt + 21600000
+         |  GROUP BY 1, 2),
+         |c4 AS (SELECT c3.user_id, c3.vt, min(x.t) AS t
+         |  FROM c3 JOIN e x ON x.user_id = c3.user_id AND x.event_type = 'purchase'
+         |    AND x.t > c3.t AND x.t <= c3.vt + 21600000
+         |  GROUP BY 1, 2)
+         |SELECT n_step1, n_step2, n_step3, n_step4,
+         |  (n_step2 * 1000000) // n_step1 AS step2_ppm,
+         |  (n_step3 * 1000000) // n_step1 AS step3_ppm,
+         |  (n_step4 * 1000000) // n_step1 AS step4_ppm
+         |FROM (SELECT count(DISTINCT user_id) AS n_step1 FROM v),
+         |     (SELECT count(DISTINCT user_id) AS n_step2 FROM c2),
+         |     (SELECT count(DISTINCT user_id) AS n_step3 FROM c3),
+         |     (SELECT count(DISTINCT user_id) AS n_step4 FROM c4)""".stripMargin,
     "events_theilsen_trend" ->
       s"""WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS n
          |  FROM events GROUP BY 1),
@@ -2049,8 +2100,11 @@ object SparkEntry {
          |  CAST(sum(qty) AS BIGINT) AS sum_qty,
          |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
          |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // eval over the deterministic 50% customer hash-sample (the
+    // quadratic banded-lev truth join is the eval-only cost this bounds)
     "fuzzy_blocking_eval" ->
-      s"""WITH c AS (SELECT c_custkey, c_name, c_nationkey AS nk FROM customer),
+      s"""WITH c AS (SELECT c_custkey, c_name, c_nationkey AS nk FROM customer
+         |  WHERE ${sqlMd5Big("CAST(c_custkey AS VARCHAR)")} % 100 < 50),
          |truth AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          |  FROM c a JOIN c b ON a.nk = b.nk AND a.c_custkey < b.c_custkey
          |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
@@ -2552,13 +2606,17 @@ object SparkEntry {
     // two recursive-CTE component labelings (exact-jaccard vs winnow
     // pairs), co-clustered pair sets per labeling, then the pair-level
     // agreement quadrants; every multiply-referenced CTE MATERIALIZED
+    // eval over the deterministic 50% document hash-sample (the exact
+    // shingle-Jaccard truth join is the quadratic this bounds)
     "dedup_rand_index" ->
-      s"""WITH RECURSIVE $SqlWinnowCtes,
+      s"""WITH RECURSIVE ${sqlWinnowCtes(
+             s" WHERE ${sqlMd5Big("CAST(doc_id AS VARCHAR)")} % 100 < 50")},
          |e AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
          |wp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |      FROM e a JOIN e b USING (f) WHERE a.doc_id < b.doc_id
          |      GROUP BY 1, 2 HAVING count(*) >= 3),
-         |sh AS MATERIALIZED ($SqlShingles),
+         |sh AS MATERIALIZED (${sqlShingles(3,
+             where = s" WHERE ${sqlMd5Big("CAST(doc_id AS VARCHAR)")} % 100 < 50")}),
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
          |       FROM sh a JOIN sh b USING (shingle)
@@ -2588,7 +2646,8 @@ object SparkEntry {
          |paB AS MATERIALIZED (SELECT a.id AS x, b.id AS y FROM ccB a
          |      JOIN ccB b ON a.comp = b.comp AND a.id < b.id),
          |cnt AS (SELECT
-         |  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |  (SELECT count(*) FROM documents
+         |   WHERE ${sqlMd5Big("CAST(doc_id AS VARCHAR)")} % 100 < 50)::BIGINT AS n_docs,
          |  (SELECT count(*) FROM paA)::BIGINT AS pe,
          |  (SELECT count(*) FROM paB)::BIGINT AS pw,
          |  (SELECT count(*) FROM paA JOIN paB USING (x, y))::BIGINT AS ab)
@@ -5878,6 +5937,17 @@ object SparkEntry {
          |        PARTITION BY user_id
          |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
          |      FROM events)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // as-of v0 = the state after the FIRST micro-batch (the even
+    // event_id half of the parity split) — the batch recompute the
+    // snapshot read-back must equal
+    "lake_time_travel" ->
+      s"""SELECT user_id, ts_ms AS last_ts_ms, event_type AS last_type,
+         |  CAST(round(value * 100) AS BIGINT) AS last_value_c
+         |FROM (SELECT *, epoch_ms(ts) AS ts_ms, row_number() OVER (
+         |        PARTITION BY user_id
+         |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+         |      FROM events WHERE event_id % 2 = 0)
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q4_order_priority" ->
       s"""SELECT o_orderpriority, count(*) AS order_count

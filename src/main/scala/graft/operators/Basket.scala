@@ -181,11 +181,23 @@ object Basket {
     */
   def cfNeighbors(lineitem: DataFrame, orders: DataFrame,
                   maxDf: Int = 30, minShared: Int = 2,
-                  k: Int = 3): DataFrame = {
-    val cp = lineitem
+                  k: Int = 3): DataFrame =
+    cfNeighborsFrom(lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
+      .distinct(), maxDf, minShared, k)
+      .orderBy("c_a", "rank")
+
+  /** [[cfNeighbors]] from an already-materialized incidence `(c, p)`,
+    * WITHOUT the presentation sort — the index build
+    * ([[graft.sources.CfIndex]]) derives full- and train-split
+    * incidences from ONE lineitem⋈orders pass, feeds each to both its
+    * table write and its neighbor build (so the big join never runs
+    * twice per split), and writes bucketed tables where a global range
+    * exchange before the write would be pure waste.
+    */
+  def cfNeighborsFrom(cp: DataFrame, maxDf: Int = 30, minShared: Int = 2,
+                      k: Int = 3): DataFrame = {
     val kept = cp.join(
       cp.groupBy("p").agg(count(lit(1)).as("d")).where(col("d") <= maxDf)
         .select("p"),
@@ -193,11 +205,16 @@ object Basket {
     val deg = kept.groupBy("c").agg(count(lit(1)).as("deg"))
     val left = kept.select(col("p"), col("c").as("c_a"))
     val right = kept.select(col("p"), col("c").as("c_b"))
-    val shared = left.join(right, "p")
-      .where(col("c_a") =!= col("c_b"))
+    // shared counts are symmetric — enumerate only the upper triangle
+    // (halving the dominant self-join + partial-agg volume) and mirror
+    // the far-smaller aggregated pair list afterwards
+    val upper = left.join(right, "p")
+      .where(col("c_a") < col("c_b"))
       .groupBy("c_a", "c_b")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+    val shared = upper.union(upper.select(col("c_b").as("c_a"),
+      col("c_a").as("c_b"), col("shared")))
     val scored = shared
       .join(deg.select(col("c").as("c_a"), col("deg").as("deg_a")), "c_a")
       .join(deg.select(col("c").as("c_b"), col("deg").as("deg_b")), "c_b")
@@ -207,7 +224,6 @@ object Basket {
         Seq(("score_ppm", true), ("c_b", false)), k, "rank")
       .select(col("c_a"), col("c_b"), col("shared"), col("score_ppm"),
         col("rank"))
-      .orderBy("c_a", "rank")
   }
 
   /** Top-N part recommendations from the [[cfNeighbors]] similarity
@@ -229,8 +245,20 @@ object Basket {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct().localCheckpoint()
-    val nb = cfNeighbors(lineitem, orders, maxDf, minShared, kNb)
+    val nb = cfNeighborsFrom(cp, maxDf, minShared, kNb)
       .select("c_a", "c_b", "score_ppm")
+    recommendFrom(nb, cp, topN)
+  }
+
+  /** The probe half of [[recommendations]], factored out so the
+    * persisted-index path ([[graft.sources.CfIndex]]) and the
+    * recompute path share ONE implementation: given a neighbor table
+    * `(c_a, c_b, score_ppm)` and the incidence `(c, p)`, expand
+    * candidates through neighbors' baskets, remove owned parts, rank.
+    * This is all a nightly-built recommender pays per serving run.
+    */
+  def recommendFrom(nb: DataFrame, cp: DataFrame,
+                    topN: Int = 3): DataFrame = {
     val cand = nb.join(cp.select(col("c").as("c_b"), col("p")), "c_b")
       .groupBy("c_a", "p")
       .agg(sum("score_ppm").as("rec_score"), count(lit(1)).as("n_votes"))
@@ -280,6 +308,15 @@ object Basket {
     val test = lineitem.join(lo, col("l_orderkey") === col("last_ok"))
       .select(col("last_c").as("custkey"), col("l_partkey").as("part_id"))
       .distinct()
+    recHitReport(recs, test)
+  }
+
+  /** The scoring half of [[recEval]], shared with the persisted-index
+    * path: recommendations `(custkey, part_id)` vs held-out baskets
+    * `(custkey, part_id)` → one summary row of hit-rate / coverage
+    * ppm. One hash join + one global aggregate.
+    */
+  def recHitReport(recs: DataFrame, test: DataFrame): DataFrame =
     recs.join(test.withColumn("hit", lit(1L)), Seq("custkey", "part_id"), "left")
       .agg(count(lit(1)).as("n_recs"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
@@ -288,7 +325,6 @@ object Basket {
       .select(col("n_recs"), col("n_hits"), col("n_users"), col("users_hit"),
         expr("n_hits * 1000000 div greatest(1L, n_recs)").as("hit_ppm"),
         expr("users_hit * 1000000 div greatest(1L, n_users)").as("user_hit_ppm"))
-  }
 
   /** MATCH_RECOGNIZE-lite sequence pattern matching: each user's
     * event stream (ordered by ts, event_id) is rendered as a string of

@@ -271,11 +271,21 @@ object Dedup {
     * deletion-variant equi-join BEFORE any verify, so the report
     * prices the blocking itself, not the verified output. Scale
     * shape: candidates ∝ true pairs (one narrow shuffle on
-    * (nation, variant)); the truth join is the eval-only cost.
+    * (nation, variant)); the truth join is the eval-only cost —
+    * which is why the gate runs it SAMPLE-BOUNDED: `samplePct` keeps
+    * a deterministic md5-hash sample of the customers (the
+    * `doc_sample_hash` idiom, mirrored bit-for-bit in the oracle),
+    * so the quadratic truth join pays pct²/10⁴ of the full cost
+    * while both metrics stay measurements over a well-defined
+    * population. samplePct = 100 is the exact full-population eval.
     */
-  def blockingEval(customer: DataFrame): DataFrame = {
-    val b = customer.select(col("c_custkey"), col("c_name"),
+  def blockingEval(customer: DataFrame, samplePct: Int = 100): DataFrame = {
+    val all = customer.select(col("c_custkey"), col("c_name"),
       col("c_nationkey").cast("long").as("nk"))
+    val b = if (samplePct >= 100) all
+    else all.where(pmod(expr(
+      "cast(conv(substr(md5(cast(c_custkey AS string)), 1, 15), 16, 10) AS bigint)"),
+      lit(100L)) < samplePct)
     val variants = b.select(col("c_custkey"), col("nk"),
       explode(graft.functions.functions.deletion_neighborhood(col("c_name"), 1))
         .as("v"))
@@ -1328,22 +1338,32 @@ object Dedup {
     * co-clustered pair explosion is Σ C(|cluster|,2) — bounded by
     * true duplication, never corpus² — and the quadrant counts are
     * three count-aggregates. C(n,2) enters only as arithmetic on the
-    * 1-row doc count, never as a frame.
+    * 1-row doc count, never as a frame. The eval-only quadratic is
+    * the exact-Jaccard TRUTH side ([[jaccardPairs]]); the gate runs
+    * it SAMPLE-BOUNDED: `samplePct` keeps a deterministic md5-hash
+    * sample of the documents (mirrored bit-for-bit in the oracle), so
+    * the truth join pays pct²/10⁴ of the full cost while the Rand
+    * index stays an exact measurement over a well-defined
+    * sub-population. samplePct = 100 is the full-corpus eval.
     */
   def randIndexEval(docs: DataFrame, n: Int = 3, num: Int = 4,
                     den: Int = 5, k: Int = 4, w: Int = 4,
-                    minShared: Int = 3): DataFrame = {
+                    minShared: Int = 3, samplePct: Int = 100): DataFrame = {
+    val d = if (samplePct >= 100) docs
+    else docs.where(pmod(expr(
+      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"),
+      lit(100L)) < samplePct)
     def coPairs(cc: DataFrame): DataFrame = {
       val a = cc.select(col("doc_id").as("x"), col("comp"))
       val b = cc.select(col("doc_id").as("y"), col("comp"))
       a.join(b, Seq("comp")).where(col("x") < col("y")).select("x", "y")
     }
     val pa = coPairs(componentsAdaptive(
-      jaccardPairs(docs, n, num, den).select("id_a", "id_b")))
+      jaccardPairs(d, n, num, den).select("id_a", "id_b")))
     val pb = coPairs(componentsAdaptive(
-      winnowPairs(docs, k, w, minShared).select("id_a", "id_b")))
+      winnowPairs(d, k, w, minShared).select("id_a", "id_b")))
     val both = pa.join(pb, Seq("x", "y"))
-    docs.agg(count(lit(1)).as("n_docs"))
+    d.agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(pa.agg(count(lit(1)).as("pairs_exact"))))
       .crossJoin(broadcast(pb.agg(count(lit(1)).as("pairs_winnow"))))
       .crossJoin(broadcast(both.agg(count(lit(1)).as("pairs_both"))))

@@ -218,6 +218,10 @@ object Layout {
     */
   def fileNdvStats(lineitem: DataFrame, keyBin: Long = 512L,
                    m: Int = 64): DataFrame = {
+    // same domain contract as hllRegisters: a non-power-of-two m would
+    // silently overlap the bucket/rest bit fields — fail loudly instead
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 4096,
+      s"m must be a power of two in [2, 4096], got $m")
     val w = 60 - java.lang.Integer.numberOfTrailingZeros(m)
     val rows = lineitem.select(
       expr(s"l_orderkey div $keyBin").as("file"),

@@ -3163,6 +3163,44 @@ object Relational {
         expr("n_step3 * 1000000 div n_view_users").as("step3_ppm"))
   }
 
+  /** Variadic [[windowFunnel]] (full ClickHouse `windowFunnel`
+    * semantics): a user reaches step k iff some step-1 event starts a
+    * chain step1 → … → stepk with EVERY step inside `windowHours` of
+    * that first event. The greedy earliest-next-step argument extends
+    * inductively — at each step, taking the FIRST qualifying event
+    * maximizes the residual window for every later step, so a chain
+    * exists iff the greedy one completes — which keeps the plan at ONE
+    * user-keyed (join + min-rollup) round PER STEP instead of an
+    * exists-quantified k-way join (events^k shaped). One shuffle key
+    * (user_id) throughout; per-user fan-out at each round is chains ×
+    * step events, never powered.
+    */
+  def windowFunnelN(events: DataFrame, steps: Seq[String],
+                    windowHours: Int = 6): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val w = windowHours * 3600000L
+    val e = events.select(col("user_id"), col("event_type"), col("ts_ms"))
+    val starts = e.where(col("event_type") === steps.head)
+      .select(col("user_id"), col("ts_ms").as("vt"), col("ts_ms").as("t"))
+    // chains(k) = (user_id, vt, t): per start event vt, the greedy
+    // earliest completion time t of the prefix steps(0..k)
+    val chains = steps.indices.drop(1).scanLeft(starts) { (cur, k) =>
+      val sk = e.where(col("event_type") === steps(k))
+        .select(col("user_id"), col("ts_ms").as("nt"))
+      cur.join(sk, Seq("user_id"))
+        .where(col("nt") > col("t") && col("nt") <= col("vt") + w)
+        .groupBy("user_id", "vt").agg(min("nt").as("t"))
+        .select(col("user_id"), col("vt"), col("t"))
+    }
+    val counts = chains.zipWithIndex.map { case (c, k) =>
+      c.agg(count_distinct(col("user_id")).as(s"n_step${k + 1}"))
+    }
+    val joined = counts.reduce(_.crossJoin(_)) // 1-row frames
+    val ppm = steps.indices.drop(1).map(k =>
+      expr(s"n_step${k + 1} * 1000000 div n_step1").as(s"step${k + 1}_ppm"))
+    joined.select(steps.indices.map(k => col(s"n_step${k + 1}")) ++ ppm: _*)
+  }
+
   /** Theil–Sen robust trend of the daily event volume: the median of
     * all pairwise day-slopes — the estimator that shrugs off the
     * outlier days OLS (`sales_discount_slope`, `events_daily_trend`)

@@ -985,9 +985,12 @@ object TextAnalysis {
     * idempotent, so HLL never needs the per-doc distinct that
     * [[Dedup.shingles]] pays for its join consumers). Distinct shingle
     * cardinality is the capacity number the dedup-index cost model
-    * prices postings with; the corpus vocabulary itself (31 words) sits
-    * in HLL's small-range regime where linear counting takes over, so
-    * the estimator is exercised on the domain it would really meter.
+    * prices postings with; the corpus vocabulary itself (31 words)
+    * sits in the small-range regime where the RAW alpha·m²/S estimator
+    * (the one [[hllSummarize]] implements — it has no linear-counting
+    * branch, by design: the gates measure its error instead) is
+    * known-biased, so the shingle domain keeps the estimator on the
+    * range it would really meter.
     */
   def hllGramStream(docs: DataFrame, n: Int,
                     keep: Seq[String] = Nil): DataFrame =
@@ -1008,6 +1011,9 @@ object TextAnalysis {
     * oracle via the alias map).
     */
   def hllDistinctMerged(docs: DataFrame, m: Int = 64): DataFrame = {
+    // same bit-field contract as hllRegisters: m must be a power of two
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 4096,
+      s"m must be a power of two in [2, 4096], got $m")
     val perSource = hllGramStream(docs, 3, Seq("source"))
       .select(col("source"),
         expr("cast(conv(substr(md5(gram), 1, 15), 16, 10) AS bigint)").as("h"))

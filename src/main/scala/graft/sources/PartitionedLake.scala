@@ -71,8 +71,10 @@ object PartitionedLake {
     * the conf is the difference between a partition patch and a data
     * loss incident, which is why this gate exists. The lake here is
     * events partitioned by type; the patch doubles the `error`
-    * partition's cents. The conf is scoped-and-restored (read at write
-    * execution, the `runAvailableNow` shuffle-partition pattern).
+    * partition's cents. The mode is set as a per-write
+    * `DataFrameWriter.option` — not a session conf flip — so a
+    * concurrent `.mode("overwrite")` write elsewhere in the session
+    * can never inherit dynamic semantics by accident.
     */
   def dynamicOverwriteLake(spark: SparkSession, dir: String): String =
     staged.computeIfAbsent(s"$dir#dynov", _ => {
@@ -82,13 +84,11 @@ object PartitionedLake {
           round(col("value") * 100).cast("long").as("value_c"),
           col("event_type"))
       ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val saved = spark.conf.get(key, "static")
-      spark.conf.set(key, "dynamic")
-      try ev.where(col("event_type") === "error")
+      ev.where(col("event_type") === "error")
         .withColumn("value_c", col("value_c") * 2)
-        .write.mode("overwrite").partitionBy("event_type").parquet(out)
-      finally spark.conf.set(key, saved)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(out)
       out
     })
 

@@ -857,6 +857,106 @@ object Streams {
       out
     })
 
+  /** Staged copy of the events table split into TWO parquet files BY
+    * TIME (below/above the median ts) with explicit modification
+    * times, so `maxFilesPerTrigger=1` replays it as two micro-batches
+    * in event-time order — the delivery contract the ordered state
+    * replays ([[attributionAvailableNow]] and the funnel) assume. The
+    * parity split deliberately violates that order (it exists to prove
+    * order-INDEPENDENT folds); this one exists to prove chain state
+    * survives a batch boundary mid-stream.
+    */
+  private def stagedEventsTimeSplit(spark: SparkSession, dir: String): String =
+    streamDirCache.computeIfAbsent(s"$dir#timesplit", _ => {
+      val out = graft.TempDirs.scratchString("graft_wf_src_")
+      val ev = graft.Tables.events(spark, dir)
+      val cut = ev.agg(expr("percentile(ts_ms, 0.5D)")).head().getDouble(0)
+      def stamp(t: Long): Unit =
+        new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f => if (f.lastModified() < t) f.setLastModified(t) }
+      ev.where(col("ts_ms") <= cut)
+        .coalesce(1).write.mode("append").parquet(out)
+      stamp(1000000L) // early half: fixed old mtime
+      ev.where(col("ts_ms") > cut)
+        .coalesce(1).write.mode("append").parquet(out)
+      stamp(2000000L) // late half: strictly newer, so it batches second
+      out
+    })
+
+  /** [[graft.operators.Relational.windowFunnel]] as keyed streaming
+    * state (23rd streaming gate) — the continuously-maintained
+    * conversion funnel a production team watches live. Per user the
+    * state is the greedy chain frontier: the max step level reached,
+    * the views still awaiting their FIRST qualifying signup, and the
+    * (vt, st) chains awaiting a purchase inside the window anchored at
+    * vt. The greedy earliest-next-step exactness argument (see the
+    * batch operator) means this state is EXACTLY sufficient: no event
+    * history is kept, only frontier pairs, and both lists prune
+    * against the advancing event time — state per user is O(active
+    * chains inside one window), not O(events). Replayed over the
+    * TIME-split two-batch staging, so the chain state provably
+    * survives a micro-batch boundary; driven to completion it equals
+    * the batch funnel (the driver's oracle via the alias map).
+    */
+  def windowFunnelAvailableNow(spark: SparkSession, dir: String,
+                               windowHours: Int = 6): DataFrame = {
+    import spark.implicits._
+    val w = windowHours * 3600000L
+    val staged = stagedEventsTimeSplit(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val ev = raw
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("event_type").as[String], col("ts_ms").as[Long])
+      .as[(Long, Long, String, Long)]
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Int, List[Long], List[(Long, Long)])]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+          var (level, pending, open) = state.getOption
+            .getOrElse((0, List.empty[Long], List.empty[(Long, Long)]))
+          sorted.foreach { case (_, _, et, ts) =>
+            et match {
+              case "view" =>
+                if (level < 1) level = 1
+                if (level < 3) pending = ts :: pending
+              case "signup" if level < 3 =>
+                // this signup is the greedy FIRST for every pending
+                // view whose window it lands in; views whose window
+                // already closed can never match a later signup
+                val (matched, rest) =
+                  pending.partition(vt => ts > vt && ts <= vt + w)
+                if (matched.nonEmpty) {
+                  if (level < 2) level = 2
+                  open = matched.map(vt => (vt, ts)) ::: open
+                }
+                pending = rest.filter(vt => vt + w >= ts)
+              case "purchase" if level < 3 =>
+                if (open.exists { case (vt, st) => ts > st && ts <= vt + w }) {
+                  level = 3; pending = Nil; open = Nil
+                } else
+                  open = open.filter { case (vt, _) => vt + w >= ts }
+              case _ => ()
+            }
+          }
+          state.update((level, pending, open))
+          Iterator((user, level))
+      }.toDF("user_id", "level")
+    val lv = runAvailableNow(out, Seq("user_id"), mode = "update")
+      .groupBy("user_id").agg(max("level").as("level"))
+    lv.agg(
+        sum(when(col("level") >= 1, 1L).otherwise(0L)).as("n_view_users"),
+        sum(when(col("level") >= 2, 1L).otherwise(0L)).as("n_step2"),
+        sum(when(col("level") >= 3, 1L).otherwise(0L)).as("n_step3"))
+      .select(col("n_view_users"), col("n_step2"), col("n_step3"),
+        expr("n_step2 * 1000000 div n_view_users").as("step2_ppm"),
+        expr("n_step3 * 1000000 div n_view_users").as("step3_ppm"))
+  }
+
   /** foreachBatch MERGE-style upsert: each micro-batch folds its rows
     * into a versioned parquet snapshot of the latest state per user —
     * the production sink shape when the target store has no native
@@ -873,6 +973,30 @@ object Streams {
     * rewrites only the touched buckets.
     */
   def foreachBatchUpsertAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val lastPath = runUpsertStream(spark, dir)
+    val latest =
+      if (lastPath == null) {
+        // zero micro-batches staged (empty input): empty state table,
+        // NOT an NPE — same schema as the populated path
+        import spark.implicits._
+        spark.emptyDataset[(Long, Long, String, Double)]
+          .toDF("user_id", "ts_ms", "event_type", "value")
+      } else spark.read.parquet(lastPath)
+    snapshotCols(latest)
+  }
+
+  private def snapshotCols(df: DataFrame): DataFrame = df
+    .select(col("user_id"), col("ts_ms").as("last_ts_ms"),
+      col("event_type").as("last_type"),
+      round(col("value") * 100).cast("long").as("last_value_c"))
+    .orderBy("user_id")
+
+  /** Run the foreachBatch upsert stream over the parity-split events
+    * and return the LATEST version path (null on empty input). The
+    * version directories v0..vN stay on disk for the session — they
+    * are the versioned lake [[lakeTimeTravel]] reads back.
+    */
+  private def runUpsertStream(spark: SparkSession, dir: String): String = {
     val staged = stagedEventsSplit(spark, dir)
     val schema = spark.read.parquet(staged).schema
     val ckpt = graft.TempDirs.scratch("graft_fbu_ckpt_")
@@ -896,24 +1020,39 @@ object Streams {
       .start()
     q.awaitTermination()
     // the checkpoint is dead once the AvailableNow run terminates; the
-    // snapshot dir must outlive this call (the returned frame reads it
-    // lazily), so it is reaped at JVM exit instead
-    // targetRoot is already registered for exit-time deletion by
-    // TempDirs.scratch; the dead checkpoint goes now
+    // snapshot dirs must outlive this call (read back lazily, and by
+    // the time-travel gate), so they are reaped at JVM exit instead
+    // (targetRoot is registered for exit-time deletion by
+    // TempDirs.scratch); the dead checkpoint goes now
     deleteRecursively(ckpt)
-    val latest =
-      if (lastPath == null) {
-        // zero micro-batches staged (empty input): empty state table,
-        // NOT an NPE — same schema as the populated path
-        import spark.implicits._
-        spark.emptyDataset[(Long, Long, String, Double)]
-          .toDF("user_id", "ts_ms", "event_type", "value")
-      } else spark.read.parquet(lastPath)
-    latest
-      .select(col("user_id"), col("ts_ms").as("last_ts_ms"),
-        col("event_type").as("last_type"),
-        round(col("value") * 100).cast("long").as("last_value_c"))
-      .orderBy("user_id")
+    lastPath
+  }
+
+  // dir -> versioned-lake root, built once per (session, sf dir):
+  // the time-travel gate must read a lake SOMEONE wrote, not re-run
+  // the stream per probe (the DedupIndex staging discipline)
+  private val versionedLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Lake time-travel: the as-of-version READ half of the versioned
+    * snapshot lake the foreachBatch upsert maintains ([[runUpsertStream]]
+    * writes `v<batchId>` per micro-batch and never overwrites an older
+    * version — exactly the snapshot chain an Iceberg/Delta table keeps).
+    * Version v's read-back must equal the batch recompute over the
+    * first v+1 micro-batches; with the parity split, v0 is
+    * latest-per-user over the even-event_id half — the driver-gated
+    * contract. At 100 TB the versions a real table keeps are manifest
+    * deltas, not full copies, but the READ contract (as-of = the state
+    * the stream had committed then) is identical.
+    */
+  def lakeTimeTravel(spark: SparkSession, dir: String,
+                     version: Int = 0): DataFrame = {
+    val root = versionedLakes.computeIfAbsent(dir, _ => {
+      val last = runUpsertStream(spark, dir)
+      require(last != null, s"no micro-batches staged for $dir")
+      new java.io.File(last).getParent
+    })
+    snapshotCols(spark.read.parquet(s"$root/v$version"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

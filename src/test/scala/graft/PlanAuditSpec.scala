@@ -488,6 +488,31 @@ class PlanAuditSpec extends SparkSpec {
       s"base side of the probe join must be exchange-free (bucketed on fp):\n$p")
   }
 
+  test("CF family: probes read the persisted bucketed index, never rebuild") {
+    // all three gates must serve from graft_cfx_* tables; the
+    // similarity graph (p-keyed self-join) may appear in NO probe plan
+    val nb = planOf("customer_cf_neighbors")
+    assert(nb.contains("graft_cfx_nb_"),
+      s"cf_neighbors must scan the persisted neighbor table:\n$nb")
+    assert(!nb.contains("lineitem"),
+      s"cf_neighbors probe must not touch lineitem:\n$nb")
+    // pure index read: scan + presentation sort, zero hash exchanges
+    assert(nb.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"cf_neighbors probe must be a bucketed scan + sort:\n$nb")
+    val rec = planOf("customer_recommendations")
+    assert(rec.contains("graft_cfx_nb_") && rec.contains("graft_cfx_cp_"),
+      s"recommendations must probe the nb + cp tables:\n$rec")
+    assert(!rec.contains("lineitem"), s"no lineitem in the probe:\n$rec")
+    assert(rec.contains("Bucketed: true"),
+      s"the incidence side must plan as a bucketed scan:\n$rec")
+    val ev = planOf("customer_rec_eval")
+    assert(ev.contains("graft_cfx_nbtr_") && ev.contains("graft_cfx_cptr_")
+        && ev.contains("graft_cfx_test_"),
+      s"rec_eval must probe the TRAIN-split + test tables:\n$ev")
+    assert(!ev.contains("lineitem") && !ev.contains("orders"),
+      s"rec_eval probe must not rebuild the split:\n$ev")
+  }
+
   test("proximity: postings prune to the term list, equi-joins only") {
     val p = planOf("proximity_search")
     // the per-term word filters must sit below the joins (pruned
