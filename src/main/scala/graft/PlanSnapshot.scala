@@ -13,11 +13,17 @@ package graft
   * `tools/plandiff.py`; only queries whose skeleton digest changed
   * need a human look.
   *
-  * Known residual flake: `q21_waiting_suppliers` flipped digest once
-  * in four identical-code runs (everything else is stable after the
-  * lambda-identity and HOF-counter normalizations below) — treat a
-  * lone q21 diff as suspected planner nondeterminism and re-run
-  * before investigating.
+  * The round-9 q21 digest flake is ROOT-CAUSED (round 10): Spark's
+  * `RewriteDistinctAggregates` expands a multi-`countDistinct`
+  * aggregate through gid-tagged groups whose NUMBERING and key order
+  * come from hash-collection iteration over expression groups —
+  * per-JVM nondeterministic, semantically irrelevant (captured
+  * variants differ ONLY by gid 1↔2 and the matching column
+  * permutation in Expand/intermediate HashAggregates/their Exchange).
+  * `normalize` canonicalizes gid-bearing lines: gid literals → `n`,
+  * then the line's comma segments sorted, so both legal labelings
+  * digest identically while a lost partial aggregate or a new
+  * exchange still changes the multiset and flips the digest.
   */
 object PlanSnapshot {
   /** Strip everything session- or data-dependent from a plan line so
@@ -50,6 +56,17 @@ object PlanSnapshot {
         .replaceAll("size=\\S+", "size=N")
         .replaceAll("rowCount=\\S+", "rowCount=N")
         .trim
+    }.map { l =>
+      // RewriteDistinctAggregates gid canonicalization (see scaladoc):
+      // on gid-bearing lines only, erase the gid literals (the filter
+      // predicate and the trailing constant of each Expand projection)
+      // and sort the line's comma segments — both legal gid labelings
+      // collapse to one string, segment-multiset changes still show
+      if (l.contains("gid#x"))
+        l.replaceAll("gid#x = \\d+", "gid#x = n")
+          .replaceAll(", \\d+\\]", ", n]")
+          .split(", ").sorted.mkString(", ")
+      else l
     }.filter(_.nonEmpty)
       // keep only the operator skeleton: the tree lines, not the
       // "(42) Project ..." detail sections of the formatted dump

@@ -1490,6 +1490,16 @@ object SparkEntry {
     // back as the batch recompute over the FIRST micro-batch only
     "lake_time_travel" -> ((s, dir) =>
       graft.streaming.Streams.lakeTimeTravel(s, dir)),
+    // snapshot expiry/vacuum planning: per version, rows + retained
+    // flag under keep-last-1 retention
+    "lake_snapshot_expiry" -> ((s, dir) =>
+      graft.streaming.Streams.snapshotExpiry(s, dir)),
+    // mixture planning: per-source rate/epochs for a token budget at
+    // target ppm weights — the pass BEFORE any sampler runs
+    "corpus_mixture_plan" -> ((s, dir) =>
+      TextAnalysis.mixturePlan(Tables.documents(s, dir),
+        Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 150000L,
+          "src3" -> 50000L), budgetTokens = 100000L)),
     // Benford first-digit audit over order totals (exact digit math)
     "benford_audit" -> ((s, dir) =>
       Relational.benfordAudit(Tables.orders(s, dir))),
@@ -5938,6 +5948,36 @@ object SparkEntry {
          |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
          |      FROM events)
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // v0 rows = distinct users in the even half; v1 = all users (the
+    // upsert state holds one row per user seen); keep-last-1 retains
+    // only the final version
+    "lake_snapshot_expiry" ->
+      s"""WITH v0 AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM events
+         |            WHERE event_id % 2 = 0),
+         |v1 AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM events)
+         |SELECT CAST(0 AS BIGINT) AS version, v0.n AS n_rows,
+         |  FALSE AS retained FROM v0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), v1.n, TRUE FROM v1
+         |ORDER BY version""".stripMargin,
+    "corpus_mixture_plan" ->
+      s"""WITH t AS (SELECT source, CAST(len($SqlWs) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |        CAST(sum(n_tok) AS BIGINT) AS tokens_avail
+         |      FROM t GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
+         |        ('src2', 150000), ('src3', 50000)) AS w(source, w_ppm)),
+         |p AS (SELECT a.source, n_docs, tokens_avail,
+         |        CAST(w_ppm AS BIGINT) AS w_ppm,
+         |        CAST(100000::BIGINT * w_ppm // 1000000 AS BIGINT) AS target_tokens
+         |      FROM a JOIN w USING (source))
+         |SELECT source, n_docs, tokens_avail, w_ppm, target_tokens,
+         |  CAST(target_tokens * 1000000 // greatest(1, tokens_avail) AS BIGINT)
+         |    AS rate_ppm,
+         |  CAST((target_tokens + tokens_avail - 1) // greatest(1, tokens_avail)
+         |    AS BIGINT) AS epochs
+         |FROM p ORDER BY source""".stripMargin,
     // as-of v0 = the state after the FIRST micro-batch (the even
     // event_id half of the parity split) — the batch recompute the
     // snapshot read-back must equal

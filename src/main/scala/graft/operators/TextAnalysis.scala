@@ -1593,6 +1593,42 @@ object TextAnalysis {
     * window shuffle on source (salt or pre-bucket if one source
     * dominates); no global sort.
     */
+  /** Mixture PLANNING — the arithmetic a pretraining mix answers
+    * BEFORE any sampler runs ([[mixtureSample]] executes a plan; this
+    * emits one): given target mixture weights (ppm per source) and a
+    * total token budget, how much of each source is needed — a
+    * sampling rate below 10⁶ ppm when the source is oversized, an
+    * EPOCH COUNT above one when it is undersized (the "how many
+    * passes of the small high-quality source at 15% share" question).
+    * Integer-exact: target = budget·w_ppm div 10⁶; rate_ppm =
+    * target·10⁶ div avail (may exceed 10⁶); epochs = ceil division.
+    * Scale shape: one source-keyed rollup over per-row codegen token
+    * counts; the weight table is a literal-sized broadcast. At 100 TB
+    * this is the cheap pass that prices the corpus before the
+    * expensive sampler touches a row.
+    */
+  def mixturePlan(docs: DataFrame, weightsPpm: Map[String, Long],
+                  budgetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toSeq.sortBy(_._1).toDF("source", "w_ppm")
+    docs.select(col("source"), ws.as("ws"))
+      .select(col("source"), size(col("ws")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_avail"))
+      .join(broadcast(w), Seq("source"))
+      .select(col("source"), col("n_docs"), col("tokens_avail"),
+        col("w_ppm"),
+        expr(s"${budgetTokens}L * w_ppm div 1000000").as("target_tokens"))
+      .select(col("source"), col("n_docs"), col("tokens_avail"),
+        col("w_ppm"), col("target_tokens"),
+        expr("target_tokens * 1000000 div greatest(1L, tokens_avail)")
+          .as("rate_ppm"),
+        expr("(target_tokens + tokens_avail - 1) div greatest(1L, tokens_avail)")
+          .as("epochs"))
+      .orderBy("source")
+  }
+
   def mixtureSample(docs: DataFrame, budget: Int): DataFrame = {
     // try_cast + coalesce: a digit-less source value must fall back to
     // weight 1, not throw under ANSI mode (cast('' AS int) does)

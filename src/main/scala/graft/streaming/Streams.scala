@@ -1047,12 +1047,39 @@ object Streams {
     */
   def lakeTimeTravel(spark: SparkSession, dir: String,
                      version: Int = 0): DataFrame = {
-    val root = versionedLakes.computeIfAbsent(dir, _ => {
+    snapshotCols(spark.read.parquet(s"${lakeRoot(spark, dir)}/v$version"))
+  }
+
+  private def lakeRoot(spark: SparkSession, dir: String): String =
+    versionedLakes.computeIfAbsent(dir, _ => {
       val last = runUpsertStream(spark, dir)
       require(last != null, s"no micro-batches staged for $dir")
       new java.io.File(last).getParent
     })
-    snapshotCols(spark.read.parquet(s"$root/v$version"))
+
+  /** Snapshot-retention accounting — the expiry/VACUUM planning pass
+    * every versioned lake runs before deleting anything: per version,
+    * its row count and whether the `keepLast` retention window keeps
+    * it. The version listing is a metadata directory walk (bounded by
+    * micro-batch count, never data-sized) and each version contributes
+    * one count aggregate; at 100 TB the counts come from manifest
+    * stats instead of scans, but the retention arithmetic — and the
+    * invariant that a reclaimed version must be re-derivable from a
+    * retained one plus the log — is the same.
+    */
+  def snapshotExpiry(spark: SparkSession, dir: String,
+                     keepLast: Int = 1): DataFrame = {
+    val root = lakeRoot(spark, dir)
+    val versions = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted
+    val cut = versions.max - keepLast + 1
+    versions.map { v =>
+      spark.read.parquet(s"$root/v$v")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v).as("version"), col("n_rows"),
+          lit(v >= cut).as("retained"))
+    }.reduce(_.unionByName(_)).orderBy("version")
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
