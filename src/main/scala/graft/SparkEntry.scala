@@ -1827,6 +1827,15 @@ object SparkEntry {
     // Theil-Sen robust daily trend: doubled median of pairwise slopes
     "events_theilsen_trend" -> ((s, dir) =>
       Relational.theilSenTrend(Tables.events(s, dir))),
+    // robust daily-volume anomaly flags: dev > 3 MAD, all-integer
+    "events_mad_outliers" -> ((s, dir) =>
+      Relational.madOutliers(Tables.events(s, dir))),
+    // CUSUM changepoint: day maximizing |cumulative mean deviation|
+    "events_cusum_changepoint" -> ((s, dir) =>
+      Relational.cusumChangepoint(Tables.events(s, dir))),
+    // conversion-latency distribution of the funnel's greedy chains
+    "events_funnel_latency" -> ((s, dir) =>
+      Relational.funnelLatency(Tables.events(s, dir))),
     // leave-last-event-out eval of the Markov next-type predictor
     "events_markov_eval" -> ((s, dir) =>
       Relational.markovEval(Tables.events(s, dir))),
@@ -2027,6 +2036,49 @@ object SparkEntry {
          |     (SELECT count(DISTINCT user_id) AS n_step2 FROM c2),
          |     (SELECT count(DISTINCT user_id) AS n_step3 FROM c3),
          |     (SELECT count(DISTINCT user_id) AS n_step4 FROM c4)""".stripMargin,
+    "events_mad_outliers" ->
+      s"""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day,
+         |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, CAST(quantile_cont(n, 0.5) * 2 AS BIGINT)
+         |        AS med2 FROM d GROUP BY 1),
+         |dev AS (SELECT d.event_type, epoch_day, n, abs(2 * n - med2) AS dev2
+         |        FROM d JOIN m USING (event_type)),
+         |md AS (SELECT event_type, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT)
+         |        AS mad4 FROM dev GROUP BY 1)
+         |SELECT dev.event_type, epoch_day, n, dev2, mad4
+         |FROM dev JOIN md USING (event_type)
+         |WHERE 2 * dev2 > 3 * mad4
+         |ORDER BY event_type, epoch_day""".stripMargin,
+    "events_cusum_changepoint" ->
+      s"""WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+         |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+         |t AS (SELECT count(*)::BIGINT AS nd, CAST(sum(n) AS BIGINT) AS tot
+         |      FROM d),
+         |s AS (SELECT day,
+         |    abs(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) * nd
+         |        - row_number() OVER (ORDER BY day) * tot) AS abs_s, nd
+         |  FROM d, t)
+         |SELECT nd AS n_days, day AS cp_day, CAST(abs_s AS BIGINT) AS max_abs_s
+         |FROM s ORDER BY abs_s DESC, day LIMIT 1""".stripMargin,
+    // the funnel chain CTEs replayed, then the per-user fastest
+    // completed chain's latency summarized
+    "events_funnel_latency" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+         |v AS (SELECT user_id, t AS vt FROM e WHERE event_type = 'view'),
+         |s1 AS (SELECT v.user_id, v.vt, min(s.t) AS st
+         |  FROM v JOIN e s ON s.user_id = v.user_id AND s.event_type = 'signup'
+         |    AND s.t > v.vt AND s.t <= v.vt + 21600000
+         |  GROUP BY 1, 2),
+         |p1 AS (SELECT s1.user_id, s1.vt, min(p.t) AS pt
+         |  FROM s1 JOIN e p ON p.user_id = s1.user_id AND p.event_type = 'purchase'
+         |    AND p.t > s1.st AND p.t <= s1.vt + 21600000
+         |  GROUP BY 1, 2),
+         |lat AS (SELECT user_id, min(pt - vt) AS lat_ms FROM p1 GROUP BY 1)
+         |SELECT count(*)::BIGINT AS n_converted,
+         |  CAST(min(lat_ms) AS BIGINT) AS min_ms,
+         |  CAST(quantile_cont(lat_ms, 0.5) * 2 AS BIGINT) AS med2_ms,
+         |  CAST(max(lat_ms) AS BIGINT) AS max_ms
+         |FROM lat""".stripMargin,
     "events_theilsen_trend" ->
       s"""WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS n
          |  FROM events GROUP BY 1),

@@ -3201,6 +3201,94 @@ object Relational {
     joined.select(steps.indices.map(k => col(s"n_step${k + 1}")) ++ ppm: _*)
   }
 
+  /** MAD-based daily-volume anomaly flags — the robust data-quality
+    * monitor a 100 TB ingest runs per partition: for each event type,
+    * days whose count deviates from the type's median by more than
+    * 3× the median absolute deviation. Medians are carried DOUBLED
+    * (2·quantile(0.5) is integer-exact at even counts in both
+    * engines, the Theil–Sen trick), deviations quadrupled, and the
+    * 3σ-analog test `2·dev2 > 3·mad4` stays all-integer. Unlike a
+    * mean/stddev z-score, one backfill spike cannot drag the
+    * threshold (50% breakdown point). Scale shape: one daily rollup
+    * shuffle, two type-keyed percentile rollups over days-bounded
+    * frames, one broadcast-sized join back.
+    */
+  def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val d = events
+      .select(col("event_type"), expr("ts_ms div 86400000").as("epoch_day"))
+      .groupBy("event_type", "epoch_day").agg(count(lit(1)).as("n"))
+    val med = d.groupBy("event_type")
+      .agg(expr("cast(percentile(n, 0.5D) * 2 AS bigint)").as("med2"))
+    val dev = d.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("epoch_day"), col("n"),
+        abs(col("n") * 2 - col("med2")).as("dev2"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("cast(percentile(dev2, 0.5D) * 2 AS bigint)").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .where(col("dev2") * 2 > col("mad4") * k)
+      .select(col("event_type"), col("epoch_day"), col("n"),
+        col("dev2"), col("mad4"))
+      .orderBy("event_type", "epoch_day")
+  }
+
+  /** CUSUM changepoint over the daily event volume: the day k
+    * maximizing |S_k| where S_k = Σ_{i≤k}(n_i·D − T) — the integer
+    * form of the cumulative deviation from the overall mean (scaled
+    * by the day count D so no division ever happens; T = total
+    * rows). The classic "when did the level shift" detector that a
+    * volume monitor runs after [[madOutliers]] flags that something
+    * shifted. One daily rollup, one days-bounded running sum (the
+    * calendar-bounded single-partition window, same contract as
+    * [[eventsEwma]]), ties broken to the earliest day.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val d = events.select(expr("ts_ms div 86400000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val t = d.agg(count(lit(1)).as("nd"), sum("n").as("tot"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = d.crossJoin(broadcast(t))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("k", row_number().over(Window.orderBy("day")))
+      .select(col("nd"), col("day"),
+        abs(col("cum") * col("nd") - col("k") * col("tot")).as("abs_s"))
+    s.orderBy(col("abs_s").desc, col("day")).limit(1)
+      .select(col("nd").as("n_days"), col("day").as("cp_day"),
+        col("abs_s").as("max_abs_s"))
+  }
+
+  /** Conversion-latency distribution of the [[windowFunnel]] chains:
+    * for each converted user, the FASTEST completed view→signup→
+    * purchase chain's end-to-end latency (min over that user's
+    * completed chains of pt − vt), summarized as count / min /
+    * doubled-median / max milliseconds — the number an optimization
+    * team watches move, where the funnel counts only say whether.
+    * Same greedy join+min rounds as the funnel (exactness argument
+    * there); adds one user-keyed min and one global rollup.
+    */
+  def funnelLatency(events: DataFrame, windowHours: Int = 6): DataFrame = {
+    val w = windowHours * 3600000L
+    val e = events.select(col("user_id"), col("event_type"), col("ts_ms"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ms").as("vt"))
+    val s = e.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ms").as("st"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms").as("pt"))
+    val s1 = v.join(s, Seq("user_id"))
+      .where(col("st") > col("vt") && col("st") <= col("vt") + w)
+      .groupBy("user_id", "vt").agg(min("st").as("st"))
+    val p1 = s1.join(p, Seq("user_id"))
+      .where(col("pt") > col("st") && col("pt") <= col("vt") + w)
+      .groupBy("user_id", "vt").agg(min("pt").as("pt"))
+    p1.select(col("user_id"), (col("pt") - col("vt")).as("lat"))
+      .groupBy("user_id").agg(min("lat").as("lat_ms"))
+      .agg(count(lit(1)).as("n_converted"),
+        min("lat_ms").as("min_ms"),
+        expr("cast(percentile(lat_ms, 0.5D) * 2 AS bigint)").as("med2_ms"),
+        max("lat_ms").as("max_ms"))
+  }
+
   /** Theil–Sen robust trend of the daily event volume: the median of
     * all pairwise day-slopes — the estimator that shrugs off the
     * outlier days OLS (`sales_discount_slope`, `events_daily_trend`)

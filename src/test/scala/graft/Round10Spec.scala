@@ -64,6 +64,41 @@ class Round10Spec extends SparkSpec {
     assert((0 to 4).map(got.getLong) == (0 to 4).map(want.getLong))
   }
 
+  test("madOutliers: one spike day flagged against a zero-MAD baseline") {
+    // type 'a': days 0-3 carry 1 event, day 4 carries 10 → med2 = 2,
+    // dev2 = [0,0,0,0,18], mad4 = 0; only the spike satisfies
+    // 2·dev2 > 3·mad4 (a zero MAD means ANY deviation is anomalous)
+    val rows = (0 to 3).map(d => (1L, d.toLong * 86400000L, "a")) ++
+      (0 until 10).map(i => (1L, 4L * 86400000L + i, "a"))
+    val e = rows.toDF("user_id", "ts_ms", "event_type")
+    val got = operators.Relational.madOutliers(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 4L, 10L, 18L, 0L)))
+  }
+
+  test("cusumChangepoint: level shift located at the pre-shift day") {
+    // daily counts [1,1,4]: T=6, D=3 → S = [-3,-6,0]; |S| max at day 1
+    val rows = Seq((1L, 0L), (1L, 86400000L)) ++
+      (0 until 4).map(i => (1L, 2L * 86400000L + i))
+    val e = rows.toDF("user_id", "ts_ms")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("x"))
+    val r = operators.Relational.cusumChangepoint(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 6L)))
+  }
+
+  test("funnelLatency: per-user latency is the FASTEST completed chain") {
+    val H = 3600000L
+    val e = ev(
+      (1L, 1L, "view", 0L), (1L, 2L, "signup", H), (1L, 3L, "purchase", 2 * H),
+      (1L, 4L, "view", 10 * H), (1L, 5L, "signup", 10 * H + H / 2),
+      (1L, 6L, "purchase", 11 * H))
+    val r = operators.Relational.funnelLatency(e).collect()(0)
+    // chains complete at 2h and 1h; the user's latency is 1h
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, H, 2 * H, H)))
+  }
+
   test("lakeTimeTravel: v0 equals the batch recompute over batch 0") {
     val got = graft.streaming.Streams.lakeTimeTravel(spark, sf0001, 0)
       .collect().map(_.toString).toSeq
