@@ -271,6 +271,15 @@ object ScaleProbe {
       ("file_ndv",
         () => operators.Layout.fileNdvStats(liBase),
         () => operators.Layout.fileNdvStats(liBig)),
+      ("mad_outliers",
+        () => operators.Relational.madOutliers(eventsBase),
+        () => operators.Relational.madOutliers(eventsBig)),
+      ("cusum_changepoint",
+        () => operators.Relational.cusumChangepoint(eventsBase),
+        () => operators.Relational.cusumChangepoint(eventsBig)),
+      ("funnel_latency",
+        () => operators.Relational.funnelLatency(eventsBase),
+        () => operators.Relational.funnelLatency(eventsBig)),
       ("orders_reconciliation",
         () => operators.Relational.ordersReconciliation(ordsBase, liBase),
         () => operators.Relational.ordersReconciliation(ordsBig, liBig)))
