@@ -20,10 +20,15 @@ package graft
   * per-JVM nondeterministic, semantically irrelevant (captured
   * variants differ ONLY by gid 1↔2 and the matching column
   * permutation in Expand/intermediate HashAggregates/their Exchange).
-  * `normalize` canonicalizes gid-bearing lines: gid literals → `n`,
-  * then the line's comma segments sorted, so both legal labelings
-  * digest identically while a lost partial aggregate or a new
-  * exchange still changes the multiset and flips the digest.
+  * [[canonGid]] canonicalizes gid-bearing lines SURGICALLY: the gid
+  * filter literals (`gid#x = k`) → `n`, each Expand projection
+  * group's TRAILING constant (the gid tag) → `n`, and the top-level
+  * projection groups of the Expand list sorted — exactly the three
+  * spots the rewrite's labeling freedom touches. Within-group column
+  * order, non-trailing constants, and every non-gid line stay
+  * verbatim, so a changed projection constant or reordered output
+  * column still flips the digest (round-11 narrowing of the round-10
+  * whole-line segment sort, which over-normalized).
   */
 object PlanSnapshot {
   /** Strip everything session- or data-dependent from a plan line so
@@ -57,21 +62,52 @@ object PlanSnapshot {
         .replaceAll("rowCount=\\S+", "rowCount=N")
         .trim
     }.map { l =>
-      // RewriteDistinctAggregates gid canonicalization (see scaladoc):
-      // on gid-bearing lines only, erase the gid literals (the filter
-      // predicate and the trailing constant of each Expand projection)
-      // and sort the line's comma segments — both legal gid labelings
-      // collapse to one string, segment-multiset changes still show
-      if (l.contains("gid#x"))
-        l.replaceAll("gid#x = \\d+", "gid#x = n")
-          .replaceAll(", \\d+\\]", ", n]")
-          .split(", ").sorted.mkString(", ")
-      else l
+      if (l.contains("gid#x")) canonGid(l) else l
     }.filter(_.nonEmpty)
       // keep only the operator skeleton: the tree lines, not the
       // "(42) Project ..." detail sections of the formatted dump
       .takeWhile(l => !l.startsWith("= Subqueries ="))
       .toSeq
+
+  /** Canonicalize one gid-bearing plan line (see object scaladoc).
+    * Normalizes `gid#x = k` filter predicates, then — if the line
+    * carries an Expand-style `[[...], [...]]` projection list — sorts
+    * its TOP-LEVEL bracket groups after erasing each group's trailing
+    * integer (the gid tag RewriteDistinctAggregates appends). Bracket
+    * depth is tracked so commas inside nested expressions never split
+    * a group; a line with no projection list is returned with only the
+    * predicate normalization.
+    */
+  private[graft] def canonGid(line: String): String = {
+    val norm = line.replaceAll("gid#x = \\d+", "gid#x = n")
+    val open = norm.indexOf("[[")
+    if (open < 0) return norm
+    // find the matching close of the outer '[' at `open`
+    var depth = 0; var i = open; var end = -1
+    while (i < norm.length && end < 0) {
+      norm(i) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) end = i
+        case _   => ()
+      }
+      i += 1
+    }
+    if (end < 0) return norm
+    val inner = norm.substring(open + 1, end)
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var d = 0
+    inner.foreach { ch =>
+      if (ch == ',' && d == 0) { parts += sb.toString.trim; sb.clear() }
+      else {
+        if (ch == '[') d += 1 else if (ch == ']') d -= 1
+        sb.append(ch)
+      }
+    }
+    if (sb.nonEmpty) parts += sb.toString.trim
+    val canon = parts.map(_.replaceAll(", \\d+\\]$", ", n]")).sorted
+    norm.substring(0, open + 1) + canon.mkString(", ") + norm.substring(end)
+  }
 
   private def digest(lines: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

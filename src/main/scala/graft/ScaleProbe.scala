@@ -20,7 +20,8 @@ object ScaleProbe {
     // args: [factor] [probe names...] — a non-numeric first arg is
     // treated as a probe name, not a factor (so `ScaleProbe file_ndv`
     // works without remembering to write the 10)
-    val factorGiven = args.headOption.exists(_.forall(_.isDigit))
+    val factorGiven = args.headOption.exists(a =>
+      a.nonEmpty && a.forall(_.isDigit) && scala.util.Try(a.toInt).isSuccess)
     val factor = if (factorGiven) args(0).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession

@@ -120,6 +120,36 @@ object SparkEntry {
 
   private val SqlWinnowCtes = sqlWinnowCtes()
 
+  /** Lloyd training restricted to the base 80% of vec_ids — the
+    * incremental ANN index's frozen-quantizer split
+    * ([[graft.sources.AnnIndex.incCut]] computes the same integer).
+    */
+  private val SqlAnnIncTrainPred =
+    "e.vec_id < (SELECT ((max(vec_id) + 1) * 4) // 5 FROM embeddings)"
+
+  /** The CF neighbor-graph recompute — shared by the recompute gate
+    * (`customer_cf_neighbors`) and the incremental-maintenance gate
+    * (`customer_cf_increment`), whose delta fold must be byte-equal.
+    */
+  private val SqlCfNeighbors =
+    s"""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |kept AS (SELECT cp.c, cp.p FROM cp
+       |         JOIN (SELECT p FROM cp GROUP BY p HAVING count(*) <= 30) d
+       |         USING (p)),
+       |deg AS (SELECT c, count(*) AS deg FROM kept GROUP BY 1),
+       |sh AS (SELECT a.c AS c_a, b.c AS c_b, count(*) AS shared
+       |       FROM kept a JOIN kept b ON a.p = b.p AND a.c <> b.c
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sc AS (SELECT c_a, c_b, shared,
+       |         shared * shared * 1000000 // (da.deg * db.deg) AS score_ppm
+       |       FROM sh JOIN deg da ON sh.c_a = da.c
+       |             JOIN deg db ON sh.c_b = db.c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY c_a
+       |        ORDER BY score_ppm DESC, c_b) AS rank FROM sc)
+       |SELECT c_a, c_b, shared, score_ppm, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY c_a, rank""".stripMargin
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -135,15 +165,25 @@ object SparkEntry {
     * runs "until converged, max iters"; a converged state is a fixed
     * point of the update, so both produce the same final centroids.
     */
-  private def sqlKmeansCents(k: Int, iters: Int): String = {
+  /** `trainPred` (e.g. "e.vec_id < (SELECT v FROM cut)") restricts the
+    * LLOYD TRAINING rows — seeds and every assign/update round — while
+    * `ev` itself stays the full corpus, so a caller's final assignment
+    * CTE can span all vectors: the frozen-quantizer contract of the
+    * incremental ANN index.
+    */
+  private def sqlKmeansCents(k: Int, iters: Int,
+                             trainPred: String = ""): String = {
+    val innerWhere = if (trainPred.isEmpty) "" else s" WHERE $trainPred"
+    val seedWhere = if (trainPred.isEmpty) ""
+      else s" ${trainPred.replace("e.vec_id", "WHERE vec_id")}"
     val base =
       s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev FROM embeddings),
-         |c0 AS (SELECT vec_id AS cluster, ev AS cv FROM ev ORDER BY vec_id LIMIT $k)""".stripMargin
+         |c0 AS (SELECT vec_id AS cluster, ev AS cv FROM ev$seedWhere ORDER BY vec_id LIMIT $k)""".stripMargin
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, ev, cluster FROM (
          |  SELECT e.vec_id, e.ev, c.cluster,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
-         |  FROM ev e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |  FROM ev e CROSS JOIN c${i - 1} c$innerWhere) WHERE rn = 1),
          |s$i AS (SELECT cluster, list(m ORDER BY dim) AS newcv FROM (
          |  SELECT cluster, dim, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m FROM (
          |    SELECT a.cluster, r.i AS dim, a.ev[r.i] AS v
@@ -1368,6 +1408,12 @@ object SparkEntry {
     // shared with the recommendations/rec_eval gates)
     "customer_cf_neighbors" -> ((s, dir) =>
       graft.sources.CfIndex.cfNeighbors(s, dir)),
+    // incremental index maintenance: the post-1998 delta orders FOLD
+    // into the persisted base-split neighbor graph (signed pair/degree
+    // deltas + touched-only re-rank) — byte-equal to the full
+    // recompute, so it shares the cf_neighbors oracle
+    "customer_cf_increment" -> ((s, dir) =>
+      graft.sources.CfIndex.cfIncrement(s, dir)),
     // whole-file binary source: one blob per doc, exact byte round-trip
     "binaryfile_roundtrip" -> ((s, dir) =>
       graft.sources.BinaryFiles.roundtrip(s, dir)),
@@ -1400,6 +1446,13 @@ object SparkEntry {
     // bucketed postings, query reads only its own cells' buckets
     "ann_ivf_disk" -> ((s, dir) =>
       graft.sources.AnnIndex.annReport(s, dir, nQueries = 10, k = 5)),
+    // incremental index maintenance: the last 20% of vectors APPEND to
+    // the persisted cell postings under frozen base-trained centroids
+    "ann_ivf_increment" -> ((s, dir) =>
+      graft.sources.AnnIndex.annIncrementReport(s, dir, nQueries = 10, k = 5)),
+    // the rebuild tripwire: delta quantization error vs base, in ppm
+    "ann_increment_drift" -> ((s, dir) =>
+      graft.sources.AnnIndex.annIncrementDrift(s, dir)),
     // SemDeDup: k-means cells bound the pairwise-cosine dedup quadratic;
     // keep-list drops any vector with a similar lower-id cell-mate
     "semdedup_keep" -> ((s, dir) =>
@@ -1817,6 +1870,13 @@ object SparkEntry {
     // calibration bins of the classifier score vs the lang label
     "doc_classifier_calibration" -> ((s, dir) =>
       TextAnalysis.classifierCalibration(Tables.documents(s, dir))),
+    // IN-ENGINE training: 3 integer batch-perceptron rounds over the
+    // hashed bigram features, label = (lang = 'en'); output = weights
+    "doc_classifier_train" -> ((s, dir) =>
+      TextAnalysis.classifierTrain(Tables.documents(s, dir))),
+    // inference with the LEARNED weights (accept vs label agreement)
+    "doc_classifier_trained_score" -> ((s, dir) =>
+      TextAnalysis.classifierTrainedScore(Tables.documents(s, dir))),
     // conversion-window funnel: every step within 6h of the view
     "events_window_funnel" -> ((s, dir) =>
       Relational.windowFunnel(Tables.events(s, dir))),
@@ -1948,6 +2008,39 @@ object SparkEntry {
     s"CAST(list_sum(list_transform(range(15), nb -> (strpos('0123456789abcdef', " +
       s"substr(md5($x), nb+1, 1)) - 1)::BIGINT << (4*(14-nb)))) AS BIGINT)"
 
+  /** DuckDB CTE chain `t, f, y, w0, m1, e1, g1, w1, …, w<rounds>`
+    * mirroring [[operators.TextAnalysis.classifierTrain]] — `rounds`
+    * unrolled integer batch-perceptron updates over the hashed bigram
+    * count features (all BIGINT, truncation-free: sums and ±1 errors
+    * only, so the weight trajectory is engine-exact).
+    */
+  private def sqlPerceptronCtes(slots: Int, rounds: Int): String = {
+    val base =
+      s"""t AS (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |f AS (SELECT doc_id, ${sqlMd5Big("g")} % $slots AS slot,
+         |        count(*)::BIGINT AS cnt
+         |      FROM (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+         |              i -> array_to_string(list_slice(ws, i + 1, i + 2), ' '))) AS g
+         |            FROM t WHERE len(ws) >= 2)
+         |      GROUP BY 1, 2),
+         |y AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+         |      FROM documents),
+         |w0 AS (SELECT unnest(range(0, $slots)) AS slot, 0::BIGINT AS w)""".stripMargin
+    val iterCtes = (1 to rounds).map { i =>
+      s"""m$i AS (SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS m
+         |  FROM f JOIN w${i - 1} w USING (slot) GROUP BY 1),
+         |e$i AS (SELECT y.doc_id,
+         |    y.y - (CASE WHEN COALESCE(m$i.m, 0) > 0 THEN 1 ELSE 0 END) AS err
+         |  FROM y LEFT JOIN m$i USING (doc_id)
+         |  WHERE y.y - (CASE WHEN COALESCE(m$i.m, 0) > 0 THEN 1 ELSE 0 END) != 0),
+         |g$i AS (SELECT slot, CAST(sum(cnt * err) AS BIGINT) AS g
+         |  FROM f JOIN e$i USING (doc_id) GROUP BY 1),
+         |w$i AS (SELECT w.slot, w.w + COALESCE(g.g, 0) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (slot))""".stripMargin
+    }
+    (base +: iterCtes).mkString("WITH ", ",\n", "")
+  }
+
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "distinct_shingles_hll" -> {
       val c = operators.TextAnalysis.hllAlphaNum(64).toString
@@ -1983,6 +2076,18 @@ object SparkEntry {
          |        % 4096 * 2654435761 % 2001 - 1000)) END AS BIGINT) > 0 AS accept
          |FROM (SELECT doc_id, $SqlWs AS ws FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "doc_classifier_train" ->
+      s"""${sqlPerceptronCtes(256, 3)}
+         |SELECT slot, CAST(w AS BIGINT) AS w FROM w3 ORDER BY slot""".stripMargin,
+    "doc_classifier_trained_score" ->
+      s"""${sqlPerceptronCtes(256, 3)},
+         |sc AS (SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS logit
+         |       FROM f JOIN w3 w USING (slot) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(sc.logit, 0) AS logit,
+         |  COALESCE(sc.logit, 0) > 0 AS accept,
+         |  CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS is_en,
+         |  (COALESCE(sc.logit, 0) > 0) = (d.lang = 'en') AS correct
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "doc_classifier_calibration" ->
       s"""WITH sc AS (SELECT lang,
          |  CAST(CASE WHEN len(ws) < 2 THEN 0
@@ -6260,24 +6365,10 @@ object SparkEntry {
          |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
          |  FROM customer GROUP BY 1, 2)
          |GROUP BY class_size ORDER BY class_size""".stripMargin,
-    "customer_cf_neighbors" ->
-      s"""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |kept AS (SELECT cp.c, cp.p FROM cp
-         |         JOIN (SELECT p FROM cp GROUP BY p HAVING count(*) <= 30) d
-         |         USING (p)),
-         |deg AS (SELECT c, count(*) AS deg FROM kept GROUP BY 1),
-         |sh AS (SELECT a.c AS c_a, b.c AS c_b, count(*) AS shared
-         |       FROM kept a JOIN kept b ON a.p = b.p AND a.c <> b.c
-         |       GROUP BY 1, 2 HAVING count(*) >= 2),
-         |sc AS (SELECT c_a, c_b, shared,
-         |         shared * shared * 1000000 // (da.deg * db.deg) AS score_ppm
-         |       FROM sh JOIN deg da ON sh.c_a = da.c
-         |             JOIN deg db ON sh.c_b = db.c),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY c_a
-         |        ORDER BY score_ppm DESC, c_b) AS rank FROM sc)
-         |SELECT c_a, c_b, shared, score_ppm, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 3 ORDER BY c_a, rank""".stripMargin,
+    "customer_cf_neighbors" -> SqlCfNeighbors,
+    // the incremental fold equals the full recompute by construction —
+    // the two gates share one oracle
+    "customer_cf_increment" -> SqlCfNeighbors,
     "events_pattern_match" ->
       s"""SELECT user_id,
          |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches
@@ -6413,6 +6504,41 @@ object SparkEntry {
          |  JOIN embeddings qe ON qe.vec_id = q.vec_id
          |  JOIN embeddings ne ON ne.vec_id = n.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // incremented index: Lloyd runs on the BASE 80% of vec_ids only
+    // (the frozen quantizer), assignment spans all vectors — exactly
+    // the state base-build + append must reach
+    "ann_ivf_increment" ->
+      s"""${sqlKmeansCents(8, 5, trainPred = SqlAnnIncTrainPred)},
+         |cells AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+         |               n.vec_id) AS rank
+         |  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+         |  JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_increment_drift" ->
+      s"""${sqlKmeansCents(8, 5, trainPred = SqlAnnIncTrainPred)},
+         |cut AS (SELECT ((max(vec_id) + 1) * 4) // 5 AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, min(${sqlD2("e", "c")}) AS d2
+         |      FROM ev e CROSS JOIN c5 c GROUP BY 1),
+         |s AS (SELECT
+         |    CAST(count(*) FILTER (vec_id < (SELECT v FROM cut)) AS BIGINT) AS n_base,
+         |    CAST(count(*) FILTER (vec_id >= (SELECT v FROM cut)) AS BIGINT) AS n_delta,
+         |    CAST(sum(d2) FILTER (vec_id < (SELECT v FROM cut)) AS BIGINT) AS s_base,
+         |    CAST(sum(d2) FILTER (vec_id >= (SELECT v FROM cut)) AS BIGINT) AS s_delta
+         |  FROM d)
+         |SELECT n_base, n_delta,
+         |  s_base // n_base AS base_avg_d2,
+         |  s_delta // n_delta AS delta_avg_d2,
+         |  CAST((s_delta // n_delta) * 1000000 // greatest(s_base // n_base, 1) AS BIGINT) AS drift_ppm,
+         |  (s_delta // n_delta) * 1000000 // greatest(s_base // n_base, 1) > 1500000 AS rebuild_due
+         |FROM s""".stripMargin,
     "benford_audit" ->
       s"""WITH c AS (
          |  SELECT CAST(left(CAST(CAST(round(o_totalprice * 100) AS BIGINT)

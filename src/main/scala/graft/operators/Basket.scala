@@ -198,23 +198,65 @@ object Basket {
     */
   def cfNeighborsFrom(cp: DataFrame, maxDf: Int = 30, minShared: Int = 2,
                       k: Int = 3): DataFrame = {
-    val kept = cp.join(
+    val kept = cfPruned(cp, maxDf)
+    cfRankFrom(cfSharedUpper(kept),
+      kept.groupBy("c").agg(count(lit(1)).as("deg")), minShared, k)
+  }
+
+  /** The df-pruned incidence: drop parts with document frequency >
+    * maxDf BEFORE any pairing (the "everyone buys it" quadratic
+    * guard). Factored out so the incremental index maintains the SAME
+    * pruned universe ([[graft.sources.CfIndex]]).
+    */
+  def cfPruned(cp: DataFrame, maxDf: Int): DataFrame =
+    cp.join(
       cp.groupBy("p").agg(count(lit(1)).as("d")).where(col("d") <= maxDf)
         .select("p"),
       "p")
-    val deg = kept.groupBy("c").agg(count(lit(1)).as("deg"))
+
+  /** UPPER-TRIANGLE shared counts over a pruned incidence, WITHOUT the
+    * minShared threshold — shared ≥ 1. This is the mergeable state of
+    * the CF graph: a pair at shared = 1 can cross the threshold when a
+    * delta lands, so the persisted incremental index must keep the
+    * pre-threshold counts ([[graft.sources.CfIndex.writeBaseIndex]]);
+    * the query-time threshold lives in [[cfRankFrom]].
+    */
+  def cfSharedUpper(kept: DataFrame): DataFrame = {
     val left = kept.select(col("p"), col("c").as("c_a"))
     val right = kept.select(col("p"), col("c").as("c_b"))
     // shared counts are symmetric — enumerate only the upper triangle
     // (halving the dominant self-join + partial-agg volume) and mirror
     // the far-smaller aggregated pair list afterwards
-    val upper = left.join(right, "p")
+    left.join(right, "p")
       .where(col("c_a") < col("c_b"))
       .groupBy("c_a", "c_b")
       .agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
-    val shared = upper.union(upper.select(col("c_b").as("c_a"),
+  }
+
+  /** Threshold, mirror, score and rank an upper-triangle shared table
+    * against a degree table — the presentation half of the CF build,
+    * shared verbatim by the full recompute, the persisted-index write,
+    * and the incremental re-rank (which feeds it only the TOUCHED
+    * customers' pairs).
+    */
+  def cfRankFrom(sharedUpper: DataFrame, deg: DataFrame,
+                 minShared: Int, k: Int): DataFrame =
+    cfScoreRank(cfMirrored(sharedUpper, minShared), deg, k)
+
+  /** Threshold an upper-triangle shared table and mirror it to both
+    * directions — the symmetric pair list ranking consumes.
+    */
+  def cfMirrored(sharedUpper: DataFrame, minShared: Int): DataFrame = {
+    val upper = sharedUpper.where(col("shared") >= minShared)
+    upper.union(upper.select(col("c_b").as("c_a"),
       col("c_a").as("c_b"), col("shared")))
+  }
+
+  /** Score a mirrored pair list against a degree table and rank top-k
+    * per c_a. The incremental path feeds this ONLY the touched
+    * customers' (complete) pair groups; full builds feed every group.
+    */
+  def cfScoreRank(shared: DataFrame, deg: DataFrame, k: Int): DataFrame = {
     val scored = shared
       .join(deg.select(col("c").as("c_a"), col("deg").as("deg_a")), "c_a")
       .join(deg.select(col("c").as("c_b"), col("deg").as("deg_b")), "c_b")

@@ -50,6 +50,12 @@ object AnnIndex {
   def query(spark: SparkSession, tag: String, queries: DataFrame,
             k: Int): DataFrame = {
     val (centT, cellsT) = tables(tag)
+    queryTables(spark, centT, cellsT, queries, k)
+  }
+
+  private[graft] def queryTables(spark: SparkSession, centT: String,
+                                 cellsT: String, queries: DataFrame,
+                                 k: Int): DataFrame = {
     val cents = spark.table(centT)
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qe"))
@@ -90,5 +96,125 @@ object AnnIndex {
       t
     })
     query(spark, tag, emb.where(col("vec_id") < nQueries), k)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental maintenance (round 11): new vectors APPEND to their
+  // home cell's postings — one broadcast argmin against the persisted
+  // centroids plus a bucket-partitioned append. Base posting files are
+  // never rewritten (spec-proven); centroids stay frozen until the
+  // drift tripwire says a rebuild is due, exactly how a production IVF
+  // index absorbs a day's embeddings.
+  // ------------------------------------------------------------------
+
+  private def tablesInc(tag: String): (String, String) =
+    (s"graft_anni_cent_$tag", s"graft_anni_cells_$tag")
+
+  /** The posting rows for `emb` against a FIXED centroid set: cast
+    * vector + hoisted norm + home cell (broadcast argmin — the same
+    * shape writeIndex precomputes, factored so base build and delta
+    * append share it).
+    */
+  private def postingsFor(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("e"), col("e"))))
+      .join(Clustering.cellAssignments(emb, cents), "vec_id")
+
+  /** Build the incremental index family: centroids trained on
+    * `embTrain` ONLY (the frozen quantizer), postings over `embPost`.
+    * The production base build passes the same frame for both; the
+    * spec's one-shot reference passes (base, all) to produce the
+    * target state an append must reach.
+    */
+  def writeIncBase(embTrain: DataFrame, embPost: DataFrame, tag: String,
+                   nClusters: Int, iters: Int, buckets: Int = 8): Unit = {
+    val (centT, cellsT) = tablesInc(tag)
+    val cents = Clustering.lloydCentroids(embTrain, nClusters, iters)
+    cents.write.mode("overwrite").format("parquet").saveAsTable(centT)
+    postingsFor(embPost, cents).write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").saveAsTable(cellsT)
+  }
+
+  /** Fold a delta of new vectors into the persisted index: assign each
+    * against the FROZEN centroids (broadcast argmin — no training),
+    * append to the bucketed postings table. Existing files are
+    * untouched; each bucket gains one new file per append, compacted
+    * whenever the periodic centroid rebuild rewrites the index.
+    */
+  def appendDelta(spark: SparkSession, tag: String, embDelta: DataFrame,
+                  buckets: Int = 8): Unit = {
+    val (centT, cellsT) = tablesInc(tag)
+    postingsFor(embDelta, spark.table(centT))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").saveAsTable(cellsT)
+  }
+
+  /** The base/delta split point: the last ~20% of vec_ids play the
+    * nightly delta (engine- and SF-independent integer math, mirrored
+    * by the oracle's scalar subquery).
+    */
+  def incCut(spark: SparkSession, dir: String): Long =
+    (graft.Tables.embeddings(spark, dir).agg(max("vec_id")).head().getLong(0)
+      + 1L) * 4L / 5L
+
+  private val stagedInc =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureInc(spark: SparkSession, dir: String,
+                        nClusters: Int, iters: Int): String =
+    stagedInc.computeIfAbsent(dir, { _ =>
+      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val emb = graft.Tables.embeddings(spark, dir)
+      val cut = incCut(spark, dir)
+      writeIncBase(emb.where(col("vec_id") < cut),
+        emb.where(col("vec_id") < cut), t, nClusters, iters)
+      appendDelta(spark, t, emb.where(col("vec_id") >= cut))
+      t
+    })
+
+  /** Gate query: IVF top-k through the INCREMENTED index — centroids
+    * trained on the base 80%, the delta 20% folded in by append-only
+    * probes. The oracle recomputes the same frozen-quantizer contract
+    * (Lloyd over base ids, assignment over all).
+    */
+  def annIncrementReport(spark: SparkSession, dir: String, nQueries: Int,
+                         k: Int, nClusters: Int = 8,
+                         iters: Int = 5): DataFrame = {
+    val tag = ensureInc(spark, dir, nClusters, iters)
+    val (centT, cellsT) = tablesInc(tag)
+    queryTables(spark, centT, cellsT,
+      graft.Tables.embeddings(spark, dir).where(col("vec_id") < nQueries), k)
+  }
+
+  /** Drift tripwire: compare the delta's quantization error against
+    * the base's under the FROZEN centroids. A fresh delta assigned to
+    * stale centroids shows inflated distance-to-centroid; when
+    * drift_ppm (delta avg d² as ppm of base avg d²) exceeds 1.5×10⁶,
+    * the increment loop schedules a centroid rebuild instead of
+    * appending forever. All-integer (scaled d², truncating div), one
+    * broadcast-argmin scan + one global aggregate.
+    */
+  def annIncrementDrift(spark: SparkSession, dir: String,
+                        nClusters: Int = 8, iters: Int = 5): DataFrame = {
+    val tag = ensureInc(spark, dir, nClusters, iters)
+    val (centT, _) = tablesInc(tag)
+    val cut = incCut(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val scaled = emb.select(col("vec_id"),
+      Clustering.scaledVec(col("embedding")).as("ev"))
+    Clustering.assignAgainst(scaled, spark.table(centT))
+      .select(col("vec_id"), col("d2"))
+      .agg(
+        sum(when(col("vec_id") < cut, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") >= cut, 1L).otherwise(0L)).as("n_delta"),
+        sum(when(col("vec_id") < cut, col("d2")).otherwise(0L)).as("s_base"),
+        sum(when(col("vec_id") >= cut, col("d2")).otherwise(0L)).as("s_delta"))
+      .select(col("n_base"), col("n_delta"),
+        expr("s_base div n_base").as("base_avg_d2"),
+        expr("s_delta div n_delta").as("delta_avg_d2"),
+        expr("(s_delta div n_delta) * 1000000 div greatest(s_base div n_base, 1)")
+          .as("drift_ppm"))
+      .withColumn("rebuild_due", col("drift_ppm") > 1500000L)
   }
 }

@@ -852,10 +852,37 @@ object Streams {
       val ev = graft.Tables.events(spark, dir)
       ev.where(col("event_id") % 2 === 0)
         .coalesce(1).write.mode("append").parquet(out)
+      stampFresh(out, 1000000L) // even half: fixed old mtime → batch 0
       ev.where(col("event_id") % 2 === 1)
         .coalesce(1).write.mode("append").parquet(out)
+      stampFresh(out, 2000000L) // odd half: strictly newer → batch 1
       out
     })
+
+  /** Pin the mtimes of NOT-yet-stamped parquet files under `dir` to
+    * the fixed epoch `t` (< any wall clock this code will ever see).
+    * `FileStreamSource` orders files by modification time, so two
+    * write phases stamped 1000000/2000000 replay as two micro-batches
+    * in a deterministic order — wall-clock write mtimes can tie on a
+    * coarse-granularity FS and deliver the halves in either order.
+    * Freshly written files carry a real (≫ 2000000) mtime, so the
+    * `> 2000000` guard stamps exactly the files of the current write
+    * phase and never re-bumps an earlier phase's stamp; the distinct-
+    * stamps invariant is asserted after the second phase.
+    */
+  private def stampFresh(dir: String, t: Long): Unit = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    files.foreach { f =>
+      if (f.lastModified() > 2000000L)
+        require(f.setLastModified(t), s"setLastModified failed: $f")
+    }
+    if (t == 2000000L) {
+      val stamps = files.map(_.lastModified()).toSet
+      require(stamps == Set(1000000L, 2000000L),
+        s"staged two-batch source must carry both stamps, got $stamps")
+    }
+  }
 
   /** Staged copy of the events table split into TWO parquet files BY
     * TIME (below/above the median ts) with explicit modification
@@ -871,16 +898,12 @@ object Streams {
       val out = graft.TempDirs.scratchString("graft_wf_src_")
       val ev = graft.Tables.events(spark, dir)
       val cut = ev.agg(expr("percentile(ts_ms, 0.5D)")).head().getDouble(0)
-      def stamp(t: Long): Unit =
-        new java.io.File(out).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .foreach { f => if (f.lastModified() < t) f.setLastModified(t) }
       ev.where(col("ts_ms") <= cut)
         .coalesce(1).write.mode("append").parquet(out)
-      stamp(1000000L) // early half: fixed old mtime
+      stampFresh(out, 1000000L) // early half: fixed old mtime
       ev.where(col("ts_ms") > cut)
         .coalesce(1).write.mode("append").parquet(out)
-      stamp(2000000L) // late half: strictly newer, so it batches second
+      stampFresh(out, 2000000L) // late half: strictly newer → batches second
       out
     })
 
