@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-evidence harness: synthesize a `factor`× copy of the
@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor]`
   */
 object ScaleProbe {
+
+  /** The CF increment's signed-delta derivation over plain frames:
+    * base incidence from (liB, ordsB) before the cut, delta from
+    * (liD, ordsD) after it — the probe holds the base fixed while the
+    * delta scales, isolating the nightly-increment cost.
+    */
+  private def cfIncDeltas(liB: DataFrame, ordsB: DataFrame,
+                          liD: DataFrame, ordsD: DataFrame): DataFrame = {
+    val cut = to_timestamp(lit(graft.sources.CfIndex.CutDate))
+    def inc(li: DataFrame, ords: DataFrame, pred: Column): DataFrame = li
+      .join(ords.where(pred), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val cpB = inc(liB, ordsB, col("o_orderdate") < cut)
+    val dcp = inc(liD, ordsD, col("o_orderdate") >= cut)
+    val (dsh, _) = graft.sources.CfIndex.cfDeltas(dcp, cpB,
+      cpB.select("p", "c"),
+      cpB.groupBy("p").agg(count(lit(1)).as("df")), 30)
+    dsh
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // args: [factor] [probe names...] — a non-numeric first arg is
@@ -283,7 +304,19 @@ object ScaleProbe {
         () => operators.Relational.funnelLatency(eventsBig)),
       ("orders_reconciliation",
         () => operators.Relational.ordersReconciliation(ordsBase, liBase),
-        () => operators.Relational.ordersReconciliation(ordsBig, liBig)))
+        () => operators.Relational.ordersReconciliation(ordsBig, liBig)),
+      // base CF state stays copy-0-sized while the delta orders 10x —
+      // measures the signed-delta derivation alone (the nightly cost);
+      // the novelty_report convention for increment probes
+      ("cf_increment_delta",
+        () => cfIncDeltas(liBase, ordsBase, liBase, ordsBase),
+        () => cfIncDeltas(liBase, ordsBase, liBig, ordsBig)),
+      ("classifier_train",
+        () => operators.TextAnalysis.classifierTrain(docsBase, 256, 2),
+        () => operators.TextAnalysis.classifierTrain(docsBig, 256, 2)),
+      ("corpus_build_v2",
+        () => operators.TextAnalysis.corpusBuildV2(docsBase),
+        () => operators.TextAnalysis.corpusBuildV2(docsBig)))
 
     // optional args beyond the factor: probe-name filter (iteration
     // aid). A typo'd name must warn, not silently probe nothing.

@@ -577,6 +577,11 @@ object SparkEntry {
       TextAnalysis.datasetSplit(Tables.documents(s, dir))),
     "corpus_build" -> ((s, dir) =>
       TextAnalysis.corpusBuild(Tables.documents(s, dir))),
+    // capstone v2: exact dedup + Gopher static&repetition screens +
+    // winnow span-cuts + chunk accounting + per-(split, source)
+    // mixture rollup — the round-7..10 operators composed end to end
+    "corpus_build_v2" -> ((s, dir) =>
+      TextAnalysis.corpusBuildV2(Tables.documents(s, dir))),
     "doc_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir))),
     // Gopher REPETITION rules (top-2-gram / duplicated-3-gram char
@@ -3668,6 +3673,66 @@ object SparkEntry {
          |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
          |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // v2 capstone: winnow islands (SqlCrossDocCtes) + exact-dedup keep
+    // + Gopher static/repetition screens + arithmetic chunking over the
+    // cut length + per-(split, source) mixture rollup
+    "corpus_build_v2" ->
+      s"""WITH $SqlCrossDocCtes,
+         |toksv2 AS (SELECT doc_id, i AS pos
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |       LATERAL (SELECT unnest(range(0, len(ws))) AS i) r),
+         |nk AS (SELECT t.doc_id, count(*)::BIGINT AS n_kept FROM toksv2 t
+         |       WHERE NOT EXISTS (SELECT 1 FROM isl i WHERE i.doc_id = t.doc_id
+         |                           AND t.pos BETWEEN i.tok_start AND i.tok_end)
+         |       GROUP BY 1),
+         |keepv2 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |gop AS (SELECT doc_id FROM (
+         |    SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         |      len(list_distinct(ws))::BIGINT AS n_distinct,
+         |      coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS swl,
+         |      len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.Stopwords)}, w)))::BIGINT AS stop_hits,
+         |      len(regexp_extract_all(text, '$SqlSymbolPattern'))::BIGINT AS n_symbols
+         |    FROM (SELECT doc_id, text, $SqlWs AS ws FROM documents))
+         |  WHERE n_tokens BETWEEN 10 AND 100000
+         |    AND (CASE WHEN n_tokens > 0 THEN (swl * 100) // n_tokens ELSE 0 END) BETWEEN 300 AND 1000
+         |    AND n_symbols * 10 <= n_tokens
+         |    AND n_distinct * 10 >= n_tokens * 3
+         |    AND stop_hits >= 2),
+         |basev2 AS (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |bcv2 AS (SELECT doc_id,
+         |  coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT AS n_chars FROM basev2),
+         |c2v AS (SELECT doc_id, g, (length(g) - 1)::BIGINT AS gchars, count(*)::BIGINT AS cnt
+         |        FROM (SELECT doc_id, array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS g
+         |              FROM basev2, LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) r
+         |              WHERE len(ws) >= 2) GROUP BY 1, 2, 3),
+         |t2v AS (SELECT doc_id, CAST(cnt * gchars * 1000000 // greatest(1, n_chars) AS BIGINT) AS top2
+         |        FROM (SELECT c2v.*, bcv2.n_chars,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+         |              FROM c2v JOIN bcv2 USING (doc_id)) WHERE rn = 1),
+         |c3v AS (SELECT doc_id, g, (length(g) - 2)::BIGINT AS gchars, count(*)::BIGINT AS cnt
+         |        FROM (SELECT doc_id, array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS g
+         |              FROM basev2, LATERAL (SELECT unnest(range(0, len(ws) - 2)) AS i) r
+         |              WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+         |d3v AS (SELECT doc_id,
+         |          CAST(sum(cnt * gchars) * 1000000 // greatest(1, max(n_chars)) AS BIGINT) AS dup3
+         |        FROM c3v JOIN bcv2 USING (doc_id) WHERE cnt >= 2 GROUP BY doc_id),
+         |rep AS (SELECT bcv2.doc_id FROM bcv2
+         |        LEFT JOIN t2v USING (doc_id) LEFT JOIN d3v USING (doc_id)
+         |        WHERE coalesce(top2, 0) <= 200000 AND coalesce(dup3, 0) <= 300000),
+         |surv AS (SELECT d.doc_id, d.source, nk.n_kept FROM documents d
+         |         JOIN keepv2 USING (doc_id) JOIN gop USING (doc_id)
+         |         JOIN rep USING (doc_id) JOIN nk USING (doc_id)
+         |         WHERE nk.n_kept > 0),
+         |chv2 AS (SELECT doc_id, source, least(32, n_kept - s)::BIGINT AS n_chunk_tokens
+         |         FROM surv, LATERAL (SELECT unnest(range(0, n_kept, 24)) AS s) r),
+         |agv2 AS (SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |                WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         |           source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |           count(*) AS n_chunks, CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+         |         FROM chv2 GROUP BY 1, 2)
+         |SELECT split, source, n_docs, n_chunks, n_tokens,
+         |  CAST(n_tokens * 1000000 // sum(n_tokens) OVER (PARTITION BY split) AS BIGINT) AS share_ppm
+         |FROM agv2 ORDER BY split, source""".stripMargin,
     "media_meta" ->
       s"""SELECT doc_id AS media_id,
          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

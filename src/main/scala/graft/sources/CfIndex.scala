@@ -327,11 +327,15 @@ object CfIndex {
           .as("shared"))
       .where(col("shared") > 0)
       .localCheckpoint()
+    // checkpointed: the scored re-rank joins deg1 on BOTH sides of
+    // every pair — without the cut, the bucketed full-outer merge
+    // would execute twice in the serving plan
     val deg1 = spark.table(ti("deg", tag)).join(ddeg, Seq("c"), "full_outer")
       .select(col("c"),
         (coalesce(col("deg"), lit(0L)) + coalesce(col("dd"), lit(0L)))
           .as("deg"))
       .where(col("deg") > 0)
+      .localCheckpoint()
     val degChanged = ddeg.select("c")
     val t0 = degChanged
       .unionByName(dsh.select(col("c_a").as("c")))

@@ -352,8 +352,20 @@ object Streams {
     * data because the file source has no per-partition idle-timeout
     * hook; file modification times are forced ascending so
     * `maxFilesPerTrigger=1` batches corpus → hb1 → hb2 in order.
+    *
+    * Round 11 trims the heartbeat count 4 → 2 (the fixture was the
+    * sweep's slowest query and drifting up ~1 s/round): at the worst
+    * observed commit lag (eviction in batch N against the watermark of
+    * batch N−2), the AvailableNow no-data FINAL batch still evicts
+    * with heartbeat-1's watermark = corpus max + 2 h − 1 h delay,
+    * strictly past every real purchase — one full heartbeat of margin
+    * beyond the measured failure mode (one heartbeat, where the final
+    * eviction's lag-2 watermark is corpus max − 1 h and the last
+    * unmatched purchase never flushes). An 8×-rerun stress spec pins
+    * the flush determinism at this count.
     */
-  private def stagedEventsWithSentinel(spark: SparkSession, dir: String): String =
+  private def stagedEventsWithSentinel(spark: SparkSession, dir: String,
+                                       nSentinels: Int = 2): String =
     streamDirCache.computeIfAbsent(s"$dir#sentinel", _ => {
       val out = graft.TempDirs.scratch("graft_loj_src_")
       val path = s"$dir/events.parquet"
@@ -367,7 +379,7 @@ object Streams {
           col("ts") + lit(hours * 3600L * 1000 * 1000 * 1000)
         case _ => col("ts") + expr(s"INTERVAL $hours HOURS")
       }
-      for (i <- Seq(1, 2, 3, 4)) {
+      for (i <- 1 to nSentinels) {
         val tmp = graft.TempDirs.scratch("graft_loj_tmp_")
         val base = ev.orderBy(col("ts").desc).limit(1)
           .withColumn("ts", bump(2L * i))
@@ -389,7 +401,7 @@ object Streams {
       }
       // ascending mod times: corpus first, then heartbeats in order
       val now = System.currentTimeMillis()
-      ("0_events.parquet" +: (1 to 4).map(i => s"${i}_sentinel.parquet"))
+      ("0_events.parquet" +: (1 to nSentinels).map(i => s"${i}_sentinel.parquet"))
         .zipWithIndex.foreach { case (f, i) =>
           java.nio.file.Files.setLastModifiedTime(out.resolve(f),
             java.nio.file.attribute.FileTime.fromMillis(now + i * 2000L))
@@ -443,8 +455,11 @@ object Streams {
         "left_outer")
       .select(col("purchase_id"),
         coalesce(unix_millis(col("v_ts")), lit(-1L)).as("view_ms"))
+    // 4 state partitions: the join state is user-keyed and tiny at any
+    // SF the fixture runs; fewer stores = less per-batch provider
+    // overhead on a 3-batch harness (measured, same result)
     runAvailableNow(joined, Seq("purchase_id", "view_ms"), mode = "append",
-      statePartitions = Some(8))
+      statePartitions = Some(4))
   }
 
   /** Sliding windows (width 10 min, slide 5 min) over the events file

@@ -513,6 +513,67 @@ class PlanAuditSpec extends SparkSpec {
       s"rec_eval probe must not rebuild the split:\n$ev")
   }
 
+  test("CF increment: delta probes the bucketed base, serving plan is index-only") {
+    // trigger the base-split index build + increment once
+    val inc = SparkEntry.queries("customer_cf_increment")(spark, sf0001)
+    val p = inc.queryExecution.executedPlan.toString
+    // the serving (merge + re-rank) plan reads the persisted base nb
+    // table; all raw-table work (delta derivation) happened behind the
+    // eager checkpoints during construction — so no fact scan here
+    assert(p.contains("graft_cfi_nb_"),
+      s"untouched customers must serve from the base nb table:\n$p")
+    assert(!p.contains("lineitem") && !p.contains("orders"),
+      s"the serving plan must not rescan the fact tables:\n$p")
+    // the Δ anti-join probe: base incidence side is the bucketed table
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val cpT = spark.catalog.listTables().collect().map(_.name)
+      .find(_.startsWith("graft_cfi_cp_")).get
+    val dcp = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+          .where(col("o_orderdate") >=
+            to_timestamp(lit(graft.sources.CfIndex.CutDate))),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .join(spark.table(cpT), Seq("c", "p"), "left_anti")
+    val pp = dcp.queryExecution.executedPlan.toString
+    assert(pp.contains("graft_cfi_cp_") && pp.contains("Bucketed: true"),
+      s"the anti-join must probe the bucketed base incidence:\n$pp")
+    // the pushed delta cut must reach the orders scan
+    assert(pp.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the delta date cut must push to the orders scan:\n$pp")
+  }
+
+  test("ANN increment: probe prunes to the query cells' buckets") {
+    val p = SparkEntry.queries("ann_ivf_increment")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_anni_cells_"),
+      s"the probe must read the persisted incremented postings:\n$p")
+    // the cell IN-filter must push into the bucketed posting scan
+    val scan = p.linesIterator
+      .find(l => l.contains("graft_anni_cells_") && l.contains("FileScan"))
+      .getOrElse("")
+    assert(scan.contains("Bucketed: true") && p.contains("cell#"),
+      s"posting scan must stay bucketed with the cell filter pushed:\n$p")
+  }
+
+  test("classifier training: the corpus never shuffles on the model key") {
+    // the weight vector rides a broadcast every round — a slot-keyed
+    // exchange of the FEATURE table would be the 100 TB killer. The
+    // returned weights are checkpointed (lineage cut), so audit the
+    // round's margin subplan exactly as the loop builds it.
+    import org.apache.spark.sql.functions.{broadcast, col, lit, sum}
+    val feats = operators.TextAnalysis.classifierFeatures(
+      Tables.documents(spark, sf0001), 64)
+    val w = spark.range(64).select(col("id").as("slot"), lit(0L).as("w"))
+    val p = feats.join(broadcast(w), "slot")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("w")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights must broadcast into the feature scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(slot"),
+      s"the feature table must never shuffle on the model key:\n$p")
+  }
+
   test("proximity: postings prune to the term list, equi-joins only") {
     val p = planOf("proximity_search")
     // the per-term word filters must sit below the joins (pruned

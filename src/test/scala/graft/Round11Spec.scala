@@ -137,6 +137,25 @@ class Round11Spec extends SparkSpec {
     assert(a == b)
   }
 
+  // ------------------------------------------------ corpus build v2
+
+  test("corpusBuildV2: non-empty, consistent mixture shares per split") {
+    val r = operators.TextAnalysis.corpusBuildV2(
+      Tables.documents(spark, sf0001))
+    val rows = r.collect()
+    assert(rows.nonEmpty, "capstone must keep SOME documents")
+    // floor-rounded shares per split must sum to ≤ 1e6 and close to it
+    rows.groupBy(_.getString(0)).foreach { case (split, rs) =>
+      val s = rs.map(_.getLong(5)).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length,
+        s"split $split share sum $s")
+      // every (split, source) cell carries documents and tokens
+      rs.foreach(row => assert(row.getLong(2) > 0 && row.getLong(4) > 0))
+    }
+    // chunk accounting: n_chunks >= n_docs (every kept doc chunks)
+    rows.foreach(row => assert(row.getLong(3) >= row.getLong(2)))
+  }
+
   // ------------------------------------------ incremental ANN index
 
   test("ANN append: base posting files untouched; equals one-shot build") {

@@ -152,6 +152,15 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
     // the outer semantics must be exercised: some purchase has no view
     assert(got.exists(_._2 == -1L))
+    // flush-determinism stress at the trimmed 2-heartbeat staging: the
+    // watermark-commit race (the reason the heartbeats exist) is
+    // per-RUN, so repeated runs over the same staging pin that the
+    // final no-data batch always evicts the last unmatched purchases
+    for (i <- 1 to 7) {
+      val again = Streams.leftOuterIntervalJoinAvailableNow(spark, sf0001)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(again == want, s"outer flush nondeterministic on rerun $i")
+    }
   }
 
   test("transformWithState user spend equals the batch per-user aggregate") {
