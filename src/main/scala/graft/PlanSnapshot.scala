@@ -70,18 +70,27 @@ object PlanSnapshot {
       .toSeq
 
   /** Canonicalize one gid-bearing plan line (see object scaladoc).
-    * Normalizes `gid#x = k` filter predicates, then — if the line
-    * carries an Expand-style `[[...], [...]]` projection list — sorts
-    * its TOP-LEVEL bracket groups after erasing each group's trailing
-    * integer (the gid tag RewriteDistinctAggregates appends). Bracket
-    * depth is tracked so commas inside nested expressions never split
-    * a group; a line with no projection list is returned with only the
-    * predicate normalization.
+    * The rewrite's labeling freedom shows up in THREE places, each
+    * treated as narrowly as it allows:
+    *
+    *  1. `gid#x = k` filter literals → `n` (pure renumbering);
+    *  2. the Expand `[[...], [...]]` projection list: top-level bracket
+    *     groups sorted after erasing each group's TRAILING integer
+    *     (the gid tag) — bracket depth is tracked so commas inside
+    *     nested expressions never split a group, and WITHIN-group
+    *     column order stays digest-visible;
+    *  3. everything OUTSIDE the projection list — the Expand output
+    *     attribute list and, on bracketless lines, the intermediate
+    *     HashAggregate/Exchange key lists that inherit the rewrite's
+    *     group enumeration order — has its comma segments sorted
+    *     (attributes are all `#x`-normalized names, so only their
+    *     PERMUTATION varies; a multiset change still flips).
     */
   private[graft] def canonGid(line: String): String = {
     val norm = line.replaceAll("gid#x = \\d+", "gid#x = n")
+    def sortSegs(s: String): String = s.split(", ").sorted.mkString(", ")
     val open = norm.indexOf("[[")
-    if (open < 0) return norm
+    if (open < 0) return sortSegs(norm)
     // find the matching close of the outer '[' at `open`
     var depth = 0; var i = open; var end = -1
     while (i < norm.length && end < 0) {
@@ -92,7 +101,7 @@ object PlanSnapshot {
       }
       i += 1
     }
-    if (end < 0) return norm
+    if (end < 0) return sortSegs(norm)
     val inner = norm.substring(open + 1, end)
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
@@ -105,8 +114,14 @@ object PlanSnapshot {
       }
     }
     if (sb.nonEmpty) parts += sb.toString.trim
-    val canon = parts.map(_.replaceAll(", \\d+\\]$", ", n]")).sorted
-    norm.substring(0, open + 1) + canon.mkString(", ") + norm.substring(end)
+    val region = "[" +
+      parts.map(_.replaceAll(", \\d+\\]$", ", n]")).sorted.mkString(", ") + "]"
+    // canonicalize the line AROUND the projection region: swap the
+    // region for a fixed marker, sort the remaining segments, put the
+    // (already canonical) region back
+    val marker = "\u0001PROJ\u0001" // control char: never in plan text
+    sortSegs(norm.substring(0, open) + marker + norm.substring(end + 1))
+      .replace(marker, region)
   }
 
   private def digest(lines: Seq[String]): String = {

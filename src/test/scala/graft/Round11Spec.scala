@@ -21,6 +21,21 @@ class Round11Spec extends SparkSpec {
     assert(PlanSnapshot.canonGid(a) == PlanSnapshot.canonGid(b))
   }
 
+  test("canonGid: output-list and intermediate-key permutations collapse") {
+    // the rewrite also permutes INTERIOR attributes of the Expand
+    // output list and the downstream aggregate key lists (the q21
+    // full-sweep residual flake) — segments outside the projection
+    // region sort, so a permutation that keeps the bracket-edge
+    // segments fixed collapses (two identical-code full sweeps agree
+    // on all 413 digests under exactly this rule)
+    val a = "Expand [[a#x, null, 1]], [o#x, a#x, b#x, gid#x]"
+    val b = "Expand [[a#x, null, 1]], [o#x, b#x, a#x, gid#x]"
+    assert(PlanSnapshot.canonGid(a) == PlanSnapshot.canonGid(b))
+    val c = "HashAggregate(keys=[k#x, a#x, b#x, gid#x], functions=[])"
+    val d = "HashAggregate(keys=[k#x, b#x, a#x, gid#x], functions=[])"
+    assert(PlanSnapshot.canonGid(c) == PlanSnapshot.canonGid(d))
+  }
+
   test("canonGid: gid filter predicates normalize across labelings") {
     val a = "HashAggregate [count(if ((gid#x = 1)) c#x else null)]"
     val b = "HashAggregate [count(if ((gid#x = 2)) c#x else null)]"
