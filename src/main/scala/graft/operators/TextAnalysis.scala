@@ -1228,6 +1228,29 @@ object TextAnalysis {
     w.orderBy("slot")
   }
 
+  // (dir, slots, rounds) -> learned weights, collected once per
+  // session: the model-registry shape — training runs once, every
+  // consumer (the train gate's output, the scoring gate, any future
+  // filter) reads the same registered weights. The weight vector is
+  // `slots` rows — driver-held loop state, same contract as the Lloyd
+  // centroid frame.
+  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[(Long, Long)]]()
+
+  /** [[classifierTrain]] through the per-(session, dir) model
+    * registry: the first caller pays the training run; everyone else
+    * gets the registered weights rebuilt as a tiny local frame.
+    */
+  def classifierTrainCached(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, slots: Int = 256,
+                            rounds: Int = 3): DataFrame = {
+    val rows = trainedCache.computeIfAbsent((dir, slots, rounds), _ =>
+      classifierTrain(graft.Tables.documents(spark, dir), slots, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    import spark.implicits._
+    rows.toDF("slot", "w").orderBy("slot")
+  }
+
   /** Score every document with the LEARNED weights — inference
     * re-pointed at [[classifierTrain]]'s output instead of the
     * stand-in hash weights: per doc the logit, the accept decision,
@@ -1235,8 +1258,9 @@ object TextAnalysis {
     * broadcasts; scoring is one feature-scan + doc-keyed aggregate.
     */
   def classifierTrainedScore(docs: DataFrame, slots: Int = 256,
-                             rounds: Int = 3): DataFrame = {
-    val w = classifierTrain(docs, slots, rounds)
+                             rounds: Int = 3,
+                             weights: Option[DataFrame] = None): DataFrame = {
+    val w = weights.getOrElse(classifierTrain(docs, slots, rounds))
     val logits = classifierFeatures(docs, slots)
       .join(broadcast(w), "slot")
       .groupBy("doc_id").agg(sum(col("cnt") * col("w")).as("l"))

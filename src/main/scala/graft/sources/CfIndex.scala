@@ -167,6 +167,14 @@ object CfIndex {
 
   private def ti(name: String, tag: String): String = s"graft_cfi_${name}_$tag"
 
+  // SPARK_GRAFT_TRACE=1: per-phase wall-clock of the increment path
+  private def timedInc[A](label: String)(a: => A): A = {
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+    val t0 = System.nanoTime(); val r = a
+    if (trace) println(f"CFI $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   /** The base/delta split date: orders STRICTLY BEFORE it form the
     * base index; on/after it are the increment. The fixture's orders
     * span 1995..2001-08; 2001-01-01 keeps the delta at the last ~9% —
@@ -238,7 +246,8 @@ object CfIndex {
                               maxDf: Int): (DataFrame, DataFrame) = {
     // truly-new (c, p) pairs: a delta order repeating an owned part
     // adds nothing to the DISTINCT incidence
-    val dcp = dcpRaw.join(cpB, Seq("c", "p"), "left_anti").localCheckpoint()
+    val dcp = timedInc("dcp")(
+      dcpRaw.join(cpB, Seq("c", "p"), "left_anti").localCheckpoint())
     // df bookkeeping only matters for DELTA-TOUCHED parts: an
     // untouched part's kept/banned status cannot change (df only
     // grows, and only via delta rows), so the probe is ddf ⟕ pdf —
@@ -252,7 +261,7 @@ object CfIndex {
     // the delta that lands ABOVE the bar has no base pairs to remove
     val crossing = dfm.where(col("df0") <= maxDf && col("df1") > maxDf)
       .select("p")
-    val dk = dcp.join(keptNew, "p").localCheckpoint()
+    val dk = timedInc("dk")(dcp.join(keptNew, "p").localCheckpoint())
     // Δ×base on surviving parts: c_delta ≠ c_base by construction
     // (the anti-join guarantees the delta customer does NOT own p in
     // base), so no self-pair filter is needed
@@ -266,7 +275,7 @@ object CfIndex {
       .select("c_a", "c_b")
     // crossing parts: EVERY base pair of p leaves the graph (≤ maxDf²
     // per part — the one base-side expansion, df-bounded by contract)
-    val remBase = cppB.join(crossing, "p").localCheckpoint()
+    val remBase = timedInc("remBase")(cppB.join(crossing, "p").localCheckpoint())
     val rem = remBase.select(col("p"), col("c").as("c_a"))
       .join(remBase.select(col("p"), col("c").as("c_b")), "p")
       .where(col("c_a") < col("c_b"))
@@ -319,23 +328,25 @@ object CfIndex {
       .distinct()
     val (dsh0, ddeg0) = cfDeltas(dcpRaw, spark.table(ti("cp", tag)),
       spark.table(ti("cpp", tag)), spark.table(ti("pdf", tag)), maxDf)
-    val dsh = dsh0.localCheckpoint()
-    val ddeg = ddeg0.localCheckpoint()
-    val sh1 = spark.table(ti("sh", tag)).join(dsh, Seq("c_a", "c_b"), "full_outer")
-      .select(col("c_a"), col("c_b"),
-        (coalesce(col("shared"), lit(0L)) + coalesce(col("ds"), lit(0L)))
-          .as("shared"))
-      .where(col("shared") > 0)
-      .localCheckpoint()
+    val dsh = timedInc("dsh")(dsh0.localCheckpoint())
+    val ddeg = timedInc("ddeg")(ddeg0.localCheckpoint())
+    val sh1 = timedInc("sh1")(
+      spark.table(ti("sh", tag)).join(dsh, Seq("c_a", "c_b"), "full_outer")
+        .select(col("c_a"), col("c_b"),
+          (coalesce(col("shared"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .as("shared"))
+        .where(col("shared") > 0)
+        .localCheckpoint())
     // checkpointed: the scored re-rank joins deg1 on BOTH sides of
     // every pair — without the cut, the bucketed full-outer merge
     // would execute twice in the serving plan
-    val deg1 = spark.table(ti("deg", tag)).join(ddeg, Seq("c"), "full_outer")
-      .select(col("c"),
-        (coalesce(col("deg"), lit(0L)) + coalesce(col("dd"), lit(0L)))
-          .as("deg"))
-      .where(col("deg") > 0)
-      .localCheckpoint()
+    val deg1 = timedInc("deg1")(
+      spark.table(ti("deg", tag)).join(ddeg, Seq("c"), "full_outer")
+        .select(col("c"),
+          (coalesce(col("deg"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+            .as("deg"))
+        .where(col("deg") > 0)
+        .localCheckpoint())
     val degChanged = ddeg.select("c")
     val t0 = degChanged
       .unionByName(dsh.select(col("c_a").as("c")))
@@ -345,7 +356,8 @@ object CfIndex {
       .unionByName(sh1
         .join(broadcast(degChanged.withColumnRenamed("c", "c_a")), "c_a")
         .select(col("c_b").as("c")))
-    val touched = t0.unionByName(t1).distinct().localCheckpoint()
+    val touched = timedInc("touched")(
+      t0.unionByName(t1).distinct().localCheckpoint())
     val ranked = Basket.cfScoreRank(
       Basket.cfMirrored(sh1, minShared)
         .join(broadcast(touched.withColumnRenamed("c", "c_a")),
