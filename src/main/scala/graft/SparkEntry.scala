@@ -127,6 +127,27 @@ object SparkEntry {
   private val SqlAnnIncTrainPred =
     "e.vec_id < (SELECT ((max(vec_id) + 1) * 4) // 5 FROM embeddings)"
 
+  /** IVF top-k under the frozen base-trained quantizer over ALL
+    * vectors — shared by `ann_ivf_increment` (append path) and
+    * `ann_index_compact` (append + compact path): compaction must not
+    * change a single row.
+    */
+  private lazy val SqlAnnIncTopk =
+    s"""${sqlKmeansCents(8, 5, trainPred = SqlAnnIncTrainPred)},
+       |cells AS (SELECT vec_id, cluster AS cell FROM (
+       |  SELECT e.vec_id, c.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+       |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+       |               n.vec_id) AS rank
+       |  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+       |  JOIN embeddings ne ON ne.vec_id = n.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The CF neighbor-graph recompute — shared by the recompute gate
     * (`customer_cf_neighbors`) and the incremental-maintenance gate
     * (`customer_cf_increment`), whose delta fold must be byte-equal.
@@ -1458,6 +1479,10 @@ object SparkEntry {
     // the rebuild tripwire: delta quantization error vs base, in ppm
     "ann_increment_drift" -> ((s, dir) =>
       graft.sources.AnnIndex.annIncrementDrift(s, dir)),
+    // compaction: append-accumulated postings rewritten to one file
+    // per bucket; probe result provably unchanged (same oracle)
+    "ann_index_compact" -> ((s, dir) =>
+      graft.sources.AnnIndex.annCompactReport(s, dir, nQueries = 10, k = 5)),
     // SemDeDup: k-means cells bound the pairwise-cosine dedup quadratic;
     // keep-list drops any vector with a similar lower-id cell-mate
     "semdedup_keep" -> ((s, dir) =>
@@ -1884,6 +1909,10 @@ object SparkEntry {
     "doc_classifier_trained_score" -> ((s, dir) =>
       TextAnalysis.classifierTrainedScore(Tables.documents(s, dir),
         weights = Some(TextAnalysis.classifierTrainCached(s, dir)))),
+    // held-out eval: train on the first 80% of doc_ids, score the
+    // rest — confusion counts + accuracy/precision/recall ppm
+    "doc_classifier_eval" -> ((s, dir) =>
+      TextAnalysis.classifierEval(Tables.documents(s, dir))),
     // conversion-window funnel: every step within 6h of the view
     "events_window_funnel" -> ((s, dir) =>
       Relational.windowFunnel(Tables.events(s, dir))),
@@ -2021,7 +2050,14 @@ object SparkEntry {
     * count features (all BIGINT, truncation-free: sums and ±1 errors
     * only, so the weight trajectory is engine-exact).
     */
-  private def sqlPerceptronCtes(slots: Int, rounds: Int): String = {
+  /** `trainPred` (e.g. "doc_id < (SELECT v FROM cutd)") restricts the
+    * TRAINING population — every margin/error/gradient round — while
+    * `f`/`y` stay corpus-wide so a caller's scoring CTE can span any
+    * split: the held-out-eval contract (`doc_classifier_eval`).
+    */
+  private def sqlPerceptronCtes(slots: Int, rounds: Int,
+                                trainPred: String = ""): String = {
+    val (fTr, yTr) = if (trainPred.isEmpty) ("f", "y") else ("ftr", "ytr")
     val base =
       s"""t AS (SELECT doc_id, $SqlWs AS ws FROM documents),
          |f AS (SELECT doc_id, ${sqlMd5Big("g")} % $slots AS slot,
@@ -2031,17 +2067,22 @@ object SparkEntry {
          |            FROM t WHERE len(ws) >= 2)
          |      GROUP BY 1, 2),
          |y AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
-         |      FROM documents),
+         |      FROM documents),""".stripMargin +
+        (if (trainPred.isEmpty) ""
+         else s"""
+         |ftr AS (SELECT * FROM f WHERE $trainPred),
+         |ytr AS (SELECT * FROM y WHERE $trainPred),""".stripMargin) +
+      s"""
          |w0 AS (SELECT unnest(range(0, $slots)) AS slot, 0::BIGINT AS w)""".stripMargin
     val iterCtes = (1 to rounds).map { i =>
       s"""m$i AS (SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS m
-         |  FROM f JOIN w${i - 1} w USING (slot) GROUP BY 1),
+         |  FROM $fTr f JOIN w${i - 1} w USING (slot) GROUP BY 1),
          |e$i AS (SELECT y.doc_id,
          |    y.y - (CASE WHEN COALESCE(m$i.m, 0) > 0 THEN 1 ELSE 0 END) AS err
-         |  FROM y LEFT JOIN m$i USING (doc_id)
+         |  FROM $yTr y LEFT JOIN m$i USING (doc_id)
          |  WHERE y.y - (CASE WHEN COALESCE(m$i.m, 0) > 0 THEN 1 ELSE 0 END) != 0),
          |g$i AS (SELECT slot, CAST(sum(cnt * err) AS BIGINT) AS g
-         |  FROM f JOIN e$i USING (doc_id) GROUP BY 1),
+         |  FROM $fTr f JOIN e$i USING (doc_id) GROUP BY 1),
          |w$i AS (SELECT w.slot, w.w + COALESCE(g.g, 0) AS w
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (slot))""".stripMargin
     }
@@ -2095,6 +2136,32 @@ object SparkEntry {
          |  CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS is_en,
          |  (COALESCE(sc.logit, 0) > 0) = (d.lang = 'en') AS correct
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // held-out eval: perceptron trained on the first 80% of doc_ids
+    // only, scored over the rest; featureless docs score 0 via the
+    // left join (pred = reject), same as the Spark side's coalesce
+    "doc_classifier_eval" ->
+      s"""${sqlPerceptronCtes(256, 3,
+             trainPred = "doc_id < (SELECT v FROM cutd)")
+           .replace("WITH t AS",
+             "WITH cutd AS (SELECT ((max(doc_id) + 1) * 4) // 5 AS v FROM documents),\nt AS")},
+         |sc AS (SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS logit
+         |       FROM f JOIN w3 w USING (slot)
+         |       WHERE f.doc_id >= (SELECT v FROM cutd) GROUP BY 1),
+         |tt AS (SELECT d.doc_id, COALESCE(sc.logit, 0) > 0 AS accept,
+         |         d.lang = 'en' AS pos
+         |       FROM documents d LEFT JOIN sc USING (doc_id)
+         |       WHERE d.doc_id >= (SELECT v FROM cutd)),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |        CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos,
+         |        CAST(count(*) FILTER (accept AND pos) AS BIGINT) AS tp,
+         |        CAST(count(*) FILTER (accept AND NOT pos) AS BIGINT) AS fp,
+         |        CAST(count(*) FILTER (NOT accept AND pos) AS BIGINT) AS fn
+         |      FROM tt)
+         |SELECT n_test, n_pos, tp, fp, fn,
+         |  CAST((n_test - fp - fn) * 1000000 // n_test AS BIGINT) AS accuracy_ppm,
+         |  CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
+         |  CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm
+         |FROM s""".stripMargin,
     "doc_classifier_calibration" ->
       s"""WITH sc AS (SELECT lang,
          |  CAST(CASE WHEN len(ws) < 2 THEN 0
@@ -6574,21 +6641,10 @@ object SparkEntry {
     // incremented index: Lloyd runs on the BASE 80% of vec_ids only
     // (the frozen quantizer), assignment spans all vectors — exactly
     // the state base-build + append must reach
-    "ann_ivf_increment" ->
-      s"""${sqlKmeansCents(8, 5, trainPred = SqlAnnIncTrainPred)},
-         |cells AS (SELECT vec_id, cluster AS cell FROM (
-         |  SELECT e.vec_id, c.cluster,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
-         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1)
-         |SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
-         |               n.vec_id) AS rank
-         |  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
-         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
-         |  JOIN embeddings ne ON ne.vec_id = n.vec_id
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_increment" -> SqlAnnIncTopk,
+    // compaction rewrites the same rows — the probe answer is the
+    // increment answer, so the gates share one oracle
+    "ann_index_compact" -> SqlAnnIncTopk,
     "ann_increment_drift" ->
       s"""${sqlKmeansCents(8, 5, trainPred = SqlAnnIncTrainPred)},
          |cut AS (SELECT ((max(vec_id) + 1) * 4) // 5 AS v FROM embeddings),

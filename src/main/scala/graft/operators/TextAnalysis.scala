@@ -1273,6 +1273,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** HELD-OUT evaluation of the trained classifier — the eval loop a
+    * quality model must pass before it gates a corpus, mirroring the
+    * engine's other split contracts ([[graft.operators.Basket.recEval]]
+    * leave-latest-out, the ANN frozen-quantizer 80/20): train on the
+    * first 80% of doc_ids, score the held-out 20%, report one row of
+    * confusion counts + accuracy/precision/recall ppm (integer-exact).
+    * Leakage-free by construction: no held-out feature or label ever
+    * reaches a gradient round. Scale: training cost as
+    * [[classifierTrain]]; the eval adds one feature-scan of the
+    * held-out split + a single global aggregate.
+    */
+  def classifierEval(docs: DataFrame, slots: Int = 256,
+                     rounds: Int = 3): DataFrame = {
+    val cut = (docs.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
+    val w = classifierTrain(docs.where(col("doc_id") < cut), slots, rounds)
+    classifierTrainedScore(docs.where(col("doc_id") >= cut), slots, rounds,
+        weights = Some(w))
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("is_en")).as("n_pos"),
+        sum(when(col("accept") && col("is_en") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("accept") && col("is_en") === 0L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("accept") && col("is_en") === 1L, 1L).otherwise(0L))
+          .as("fn"))
+      .select(col("n_test"), col("n_pos"), col("tp"), col("fp"), col("fn"),
+        expr("(n_test - fp - fn) * 1000000 div n_test").as("accuracy_ppm"),
+        expr("tp * 1000000 div greatest(tp + fp, 1)").as("precision_ppm"),
+        expr("tp * 1000000 div greatest(tp + fn, 1)").as("recall_ppm"))
+  }
+
   /** Calibration table for [[classifierScore]] — the eval a score
     * must pass before it gates a corpus: bucket documents by fixed
     * logit bins (div 2000 micro — fixed-width bins, NOT ntile, so no

@@ -187,6 +187,44 @@ object AnnIndex {
       graft.Tables.embeddings(spark, dir).where(col("vec_id") < nQueries), k)
   }
 
+  /** Compact the incremented postings table: each append leaves one
+    * more file per touched bucket, and an index that absorbs deltas
+    * forever degrades into a small-file scan problem — so periodic
+    * compaction rewrites the SAME rows (the frozen centroids and cell
+    * assignments are untouched) into one file per bucket. The read
+    * snapshot materializes BEFORE the overwrite (the
+    * overwrite-while-read trap, same discipline as the foreachBatch
+    * upsert); `repartition(buckets, cell)` uses the bucket hash, so
+    * each task holds exactly one bucket's rows and writes exactly one
+    * file. Query results are byte-identical by construction
+    * (spec-proven), which is what makes compaction safe to schedule.
+    */
+  def compact(spark: SparkSession, tag: String, buckets: Int = 8): Unit = {
+    val (_, cellsT) = tablesInc(tag)
+    val snap = spark.table(cellsT).localCheckpoint()
+    snap.repartition(buckets, col("cell"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").saveAsTable(cellsT)
+  }
+
+  private val compacted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gate query: the increment top-k served AFTER compaction — the
+    * full maintenance cycle (base build → append → compact → probe)
+    * with the result provably unchanged (same oracle as
+    * `ann_ivf_increment`).
+    */
+  def annCompactReport(spark: SparkSession, dir: String, nQueries: Int,
+                       k: Int, nClusters: Int = 8,
+                       iters: Int = 5): DataFrame = {
+    val tag = ensureInc(spark, dir, nClusters, iters)
+    compacted.computeIfAbsent(dir, { _ => compact(spark, tag); tag })
+    val (centT, cellsT) = tablesInc(tag)
+    queryTables(spark, centT, cellsT,
+      graft.Tables.embeddings(spark, dir).where(col("vec_id") < nQueries), k)
+  }
+
   /** Drift tripwire: compare the delta's quantization error against
     * the base's under the FROZEN centroids. A fresh delta assigned to
     * stale centroids shows inflated distance-to-centroid; when

@@ -143,6 +143,24 @@ class Round11Spec extends SparkSpec {
     assert(ok * 2 > n, s"trained classifier below coin-flip: $ok/$n")
   }
 
+  test("classifierEval: held-out confusion counts are self-consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    val cut = (docs.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
+    val r = operators.TextAnalysis.classifierEval(docs, 64, 2).collect()(0)
+    val (nTest, nPos, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nTest == docs.where(col("doc_id") >= cut).count())
+    assert(tp + fn == nPos, "positives partition into tp + fn")
+    assert(r.getLong(5) == (nTest - fp - fn) * 1000000L / nTest)
+    // leakage check by reconstruction: the reported confusion equals
+    // scoring the held-out split with weights trained on the REST
+    val w = operators.TextAnalysis.classifierTrain(
+      docs.where(col("doc_id") < cut), 64, 2)
+    val sc = operators.TextAnalysis.classifierTrainedScore(
+      docs.where(col("doc_id") >= cut), 64, 2, weights = Some(w))
+    assert(sc.where(col("accept") && col("is_en") === 1L).count() == tp)
+  }
+
   test("classifierTrain is deterministic across runs") {
     val docs = Tables.documents(spark, sf0001)
     val a = operators.TextAnalysis.classifierTrain(docs, 64, 2)
@@ -199,6 +217,17 @@ class Round11Spec extends SparkSpec {
     val want = AnnIndex.queryTables(spark, "graft_anni_cent_r11ref",
       "graft_anni_cells_r11ref", q, 5).collect().map(_.toString).toSeq
     assert(got == want)
+    // compaction: one file per bucket, same rows, same answers
+    val rowsBefore = spark.table("graft_anni_cells_r11inc").count()
+    AnnIndex.compact(spark, "r11inc")
+    assert(spark.table("graft_anni_cells_r11inc").count() == rowsBefore)
+    val filesAfter = loc.listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(filesAfter <= 8, s"compaction must leave <= 1 file/bucket, got $filesAfter")
+    assert(filesAfter < after.size, "compaction must shrink the file count")
+    val gotC = AnnIndex.queryTables(spark, "graft_anni_cent_r11inc",
+      "graft_anni_cells_r11inc", q, 5).collect().map(_.toString).toSeq
+    assert(gotC == want, "compaction must not change a single answer")
   }
 
   test("ANN increment drift: counts partition the corpus, ppm positive") {
