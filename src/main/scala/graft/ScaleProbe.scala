@@ -30,7 +30,7 @@ object ScaleProbe {
       .distinct()
     val cpB = inc(liB, ordsB, col("o_orderdate") < cut)
     val dcp = inc(liD, ordsD, col("o_orderdate") >= cut)
-    val (dsh, _) = graft.sources.CfIndex.cfDeltas(dcp, cpB,
+    val (_, _, dsh, _) = graft.sources.CfIndex.cfDeltas(dcp, cpB,
       cpB.select("p", "c"),
       cpB.groupBy("p").agg(count(lit(1)).as("df")), 30)
     dsh

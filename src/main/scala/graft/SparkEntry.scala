@@ -1434,12 +1434,17 @@ object SparkEntry {
     // shared with the recommendations/rec_eval gates)
     "customer_cf_neighbors" -> ((s, dir) =>
       graft.sources.CfIndex.cfNeighbors(s, dir)),
-    // incremental index maintenance: the post-1998 delta orders FOLD
+    // incremental index maintenance: the post-cut delta orders FOLD
     // into the persisted base-split neighbor graph (signed pair/degree
     // deltas + touched-only re-rank) — byte-equal to the full
     // recompute, so it shares the cf_neighbors oracle
     "customer_cf_increment" -> ((s, dir) =>
       graft.sources.CfIndex.cfIncrement(s, dir)),
+    // promotion: the merged increment state persisted as the NEXT
+    // base (closing the nightly loop); probe-only after the one-time
+    // write, same recompute oracle
+    "customer_cf_promote" -> ((s, dir) =>
+      graft.sources.CfIndex.cfPromote(s, dir)),
     // whole-file binary source: one blob per doc, exact byte round-trip
     "binaryfile_roundtrip" -> ((s, dir) =>
       graft.sources.BinaryFiles.roundtrip(s, dir)),
@@ -6501,8 +6506,9 @@ object SparkEntry {
          |GROUP BY class_size ORDER BY class_size""".stripMargin,
     "customer_cf_neighbors" -> SqlCfNeighbors,
     // the incremental fold equals the full recompute by construction —
-    // the two gates share one oracle
+    // these gates share one oracle (promote serves the persisted fold)
     "customer_cf_increment" -> SqlCfNeighbors,
+    "customer_cf_promote" -> SqlCfNeighbors,
     "events_pattern_match" ->
       s"""SELECT user_id,
          |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches

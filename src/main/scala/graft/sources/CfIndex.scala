@@ -232,7 +232,9 @@ object CfIndex {
   }
 
   /** Signed deltas from a raw delta incidence against the base state:
-    * `(Δsh (c_a, c_b, ds), Δdeg (c, dd))`, both net-nonzero rows only.
+    * `(dcp, ddf, Δsh (c_a, c_b, ds), Δdeg (c, dd))` — the truly-new
+    * incidence rows and part-df deltas ride along for [[writePromoted]];
+    * the two signed frames carry net-nonzero rows only.
     *
     * Every emitted pair has ≥ 1 delta endpoint OR belongs to a
     * threshold-crossing part — base×base pairs of surviving parts are
@@ -243,7 +245,8 @@ object CfIndex {
     */
   private[graft] def cfDeltas(dcpRaw: DataFrame, cpB: DataFrame,
                               cppB: DataFrame, pdfB: DataFrame,
-                              maxDf: Int): (DataFrame, DataFrame) = {
+                              maxDf: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // truly-new (c, p) pairs: a delta order repeating an owned part
     // adds nothing to the DISTINCT incidence
     val dcp = timedInc("dcp")(
@@ -289,7 +292,7 @@ object CfIndex {
       .unionByName(remBase.groupBy("c").agg((-count(lit(1))).as("dd")))
       .groupBy("c").agg(sum("dd").as("dd"))
       .where(col("dd") =!= 0)
-    (dsh, ddeg)
+    (dcp, ddf, dsh, ddeg)
   }
 
   // base-split index staging, one build per (session, sf dir)
@@ -316,8 +319,23 @@ object CfIndex {
     * a broadcast; the pair-table merge and every probe are keyed on
     * the bucketed tables' keys.
     */
+  /** The increment's MERGED state, exposed so [[writePromoted]] can
+    * persist it as the next nightly base: the new incidence rows, the
+    * part-df deltas, the merged pair/degree state, and the updated
+    * neighbor top-k (unordered — storage shape).
+    */
+  private[graft] case class IncState(dcp: DataFrame, ddf: DataFrame,
+                                     sh1: DataFrame, deg1: DataFrame,
+                                     nb: DataFrame)
+
   def cfIncrement(spark: SparkSession, dir: String, maxDf: Int = 30,
-                  minShared: Int = 2, kNb: Int = 3): DataFrame = {
+                  minShared: Int = 2, kNb: Int = 3): DataFrame =
+    incrementState(spark, dir, maxDf, minShared, kNb).nb
+      .orderBy("c_a", "rank")
+
+  private[graft] def incrementState(spark: SparkSession, dir: String,
+                                    maxDf: Int = 30, minShared: Int = 2,
+                                    kNb: Int = 3): IncState = {
     val tag = ensureBase(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
     val orders = Tables.orders(spark, dir)
@@ -326,7 +344,7 @@ object CfIndex {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-    val (dsh0, ddeg0) = cfDeltas(dcpRaw, spark.table(ti("cp", tag)),
+    val (dcp, ddf, dsh0, ddeg0) = cfDeltas(dcpRaw, spark.table(ti("cp", tag)),
       spark.table(ti("cpp", tag)), spark.table(ti("pdf", tag)), maxDf)
     val dsh = timedInc("dsh")(dsh0.localCheckpoint())
     val ddeg = timedInc("ddeg")(ddeg0.localCheckpoint())
@@ -363,10 +381,70 @@ object CfIndex {
         .join(broadcast(touched.withColumnRenamed("c", "c_a")),
           Seq("c_a"), "left_semi"),
       deg1, kNb)
-    spark.table(ti("nb", tag))
+    val nb = spark.table(ti("nb", tag))
       .join(broadcast(touched.withColumnRenamed("c", "c_a")),
         Seq("c_a"), "left_anti")
       .unionByName(ranked)
+    IncState(dcp, ddf, sh1, deg1, nb)
+  }
+
+  private def tp(name: String, tag: String): String = s"graft_cfp_${name}_$tag"
+
+  /** PROMOTE the increment: persist the merged state as the next
+    * nightly base — the checkpoint step that closes the maintenance
+    * loop (base → delta fold → promote → tomorrow's delta probes the
+    * promoted tables). Writes the SAME six-table family shape as
+    * [[writeBaseIndex]] under `graft_cfp_*`:
+    * incidence = base ∪ Δ (both orientations), part df = base ⟗ Δdf,
+    * pair/degree state = the merged sh1/deg1, neighbor top-k = the
+    * increment's own output. By the increment's correctness proof the
+    * promoted state equals a from-scratch base build over ALL orders
+    * (spec-proven table by table), so promotion never recomputes the
+    * similarity graph — six delta-proportional-or-linear writes.
+    */
+  def writePromoted(spark: SparkSession, dir: String, tag: String,
+                    maxDf: Int = 30, minShared: Int = 2, kNb: Int = 3,
+                    buckets: Int = 8): Unit = {
+    val st = incrementState(spark, dir, maxDf, minShared, kNb)
+    val baseTag = ensureBase(spark, dir)
+    def save(df: DataFrame, name: String, cols: Seq[String]): Unit =
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, cols.head, cols.tail: _*).saveAsTable(tp(name, tag))
+    val cp1 = spark.table(ti("cp", baseTag)).unionByName(st.dcp)
+    val pdf1 = spark.table(ti("pdf", baseTag))
+      .join(st.ddf, Seq("p"), "full_outer")
+      .select(col("p"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
+          .as("df"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future(save(cp1, "cp", Seq("c"))),
+      Future(save(cp1.select("p", "c"), "cpp", Seq("p"))),
+      Future(save(pdf1, "pdf", Seq("p"))),
+      Future(save(st.sh1, "sh", Seq("c_a"))),
+      Future(save(st.deg1, "deg", Seq("c"))),
+      Future(save(st.nb, "nb", Seq("c_a"))))
+    writes.foreach(Await.result(_, Duration.Inf))
+  }
+
+  private val promoted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gate query: the neighbor graph served from the PROMOTED tables —
+    * probe-only after the one-time promote, byte-equal to the full
+    * recompute (shares the cf_neighbors oracle), proving the
+    * maintenance loop closes without a graph rebuild.
+    */
+  def cfPromote(spark: SparkSession, dir: String): DataFrame = {
+    val tag = promoted.computeIfAbsent(dir, { _ =>
+      val tg = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      writePromoted(spark, dir, tg)
+      tg
+    })
+    spark.table(tp("nb", tag))
+      .select("c_a", "c_b", "shared", "score_ppm", "rank")
       .orderBy("c_a", "rank")
   }
 }

@@ -83,7 +83,7 @@ class Round11Spec extends SparkSpec {
     // C(10,2) = 45 would dominate if the delta path ever enumerated
     // it; one delta pair must touch exactly its 10 Δ×base pairs
     val cpB = inc((1L to 10L).map(c => (c, 100L)): _*)
-    val (dsh, ddeg) = graft.sources.CfIndex.cfDeltas(
+    val (_, _, dsh, ddeg) = graft.sources.CfIndex.cfDeltas(
       inc((99L, 100L)), cpB, cpB.select("p", "c"),
       cpB.groupBy("p").agg(count(lit(1)).as("df")), maxDf = 30)
     val pairs = dsh.collect().map(r =>
@@ -98,7 +98,7 @@ class Round11Spec extends SparkSpec {
     // base pairs retract, its three owners each lose one degree, and
     // the delta customer contributes NOTHING (the part is now banned)
     val cpB = inc((1L, 7L), (2L, 7L), (3L, 7L), (1L, 8L), (2L, 8L))
-    val (dsh, ddeg) = graft.sources.CfIndex.cfDeltas(
+    val (_, _, dsh, ddeg) = graft.sources.CfIndex.cfDeltas(
       inc((4L, 7L)), cpB, cpB.select("p", "c"),
       cpB.groupBy("p").agg(count(lit(1)).as("df")), maxDf = 3)
     val pairs = dsh.collect().map(r =>
@@ -110,7 +110,7 @@ class Round11Spec extends SparkSpec {
 
   test("cfDeltas: a repeated purchase adds nothing to the incidence") {
     val cpB = inc((1L, 7L), (2L, 7L))
-    val (dsh, ddeg) = graft.sources.CfIndex.cfDeltas(
+    val (_, _, dsh, ddeg) = graft.sources.CfIndex.cfDeltas(
       inc((1L, 7L)), cpB, cpB.select("p", "c"),
       cpB.groupBy("p").agg(count(lit(1)).as("df")), maxDf = 3)
     assert(dsh.count() == 0 && ddeg.count() == 0)
@@ -236,6 +236,36 @@ class Round11Spec extends SparkSpec {
     assert(d.getLong(0) + d.getLong(1) ==
       Tables.embeddings(spark, sf0001).count())
     assert(d.getLong(4) > 0L) // drift_ppm
+  }
+
+  test("cfPromote: the promoted state equals a from-scratch base build") {
+    import graft.sources.CfIndex
+    // probe-visible contract first: the promoted nb equals the full
+    // recompute (the shared oracle)
+    val got = CfIndex.cfPromote(spark, sf0001).collect().map(_.toString).toSeq
+    val want = operators.Basket.cfNeighbors(
+      Tables.lineitem(spark, sf0001), Tables.orders(spark, sf0001))
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    // state contract: every promoted table equals its from-scratch
+    // derivation over the FULL incidence — so tomorrow's delta can
+    // probe the promoted base exactly as today's probed the original
+    val tag = java.lang.Long.toHexString(sf0001.hashCode.toLong & 0xffffffffL)
+    val cpFull = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.table(s"graft_cfp_cp_$tag")) == rows(cpFull))
+    assert(rows(spark.table(s"graft_cfp_pdf_$tag")) ==
+      rows(cpFull.groupBy("p").agg(count(lit(1)).as("df"))))
+    val kept = operators.Basket.cfPruned(cpFull, 30)
+    assert(rows(spark.table(s"graft_cfp_sh_$tag")) ==
+      rows(operators.Basket.cfSharedUpper(kept)))
+    assert(rows(spark.table(s"graft_cfp_deg_$tag")) ==
+      rows(kept.groupBy("c").agg(count(lit(1)).as("deg"))))
   }
 
   test("cfIncrement equals the full recompute, probing graft_cfi tables") {
