@@ -1918,6 +1918,10 @@ object SparkEntry {
     // rest — confusion counts + accuracy/precision/recall ppm
     "doc_classifier_eval" -> ((s, dir) =>
       TextAnalysis.classifierEval(Tables.documents(s, dir))),
+    // streaming model serving (24th gate): registered weights as a
+    // map literal in a stateless per-row fold — zero-shuffle scoring
+    "streaming_classifier_score" -> ((s, dir) =>
+      graft.streaming.Streams.classifierServeAvailableNow(s, dir)),
     // conversion-window funnel: every step within 6h of the view
     "events_window_funnel" -> ((s, dir) =>
       Relational.windowFunnel(Tables.events(s, dir))),
@@ -2037,7 +2041,10 @@ object SparkEntry {
       // greedy chain state over time-ordered batches replays the
       // batch funnel exactly (earliest-next-step is exact, and the
       // time split preserves per-user event order across batches)
-      "streaming_window_funnel" -> "events_window_funnel")
+      "streaming_window_funnel" -> "events_window_funnel",
+      // stateless per-row scoring: the map-literal fold computes the
+      // same sum-of-occurrence-weights the batch feature join does
+      "streaming_classifier_score" -> "doc_classifier_trained_score")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 

@@ -153,6 +153,48 @@ object Streams {
     * surviving fingerprint set equals batch `SELECT DISTINCT md5(text)`
     * regardless of which duplicate row won the race.
     */
+  /** Streaming MODEL SERVING (24th streaming gate): score the
+    * documents file stream with the trained classifier
+    * ([[graft.operators.TextAnalysis.classifierTrain]] weights from
+    * the per-session registry). Deployment shape: the 256-slot weight
+    * vector is embedded as a MAP LITERAL inside a per-row fold over
+    * the hashed bigrams — no join, no shuffle, no state; scoring is a
+    * stateless codegen projection, which is exactly how a quality
+    * model rides an ingest stream at 100 TB/day. Driven to completion
+    * in append mode the per-doc rows equal the batch
+    * `doc_classifier_trained_score` (the alias oracle): per-row
+    * folding over bigram OCCURRENCES computes the same Σ cnt·w the
+    * batch feature-table join aggregates, and a <2-token doc scores
+    * exactly 0 on both paths.
+    */
+  def classifierServeAvailableNow(spark: SparkSession, dir: String,
+                                  slots: Int = 256,
+                                  rounds: Int = 3): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(stagedFileDir(path))
+    val wm = graft.operators.TextAnalysis
+      .classifierTrainCached(spark, dir, slots, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scored = raw
+      .withColumn("wm", typedLit(wm))
+      .withColumn("ws", graft.operators.WordCount.cleanWords(col("text")))
+      .select(col("doc_id"),
+        when(size(col("ws")) < 2, lit(0L)).otherwise(expr(
+          s"""aggregate(
+             |  transform(sequence(0, size(ws) - 2),
+             |    i -> concat_ws(' ', slice(ws, i + 1, 2))),
+             |  0L,
+             |  (acc, g) -> acc + coalesce(element_at(wm,
+             |    cast(conv(substr(md5(g), 1, 15), 16, 10) AS bigint) % $slots),
+             |    0L))""".stripMargin)).as("logit"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      .select(col("doc_id"), col("logit"), (col("logit") > 0).as("accept"),
+        col("is_en"))
+      .withColumn("correct", col("accept") === (col("is_en") === 1L))
+    runAvailableNow(scored, Seq("doc_id"), mode = "append")
+  }
+
   def dedupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val schema = spark.read.parquet(path).schema

@@ -161,6 +161,17 @@ class Round11Spec extends SparkSpec {
     assert(sc.where(col("accept") && col("is_en") === 1L).count() == tp)
   }
 
+  test("streaming classifier serving equals the batch trained score") {
+    val got = graft.streaming.Streams
+      .classifierServeAvailableNow(spark, sf0001, 64, 2)
+      .collect().map(_.toString).toSeq
+    val w = operators.TextAnalysis.classifierTrainCached(spark, sf0001, 64, 2)
+    val want = operators.TextAnalysis.classifierTrainedScore(
+        Tables.documents(spark, sf0001), 64, 2, weights = Some(w))
+      .collect().map(_.toString).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("classifierTrain is deterministic across runs") {
     val docs = Tables.documents(spark, sf0001)
     val a = operators.TextAnalysis.classifierTrain(docs, 64, 2)
