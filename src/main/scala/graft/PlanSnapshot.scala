@@ -62,6 +62,19 @@ object PlanSnapshot {
         .replaceAll("rowCount=\\S+", "rowCount=N")
         .trim
     }.map { l =>
+      // Spark truncates long field renders (DataFilters, …) at a fixed
+      // RENDERED width, and the cut point shifts with expr-id DIGIT
+      // COUNT — which depends on how many expressions the session
+      // allocated before this query, i.e. on which OTHER queries exist
+      // (observed: adding 4 queries moved the '…' by one char in three
+      // dedup scans and flipped their digests). Truncated lines
+      // canonicalize to a fixed 60-char prefix cut back to a word
+      // boundary — stable under any id-width shift; the untruncated
+      // detail lives in full mode and the live-plan audits.
+      val i = l.indexOf("...")
+      if (i < 0) l
+      else l.take(math.min(i, 60)).replaceAll("\\S*$", "") + "..."
+    }.map { l =>
       if (l.contains("gid#x")) canonGid(l) else l
     }.filter(_.nonEmpty)
       // keep only the operator skeleton: the tree lines, not the

@@ -1915,9 +1915,10 @@ object SparkEntry {
       TextAnalysis.classifierTrainedScore(Tables.documents(s, dir),
         weights = Some(TextAnalysis.classifierTrainCached(s, dir)))),
     // held-out eval: train on the first 80% of doc_ids, score the
-    // rest — confusion counts + accuracy/precision/recall ppm
+    // rest — confusion counts + accuracy/precision/recall ppm,
+    // registered once per session next to the model weights
     "doc_classifier_eval" -> ((s, dir) =>
-      TextAnalysis.classifierEval(Tables.documents(s, dir))),
+      TextAnalysis.classifierEvalCached(s, dir)),
     // streaming model serving (24th gate): registered weights as a
     // map literal in a stateless per-row fold — zero-shuffle scoring
     "streaming_classifier_score" -> ((s, dir) =>

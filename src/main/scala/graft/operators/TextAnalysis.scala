@@ -1304,6 +1304,31 @@ object TextAnalysis {
         expr("tp * 1000000 div greatest(tp + fn, 1)").as("recall_ppm"))
   }
 
+  // (dir, slots, rounds) -> the held-out eval row: a production eval
+  // runs once per trained model and REGISTERS its metrics next to the
+  // weights — consumers read the registry, they don't re-run the eval
+  private val evalCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[Long]]()
+
+  /** [[classifierEval]] through the per-(session, dir) registry —
+    * first caller pays the train+score run, everyone else reads the
+    * registered metrics row.
+    */
+  def classifierEvalCached(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, slots: Int = 256,
+                           rounds: Int = 3): DataFrame = {
+    val vals = evalCache.computeIfAbsent((dir, slots, rounds), _ => {
+      val r = classifierEval(graft.Tables.documents(spark, dir),
+        slots, rounds).collect()(0)
+      (0 until 8).map(r.getLong)
+    })
+    import spark.implicits._
+    Seq((vals(0), vals(1), vals(2), vals(3), vals(4), vals(5), vals(6),
+        vals(7)))
+      .toDF("n_test", "n_pos", "tp", "fp", "fn", "accuracy_ppm",
+        "precision_ppm", "recall_ppm")
+  }
+
   /** Calibration table for [[classifierScore]] — the eval a score
     * must pass before it gates a corpus: bucket documents by fixed
     * logit bins (div 2000 micro — fixed-width bins, NOT ntile, so no

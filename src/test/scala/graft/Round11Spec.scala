@@ -68,6 +68,19 @@ class Round11Spec extends SparkSpec {
     assert(ca.contains("map_keys(m#x)[0]") && ca.contains("[1]"))
   }
 
+  test("normalize: truncated renders are id-width-shift stable") {
+    // the SAME logical filter rendered with 3- vs 5-digit expr ids
+    // truncates at a shifted point; both must normalize identically
+    val plan = (frag: String) =>
+      s"+- FileScan parquet [doc_id#x] DataFilters: [(size(filter(transform(split(text#x, x, -1), $frag..., Format: Parquet"
+    val n1 = PlanSnapshot.normalize(plan("lambdafunction(lower(regexp_extra"))
+    val n2 = PlanSnapshot.normalize(plan("lambdafunction(lower(regexp_ex"))
+    assert(n1 == n2 && n1.head.endsWith("..."))
+    // untruncated lines stay verbatim
+    assert(PlanSnapshot.normalize("+- Filter (a#1L > 5)").head ==
+      "+- Filter (a#x > 5)")
+  }
+
   test("canonGid: projection multiset changes flip the digest") {
     val a = "Expand [[a#x, null, 1], [null, b#x, 2]], [a#x, b#x, gid#x]"
     val b = "Expand [[a#x, null, 1], [null, c#x, 2]], [a#x, b#x, gid#x]"
