@@ -53,8 +53,10 @@ object PlanSnapshot {
         .replaceAll("\\[id=#x\\]", "")
         .replaceAll("\\[plan_id=\\d+\\]", "")
         .replaceAll("(graft_ddx_\\w+?_)[0-9a-f]+", "$1TAG")
-        .replaceAll("(graft_annx?_\\w+?_)[0-9a-f]+", "$1TAG")
+        .replaceAll("(graft_ann[xi]?_\\w+?_)[0-9a-f]+", "$1TAG")
         .replaceAll("(graft_cfx_\\w+?_)[0-9a-f]+", "$1TAG")
+        .replaceAll("(graft_cfi_\\w+?_)[0-9a-f]+", "$1TAG")
+        .replaceAll("(graft_cfp_\\w+?_)[0-9a-f]+", "$1TAG")
         .replaceAll("/tmp/\\S*", "/tmp/PATH")
         .replaceAll("file:/\\S*", "file:PATH")
         .replaceAll("Statistics\\(.*?\\)", "Statistics()")
@@ -68,12 +70,14 @@ object PlanSnapshot {
       // allocated before this query, i.e. on which OTHER queries exist
       // (observed: adding 4 queries moved the '…' by one char in three
       // dedup scans and flipped their digests). Truncated lines
-      // canonicalize to a fixed 60-char prefix cut back to a word
-      // boundary — stable under any id-width shift; the untruncated
-      // detail lives in full mode and the live-plan audits.
+      // canonicalize to a fixed 48-char prefix cut back to a word
+      // boundary — stable under an id-width shift as long as the
+      // normalized '…' stays past the cut (rendered truncation sits at
+      // ~100 chars, id normalization shrinks ≤ ~30, so i ≥ ~70 ≫ 48);
+      // the untruncated detail lives in full mode + live-plan audits.
       val i = l.indexOf("...")
       if (i < 0) l
-      else l.take(math.min(i, 60)).replaceAll("\\S*$", "") + "..."
+      else l.take(math.min(i, 48)).replaceAll("\\S*$", "") + "..."
     }.map { l =>
       if (l.contains("gid#x")) canonGid(l) else l
     }.filter(_.nonEmpty)

@@ -124,8 +124,8 @@ object SparkEntry {
     * incremental ANN index's frozen-quantizer split
     * ([[graft.sources.AnnIndex.incCut]] computes the same integer).
     */
-  private val SqlAnnIncTrainPred =
-    "e.vec_id < (SELECT ((max(vec_id) + 1) * 4) // 5 FROM embeddings)"
+  private val SqlAnnIncTrainPred: String => String =
+    a => s"$a.vec_id < (SELECT ((max(vec_id) + 1) * 4) // 5 FROM embeddings)"
 
   /** IVF top-k under the frozen base-trained quantizer over ALL
     * vectors — shared by `ann_ivf_increment` (append path) and
@@ -133,7 +133,7 @@ object SparkEntry {
     * change a single row.
     */
   private lazy val SqlAnnIncTopk =
-    s"""${sqlKmeansCents(8, 5, trainPred = SqlAnnIncTrainPred)},
+    s"""${sqlKmeansCents(8, 5, trainCond = Some(SqlAnnIncTrainPred))},
        |cells AS (SELECT vec_id, cluster AS cell FROM (
        |  SELECT e.vec_id, c.cluster,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
@@ -185,18 +185,21 @@ object SparkEntry {
     * empty clusters keeping their previous centroid. The Spark side
     * runs "until converged, max iters"; a converged state is a fixed
     * point of the update, so both produce the same final centroids.
-    */
-  /** `trainPred` (e.g. "e.vec_id < (SELECT v FROM cut)") restricts the
-    * LLOYD TRAINING rows — seeds and every assign/update round — while
-    * `ev` itself stays the full corpus, so a caller's final assignment
-    * CTE can span all vectors: the frozen-quantizer contract of the
-    * incremental ANN index.
+    *
+    * `trainCond` (alias ⇒ predicate, e.g.
+    * `a => s"$a.vec_id < (SELECT v FROM cut)"`) restricts the LLOYD
+    * TRAINING rows — seeds and every assign/update round — while `ev`
+    * itself stays the full corpus, so a caller's final assignment CTE
+    * can span all vectors: the frozen-quantizer contract of the
+    * incremental ANN index. Taking the row ALIAS as a parameter keeps
+    * the predicate correct in both the bare seed CTE (`ev`) and the
+    * aliased per-round assignment (`e`) without any text surgery.
     */
   private def sqlKmeansCents(k: Int, iters: Int,
-                             trainPred: String = ""): String = {
-    val innerWhere = if (trainPred.isEmpty) "" else s" WHERE $trainPred"
-    val seedWhere = if (trainPred.isEmpty) ""
-      else s" ${trainPred.replace("e.vec_id", "WHERE vec_id")}"
+                             trainCond: Option[String => String] = None)
+      : String = {
+    val innerWhere = trainCond.map(f => s" WHERE ${f("e")}").getOrElse("")
+    val seedWhere = trainCond.map(f => s" WHERE ${f("ev")}").getOrElse("")
     val base =
       s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS ev FROM embeddings),
          |c0 AS (SELECT vec_id AS cluster, ev AS cv FROM ev$seedWhere ORDER BY vec_id LIMIT $k)""".stripMargin
@@ -2062,8 +2065,8 @@ object SparkEntry {
     * unrolled integer batch-perceptron updates over the hashed bigram
     * count features (all BIGINT, truncation-free: sums and ±1 errors
     * only, so the weight trajectory is engine-exact).
-    */
-  /** `trainPred` (e.g. "doc_id < (SELECT v FROM cutd)") restricts the
+    *
+    * `trainPred` (e.g. "doc_id < (SELECT v FROM cutd)") restricts the
     * TRAINING population — every margin/error/gradient round — while
     * `f`/`y` stay corpus-wide so a caller's scoring CTE can span any
     * split: the held-out-eval contract (`doc_classifier_eval`).
@@ -6660,7 +6663,7 @@ object SparkEntry {
     // increment answer, so the gates share one oracle
     "ann_index_compact" -> SqlAnnIncTopk,
     "ann_increment_drift" ->
-      s"""${sqlKmeansCents(8, 5, trainPred = SqlAnnIncTrainPred)},
+      s"""${sqlKmeansCents(8, 5, trainCond = Some(SqlAnnIncTrainPred))},
          |cut AS (SELECT ((max(vec_id) + 1) * 4) // 5 AS v FROM embeddings),
          |d AS (SELECT e.vec_id, min(${sqlD2("e", "c")}) AS d2
          |      FROM ev e CROSS JOIN c5 c GROUP BY 1),

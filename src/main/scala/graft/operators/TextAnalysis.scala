@@ -1225,6 +1225,11 @@ object TextAnalysis {
         .localCheckpoint()
       Dedup.release(prev)
     }
+    // the feature table is the pipeline's largest frame — release its
+    // blocks (and the labels') now that the final weights stand alone;
+    // only the slots-row weight frame stays checkpointed for the caller
+    Dedup.release(feats)
+    Dedup.release(labels)
     w.orderBy("slot")
   }
 

@@ -161,10 +161,13 @@ object AnnIndex {
   private val stagedInc =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // staging key AND table tag both carry the index parameters: a
+  // second caller with different (nClusters, iters) must get its own
+  // build, never a silently-mismatched cached one
   private def ensureInc(spark: SparkSession, dir: String,
                         nClusters: Int, iters: Int): String =
-    stagedInc.computeIfAbsent(dir, { _ =>
-      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    stagedInc.computeIfAbsent(s"$dir#$nClusters#$iters", { key =>
+      val t = java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL)
       val emb = graft.Tables.embeddings(spark, dir)
       val cut = incCut(spark, dir)
       writeIncBase(emb.where(col("vec_id") < cut),
@@ -219,7 +222,8 @@ object AnnIndex {
                        k: Int, nClusters: Int = 8,
                        iters: Int = 5): DataFrame = {
     val tag = ensureInc(spark, dir, nClusters, iters)
-    compacted.computeIfAbsent(dir, { _ => compact(spark, tag); tag })
+    compacted.computeIfAbsent(s"$dir#$nClusters#$iters",
+      { _ => compact(spark, tag); tag })
     val (centT, cellsT) = tablesInc(tag)
     queryTables(spark, centT, cellsT,
       graft.Tables.embeddings(spark, dir).where(col("vec_id") < nQueries), k)

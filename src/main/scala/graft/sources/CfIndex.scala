@@ -333,9 +333,21 @@ object CfIndex {
     incrementState(spark, dir, maxDf, minShared, kNb).nb
       .orderBy("c_a", "rank")
 
+  // the derived increment state is checkpointed frames — share ONE
+  // derivation per (session, dir, params) between the increment gate
+  // and writePromoted instead of paying the delta fold twice
+  private val incStates = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), IncState]()
+
   private[graft] def incrementState(spark: SparkSession, dir: String,
                                     maxDf: Int = 30, minShared: Int = 2,
-                                    kNb: Int = 3): IncState = {
+                                    kNb: Int = 3): IncState =
+    incStates.computeIfAbsent((dir, maxDf, minShared, kNb), _ =>
+      deriveIncrementState(spark, dir, maxDf, minShared, kNb))
+
+  private def deriveIncrementState(spark: SparkSession, dir: String,
+                                   maxDf: Int, minShared: Int,
+                                   kNb: Int): IncState = {
     val tag = ensureBase(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
     val orders = Tables.orders(spark, dir)

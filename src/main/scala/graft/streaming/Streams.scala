@@ -408,7 +408,7 @@ object Streams {
     */
   private def stagedEventsWithSentinel(spark: SparkSession, dir: String,
                                        nSentinels: Int = 2): String =
-    streamDirCache.computeIfAbsent(s"$dir#sentinel", _ => {
+    streamDirCache.computeIfAbsent(s"$dir#sentinel$nSentinels", _ => {
       val out = graft.TempDirs.scratch("graft_loj_src_")
       val path = s"$dir/events.parquet"
       java.nio.file.Files.createSymbolicLink(
