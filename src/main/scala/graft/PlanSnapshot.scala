@@ -53,7 +53,8 @@ object PlanSnapshot {
         .replaceAll("\\[id=#x\\]", "")
         .replaceAll("\\[plan_id=\\d+\\]", "")
         .replaceAll("(graft_ddx_\\w+?_)[0-9a-f]+", "$1TAG")
-        .replaceAll("(graft_ann[xi]?_\\w+?_)[0-9a-f]+", "$1TAG")
+        .replaceAll("(graft_ann[xirc]?_\\w+?_)[0-9a-f]+", "$1TAG")
+        .replaceAll("(graft_bkt_\\w+?_)[0-9a-f]+", "$1TAG")
         .replaceAll("(graft_cfx_\\w+?_)[0-9a-f]+", "$1TAG")
         .replaceAll("(graft_cfi_\\w+?_)[0-9a-f]+", "$1TAG")
         .replaceAll("(graft_cfp_\\w+?_)[0-9a-f]+", "$1TAG")
@@ -77,7 +78,13 @@ object PlanSnapshot {
       // the untruncated detail lives in full mode + live-plan audits.
       val i = l.indexOf("...")
       if (i < 0) l
-      else l.take(math.min(i, 48)).replaceAll("\\S*$", "") + "..."
+      else if (i >= 48) l.take(48).replaceAll("\\S*$", "") + "..."
+      // ADVICE r11 guard: an early '…' (a path/token substitution that
+      // shrank the line more than the ~30-char id-normalization bound,
+      // or a literal '...' in plan text) would make take(i) id-width-
+      // sensitive again — coarsen to the first token (the operator
+      // name: always complete, position-independent) instead
+      else l.takeWhile(!_.isWhitespace) + "..."
     }.map { l =>
       if (l.contains("gid#x")) canonGid(l) else l
     }.filter(_.nonEmpty)

@@ -148,6 +148,28 @@ object SparkEntry {
        |  JOIN embeddings ne ON ne.vec_id = n.vec_id
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The incremental ANN index's drift tripwire — shared verbatim by
+    * `ann_increment_drift` and (wrapped with the action CASE) by
+    * `ann_maintain`, whose decision is a pure function of the row.
+    */
+  private lazy val SqlAnnDrift =
+    s"""${sqlKmeansCents(8, 5, trainCond = Some(SqlAnnIncTrainPred))},
+       |cut AS (SELECT ((max(vec_id) + 1) * 4) // 5 AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, min(${sqlD2("e", "c")}) AS d2
+       |      FROM ev e CROSS JOIN c5 c GROUP BY 1),
+       |s AS (SELECT
+       |    CAST(count(*) FILTER (vec_id < (SELECT v FROM cut)) AS BIGINT) AS n_base,
+       |    CAST(count(*) FILTER (vec_id >= (SELECT v FROM cut)) AS BIGINT) AS n_delta,
+       |    CAST(sum(d2) FILTER (vec_id < (SELECT v FROM cut)) AS BIGINT) AS s_base,
+       |    CAST(sum(d2) FILTER (vec_id >= (SELECT v FROM cut)) AS BIGINT) AS s_delta
+       |  FROM d)
+       |SELECT n_base, n_delta,
+       |  s_base // n_base AS base_avg_d2,
+       |  s_delta // n_delta AS delta_avg_d2,
+       |  CAST((s_delta // n_delta) * 1000000 // greatest(s_base // n_base, 1) AS BIGINT) AS drift_ppm,
+       |  (s_delta // n_delta) * 1000000 // greatest(s_base // n_base, 1) > 1500000 AS rebuild_due
+       |FROM s""".stripMargin
+
   /** The CF neighbor-graph recompute — shared by the recompute gate
     * (`customer_cf_neighbors`) and the incremental-maintenance gate
     * (`customer_cf_increment`), whose delta fold must be byte-equal.
@@ -1208,6 +1230,16 @@ object SparkEntry {
     // CCNet-style cross-doc boilerplate chunk removal
     "doc_boilerplate_scrub" -> ((s, dir) =>
       TextAnalysis.boilerplateScrub(Tables.documents(s, dir))),
+    // the raw-markup front door: tag/script/style stripping + entity
+    // decode ahead of every other corpus operator, proven on a
+    // planted-markup wrapper of the clean fixture
+    "doc_html_extract" -> ((s, dir) =>
+      TextAnalysis.htmlExtract(Tables.documents(s, dir))),
+    // the parity proof: the engine's wordcount over EXTRACTED text vs
+    // an oracle that never sees the markup (clean text + planted
+    // constants) — extraction loss breaks the hash
+    "doc_html_extract_wordcount" -> ((s, dir) =>
+      TextAnalysis.htmlExtractWordcount(Tables.documents(s, dir))),
     // Zipf-shape frequency-of-frequency histogram
     "word_freq_of_freq" -> ((s, dir) =>
       TextAnalysis.freqOfFreq(Tables.documents(s, dir))),
@@ -1448,6 +1480,12 @@ object SparkEntry {
     // write, same recompute oracle
     "customer_cf_promote" -> ((s, dir) =>
       graft.sources.CfIndex.cfPromote(s, dir)),
+    // the IVM degeneracy diagnostic: how much of the customer
+    // population the delta fold actually touches (touched_ppm near
+    // 10^6 = the regime where a recompute beats the increment) — read
+    // from the SAME cached fold the increment/promote gates share
+    "customer_cf_increment_stats" -> ((s, dir) =>
+      graft.sources.CfIndex.cfIncrementStats(s, dir)),
     // whole-file binary source: one blob per doc, exact byte round-trip
     "binaryfile_roundtrip" -> ((s, dir) =>
       graft.sources.BinaryFiles.roundtrip(s, dir)),
@@ -1491,6 +1529,21 @@ object SparkEntry {
     // per bucket; probe result provably unchanged (same oracle)
     "ann_index_compact" -> ((s, dir) =>
       graft.sources.AnnIndex.annCompactReport(s, dir, nQueries = 10, k = 5)),
+    // the scheduled REBUILD the drift tripwire asks for: Lloyd retrain
+    // over the index's own stored vectors, one-pass argmin re-encode,
+    // atomic swap — the retrain spans all vectors, so the result is
+    // the full-corpus-trained IVF (shares the ann_ivf_disk oracle)
+    "ann_ivf_rebuild" -> ((s, dir) =>
+      graft.sources.AnnIndex.annRebuildReport(s, dir, nQueries = 10, k = 5)),
+    // the maintenance decision as one call: drift report + the action
+    // taken (rebuild runs iff the tripwire fires; fixture deltas are
+    // in-distribution, so the gate row is 'keep' at every SF)
+    "ann_maintain" -> ((s, dir) =>
+      graft.sources.AnnIndex.annMaintain(s, dir)),
+    // the eval that certifies a rebuild before its swap ships:
+    // per-query recall of the rebuilt index vs brute-force truth
+    "ann_rebuild_recall" -> ((s, dir) =>
+      graft.sources.AnnIndex.annRebuildRecall(s, dir)),
     // SemDeDup: k-means cells bound the pairwise-cosine dedup quadratic;
     // keep-list drops any vector with a similar lower-id cell-mate
     "semdedup_keep" -> ((s, dir) =>
@@ -1885,6 +1938,12 @@ object SparkEntry {
     // (stream-static join, zero join state); equals the batch probe
     "streaming_winnow_increment" -> ((s, dir) =>
       graft.streaming.Streams.winnowIncrementAvailableNow(s, dir)),
+    // 25th streaming gate: arriving vectors argmin-assign against the
+    // persisted frozen centroids and APPEND to the bucketed postings
+    // via foreachBatch — zero-state index ingest; the probed index
+    // equals the batch increment (alias oracle)
+    "streaming_ann_increment" -> ((s, dir) =>
+      graft.streaming.Streams.annIncrementAvailableNow(s, dir)),
     // HyperLogLog distinct-shingle estimator (dedup-index capacity
     // metering): m=64 register table via the dual-engine md5 hash,
     // raw estimate beside the exact count
@@ -2048,7 +2107,15 @@ object SparkEntry {
       "streaming_window_funnel" -> "events_window_funnel",
       // stateless per-row scoring: the map-literal fold computes the
       // same sum-of-occurrence-weights the batch feature join does
-      "streaming_classifier_score" -> "doc_classifier_trained_score")
+      "streaming_classifier_score" -> "doc_classifier_trained_score",
+      // the rebuild retrains over ALL stored vectors with the same
+      // deterministic seeds — the rebuilt index IS the full-corpus-
+      // trained IVF the disk gate's unrolled-Lloyd oracle describes
+      "ann_ivf_rebuild" -> "ann_ivf_disk",
+      // postings are a set and the streamed delta assignment uses the
+      // same frozen centroids — driven to completion, the streamed
+      // index equals the batch increment
+      "streaming_ann_increment" -> "ann_ivf_increment")
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
   }
 
@@ -5951,6 +6018,38 @@ object SparkEntry {
       s"""SELECT cnt, count(*) AS n_words FROM (
          |  SELECT word, count(*) AS cnt FROM (${sqlWords()}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical wrap + extraction chain on identical markup (the
+    // pattern/constant strings are shared Scala vals); the independent
+    // proof is doc_html_extract_wordcount below
+    "doc_html_extract" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |        html,
+         |        '${operators.TextAnalysis.ScriptPattern}', ' ', 'g'),
+         |        '${operators.TextAnalysis.StylePattern}', ' ', 'g'),
+         |        '${operators.TextAnalysis.BlockTagPattern}', ' ', 'g'),
+         |        '${operators.TextAnalysis.AnyTagPattern}', '', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+         |    '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS clean_text
+         |FROM (SELECT doc_id,
+         |    '${operators.TextAnalysis.HtmlHead}' || CAST(doc_id AS VARCHAR)
+         |    || '${operators.TextAnalysis.HtmlMid}'
+         |    || replace(replace(text, ' the ', ' <b>the</b> '),
+         |         ' a ', ' <i>a</i> ')
+         |    || '${operators.TextAnalysis.HtmlTail}' AS html
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    // the oracle never sees markup: tokens of the clean fixture text
+    // plus the planted head/h1 constants (entity-decoded, tag-free)
+    "doc_html_extract_wordcount" ->
+      s"""SELECT word, count(*)::BIGINT AS cnt FROM (${sqlWords(from =
+           "(SELECT doc_id, 'doc & meta heading <' || " +
+           "CAST(doc_id AS VARCHAR) || '> ' || text AS text " +
+           "FROM documents) src")})
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "word_pagerank" -> {
       val init = 1000000000000L
       val jump = init * 15 / 100
@@ -6520,6 +6619,55 @@ object SparkEntry {
     // these gates share one oracle (promote serves the persisted fold)
     "customer_cf_increment" -> SqlCfNeighbors,
     "customer_cf_promote" -> SqlCfNeighbors,
+    // the fold's volume diagnostic, recomputed from first principles:
+    // base-split vs full CF state, their net-nonzero pair/degree
+    // diffs, and the touched set (endpoints of changed pairs ∪
+    // changed-degree customers ∪ holders of a full-graph pair whose
+    // counterparty's degree changed — both degrees enter every score)
+    "customer_cf_increment_stats" ->
+      s"""WITH cpb AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |       WHERE o_orderdate < TIMESTAMP '2001-01-01'),
+         |cpf AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |keptb AS (SELECT cpb.c, cpb.p FROM cpb
+         |          JOIN (SELECT p FROM cpb GROUP BY p HAVING count(*) <= 30) d
+         |          USING (p)),
+         |keptf AS (SELECT cpf.c, cpf.p FROM cpf
+         |          JOIN (SELECT p FROM cpf GROUP BY p HAVING count(*) <= 30) d
+         |          USING (p)),
+         |degb AS (SELECT c, count(*) AS deg FROM keptb GROUP BY 1),
+         |degf AS (SELECT c, count(*) AS deg FROM keptf GROUP BY 1),
+         |shb AS (SELECT a.c AS c_a, b.c AS c_b, count(*) AS shared
+         |        FROM keptb a JOIN keptb b ON a.p = b.p AND a.c < b.c
+         |        GROUP BY 1, 2),
+         |shf AS (SELECT a.c AS c_a, b.c AS c_b, count(*) AS shared
+         |        FROM keptf a JOIN keptf b ON a.p = b.p AND a.c < b.c
+         |        GROUP BY 1, 2),
+         |dsh AS (SELECT coalesce(b.c_a, f.c_a) AS c_a,
+         |          coalesce(b.c_b, f.c_b) AS c_b
+         |        FROM shb b FULL OUTER JOIN shf f
+         |          ON b.c_a = f.c_a AND b.c_b = f.c_b
+         |        WHERE coalesce(f.shared, 0) - coalesce(b.shared, 0) <> 0),
+         |ddeg AS (SELECT coalesce(b.c, f.c) AS c
+         |         FROM degb b FULL OUTER JOIN degf f ON b.c = f.c
+         |         WHERE coalesce(f.deg, 0) - coalesce(b.deg, 0) <> 0),
+         |touched AS (
+         |  SELECT c FROM ddeg
+         |  UNION SELECT c_a FROM dsh
+         |  UNION SELECT c_b FROM dsh
+         |  UNION SELECT s.c_a FROM shf s JOIN ddeg d ON s.c_b = d.c
+         |  UNION SELECT s.c_b FROM shf s JOIN ddeg d ON s.c_a = d.c),
+         |dcp AS (SELECT c, p FROM cpf EXCEPT SELECT c, p FROM cpb)
+         |SELECT
+         |  (SELECT count(*) FROM touched)::BIGINT AS n_touched,
+         |  (SELECT count(*) FROM degf)::BIGINT AS n_customers,
+         |  (SELECT count(*) FROM dsh)::BIGINT AS changed_pairs,
+         |  (SELECT count(*) FROM ddeg)::BIGINT AS changed_deg,
+         |  (SELECT count(*) FROM dcp)::BIGINT AS new_incidence,
+         |  CAST((SELECT count(*) FROM touched) * 1000000
+         |    // greatest((SELECT count(*) FROM degf), 1) AS BIGINT)
+         |    AS touched_ppm""".stripMargin,
     "events_pattern_match" ->
       s"""SELECT user_id,
          |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches
@@ -6662,23 +6810,40 @@ object SparkEntry {
     // compaction rewrites the same rows — the probe answer is the
     // increment answer, so the gates share one oracle
     "ann_index_compact" -> SqlAnnIncTopk,
-    "ann_increment_drift" ->
-      s"""${sqlKmeansCents(8, 5, trainCond = Some(SqlAnnIncTrainPred))},
-         |cut AS (SELECT ((max(vec_id) + 1) * 4) // 5 AS v FROM embeddings),
-         |d AS (SELECT e.vec_id, min(${sqlD2("e", "c")}) AS d2
-         |      FROM ev e CROSS JOIN c5 c GROUP BY 1),
-         |s AS (SELECT
-         |    CAST(count(*) FILTER (vec_id < (SELECT v FROM cut)) AS BIGINT) AS n_base,
-         |    CAST(count(*) FILTER (vec_id >= (SELECT v FROM cut)) AS BIGINT) AS n_delta,
-         |    CAST(sum(d2) FILTER (vec_id < (SELECT v FROM cut)) AS BIGINT) AS s_base,
-         |    CAST(sum(d2) FILTER (vec_id >= (SELECT v FROM cut)) AS BIGINT) AS s_delta
-         |  FROM d)
-         |SELECT n_base, n_delta,
-         |  s_base // n_base AS base_avg_d2,
-         |  s_delta // n_delta AS delta_avg_d2,
-         |  CAST((s_delta // n_delta) * 1000000 // greatest(s_base // n_base, 1) AS BIGINT) AS drift_ppm,
-         |  (s_delta // n_delta) * 1000000 // greatest(s_base // n_base, 1) > 1500000 AS rebuild_due
-         |FROM s""".stripMargin,
+    "ann_increment_drift" -> SqlAnnDrift,
+    // the maintenance decision is a pure function of the drift row
+    "ann_maintain" ->
+      s"""SELECT *, CASE WHEN rebuild_due THEN 'rebuild' ELSE 'keep' END
+         |  AS action
+         |FROM ($SqlAnnDrift) t""".stripMargin,
+    // recall of the rebuilt (= full-corpus-retrained) IVF vs brute
+    // force: the kmeans-cell twin of ann_recall_report's sign-LSH form
+    "ann_rebuild_recall" ->
+      s"""${sqlKmeansCents(8, 5)},
+         |cells AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlD2("e", "c")}, c.cluster) AS rn
+         |  FROM ev e CROSS JOIN c5 c) WHERE rn = 1),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |               c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rank <= 5),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+         |               n.vec_id) AS rank
+         |  FROM cells q JOIN cells n ON q.cell = n.cell AND q.vec_id < 10 AND n.vec_id != q.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+         |  JOIN embeddings ne ON ne.vec_id = n.vec_id) WHERE rank <= 5)
+         |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
+         |  CAST(count(a.neighbor_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "benford_audit" ->
       s"""WITH c AS (
          |  SELECT CAST(left(CAST(CAST(round(o_totalprice * 100) AS BIGINT)

@@ -504,6 +504,15 @@ object Similarity {
     val exact = knnBruteForce(emb, nQueries, k)
       .select("query_id", "neighbor_id")
     val approx = annIvf(emb, nQueries, k).select("query_id", "neighbor_id")
+    recallReport(exact, approx, k)
+  }
+
+  /** Per-query recall of an `approx` (query_id, neighbor_id) set
+    * against `exact` truth — the shared tail of every ANN recall gate:
+    * one semi-join + a per-query count over nQ·k rows.
+    */
+  private[graft] def recallReport(exact: DataFrame, approx: DataFrame,
+                                  k: Int): DataFrame = {
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     exact.select("query_id").distinct()

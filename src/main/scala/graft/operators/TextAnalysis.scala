@@ -822,6 +822,92 @@ object TextAnalysis {
           substring(col("b.text"), 1, prefixLen)).cast("long").as("dist_next"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------------------
+  // HTML text extraction — the front door of every crawl-derived
+  // pipeline: a real corpus arrives as markup, and tag/script/style
+  // stripping runs BEFORE boilerplate scrubbing, quality scoring, or
+  // dedup ever see the text. The fixture documents are already clean,
+  // so the gate plants a deterministic markup wrapper (same
+  // construction in both engines) and proves extraction recovers the
+  // text: entities decode, script/style bodies vanish, block tags
+  // become whitespace, inline tags vanish. All patterns are
+  // lookaround-free (Java regex ≡ RE2, the pii_scrub discipline);
+  // extraction is a per-row codegen regexp chain — zero shuffle.
+  // ------------------------------------------------------------------
+
+  /** Planted-markup pieces, shared verbatim with the oracle (no single
+    * quotes or backslashes, so they embed in a SQL literal unescaped).
+    * The script body contains a decoy close tag and comparison
+    * operators; the style body contains braces and a child selector —
+    * the classic traps for naive tag stripping.
+    */
+  val HtmlHead: String =
+    "<html><head><title>doc &amp; meta</title>" +
+      "<style type=\"text/css\">p {margin: 0; color: #222}</style>" +
+      "<script type=\"text/javascript\">if (1 < 2 && 0 > 1) " +
+      "{ emit(\"</div>\") }</script>" +
+      "</head><body><h1>heading &lt;"
+  val HtmlMid: String = "&gt;</h1><div id=\"main\"><p>"
+  val HtmlTail: String = "</p></div><br></body></html>"
+
+  val ScriptPattern = "(?is)<script[^>]*>.*?</script>"
+  val StylePattern = "(?is)<style[^>]*>.*?</style>"
+  /** Block-level tags become whitespace (a word boundary in the
+    * rendering); everything else strips to nothing.
+    */
+  val BlockTagPattern = "(?i)</?(p|br|div|h[1-6]|li|ul|ol|table|tr|td)[^>]*>"
+  val AnyTagPattern = "(?s)<[^>]*>"
+
+  /** The deterministic raw-markup view of a clean (doc_id, text) row:
+    * head + title + style/script junk, the doc_id planted in an
+    * entity-wrapped h1, and two inline-tag wraps inside the body text.
+    */
+  def htmlWrap(docId: Column, text: Column): Column =
+    concat(lit(HtmlHead), docId.cast("string"), lit(HtmlMid),
+      replace(replace(text, lit(" the "), lit(" <b>the</b> ")),
+        lit(" a "), lit(" <i>a</i> ")),
+      lit(HtmlTail))
+
+  /** Markup → text: drop script/style bodies, break block tags to
+    * spaces, strip remaining tags, decode the fixed entity table
+    * (`&amp;` LAST — the standard order, so `&amp;lt;` decodes to the
+    * literal `&lt;` and never to `<`), normalize whitespace.
+    */
+  def htmlExtractCol(html: Column): Column = {
+    val noJunk = regexp_replace(
+      regexp_replace(html, ScriptPattern, " "), StylePattern, " ")
+    val noTags = regexp_replace(
+      regexp_replace(noJunk, BlockTagPattern, " "), AnyTagPattern, "")
+    val decoded = replace(replace(replace(replace(replace(replace(
+      noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, WordCount.WhitespacePattern, " "))
+  }
+
+  /** Gate query: wrap → extract per document. The oracle runs the
+    * identical chain on the identical construction; the parity gate
+    * ([[htmlExtractWordcount]]) is the independent cross-check.
+    */
+  def htmlExtract(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        htmlExtractCol(htmlWrap(col("doc_id"), col("text"))).as("clean_text"))
+      .orderBy("doc_id")
+
+  /** Gate query: the engine's own wordcount over the EXTRACTED text.
+    * The oracle never sees the markup — it counts tokens of the clean
+    * fixture text plus the planted constants directly, so any
+    * extraction loss (a swallowed word, an undecoded entity, a tag
+    * fragment surviving) breaks the hash. This is the
+    * wordcount-over-extracted parity proof, not a dual-engine rerun.
+    */
+  def htmlExtractWordcount(docs: DataFrame): DataFrame = {
+    val ext = htmlExtract(docs).select(col("doc_id"),
+      col("clean_text").as("text"))
+    WordCount.wordCount(ext)
+  }
+
   /** PII patterns shared with the oracle — kept lookaround-free so Java
     * regex and RE2 agree byte-for-byte.
     */

@@ -91,7 +91,7 @@ object AnnIndex {
                 nClusters: Int = 8, iters: Int = 5): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
     val tag = staged.computeIfAbsent(dir, { _ =>
-      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val t = StagedTags.tagOf(dir)
       writeIndex(emb, t, nClusters, iters)
       t
     })
@@ -167,7 +167,7 @@ object AnnIndex {
   private def ensureInc(spark: SparkSession, dir: String,
                         nClusters: Int, iters: Int): String =
     stagedInc.computeIfAbsent(s"$dir#$nClusters#$iters", { key =>
-      val t = java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL)
+      val t = StagedTags.tagOf(key)
       val emb = graft.Tables.embeddings(spark, dir)
       val cut = incCut(spark, dir)
       writeIncBase(emb.where(col("vec_id") < cut),
@@ -190,24 +190,44 @@ object AnnIndex {
       graft.Tables.embeddings(spark, dir).where(col("vec_id") < nQueries), k)
   }
 
-  /** Compact the incremented postings table: each append leaves one
-    * more file per touched bucket, and an index that absorbs deltas
-    * forever degrades into a small-file scan problem — so periodic
-    * compaction rewrites the SAME rows (the frozen centroids and cell
-    * assignments are untouched) into one file per bucket. The read
-    * snapshot materializes BEFORE the overwrite (the
-    * overwrite-while-read trap, same discipline as the foreachBatch
-    * upsert); `repartition(buckets, cell)` uses the bucket hash, so
-    * each task holds exactly one bucket's rows and writes exactly one
-    * file. Query results are byte-identical by construction
-    * (spec-proven), which is what makes compaction safe to schedule.
+  // ------------------------------------------------------------------
+  // Serving pointer: the (cent, cells) tables a production probe reads
+  // for an inc-family tag RIGHT NOW. Maintenance (compact, rebuild)
+  // writes NEW tables and publishes them here in one map update — the
+  // atomic swap. The superseded tables are never deleted in-session:
+  // they are the recovery path if a write dies mid-flight (ADVICE r11:
+  // the old compact() overwrote the table it was reading through a
+  // localCheckpoint snapshot — an executor loss could strand it).
+  // Gate queries stay VERSION-PINNED (each probes the table version
+  // its oracle describes, so gate order cannot change an answer); the
+  // pointer is the production read path, spec-proven to track swaps.
+  // ------------------------------------------------------------------
+  private val current =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The tables a production probe of inc-family `tag` reads now. */
+  def servingTables(tag: String): (String, String) =
+    current.getOrDefault(tag, tablesInc(tag))
+
+  /** Compact the incremented postings: each append leaves one more
+    * file per touched bucket, and an index that absorbs deltas forever
+    * degrades into a small-file scan problem — so periodic compaction
+    * rewrites the SAME rows (frozen centroids and cell assignments
+    * untouched) into one file per bucket, in a NEW table, then swaps
+    * the serving pointer. `repartition(buckets, cell)` uses the bucket
+    * hash, so each task holds exactly one bucket's rows and writes
+    * exactly one file. Query results are byte-identical by
+    * construction (spec-proven), which is what makes compaction safe
+    * to schedule. Returns the compacted cells table.
     */
-  def compact(spark: SparkSession, tag: String, buckets: Int = 8): Unit = {
-    val (_, cellsT) = tablesInc(tag)
-    val snap = spark.table(cellsT).localCheckpoint()
-    snap.repartition(buckets, col("cell"))
+  def compact(spark: SparkSession, tag: String, buckets: Int = 8): String = {
+    val (centT, cellsT) = servingTables(tag)
+    val cellsC = s"graft_annc_cells_$tag"
+    spark.table(cellsT).repartition(buckets, col("cell"))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "cell").saveAsTable(cellsT)
+      .bucketBy(buckets, "cell").saveAsTable(cellsC)
+    current.put(tag, (centT, cellsC))
+    cellsC
   }
 
   private val compacted =
@@ -216,17 +236,120 @@ object AnnIndex {
   /** Gate query: the increment top-k served AFTER compaction — the
     * full maintenance cycle (base build → append → compact → probe)
     * with the result provably unchanged (same oracle as
-    * `ann_ivf_increment`).
+    * `ann_ivf_increment`). Pinned to the compacted cells table — the
+    * state its oracle describes — regardless of later swaps.
     */
   def annCompactReport(spark: SparkSession, dir: String, nQueries: Int,
                        k: Int, nClusters: Int = 8,
                        iters: Int = 5): DataFrame = {
     val tag = ensureInc(spark, dir, nClusters, iters)
-    compacted.computeIfAbsent(s"$dir#$nClusters#$iters",
-      { _ => compact(spark, tag); tag })
-    val (centT, cellsT) = tablesInc(tag)
-    queryTables(spark, centT, cellsT,
+    val cellsC = compacted.computeIfAbsent(s"$dir#$nClusters#$iters",
+      { _ => compact(spark, tag) })
+    val (centT, _) = tablesInc(tag)
+    queryTables(spark, centT, cellsC,
       graft.Tables.embeddings(spark, dir).where(col("vec_id") < nQueries), k)
+  }
+
+  /** REBUILD — the step the drift tripwire schedules, closing the
+    * maintenance loop (base build → appends → drift → rebuild →
+    * tomorrow's appends target the rebuilt base). Retrains the coarse
+    * quantizer with Lloyd over the index's OWN stored vectors (base ∪
+    * every appended delta — no corpus rescan), re-encodes the postings
+    * in one broadcast-argmin pass reusing the stored cast vector and
+    * hoisted norm (only the cell changes), writes both halves as NEW
+    * `graft_annr_*` tables, and swaps the serving pointer. Because the
+    * retrain spans all stored vectors with the same deterministic
+    * seeds, the rebuilt index is identical to a from-scratch
+    * [[writeIncBase]] over base∪delta (spec-proven) — i.e. the frozen-
+    * quantizer staleness is fully paid down. Returns the new tables.
+    */
+  def rebuild(spark: SparkSession, tag: String, nClusters: Int, iters: Int,
+              buckets: Int = 8): (String, String) = {
+    val (_, cellsT) = servingTables(tag)
+    val posts = spark.table(cellsT)
+    val cents = Clustering.lloydCentroids(
+      posts.select(col("vec_id"), col("e").as("embedding")), nClusters, iters)
+    val (centR, cellsR) = (s"graft_annr_cent_$tag", s"graft_annr_cells_$tag")
+    cents.write.mode("overwrite").format("parquet").saveAsTable(centR)
+    // one-pass re-encode: k·d argmin per posting row against the ONE-
+    // row broadcast centroid array; e and nrm ride along unchanged
+    posts.select(col("vec_id"), col("e"), col("nrm"))
+      .join(broadcast(spark.table(centR)
+        .agg(sort_array(collect_list(struct(col("cluster"), col("cv"))))
+          .as("cents"))))
+      .withColumn("cell", graft.functions.functions
+        .nearest_centroid_l2(Clustering.scaledVec(col("e")), col("cents"))
+        .getField("cluster"))
+      .select("vec_id", "e", "nrm", "cell")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").saveAsTable(cellsR)
+    current.put(tag, (centR, cellsR)) // the atomic swap
+    (centR, cellsR)
+  }
+
+  /** CONSUME the drift tripwire: compute [[annIncrementDrift]] and,
+    * when `rebuild_due`, run the scheduled [[rebuild]] + swap — the
+    * production maintenance decision as one call. The returned row is
+    * the drift report plus the action taken. On the fixture corpora
+    * the delta is in-distribution (drift_ppm ≈ 10⁶ < the 1.5×10⁶ bar)
+    * so the gate row reports `keep` deterministically at every SF; the
+    * rebuild branch is exercised by the spec on a synthetically
+    * drifted delta. The decision read is a 1-row driver fetch — the
+    * maintenance controller, not a data path.
+    */
+  def annMaintain(spark: SparkSession, dir: String, nClusters: Int = 8,
+                  iters: Int = 5): DataFrame = {
+    val drift = annIncrementDrift(spark, dir, nClusters, iters)
+    if (drift.head().getAs[Boolean]("rebuild_due"))
+      rebuild(spark, ensureInc(spark, dir, nClusters, iters), nClusters, iters)
+    drift.withColumn("action",
+      when(col("rebuild_due"), lit("rebuild")).otherwise(lit("keep")))
+  }
+
+  // rebuild-family staging: its OWN base+append build (same split and
+  // parameters as the shared increment family), because the rebuild
+  // RETRAINS the quantizer — running it on the shared tag would change
+  // the increment/compact gates' answers depending on gate order
+  private val stagedRb =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Gate query: IVF top-k through the REBUILT index — the full
+    * maintenance cycle run to its end (base build → append → scheduled
+    * rebuild → probe). The retrain spans all vectors, so the result
+    * equals a full-corpus-trained IVF: the gate shares the
+    * `ann_ivf_disk` oracle (unrolled-Lloyd CTE over ALL vec_ids).
+    */
+  def annRebuildReport(spark: SparkSession, dir: String, nQueries: Int,
+                       k: Int, nClusters: Int = 8,
+                       iters: Int = 5): DataFrame = {
+    val (centR, cellsR) = stagedRb.computeIfAbsent(
+      s"$dir#$nClusters#$iters", { key =>
+        val t = StagedTags.tagOf(key + "#rb")
+        val emb = graft.Tables.embeddings(spark, dir)
+        val cut = incCut(spark, dir)
+        writeIncBase(emb.where(col("vec_id") < cut),
+          emb.where(col("vec_id") < cut), t, nClusters, iters)
+        appendDelta(spark, t, emb.where(col("vec_id") >= cut))
+        rebuild(spark, t, nClusters, iters)
+      })
+    queryTables(spark, centR, cellsR,
+      graft.Tables.embeddings(spark, dir).where(col("vec_id") < nQueries), k)
+  }
+
+  /** Gate query: recall of the REBUILT index against brute-force
+    * cosine truth — the eval that certifies a rebuild before the swap
+    * ships (the `ann_recall_report` pattern applied to the rebuilt
+    * state). Both sides are deterministic engine operators, so recall
+    * is oracle-able end-to-end.
+    */
+  def annRebuildRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+                       k: Int = 5): DataFrame = {
+    val exact = Similarity
+      .knnBruteForce(graft.Tables.embeddings(spark, dir), nQueries, k)
+      .select("query_id", "neighbor_id")
+    val approx = annRebuildReport(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    Similarity.recallReport(exact, approx, k)
   }
 
   /** Drift tripwire: compare the delta's quantization error against
@@ -255,7 +378,13 @@ object AnnIndex {
       .select(col("n_base"), col("n_delta"),
         expr("s_base div n_base").as("base_avg_d2"),
         expr("s_delta div n_delta").as("delta_avg_d2"),
-        expr("(s_delta div n_delta) * 1000000 div greatest(s_base div n_base, 1)")
+        // decimal intermediate: a GENUINELY drifted delta (the state
+        // the tripwire exists for) has avg d² big enough that the
+        // ×10⁶ would overflow int64 under ANSI mode — the values the
+        // oracle sees are in-distribution and unaffected, the same
+        // truncating-div contract either way
+        expr("cast((s_delta div n_delta) * cast(1000000 as decimal(27, 0))" +
+          " div greatest(s_base div n_base, 1) as bigint)")
           .as("drift_ppm"))
       .withColumn("rebuild_due", col("drift_ppm") > 1500000L)
   }

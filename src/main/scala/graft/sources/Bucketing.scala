@@ -40,7 +40,7 @@ object Bucketing {
   def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tag = staged.computeIfAbsent(dir, { _ =>
-      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val t = StagedTags.tagOf(dir)
       writeBucketed(graft.Tables.orders(spark, dir)
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority")),
         s"graft_bkt_orders_$t", "orderkey", 8)

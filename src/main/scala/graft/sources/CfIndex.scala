@@ -113,7 +113,7 @@ object CfIndex {
 
   private def ensure(spark: SparkSession, dir: String): String =
     staged.computeIfAbsent(dir, { _ =>
-      val tg = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val tg = StagedTags.tagOf(dir)
       writeIndex(spark, dir, tg)
       tg
     })
@@ -301,7 +301,7 @@ object CfIndex {
 
   private def ensureBase(spark: SparkSession, dir: String): String =
     stagedBase.computeIfAbsent(dir, { _ =>
-      val tg = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val tg = StagedTags.tagOf(dir)
       writeBaseIndex(spark, dir, tg)
       tg
     })
@@ -322,11 +322,15 @@ object CfIndex {
   /** The increment's MERGED state, exposed so [[writePromoted]] can
     * persist it as the next nightly base: the new incidence rows, the
     * part-df deltas, the merged pair/degree state, and the updated
-    * neighbor top-k (unordered — storage shape).
+    * neighbor top-k (unordered — storage shape). The signed-delta and
+    * touched-set frames ride along for [[cfIncrementStats]] — they are
+    * already-checkpointed byproducts of the fold, so exposing them
+    * costs nothing.
     */
   private[graft] case class IncState(dcp: DataFrame, ddf: DataFrame,
                                      sh1: DataFrame, deg1: DataFrame,
-                                     nb: DataFrame)
+                                     nb: DataFrame, dsh: DataFrame,
+                                     ddeg: DataFrame, touched: DataFrame)
 
   def cfIncrement(spark: SparkSession, dir: String, maxDf: Int = 30,
                   minShared: Int = 2, kNb: Int = 3): DataFrame =
@@ -335,14 +339,19 @@ object CfIndex {
 
   // the derived increment state is checkpointed frames — share ONE
   // derivation per (session, dir, params) between the increment gate
-  // and writePromoted instead of paying the delta fold twice
+  // and writePromoted instead of paying the delta fold twice. The
+  // SESSION is part of the key (ADVICE r11): the cached frames hold
+  // localCheckpoint blocks bound to the creating session's context —
+  // a different session in the same JVM must derive its own state,
+  // never be served frames whose blocks die with someone else's
+  // session.
   private val incStates = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int), IncState]()
+    (SparkSession, String, Int, Int, Int), IncState]()
 
   private[graft] def incrementState(spark: SparkSession, dir: String,
                                     maxDf: Int = 30, minShared: Int = 2,
                                     kNb: Int = 3): IncState =
-    incStates.computeIfAbsent((dir, maxDf, minShared, kNb), _ =>
+    incStates.computeIfAbsent((spark, dir, maxDf, minShared, kNb), _ =>
       deriveIncrementState(spark, dir, maxDf, minShared, kNb))
 
   private def deriveIncrementState(spark: SparkSession, dir: String,
@@ -397,7 +406,33 @@ object CfIndex {
       .join(broadcast(touched.withColumnRenamed("c", "c_a")),
         Seq("c_a"), "left_anti")
       .unionByName(ranked)
-    IncState(dcp, ddf, sh1, deg1, nb)
+    IncState(dcp, ddf, sh1, deg1, nb, dsh, ddeg, touched)
+  }
+
+  /** Gate query: the IVM degeneracy diagnostic — one row of increment
+    * volume statistics from the SAME cached fold the increment and
+    * promote gates share (no extra delta derivation). `touched_ppm` is
+    * the number the round-11 cost analysis computed by hand: how much
+    * of the customer population the delta's re-rank actually touches.
+    * Near 10⁶ the increment is in the known IVM degeneracy regime
+    * where a recompute is cheaper — production reads this row per
+    * nightly run and flips to the rank-everything path past a
+    * threshold, instead of discovering the regime from wall-clock.
+    * Every count is a 1-row aggregate of a checkpointed frame; the
+    * crossJoins below multiply 1-row frames.
+    */
+  def cfIncrementStats(spark: SparkSession, dir: String, maxDf: Int = 30,
+                       minShared: Int = 2, kNb: Int = 3): DataFrame = {
+    val st = incrementState(spark, dir, maxDf, minShared, kNb)
+    def one(df: DataFrame, n: String): DataFrame =
+      df.agg(count(lit(1)).as(n))
+    one(st.touched, "n_touched")
+      .crossJoin(one(st.deg1, "n_customers"))
+      .crossJoin(one(st.dsh, "changed_pairs"))
+      .crossJoin(one(st.ddeg, "changed_deg"))
+      .crossJoin(one(st.dcp, "new_incidence"))
+      .withColumn("touched_ppm",
+        expr("n_touched * 1000000 div greatest(n_customers, 1)"))
   }
 
   private def tp(name: String, tag: String): String = s"graft_cfp_${name}_$tag"
@@ -451,7 +486,7 @@ object CfIndex {
     */
   def cfPromote(spark: SparkSession, dir: String): DataFrame = {
     val tag = promoted.computeIfAbsent(dir, { _ =>
-      val tg = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val tg = StagedTags.tagOf(dir)
       writePromoted(spark, dir, tg)
       tg
     })

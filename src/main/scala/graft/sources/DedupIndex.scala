@@ -144,7 +144,7 @@ object DedupIndex {
                       baseMaxId: Long): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val tag = staged.computeIfAbsent(dir, { _ =>
-      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val t = StagedTags.tagOf(dir)
       writeIndex(docs.where(col("doc_id") <= baseMaxId), t,
         n = 3, b = 32, r = 4)
       t
@@ -161,7 +161,7 @@ object DedupIndex {
                             baseMaxId: Long): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val tag = staged.computeIfAbsent(dir, { _ =>
-      val t = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val t = StagedTags.tagOf(dir)
       writeIndex(docs.where(col("doc_id") <= baseMaxId), t,
         n = 3, b = 32, r = 4)
       t

@@ -298,6 +298,60 @@ object Streams {
       Seq("new_id", "base_id"))
   }
 
+  // dir -> staged incremental-ANN tag: the base build + the streamed
+  // delta ingest run ONCE per (session, sf dir) under computeIfAbsent;
+  // every probe afterwards reads the appended index (the DedupIndex
+  // staging discipline)
+  private val annStreamed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming ANN ingest — the realtime twin of
+    * [[graft.sources.AnnIndex.appendDelta]]: arriving vectors (vec_id
+    * ≥ the 80% cut on the embeddings file stream) are argmin-assigned
+    * against the PERSISTED frozen centroids and appended to the
+    * bucketed postings inside foreachBatch — the production shape for
+    * an embedding firehose feeding a serving index (the target is a
+    * bucketed lake table, which has no native streaming writer). The
+    * assignment is stateless (a 1-row broadcast of k centroid structs
+    * inside each micro-batch), so the stream keeps ZERO state; append
+    * order cannot matter because postings are a set. Driven to
+    * completion the probed index equals the batch increment — the
+    * driver's oracle via the alias map (`ann_ivf_increment`).
+    */
+  def annIncrementAvailableNow(spark: SparkSession, dir: String,
+                               nQueries: Int = 10, k: Int = 5,
+                               nClusters: Int = 8,
+                               iters: Int = 5): DataFrame = {
+    import graft.sources.AnnIndex
+    val path = s"$dir/embeddings.parquet"
+    val tag = annStreamed.computeIfAbsent(dir, { _ =>
+      val t = graft.sources.StagedTags.tagOf(s"$dir#$nClusters#$iters#stream")
+      val emb = spark.read.parquet(path)
+      val cut = AnnIndex.incCut(spark, dir)
+      // nightly base: frozen quantizer + base postings only — the
+      // stream owns the delta
+      AnnIndex.writeIncBase(emb.where(col("vec_id") < cut),
+        emb.where(col("vec_id") < cut), t, nClusters, iters)
+      val schema = emb.schema
+      val ckpt = graft.TempDirs.scratch("graft_anns_ckpt_")
+      val q = spark.readStream.schema(schema).parquet(stagedFileDir(path))
+        .where(col("vec_id") >= cut)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          AnnIndex.appendDelta(batch.sparkSession, t, batch)
+        }
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      t
+    })
+    AnnIndex.queryTables(spark, s"graft_anni_cent_$tag",
+      s"graft_anni_cells_$tag",
+      spark.read.parquet(path).where(col("vec_id") < nQueries), k)
+  }
+
   /** [[sessionCounts]] (mapGroupsWithState) over the events file
     * stream, driven to completion in update mode: one staged file =
     * one batch, so each user's final session count is emitted exactly

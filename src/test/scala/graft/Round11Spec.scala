@@ -228,7 +228,13 @@ class Round11Spec extends SparkSpec {
       .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .map(f => (f.getName, f.length, f.lastModified)).toSet
     val before = snap
-    AnnIndex.appendDelta(spark, "r11inc", emb.where(col("vec_id") >= cut))
+    // two appends (delta split by id parity): the nightly loop run
+    // twice, so the postings dir accumulates strictly more files than
+    // one bucket round — making the compaction shrink check meaningful
+    // regardless of how many files one bucketed write happens to land
+    val delta = emb.where(col("vec_id") >= cut)
+    AnnIndex.appendDelta(spark, "r11inc", delta.where(col("vec_id") % 2 === 0))
+    AnnIndex.appendDelta(spark, "r11inc", delta.where(col("vec_id") % 2 =!= 0))
     val after = snap
     assert(before.subsetOf(after), "append must not rewrite base postings")
     assert(after.size > before.size, "append must add new posting files")
@@ -241,17 +247,27 @@ class Round11Spec extends SparkSpec {
     val want = AnnIndex.queryTables(spark, "graft_anni_cent_r11ref",
       "graft_anni_cells_r11ref", q, 5).collect().map(_.toString).toSeq
     assert(got == want)
-    // compaction: one file per bucket, same rows, same answers
+    // compaction: a NEW table with one file per bucket, same rows,
+    // same answers; the source table is untouched (it is the recovery
+    // path if the compaction write dies) and the serving pointer swaps
     val rowsBefore = spark.table("graft_anni_cells_r11inc").count()
-    AnnIndex.compact(spark, "r11inc")
-    assert(spark.table("graft_anni_cells_r11inc").count() == rowsBefore)
-    val filesAfter = loc.listFiles()
+    val cellsC = AnnIndex.compact(spark, "r11inc")
+    assert(cellsC != "graft_anni_cells_r11inc")
+    assert(spark.table(cellsC).count() == rowsBefore)
+    assert(snap == after, "compaction must not touch the source table")
+    val locC = new java.io.File(new java.net.URI(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        cellsC)).location.toString))
+    val filesAfter = locC.listFiles()
       .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
     assert(filesAfter <= 8, s"compaction must leave <= 1 file/bucket, got $filesAfter")
     assert(filesAfter < after.size, "compaction must shrink the file count")
     val gotC = AnnIndex.queryTables(spark, "graft_anni_cent_r11inc",
-      "graft_anni_cells_r11inc", q, 5).collect().map(_.toString).toSeq
+      cellsC, q, 5).collect().map(_.toString).toSeq
     assert(gotC == want, "compaction must not change a single answer")
+    assert(AnnIndex.servingTables("r11inc") ==
+      ("graft_anni_cent_r11inc", cellsC),
+      "the serving pointer must track the compaction swap")
   }
 
   test("ANN increment drift: counts partition the corpus, ppm positive") {
@@ -274,7 +290,7 @@ class Round11Spec extends SparkSpec {
     // state contract: every promoted table equals its from-scratch
     // derivation over the FULL incidence — so tomorrow's delta can
     // probe the promoted base exactly as today's probed the original
-    val tag = java.lang.Long.toHexString(sf0001.hashCode.toLong & 0xffffffffL)
+    val tag = graft.sources.StagedTags.tagOf(sf0001)
     val cpFull = Tables.lineitem(spark, sf0001)
       .join(Tables.orders(spark, sf0001),
         col("l_orderkey") === col("o_orderkey"))
