@@ -130,13 +130,22 @@ object CfIndex {
 
   /** Gate query: [[Basket.recommendations]] probing the persisted
     * full-history neighbor + incidence tables. The candidate-expansion
-    * join reads `cp` bucketed on its join key.
+    * join reads `cp` bucketed on its join key, and the merge hint PINS
+    * the bucket-co-located sort-merge plan: both tables are tiny at
+    * fixture SF, so Catalyst would otherwise pick a broadcast join
+    * whose BUILD SIDE follows the smaller byte count — which jitters
+    * with the concurrent index writes' file layout (the
+    * customer_rec_eval plan-digest flake). SMJ over two bucketed scans
+    * is exchange-free, deterministic, and the only shape that survives
+    * 100 TB (neither the incidence nor the neighbor graph broadcasts
+    * at scale).
     */
   def recommendations(spark: SparkSession, dir: String,
                       topN: Int = 3): DataFrame = {
     val tag = ensure(spark, dir)
     Basket.recommendFrom(
-      spark.table(t("nb", tag)).select("c_a", "c_b", "score_ppm"),
+      spark.table(t("nb", tag)).select("c_a", "c_b", "score_ppm")
+        .hint("merge"),
       spark.table(t("cp", tag)), topN)
   }
 
@@ -148,8 +157,11 @@ object CfIndex {
     */
   def recEval(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     val tag = ensure(spark, dir)
+    // merge hint: pin the bucket-co-located SMJ (see recommendations —
+    // the broadcast side choice jitters with file-layout bytes)
     val recs = Basket.recommendFrom(
-        spark.table(t("nbtr", tag)).select("c_a", "c_b", "score_ppm"),
+        spark.table(t("nbtr", tag)).select("c_a", "c_b", "score_ppm")
+          .hint("merge"),
         spark.table(t("cptr", tag)), topN)
       .select(col("custkey"), col("part_id"))
     Basket.recHitReport(recs, spark.table(t("test", tag)))
