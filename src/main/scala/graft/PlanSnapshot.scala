@@ -98,17 +98,27 @@ object PlanSnapshot {
     * treated as narrowly as it allows:
     *
     *  1. `gid#x = k` filter literals → `n` (pure renumbering);
-    *  2. the Expand `[[...], [...]]` projection list: top-level bracket
-    *     groups sorted after erasing each group's TRAILING integer
-    *     (the gid tag) — bracket depth is tracked so commas inside
-    *     nested expressions never split a group, and WITHIN-group
-    *     column order stays digest-visible;
-    *  3. everything OUTSIDE the projection list — the Expand output
-    *     attribute list and, on bracketless lines, the intermediate
-    *     HashAggregate/Exchange key lists that inherit the rewrite's
-    *     group enumeration order — has its comma segments sorted
-    *     (attributes are all `#x`-normalized names, so only their
-    *     PERMUTATION varies; a multiset change still flips).
+    *  2. a well-formed `Expand [[…], …], [output]` line: the labeling
+    *     freedom permutes the OUTPUT attribute list and with it every
+    *     group's internal column order (the q21 residual) and the gid
+    *     tag values (round 10's finding) — and when countDistinct
+    *     co-occurs with regular aggregates the tag is not even the
+    *     trailing group element (the customer_rec_eval residual). So:
+    *     erase each group's tag at the gid column's output position,
+    *     sort the output attributes, apply the SAME permutation to
+    *     every group, then sort the groups. Only the output-induced
+    *     permutation is undone — a changed expression, constant, or
+    *     multiset still flips. Bracket/paren depth is tracked so
+    *     commas inside nested expressions never split an element.
+    *     Lines that don't parse (no `gid#x` output column, arity
+    *     mismatch) fall back to positional-or-trailing tag erase +
+    *     group sort + segment sort around the region;
+    *  3. everything OUTSIDE the projection list on bracketless lines —
+    *     the intermediate HashAggregate/Exchange key lists that
+    *     inherit the rewrite's group enumeration order — has its comma
+    *     segments sorted (attributes are all `#x`-normalized names, so
+    *     only their PERMUTATION varies; a multiset change still
+    *     flips).
     */
   private[graft] def canonGid(line: String): String = {
     val norm = line.replaceAll("gid#x = \\d+", "gid#x = n")
@@ -138,14 +148,91 @@ object PlanSnapshot {
       }
     }
     if (sb.nonEmpty) parts += sb.toString.trim
-    val region = "[" +
-      parts.map(_.replaceAll(", \\d+\\]$", ", n]")).sorted.mkString(", ") + "]"
-    // canonicalize the line AROUND the projection region: swap the
-    // region for a fixed marker, sort the remaining segments, put the
-    // (already canonical) region back
-    val marker = "\u0001PROJ\u0001" // control char: never in plan text
-    sortSegs(norm.substring(0, open) + marker + norm.substring(end + 1))
-      .replace(marker, region)
+    // Split a comma list at depth 0 of BOTH bracket kinds: attribute
+    // names and projection expressions can carry commas inside parens
+    // (`coalesce(hit, 0L)#x`), which a plain ", " split would shear.
+    def splitTop(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val b = new StringBuilder
+      var dep = 0
+      s.foreach { ch =>
+        if (ch == ',' && dep == 0) { out += b.toString.trim; b.clear() }
+        else {
+          if (ch == '[' || ch == '(') dep += 1
+          else if (ch == ']' || ch == ')') dep -= 1
+          b.append(ch)
+        }
+      }
+      if (b.nonEmpty) out += b.toString.trim
+      out.toSeq
+    }
+    // The gid tag's POSITION inside each projection group = the gid
+    // column's position in the Expand OUTPUT list that follows the
+    // region. When countDistinct co-occurs with regular aggregates the
+    // rewrite lays groups out as [distinct-cols…, gid, regular-cols…] —
+    // the tag is NOT trailing (the customer_rec_eval residual flake;
+    // the round-11 trailing-erase only covered the pure-countDistinct
+    // layout, where gid happens to be last).
+    val tail = norm.substring(end + 1)
+    val oOpen = tail.indexOf('[')
+    val oClose: Int = if (oOpen < 0) -1 else {
+      var d2 = 0; var j = oOpen; var e2 = -1
+      while (j < tail.length && e2 < 0) {
+        tail(j) match {
+          case '[' => d2 += 1
+          case ']' => d2 -= 1; if (d2 == 0) e2 = j
+          case _   => ()
+        }
+        j += 1
+      }
+      e2
+    }
+    val output: Seq[String] =
+      if (oOpen < 0 || oClose < 0) Seq.empty
+      else splitTop(tail.substring(oOpen + 1, oClose))
+    val gidIdx = output.indexWhere(_ == "gid#x")
+    val groupsE = parts.map(p =>
+      splitTop(p.stripPrefix("[").stripSuffix("]"))).toSeq
+    // STRUCTURED path (a well-formed `Expand [[g1], ...], [output]`
+    // line): the relabeling freedom permutes the OUTPUT attribute list
+    // and, with it, every group's internal column order (the q21
+    // residual -- round 11's segment sort scrambled the line instead
+    // of undoing the permutation). Canonicalize by sorting the output
+    // attributes and applying the SAME permutation to every group,
+    // after erasing each group's gid tag at the gid column's position.
+    // A genuine content change (a different expression or constant, a
+    // changed multiset) still flips, because only the output-induced
+    // permutation is undone.
+    val structured = gidIdx >= 0 &&
+      groupsE.nonEmpty && groupsE.forall(_.length == output.length) &&
+      tail.take(oOpen).trim == "," && tail.drop(oClose + 1).trim.isEmpty
+    if (structured) {
+      val erased = groupsE.map { g =>
+        if (g(gidIdx).nonEmpty && g(gidIdx).forall(_.isDigit))
+          g.updated(gidIdx, "n")
+        else g
+      }
+      val perm = output.indices.sortBy(output) // stable on duplicates
+      val outC = perm.map(output)
+      val groupsC = erased.map(g => perm.map(g).mkString("[", ", ", "]"))
+        .sorted
+      norm.substring(0, open) +
+        "[" + groupsC.mkString(", ") + "], [" + outC.mkString(", ") + "]"
+    } else {
+      // fallback (no gid output column / arity mismatch / extra text):
+      // positional-or-trailing tag erase + segment sort around a marker
+      def eraseGid(group: String): String = {
+        val elems = splitTop(group.stripPrefix("[").stripSuffix("]"))
+        if (gidIdx >= 0 && gidIdx < elems.length &&
+            elems(gidIdx).nonEmpty && elems(gidIdx).forall(_.isDigit))
+          "[" + elems.updated(gidIdx, "n").mkString(", ") + "]"
+        else group.replaceAll(", \\d+\\]$", ", n]")
+      }
+      val region = "[" + parts.map(eraseGid).sorted.mkString(", ") + "]"
+      val marker = "\u0001PROJ\u0001" // control char: never in plan text
+      sortSegs(norm.substring(0, open) + marker + norm.substring(end + 1))
+        .replace(marker, region)
+    }
   }
 
   private def digest(lines: Seq[String]): String = {

@@ -84,6 +84,8 @@ object ScaleProbe {
       Seq("event_id", "user_id"), 10000000L, perturbText = false)
     val li = scaleAndWrite("lineitem", Tables.lineitem(spark, sfDir),
       Seq("l_orderkey"), 100000000L, perturbText = false)
+    val emb = scaleAndWrite("embeddings", Tables.embeddings(spark, sfDir),
+      Seq("vec_id"), 10000000L, perturbText = false)
     // custkeys shift with the copy too, so each copy is an independent
     // customer population (baskets replicate, pairs don't cross copies)
     val ords = scaleAndWrite("orders", Tables.orders(spark, sfDir),
@@ -108,6 +110,11 @@ object ScaleProbe {
     val liBig = spark.read.parquet(li)
     val ordsBase = Tables.orders(spark, sfDir)
     val ordsBig = spark.read.parquet(ords)
+    val embBase = Tables.embeddings(spark, sfDir)
+    val embBig = spark.read.parquet(emb)
+    // frozen base-trained centroids for the append probe (computed
+    // once, eagerly — lloydCentroids checkpoints internally)
+    val centsFixed = operators.Clustering.lloydCentroids(embBase, 8, 5)
 
     // thunks, NOT pre-built DataFrames: operators with eager side
     // effects at construction (crossDocSpans's localCheckpoint fires
@@ -316,7 +323,24 @@ object ScaleProbe {
         () => operators.TextAnalysis.classifierTrain(docsBig, 256, 2)),
       ("corpus_build_v2",
         () => operators.TextAnalysis.corpusBuildV2(docsBase),
-        () => operators.TextAnalysis.corpusBuildV2(docsBig)))
+        () => operators.TextAnalysis.corpusBuildV2(docsBig)),
+      // the ANN rebuild's compute core: Lloyd retrain over the whole
+      // index + the one-pass argmin re-encode (only the bucketed write
+      // is not probed) — cost ∝ index size by design
+      ("ann_rebuild",
+        () => operators.Clustering.cellAssignments(embBase,
+          operators.Clustering.lloydCentroids(embBase, 8, 5)),
+        () => operators.Clustering.cellAssignments(embBig,
+          operators.Clustering.lloydCentroids(embBig, 8, 5))),
+      // frozen-quantizer append (the batch appendDelta / streaming
+      // ingest core): centroids stay base-trained while arrivals 10x —
+      // delta-proportional, no retrain
+      ("ann_append",
+        () => operators.Clustering.cellAssignments(embBase, centsFixed),
+        () => operators.Clustering.cellAssignments(embBig, centsFixed)),
+      ("html_extract",
+        () => operators.TextAnalysis.htmlExtract(docsBase),
+        () => operators.TextAnalysis.htmlExtract(docsBig)))
 
     // optional args beyond the factor: probe-name filter (iteration
     // aid). A typo'd name must warn, not silently probe nothing.

@@ -1240,6 +1240,12 @@ object SparkEntry {
     // constants) — extraction loss breaks the hash
     "doc_html_extract_wordcount" -> ((s, dir) =>
       TextAnalysis.htmlExtractWordcount(Tables.documents(s, dir))),
+    // the capstone fed from the markup front door: wrap → extract →
+    // dedup ∩ gopher ∩ repetition ∩ span-cut → chunk/mixture (a crawl
+    // pipeline end to end; oracle = the v2 SQL over the extraction's
+    // proven clean form)
+    "corpus_build_v3" -> ((s, dir) =>
+      TextAnalysis.corpusBuildV3(Tables.documents(s, dir))),
     // Zipf-shape frequency-of-frequency histogram
     "word_freq_of_freq" -> ((s, dir) =>
       TextAnalysis.freqOfFreq(Tables.documents(s, dir))),
@@ -2116,7 +2122,21 @@ object SparkEntry {
       // same frozen centroids — driven to completion, the streamed
       // index equals the batch increment
       "streaming_ann_increment" -> "ann_ivf_increment")
-    oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) }
+    // corpus_build_v3 = the v2 oracle over the extraction's PROVEN
+    // clean form (planted constants + text — the equivalence the
+    // doc_html_extract_wordcount gate pins): a `docsx` CTE replaces
+    // the documents table (every reference in the v2 SQL is a
+    // word-bounded `FROM documents`, checked; no column or literal
+    // contains the word)
+    val v3Sql = {
+      val v2 = oracleSqlBase("corpus_build_v2")
+      "WITH docsx AS (SELECT doc_id, 'doc & meta heading <' || " +
+        "CAST(doc_id AS VARCHAR) || '> ' || text AS text, lang, " +
+        "source, n_chars FROM documents),\n" +
+        v2.stripPrefix("WITH ").replaceAll("\\bdocuments\\b", "docsx")
+    }
+    oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) } +
+      ("corpus_build_v3" -> v3Sql)
   }
 
   /** The dual-engine md5-prefix 60-bit hash of a column, DuckDB

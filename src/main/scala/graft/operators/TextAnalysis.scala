@@ -908,6 +908,22 @@ object TextAnalysis {
     WordCount.wordCount(ext)
   }
 
+  /** The capstone fed from the markup FRONT DOOR — a crawl pipeline
+    * end to end: wrap (the planted-markup fixture view) → extract →
+    * [[corpusBuildV2]]'s dedup ∩ gopher ∩ repetition ∩ span-cut →
+    * chunk/mixture rollup. Every stage is an already-gated operator;
+    * the oracle runs the v2 SQL over the extraction's PROVEN clean
+    * form (planted constants + text — the `doc_html_extract_wordcount`
+    * equivalence), so it never sees markup. Extraction adds one
+    * per-row codegen regex chain ahead of the v2 shape — no new
+    * shuffle.
+    */
+  def corpusBuildV3(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
+                    w: Int = 8): DataFrame =
+    corpusBuildV2(docs.withColumn("text",
+        htmlExtractCol(htmlWrap(col("doc_id"), col("text")))),
+      chunkSize, overlap, w)
+
   /** PII patterns shared with the oracle — kept lookaround-free so Java
     * regex and RE2 agree byte-for-byte.
     */

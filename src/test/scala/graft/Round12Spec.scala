@@ -163,6 +163,38 @@ class Round12Spec extends SparkSpec {
 
   // ------------------------------------------ truncated-render guard
 
+  test("canonGid: mixed distinct+regular layout (gid NOT trailing) " +
+    "collapses across labelings") {
+    // two countDistinct groups + a regular-agg column AFTER the gid —
+    // the rec_eval shape; the rewrite may tag either distinct group 1
+    val a = "Expand [[CASE WHEN (hit#x = 1) THEN custkey#x END, null, " +
+      "1, null], [null, custkey#x, 2, null], [null, null, 0, " +
+      "coalesce(hit#x, 0)]], [CASE#x, custkey#x, gid#x, coalesce#x]"
+    val b = "Expand [[null, custkey#x, 1, null], [CASE WHEN (hit#x = " +
+      "1) THEN custkey#x END, null, 2, null], [null, null, 0, " +
+      "coalesce(hit#x, 0)]], [CASE#x, custkey#x, gid#x, coalesce#x]"
+    assert(PlanSnapshot.canonGid(a) == PlanSnapshot.canonGid(b))
+    // a changed NON-gid constant in a group still flips
+    val c = a.replace("coalesce(hit#x, 0)]]", "coalesce(hit#x, 1)]]")
+    assert(PlanSnapshot.canonGid(a) != PlanSnapshot.canonGid(c))
+  }
+
+  test("canonGid: the FULL labeling swap (output list + group columns " +
+    "permute together) collapses") {
+    // the q21 residual: relabeling reorders the Expand output
+    // attributes, and every group's internal layout follows
+    val a = "Expand [[k#x, CASE WHEN late#x THEN s#x END, null, 1], " +
+      "[k#x, null, s#x, 2]], " +
+      "[k#x, CASE WHEN late THEN s END#x, s#x, gid#x]"
+    val b = "Expand [[k#x, s#x, null, 1], " +
+      "[k#x, null, CASE WHEN late#x THEN s#x END, 2]], " +
+      "[k#x, s#x, CASE WHEN late THEN s END#x, gid#x]"
+    assert(PlanSnapshot.canonGid(a) == PlanSnapshot.canonGid(b))
+    // same output order but a genuinely different group layout flips
+    val c = a.replace("[k#x, null, s#x, 2]", "[null, k#x, s#x, 2]")
+    assert(PlanSnapshot.canonGid(a) != PlanSnapshot.canonGid(c))
+  }
+
   test("normalize: early '…' falls back to a position-independent cut") {
     // a line whose '…' lands before column 48 (e.g. a path collapse
     // shrank it) must not cut at the id-width-sensitive index — it
