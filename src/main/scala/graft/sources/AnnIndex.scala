@@ -209,6 +209,17 @@ object AnnIndex {
   def servingTables(tag: String): (String, String) =
     current.getOrDefault(tag, tablesInc(tag))
 
+  // per-tag maintenance generation: every compaction/rebuild writes a
+  // NEW `_g<N>` table — a SECOND maintenance round on the same tag
+  // would otherwise read its own predecessor through the serving
+  // pointer and overwrite the very table it scans (the
+  // overwrite-while-read trap, round-12 self-review)
+  private val gens = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  private def nextGen(tag: String): Int =
+    gens.computeIfAbsent(tag,
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+
   /** Compact the incremented postings: each append leaves one more
     * file per touched bucket, and an index that absorbs deltas forever
     * degrades into a small-file scan problem — so periodic compaction
@@ -222,7 +233,7 @@ object AnnIndex {
     */
   def compact(spark: SparkSession, tag: String, buckets: Int = 8): String = {
     val (centT, cellsT) = servingTables(tag)
-    val cellsC = s"graft_annc_cells_$tag"
+    val cellsC = s"graft_annc_cells_${tag}_g${nextGen(tag)}"
     spark.table(cellsT).repartition(buckets, col("cell"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "cell").saveAsTable(cellsC)
@@ -269,7 +280,9 @@ object AnnIndex {
     val posts = spark.table(cellsT)
     val cents = Clustering.lloydCentroids(
       posts.select(col("vec_id"), col("e").as("embedding")), nClusters, iters)
-    val (centR, cellsR) = (s"graft_annr_cent_$tag", s"graft_annr_cells_$tag")
+    val g = nextGen(tag)
+    val (centR, cellsR) =
+      (s"graft_annr_cent_${tag}_g$g", s"graft_annr_cells_${tag}_g$g")
     cents.write.mode("overwrite").format("parquet").saveAsTable(centR)
     // one-pass re-encode: k·d argmin per posting row against the ONE-
     // row broadcast centroid array; e and nrm ride along unchanged

@@ -324,7 +324,9 @@ object Streams {
                                iters: Int = 5): DataFrame = {
     import graft.sources.AnnIndex
     val path = s"$dir/embeddings.parquet"
-    val tag = annStreamed.computeIfAbsent(dir, { _ =>
+    // the staging key carries the index parameters (the ensureInc
+    // discipline): a non-default caller must get its own build
+    val tag = annStreamed.computeIfAbsent(s"$dir#$nClusters#$iters", { _ =>
       val t = graft.sources.StagedTags.tagOf(s"$dir#$nClusters#$iters#stream")
       val emb = spark.read.parquet(path)
       val cut = AnnIndex.incCut(spark, dir)

@@ -33,8 +33,8 @@ class Round12Spec extends SparkSpec {
     val beforeCent = tableFiles("graft_anni_cent_r12rb")
     val beforeCells = tableFiles("graft_anni_cells_r12rb")
     val (centR, cellsR) = AnnIndex.rebuild(spark, "r12rb", 8, 5)
-    assert((centR, cellsR) ==
-      (("graft_annr_cent_r12rb", "graft_annr_cells_r12rb")))
+    assert(centR.startsWith("graft_annr_cent_r12rb") &&
+      cellsR.startsWith("graft_annr_cells_r12rb"))
     // the superseded index is the recovery path — never rewritten
     assert(tableFiles("graft_anni_cent_r12rb") == beforeCent)
     assert(tableFiles("graft_anni_cells_r12rb") == beforeCells)
@@ -79,8 +79,8 @@ class Round12Spec extends SparkSpec {
     // tables, and their centroids equal a full retrain over base∪delta
     val tag = StagedTags.tagOf(s"$dir#8#5")
     val (centS, cellsS) = AnnIndex.servingTables(tag)
-    assert(centS == s"graft_annr_cent_$tag" &&
-      cellsS == s"graft_annr_cells_$tag")
+    assert(centS.startsWith(s"graft_annr_cent_$tag") &&
+      cellsS.startsWith(s"graft_annr_cells_$tag"))
     val all = spark.read.parquet(s"$dir/embeddings.parquet")
     assert(rows(spark.table(centS)) ==
       rows(operators.Clustering.lloydCentroids(all, 8, 5)))
@@ -89,6 +89,35 @@ class Round12Spec extends SparkSpec {
     val rep2 = AnnIndex.annMaintain(spark, sf0001).collect()(0)
     assert(!rep2.getAs[Boolean]("rebuild_due"))
     assert(rep2.getAs[String]("action") == "keep")
+  }
+
+  test("repeat maintenance on one tag: each round writes a NEW table, " +
+    "answers unchanged, pointer tracks") {
+    import graft.sources.AnnIndex
+    val emb = Tables.embeddings(spark, sf0001)
+    val cut = AnnIndex.incCut(spark, sf0001)
+    AnnIndex.writeIncBase(emb.where(col("vec_id") < cut),
+      emb.where(col("vec_id") < cut), "r12mx", nClusters = 8, iters = 5)
+    AnnIndex.appendDelta(spark, "r12mx", emb.where(col("vec_id") >= cut))
+    val q = emb.where(col("vec_id") < 10)
+    def probe(): Seq[String] = {
+      val (c, p) = AnnIndex.servingTables("r12mx")
+      AnnIndex.queryTables(spark, c, p, q, 5).collect().map(_.toString).toSeq
+    }
+    val before = probe()
+    // compact → rebuild → compact again: the second compact reads the
+    // REBUILT postings through the pointer and must not overwrite them
+    // (each maintenance round gets its own _g<N> table)
+    val c1 = AnnIndex.compact(spark, "r12mx")
+    assert(probe() == before)
+    val (centR, cellsR) = AnnIndex.rebuild(spark, "r12mx", 8, 5)
+    assert(cellsR != c1)
+    val afterRebuild = probe() // full-retrain answers (may differ)
+    val c2 = AnnIndex.compact(spark, "r12mx")
+    assert(c1 != c2, "each compaction must write a fresh table")
+    assert(AnnIndex.servingTables("r12mx") == ((centR, c2)))
+    assert(probe() == afterRebuild,
+      "compaction after a rebuild must not change an answer")
   }
 
   // ------------------------------------- CF increment cache scoping
