@@ -8,8 +8,36 @@ package graft
   * Queries are fully materialized through the noop sink (not count(),
   * which lets Catalyst prune most of the work); a small warmup query
   * absorbs JVM/session startup so measured numbers are steady-state.
+  *
+  * Round-13 budget hardening (BENCH_r12 was rc 124 with `wordcount`
+  * itself unmeasured — the sweep was cut at the alphabetical tail and
+  * every unreached query charged a 600 s penalty):
+  *
+  *  - HEAVIEST-FIRST order: queries run by descending last-capture
+  *    time (read from the committed BENCH_SELF.json; queries with no
+  *    prior — i.e. new this round — run first, as unknown cost). A
+  *    budget-cut sweep now truncates the cheap tail, never the
+  *    flagship queries. The output map stays name-keyed, so ordering
+  *    is invisible to consumers.
+  *  - INCREMENTAL flush: the per-query map is rewritten to
+  *    SPARK_GRAFT_BENCH_OUT after EVERY query (marked "partial":true
+  *    until the sweep completes). A killed sweep keeps everything it
+  *    measured instead of recording nothing but penalties.
+  *  - ADAPTIVE repeats: run 1 pays Catalyst plan compile + JIT (~3×
+  *    inflation on complex plans), so every query gets ≥ 2 runs and
+  *    reports the min; the third run happens only when the first two
+  *    disagree by > 20% (host noise) — steady queries finish in two,
+  *    cutting sweep wall-clock by ~⅓ with the same min semantics.
   */
 object Bench {
+  /** Sweep order: by DESCENDING last-capture time, alphabetical within
+    * ties; queries with no prior (new this round) first. A budget-cut
+    * sweep then truncates the cheap tail, never the flagship queries.
+    */
+  private[graft] def orderNames(names: Seq[String],
+                                prior: Map[String, Double]): Seq[String] =
+    names.sorted.sortBy(n => -prior.getOrElse(n, Double.MaxValue))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,25 +56,71 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    // three runs, report the min: run 1 pays Catalyst plan compile +
-    // JIT (~3x inflation on complex plans) and the host shows ±30%
-    // noise between runs; min = steady-state.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val ts = Seq.fill(3)(once(name))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+
+    // last-capture per-query seconds, for the heaviest-first order:
+    // SPARK_GRAFT_BENCH_PRIOR if set, else the repo's committed
+    // BENCH_SELF.json next to the output path. Regex-parsed ("name":N
+    // pairs) — the non-query headline keys it also picks up ("value",
+    // "sf") never collide with query names.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      sys.props.getOrElse("user.dir", ".") + "/BENCH_SELF.json")
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      sys.props.getOrElse("user.dir", ".") + "/BENCH_SELF.json")
+    val prior: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(priorPath)), "UTF-8")
+      "\"([A-Za-z0-9_]+)\":(-?[0-9][-0-9.Ee]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val names = orderNames(SparkEntry.queries.keys.toSeq, prior)
+
+    def writeOut(done: Seq[(String, Double)], partial: Boolean): Unit = {
+      val qs = done.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val failed = done.collect { case (k, v) if v < 0 => k }
+      val total = done.map(_._2).filter(_ >= 0).sum + 600.0 * failed.size
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val flag = if (partial) "\"partial\":true," else ""
+      val full = s"""{"metric":"total",$flag"value":$total,""" +
+        s""""unit":"sec","n_queries":${done.size},"queries":$qs,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // bench output file is best-effort
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    names.foreach { name =>
+      val t1 = once(name)
+      val t2 = once(name)
+      val t = if (t1 < 0 || t2 < 0) -1.0
+      else {
+        val m = math.min(t1, t2)
+        // third run when the first two disagree beyond host noise OR
+        // the query is expensive — regression adjudication reads the
+        // heavy queries' minimums, so those keep full min-of-3; the
+        // ~2/3 of queries that are cheap AND stable stay at two runs
+        if (math.abs(t1 - t2) > 0.2 * m || m > 1.0) {
+          val t3 = once(name)
+          if (t3 < 0) -1.0 else math.min(m, t3)
+        } else m
+      }
+      results += name -> t
+      writeOut(results.toSeq, partial = true)
+    }
+    val sortedR = results.toSeq.sortBy(_._1)
+    val qs = sortedR.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed query must make the bench LOUDER, not faster: each one
     // lands in "failed" and adds a 600 s penalty to the total
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val total = results.map(_._2).filter(_ >= 0).sum + 600.0 * failed.size
+    val failed = sortedR.collect { case (k, v) if v < 0 => k }
+    val total = sortedR.map(_._2).filter(_ >= 0).sum + 600.0 * failed.size
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // compact headline FIRST: a tail-truncated capture of the big
     // per-query line (it happened to BENCH_r02.json) must still retain
     // the total + failure list
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${sortedR.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(headline)
@@ -56,13 +130,9 @@ object Bench {
     // both sides survives truncation from either direction.
     println(headline)
     // The stdout capture has been truncated to ~15% of the per-query
-    // map every round; ALSO persist the full map to a file so per-query
-    // regressions stay diffable round over round.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      sys.props.getOrElse("user.dir", ".") + "/BENCH_SELF.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // bench output file is best-effort
+    // map every round; the full map is also persisted at outPath
+    // (final form: no "partial" flag).
+    writeOut(results.toSeq, partial = false)
     spark.stop()
   }
 }

@@ -20,14 +20,14 @@ object GraftSession {
   def builder(appName: String = "graft",
               master: String = "local[*]",
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
-    SparkSession.builder()
-      .appName(appName)
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+    GraftConf.applyTo(
+      SparkSession.builder()
+        .appName(appName)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString),
+      // the size-independent posture is SHARED with the cluster conf
+      // (GraftConf.base) so local plans and DEPLOY.md cannot drift
+      GraftConf.base)
       // managed tables (the bucketed-join path) land in a temp dir, not
       // the process cwd; callers may override
       .config("spark.sql.warehouse.dir",

@@ -54,6 +54,11 @@ object PlanSnapshot {
         .replaceAll("\\[plan_id=\\d+\\]", "")
         .replaceAll("(graft_ddx_\\w+?_)[0-9a-f]+", "$1TAG")
         .replaceAll("(graft_ann[xirc]?_\\w+?_)[0-9a-f]+", "$1TAG")
+        // maintenance-generation suffix (_g<N> on compacted/rebuilt
+        // ANN tables): the counter is per-JVM — a second maintenance
+        // round on one tag would shift every later generation number
+        // and flip digests that are plan-identical (ADVICE r12)
+        .replaceAll("(_TAG)_g\\d+", "$1_gN")
         .replaceAll("(graft_bkt_\\w+?_)[0-9a-f]+", "$1TAG")
         .replaceAll("(graft_cfx_\\w+?_)[0-9a-f]+", "$1TAG")
         .replaceAll("(graft_cfi_\\w+?_)[0-9a-f]+", "$1TAG")
@@ -212,7 +217,17 @@ object PlanSnapshot {
           g.updated(gidIdx, "n")
         else g
       }
-      val perm = output.indices.sortBy(output) // stable on duplicates
+      // Tie-break duplicate output names by CONTENT, not original
+      // position (ADVICE r12): when two output attributes normalize to
+      // the same #x-erased name, a stable sort preserves the original
+      // relative order — which is exactly the labeling freedom being
+      // undone. The sorted multiset of each column's per-group values
+      // is labeling-independent (group order is itself free, so the
+      // multiset is sorted); columns with identical multisets are
+      // content-indistinguishable and either order yields the same
+      // canonical string once the groups are sorted below.
+      val perm = output.indices.sortBy(i =>
+        (output(i), erased.map(g => g(i)).sorted.mkString(" ")))
       val outC = perm.map(output)
       val groupsC = erased.map(g => perm.map(g).mkString("[", ", ", "]"))
         .sorted

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Capstone SOAK harness (round 13): the composed end-to-end pipelines
+  * — `corpus_build_v3`, `dedup_increment_indexed`,
+  * `customer_cf_increment` — replicated to 10× and ~100× the base SF
+  * row count and measured for wall seconds AND shuffle bytes/records,
+  * the two curves that expose super-linear composition effects the
+  * per-operator 10× [[ScaleProbe]] can't see (each probe there
+  * isolates one operator; the capstones chain a dozen).
+  *
+  * Replication uses the established salt idiom: ids shift by a large
+  * constant per copy and document text gains a per-copy tag token so
+  * near-dup structure isn't degenerate clones; order/customer keys
+  * shift together so baskets replicate per copy without cross-copy
+  * pairs. The base of the increment probes (doc_id ≤ 250 / pre-cut
+  * orders in copy 0 only) stays fixed while arrivals scale — the
+  * nightly-increment cost curve, matching production where the
+  * increment grows but yesterday's base is already indexed.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.SoakProbe [factors…]`
+  * (default `10 100`). One JSON line per (capstone, factor) with
+  * wall/shuffle measurements plus the base point, then a summary line.
+  */
+object SoakProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val factors = (if (args.nonEmpty) args.toSeq else Seq("10", "100"))
+      .map(_.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder("graft-soak", s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val outPath = java.nio.file.Files.createTempDirectory("graft_soak_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(outPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+
+    /** Write a factor-replicated table dir shaped like a testdata SF
+      * dir, so the dir-keyed index capstones stage against it as they
+      * would against a real corpus drop.
+      */
+    def replicate(factor: Int): String = {
+      val dir = s"$outPath/f$factor"
+      def scale(df: DataFrame, idCols: Seq[String], shift: Long,
+                perturbText: Boolean): DataFrame =
+        (0 until factor).map { i =>
+          var c = df
+          idCols.foreach(id => c = c.withColumn(id, col(id) + lit(i * shift)))
+          if (perturbText)
+            c = c.withColumn("text",
+              concat_ws(" ", col("text"), lit(s"copytag$i")))
+          c
+        }.reduce(_ unionByName _)
+      scale(Tables.documents(spark, sfDir), Seq("doc_id"), 10000000L,
+          perturbText = true)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      scale(Tables.lineitem(spark, sfDir), Seq("l_orderkey"), 100000000L,
+          perturbText = false)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      scale(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"),
+          100000000L, perturbText = false)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+
+    /** Wall seconds + shuffle (bytes, records) of one materialization.
+      * Single-shot by design: a soak measures the cold composed
+      * pipeline (the staged-index builds INCLUDED — they are the
+      * production cost), not a warmed min.
+      */
+    def measure(f: => DataFrame): (Double, Long, Long) = {
+      val df = f
+      val t0 = System.nanoTime()
+      val (bytes, recs) = PlanMetrics.shuffleTotals(df)
+      ((System.nanoTime() - t0) / 1e9, bytes, recs)
+    }
+
+    def capstones(dir: String): Seq[(String, () => DataFrame)] = Seq(
+      ("corpus_build_v3",
+        () => operators.TextAnalysis.corpusBuildV3(
+          Tables.documents(spark, dir))),
+      ("dedup_increment_indexed",
+        () => sources.DedupIndex.incrementReport(spark, dir,
+          baseMaxId = 250L)),
+      ("customer_cf_increment",
+        () => sources.CfIndex.cfIncrement(spark, dir)))
+
+    val rows = (Seq(1) ++ factors).flatMap { factor =>
+      val dir = if (factor == 1) sfDir else replicate(factor)
+      capstones(dir).map { case (name, thunk) =>
+        val (sec, bytes, recs) = measure(thunk())
+        println(f"""{"capstone":"$name","factor":$factor,"sec":$sec%.2f,"shuffle_mb":${bytes / 1e6}%.1f,"shuffle_recs":$recs}""")
+        (name, factor, sec, bytes)
+      }
+    }
+    // summary: per capstone, the wall and shuffle growth vs factor —
+    // the scaling-exponent evidence NOTES records
+    val summary = rows.groupBy(_._1).map { case (name, rs) =>
+      val base = rs.find(_._2 == 1).get
+      val pts = rs.sortBy(_._2).map { case (_, f, sec, bytes) =>
+        f"""{"factor":$f,"sec":$sec%.2f,"wall_x":${sec / base._3}%.2f,"shuffle_x":${
+          if (base._4 > 0) bytes.toDouble / base._4 else 0.0}%.2f}"""
+      }
+      s""""$name":[${pts.mkString(",")}]"""
+    }
+    println(summary.mkString("{", ",", s""","sf":"$sfDir"}"""))
+    spark.stop()
+  }
+}

@@ -61,11 +61,11 @@ object SparkEntry {
     * n_windows) islands; shared by the span-detection and span-cutting
     * oracles.
     */
-  private val SqlCrossDocCtes =
+  private def sqlCrossDocCtes(docs: String = "documents") =
     s"""sp AS (
        |  SELECT doc_id, i AS pos,
        |    array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS span
-       |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+       |  FROM (SELECT doc_id, $SqlWs AS ws FROM $docs),
        |       LATERAL (SELECT unnest(range(0, len(ws) - 7)) AS i) r
        |  WHERE len(ws) >= 8),
        |dup AS (SELECT span FROM sp GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
@@ -80,6 +80,8 @@ object SparkEntry {
        |isl AS (SELECT doc_id, min(pos) AS tok_start, max(pos) + 7 AS tok_end,
        |          count(*)::BIGINT AS n_windows
        |        FROM isl0 GROUP BY doc_id, island)""".stripMargin
+
+  private val SqlCrossDocCtes = sqlCrossDocCtes()
 
   /** DuckDB: exact 3-gram Jaccard pairs above num/den — the oracle for
     * BOTH the brute-force jaccard query and the MinHash+LSH query (the
@@ -622,12 +624,14 @@ object SparkEntry {
     "dataset_split" -> ((s, dir) =>
       TextAnalysis.datasetSplit(Tables.documents(s, dir))),
     "corpus_build" -> ((s, dir) =>
-      TextAnalysis.corpusBuild(Tables.documents(s, dir))),
+      TextAnalysis.corpusBuild(Tables.documents(s, dir),
+        cc = Some(graft.sources.DedupStage.ccLabels(s, dir)))),
     // capstone v2: exact dedup + Gopher static&repetition screens +
     // winnow span-cuts + chunk accounting + per-(split, source)
     // mixture rollup — the round-7..10 operators composed end to end
     "corpus_build_v2" -> ((s, dir) =>
-      TextAnalysis.corpusBuildV2(Tables.documents(s, dir))),
+      TextAnalysis.corpusBuildV2(Tables.documents(s, dir),
+        islands = Some(graft.sources.DedupStage.islands(s, dir)))),
     "doc_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir))),
     // Gopher REPETITION rules (top-2-gram / duplicated-3-gram char
@@ -712,31 +716,32 @@ object SparkEntry {
       Relational.valueMad(Tables.events(s, dir), k = 3)),
     "events_gap_fill" -> ((s, dir) =>
       Relational.gapFillDaily(Tables.events(s, dir))),
-    // entity resolution: blocked candidates + banded edit-distance verify
+    // entity resolution: blocked candidates + banded edit-distance
+    // verify; the d = 1 pair set is STAGED (3 consumer gates)
     "fuzzy_name_pairs" -> ((s, dir) =>
-      Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 1)),
-    // lev <= 2 via the k-deletion SymSpell neighborhood (C(len,2) variants)
+      graft.sources.DedupStage.fuzzyPairs(s, dir).orderBy("id_a", "id_b")),
+    // lev <= 2 via the k-deletion SymSpell neighborhood (C(len,2)
+    // variants) — single consumer, deliberately NOT staged
     "fuzzy_name_pairs_d2" -> ((s, dir) =>
       Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 2)),
     // ...and the full ER story: cluster the verified pairs (block ->
-    // verify -> cluster), reusing the iterative CC operator
+    // verify -> cluster); star CC, not propagation: the digit-
+    // substitution name graph builds deep chain components (measured
+    // 8.0 s propagating at sf0.1 vs ~3.5 s in log rounds — NOTES r5)
     "fuzzy_entity_clusters" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      // star CC, not propagation: the digit-substitution name graph
-      // builds deep chain components (measured 8.0 s propagating at
-      // sf0.1 vs ~3.5 s in log rounds — see NOTES round-5)
-      Dedup.componentsStar(
-          Dedup.blockedFuzzyPairs(Tables.customer(s, dir), maxDist = 1))
-        .select(col("doc_id").as("custkey"), col("comp"))
+      graft.sources.DedupStage.fuzzyClusters(s, dir)
         .orderBy("custkey")
     }),
     // --- dedup
     "dedup_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanRatio(Tables.documents(s, dir), w = 8)),
     "dedup_crossdoc_spans" -> ((s, dir) =>
-      Dedup.crossDocSpans(Tables.documents(s, dir), w = 8)),
+      graft.sources.DedupStage.islands(s, dir)
+        .orderBy("doc_id", "tok_start")),
     "dedup_cut_spans" -> ((s, dir) =>
-      Dedup.cutSpans(Tables.documents(s, dir), w = 8)),
+      Dedup.cutSpansFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.islands(s, dir))),
     "doc_shard_assign" -> ((s, dir) =>
       TextAnalysis.shardAssign(Tables.documents(s, dir), nShards = 4)),
     // rank-refined band window — bit-identical shards, same oracle
@@ -744,44 +749,51 @@ object SparkEntry {
       TextAnalysis.shardAssignRefined(Tables.documents(s, dir), nShards = 4)),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
+    // the brute-force truth anchor; its verified pair set is STAGED
+    // once per (session, dir) and shared by every rollup gate below —
+    // the r13 bench-budget fix (same derivation, paid once)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+      graft.sources.DedupStage.pairs(s, dir).orderBy("id_a", "id_b")),
     // lossless prefix-filtered Jaccard (PPJoin): same answer as the
     // brute inverted-index join, candidates from rarest-first prefixes
     "dedup_prefix_filter" -> ((s, dir) =>
       Dedup.prefixFilterPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), n = 3, b = 32, r = 4,
-        num = 4, den = 5)),
+      graft.sources.DedupStage.minhashPairs(s, dir).orderBy("id_a", "id_b")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "dedup_keep_list" -> ((s, dir) =>
-      Dedup.keepList(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+      Dedup.keepListFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.pairs(s, dir))),
     "doc_repetition" -> ((s, dir) =>
       Dedup.repetitionStats(Tables.documents(s, dir), n = 3)),
+    // the three components gates each exercise their OWN algorithm
+    // (propagation / star contraction / adaptive) over the staged pair
+    // set; the rollup gates below share the staged LABELS frame, since
+    // every CC variant converges to the same min-id fixed point
     "dedup_components" -> ((s, dir) =>
-      Dedup.components(
-        Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5))),
+      Dedup.components(graft.sources.DedupStage.pairs(s, dir))),
     // the O(log n)-round star-contraction form, same fixed point
     "dedup_components_star" -> ((s, dir) =>
-      Dedup.componentsStar(
-        Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5))),
+      Dedup.componentsStar(graft.sources.DedupStage.pairs(s, dir))),
     // the adaptive front door itself, gated against the same CC oracle
     // with propRounds = 1 so the contraction fallback path is the one
     // under test at every scale factor (the sf graphs converge fast)
     "dedup_components_adaptive" -> ((s, dir) =>
-      Dedup.componentsAdaptive(
-        Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, num = 4, den = 5),
+      Dedup.componentsAdaptive(graft.sources.DedupStage.pairs(s, dir),
         propRounds = 1)),
     "dedup_keep_list_cc" -> ((s, dir) =>
-      Dedup.keepListCC(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+      Dedup.keepListCCFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.ccLabels(s, dir))),
     // split assigned by hash of the near-dup COMPONENT, not the doc id —
     // near-duplicates can never straddle train/test (leakage-proof)
     "dataset_split_leakproof" -> ((s, dir) =>
-      Dedup.splitLeakproof(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+      Dedup.splitLeakproofFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.ccLabels(s, dir))),
     // per-cluster QUALITY argmax instead of the id-order root
     "dedup_keep_best_quality" -> ((s, dir) =>
-      Dedup.keepBestQuality(Tables.documents(s, dir), n = 3, num = 4, den = 5)),
+      Dedup.keepBestQualityFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.ccLabels(s, dir))),
     // nightly-increment dedup: incoming docs vs base, base never re-paired
     "dedup_increment" -> ((s, dir) =>
       Dedup.dedupIncrement(Tables.documents(s, dir), baseMaxId = 250,
@@ -802,7 +814,8 @@ object SparkEntry {
     // the filter VERDICT table: per-doc reason bitmask (gopher=1,
     // exact-dup copy=2, contaminated=4, near-dup drop=8) + keep flag
     "corpus_filter_report" -> ((s, dir) =>
-      Dedup.corpusFilterReport(Tables.documents(s, dir))),
+      Dedup.corpusFilterReportFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.pairs(s, dir))),
     // weekly-seasonality probe: integer lag-7 autocorrelation of the
     // daily event volume
     "events_autocorr_lag7" -> ((s, dir) =>
@@ -824,8 +837,7 @@ object SparkEntry {
     // contraction bound when the diameter runs away — the 100 TB shape
     "dedup_components_minhash" -> ((s, dir) =>
       Dedup.componentsAdaptive(
-        Dedup.minhashPairs(Tables.documents(s, dir), n = 3, b = 32, r = 4,
-          num = 4, den = 5))),
+        graft.sources.DedupStage.minhashPairs(s, dir))),
     // --- similarity search
     "knn_cosine" -> ((s, dir) =>
       Similarity.knnBruteForce(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
@@ -848,18 +860,22 @@ object SparkEntry {
       Similarity.lshNearDup(
         Similarity.plantNearDups(Tables.embeddings(s, dir), nPlants = 20),
         threshold = 0.9)),
-    // --- multimodal plumbing (FakeCodec-stubbed decode; see Multimodal)
+    // --- multimodal (REAL codecs, round 13: PNG via ImageIO, WAV via
+    // the hand-rolled RIFF parser; only video stays FakeCodec-stubbed.
+    // Payload content is planted doc_id arithmetic, so the oracles
+    // replay every decoded value without a codec — see Multimodal.)
     "media_meta" -> ((s, dir) =>
-      Multimodal.mediaMeta(Tables.documents(s, dir))),
+      Multimodal.realMediaMeta(s, Tables.documents(s, dir))),
     "media_feature_stats" -> ((s, dir) =>
-      Multimodal.mediaFeatureStats(s, Tables.documents(s, dir))),
+      Multimodal.realFeatureStats(s, Tables.documents(s, dir))),
     // VAD-style audio screen: per-item frame energy + silent-run
-    // profile through the real per-partition decode path
+    // profile over REAL decoded WAV samples
     "media_silence_profile" -> ((s, dir) =>
-      Multimodal.silenceProfileQuery(s, Tables.documents(s, dir))),
-    // perceptual-hash (aHash) near-dup with planted clone pairs
+      Multimodal.realSilenceProfile(s, Tables.documents(s, dir))),
+    // perceptual-hash (aHash) near-dup over DECODED pixels, planted
+    // clone + one-pixel-perturbed pairs
     "media_phash_neardup" -> ((s, dir) =>
-      Multimodal.phashNearDup(s, Tables.documents(s, dir))),
+      Multimodal.realPhashNearDup(s, Tables.documents(s, dir))),
     // --- relational / events
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
@@ -1114,8 +1130,8 @@ object SparkEntry {
       TextAnalysis.wordBurstiness(Tables.documents(s, dir))),
     // dedup observability: near-dup cluster-size histogram
     "dedup_cluster_sizes" -> ((s, dir) =>
-      Dedup.clusterSizeHistogram(Tables.documents(s, dir),
-        n = 3, num = 4, den = 5)),
+      Dedup.clusterSizeHistogramFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.ccLabels(s, dir))),
     // SLA report: order->first-ship lag quartiles per priority
     "orders_fulfillment_lag" -> ((s, dir) =>
       Relational.fulfillmentLag(Tables.orders(s, dir),
@@ -1371,11 +1387,12 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir))),
     "doc_editdist_next" -> ((s, dir) =>
       TextAnalysis.editDistanceToNext(Tables.documents(s, dir))),
-    // resize pipeline: images re-stamped to 4x3, others untouched
+    // resize pipeline: REAL ImageIO decode → nearest-neighbor resample
+    // to 4×3 → re-encode → re-decode (dims + pixel sum oracle-pinned)
     "media_resize" -> ((s, dir) =>
-      Multimodal.mediaResizeQuery(s, Tables.documents(s, dir))),
+      Multimodal.realResize(s, Tables.documents(s, dir))),
     "media_frame_sample" -> ((s, dir) =>
-      Multimodal.frameSampleQuery(s, Tables.documents(s, dir))),
+      Multimodal.realFrameSample(s, Tables.documents(s, dir))),
     "events_type_rank" -> ((s, dir) =>
       Relational.eventTypeRanks(Tables.events(s, dir))),
     // integer-exact variance components (the deterministic stddev form)
@@ -1865,12 +1882,14 @@ object SparkEntry {
     "events_backtest_ewma" -> ((s, dir) =>
       Relational.ewmaBacktest(Tables.events(s, dir))),
     // MDM survivorship: one golden record per fuzzy entity cluster
+    // (clusters STAGED — shared with fuzzy_entity_clusters)
     "fuzzy_golden_record" -> ((s, dir) =>
-      Dedup.goldenRecord(Tables.customer(s, dir), maxDist = 1)),
-    // cross-modal retrieval: text-tower embeddings vs byte-feature
+      Dedup.goldenRecordFrom(Tables.customer(s, dir),
+        graft.sources.DedupStage.fuzzyClusters(s, dir))),
+    // cross-modal retrieval: text-tower embeddings vs the DECODED-pixel
     // image tower, integer dot product, top-3 per query
     "media_crossmodal_topk" -> ((s, dir) =>
-      Multimodal.crossmodalTopk(s, Tables.documents(s, dir),
+      Multimodal.realCrossmodalTopk(s, Tables.documents(s, dir),
         Tables.embeddings(s, dir))),
     // RAKE keyphrases: stopword-free runs scored by deg/freq word stats
     "doc_rake_keyphrases" -> ((s, dir) =>
@@ -2124,16 +2143,17 @@ object SparkEntry {
       "streaming_ann_increment" -> "ann_ivf_increment")
     // corpus_build_v3 = the v2 oracle over the extraction's PROVEN
     // clean form (planted constants + text — the equivalence the
-    // doc_html_extract_wordcount gate pins): a `docsx` CTE replaces
-    // the documents table (every reference in the v2 SQL is a
-    // word-bounded `FROM documents`, checked; no column or literal
-    // contains the word)
+    // doc_html_extract_wordcount gate pins): the shared builder reads
+    // from a `docsx` CTE instead of the documents table (ADVICE r12:
+    // no more stripPrefix/regex surgery on the finished v2 string)
     val v3Sql = {
-      val v2 = oracleSqlBase("corpus_build_v2")
+      val body = sqlCorpusBuildV2("docsx")
+      require(body.startsWith("WITH "),
+        "sqlCorpusBuildV2 must open with its CTE chain")
       "WITH docsx AS (SELECT doc_id, 'doc & meta heading <' || " +
         "CAST(doc_id AS VARCHAR) || '> ' || text AS text, lang, " +
         "source, n_chars FROM documents),\n" +
-        v2.stripPrefix("WITH ").replaceAll("\\bdocuments\\b", "docsx")
+        body.stripPrefix("WITH ")
     }
     oracleSqlBase ++ aliases.map { case (k, v) => k -> oracleSqlBase(v) } +
       ("corpus_build_v3" -> v3Sql)
@@ -2192,7 +2212,13 @@ object SparkEntry {
     (base +: iterCtes).mkString("WITH ", ",\n", "")
   }
 
-  private lazy val oracleSqlBase: Map[String, String] = Map(
+  private lazy val oracleSqlBase: Map[String, String] =
+    oracleSqlBaseA ++ oracleSqlBaseB
+
+  // first half of the oracle registry (split around the
+  // sqlCorpusBuildV2 builder definition, which both the v2 and v3
+  // gates share)
+  private lazy val oracleSqlBaseA: Map[String, String] = Map(
     "distinct_shingles_hll" -> {
       val c = operators.TextAnalysis.hllAlphaNum(64).toString
       s"""WITH w AS (SELECT DISTINCT shingle FROM (${sqlShingles(3, distinct = false)})),
@@ -3069,14 +3095,10 @@ object SparkEntry {
          |      << (4*(14-nb))))) AS BIGINT) AS checksum
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "media_crossmodal_topk" ->
-      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |        octet_length(encode(text))::BIGINT AS nb
+      s"""WITH f AS (SELECT doc_id AS media_id,
+         |        list_transform(range(16), i ->
+         |          CAST((doc_id*7 + i*11) % 256 AS BIGINT)) AS fv
          |      FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
-         |f AS (SELECT media_id, list_transform(range(16), i ->
-         |        CASE WHEN nb > i THEN
-         |          ((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
-         |           + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1))::BIGINT
-         |        ELSE 0 END) AS fv FROM m),
          |q AS (SELECT vec_id, list_transform(list_slice(embedding, 1, 16),
          |        x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
          |      FROM embeddings WHERE vec_id < 20 AND len(embedding) >= 16),
@@ -3848,29 +3870,38 @@ object SparkEntry {
     // v2 capstone: winnow islands (SqlCrossDocCtes) + exact-dedup keep
     // + Gopher static/repetition screens + arithmetic chunking over the
     // cut length + per-(split, source) mixture rollup
-    "corpus_build_v2" ->
-      s"""WITH $SqlCrossDocCtes,
+    "corpus_build_v2" -> sqlCorpusBuildV2("documents"))
+
+  /** The corpus_build_v2 oracle, parameterized by the documents
+    * relation it reads (ADVICE r12: v3 used to be produced by
+    * stripPrefix + regex surgery on the FINISHED v2 string — silent
+    * breakage the day the text drifted or the word `documents`
+    * appeared in a literal; now v2 and v3 share this builder, v3
+    * passing its `docsx` CTE name).
+    */
+  private def sqlCorpusBuildV2(docs: String): String =
+      s"""WITH ${sqlCrossDocCtes(docs)},
          |toksv2 AS (SELECT doc_id, i AS pos
-         |  FROM (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |  FROM (SELECT doc_id, $SqlWs AS ws FROM $docs),
          |       LATERAL (SELECT unnest(range(0, len(ws))) AS i) r),
          |nk AS (SELECT t.doc_id, count(*)::BIGINT AS n_kept FROM toksv2 t
          |       WHERE NOT EXISTS (SELECT 1 FROM isl i WHERE i.doc_id = t.doc_id
          |                           AND t.pos BETWEEN i.tok_start AND i.tok_end)
          |       GROUP BY 1),
-         |keepv2 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |keepv2 AS (SELECT min(doc_id) AS doc_id FROM $docs GROUP BY md5(text)),
          |gop AS (SELECT doc_id FROM (
          |    SELECT doc_id, len(ws)::BIGINT AS n_tokens,
          |      len(list_distinct(ws))::BIGINT AS n_distinct,
          |      coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS swl,
          |      len(list_filter(ws, w -> list_contains(${sqlList(TextAnalysis.Stopwords)}, w)))::BIGINT AS stop_hits,
          |      len(regexp_extract_all(text, '$SqlSymbolPattern'))::BIGINT AS n_symbols
-         |    FROM (SELECT doc_id, text, $SqlWs AS ws FROM documents))
+         |    FROM (SELECT doc_id, text, $SqlWs AS ws FROM $docs))
          |  WHERE n_tokens BETWEEN 10 AND 100000
          |    AND (CASE WHEN n_tokens > 0 THEN (swl * 100) // n_tokens ELSE 0 END) BETWEEN 300 AND 1000
          |    AND n_symbols * 10 <= n_tokens
          |    AND n_distinct * 10 >= n_tokens * 3
          |    AND stop_hits >= 2),
-         |basev2 AS (SELECT doc_id, $SqlWs AS ws FROM documents),
+         |basev2 AS (SELECT doc_id, $SqlWs AS ws FROM $docs),
          |bcv2 AS (SELECT doc_id,
          |  coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT AS n_chars FROM basev2),
          |c2v AS (SELECT doc_id, g, (length(g) - 1)::BIGINT AS gchars, count(*)::BIGINT AS cnt
@@ -3891,7 +3922,7 @@ object SparkEntry {
          |rep AS (SELECT bcv2.doc_id FROM bcv2
          |        LEFT JOIN t2v USING (doc_id) LEFT JOIN d3v USING (doc_id)
          |        WHERE coalesce(top2, 0) <= 200000 AND coalesce(dup3, 0) <= 300000),
-         |surv AS (SELECT d.doc_id, d.source, nk.n_kept FROM documents d
+         |surv AS (SELECT d.doc_id, d.source, nk.n_kept FROM $docs d
          |         JOIN keepv2 USING (doc_id) JOIN gop USING (doc_id)
          |         JOIN rep USING (doc_id) JOIN nk USING (doc_id)
          |         WHERE nk.n_kept > 0),
@@ -3904,27 +3935,44 @@ object SparkEntry {
          |         FROM chv2 GROUP BY 1, 2)
          |SELECT split, source, n_docs, n_chunks, n_tokens,
          |  CAST(n_tokens * 1000000 // sum(n_tokens) OVER (PARTITION BY split) AS BIGINT) AS share_ppm
-         |FROM agv2 ORDER BY split, source""".stripMargin,
+         |FROM agv2 ORDER BY split, source""".stripMargin
+
+  // second half of the oracle registry (see oracleSqlBaseA)
+  private lazy val oracleSqlBaseB: Map[String, String] = Map(
+    // REAL-codec gates (round 13): payload content is planted doc_id
+    // arithmetic (image w = 8 + d%9, h = 6 + d%7, gray pixel
+    // v(i) = (d*7 + i*11) % 256; audio n = 40 + d%37 samples,
+    // s(i) = (d*13 + i*17) % 256; video frames = 1 + d%9), so the
+    // oracle replays every DECODED value without a codec — if ImageIO
+    // or the WAV parser returned anything else, the hash compare fails
     "media_meta" ->
       s"""SELECT doc_id AS media_id,
          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |  octet_length(encode(text))::BIGINT AS n_bytes
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 9
+         |       WHEN 1 THEN 40 + doc_id % 37 ELSE 16 END AS BIGINT) AS width,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN 6 + doc_id % 7
+         |       WHEN 1 THEN 1 ELSE 9 END AS BIGINT) AS height,
+         |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 9 ELSE 1 END AS BIGINT) AS n_frames
          |FROM documents ORDER BY media_id""".stripMargin,
-    // aHash = 60 balanced byte blocks vs global mean (integer cross-
-    // multiply), 4x15-bit pigeonhole bands, bit_count(xor) verify;
-    // plants: exact clones at +10M (%97), last-byte 'z' at +20M (%101)
+    // aHash over DECODED gray pixels (60 balanced blocks vs global
+    // mean, integer cross-multiply), 4x15-bit pigeonhole bands,
+    // bit_count(xor) verify; plants: exact pixel clones at +10M
+    // (image docs, %29), one-pixel +128 perturbations at +20M (%31)
     "media_phash_neardup" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 97 = 0
-         |  UNION ALL SELECT doc_id + 20000000, substr(text, 1, length(text) - 1) || 'z'
-         |    FROM documents WHERE doc_id % 101 = 0),
-         |m AS (SELECT doc_id, hex(encode(text)) AS hx,
-         |        octet_length(encode(text))::BIGINT AS L FROM aug),
+      s"""WITH im AS (SELECT doc_id, (8 + doc_id % 9) * (6 + doc_id % 7) AS L
+         |            FROM documents WHERE doc_id % 3 = 0),
+         |px AS (SELECT doc_id, L,
+         |        list_transform(range(L), i -> (doc_id*7 + i*11) % 256) AS vs
+         |       FROM im),
+         |aug AS (
+         |  SELECT doc_id, L, vs FROM px
+         |  UNION ALL SELECT doc_id + 10000000, L, vs FROM px WHERE doc_id % 29 = 0
+         |  UNION ALL SELECT doc_id + 20000000, L,
+         |    list_prepend((vs[1] + 128) % 256, vs[2:]) AS vs
+         |  FROM px WHERE doc_id % 31 = 0),
          |b AS (SELECT doc_id, (i * 60) // L AS j,
-         |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
-         |        + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS v, L
-         |      FROM m, LATERAL (SELECT unnest(range(0, L)) AS i) r),
+         |        vs[CAST(i + 1 AS INT)] AS v, L
+         |      FROM aug, LATERAL (SELECT unnest(range(0, L)) AS i) r),
          |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS ts, any_value(L) AS L
          |        FROM b GROUP BY 1),
          |blk AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS s, count(*)::BIGINT AS c
@@ -3942,43 +3990,35 @@ object SparkEntry {
          |SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
-    // FakeCodec.decode is header-byte math (w = b0*256+b1, h = b2*256+b3,
-    // frames = max(1, b4)); bytes come out of the payload blob via hex()
+    // the image rows are the REAL decode → 4×3 nearest-neighbor
+    // resample → re-encode → re-decode round trip; the resampled pixel
+    // sum replays the truncating source mapping src = (dst·srcDim) div
+    // dstDim over the planted pixel formula
     "media_resize" ->
-      s"""WITH m AS (
-         |  SELECT doc_id AS media_id,
-         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |    hex(encode(text)) AS hx,
-         |    octet_length(encode(text))::BIGINT AS n_bytes
-         |  FROM documents),
-         |b AS (
-         |  SELECT media_id, kind, n_bytes,
-         |    list_transform(range(4), i ->
-         |      CASE WHEN n_bytes > i THEN
-         |        (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
-         |        + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
-         |      ELSE 0 END) AS hdr
-         |  FROM m)
-         |SELECT media_id, kind, n_bytes,
-         |  CAST(CASE WHEN kind = 'image' AND n_bytes >= 4 THEN 4
-         |       ELSE hdr[1]*256 + hdr[2] END AS BIGINT) AS width,
-         |  CAST(CASE WHEN kind = 'image' AND n_bytes >= 4 THEN 3
-         |       ELSE hdr[3]*256 + hdr[4] END AS BIGINT) AS height
-         |FROM b ORDER BY media_id""".stripMargin,
-    // the full decode -> frame-energy -> run-length pipeline replayed
-    // from the payload bytes: energy is sum |byte-128| per 16-byte
-    // frame, silent < 460, runs via gaps-and-islands on frame index
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS iw, 6 + doc_id % 7 AS ih
+         |           FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN 4
+         |       WHEN 1 THEN 40 + doc_id % 37 ELSE 16 END AS BIGINT) AS width,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN 3
+         |       WHEN 1 THEN 1 ELSE 9 END AS BIGINT) AS height,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN
+         |      list_sum(list_transform(range(12), i ->
+         |        (doc_id*7 + (((i // 4) * ih // 3) * iw + ((i % 4) * iw // 4)) * 11) % 256))
+         |    ELSE 0 END AS BIGINT) AS sig
+         |FROM d ORDER BY media_id""".stripMargin,
+    // the full WAV decode -> frame-energy -> run-length pipeline
+    // replayed from the planted sample formula: energy is sum |s-128|
+    // per 16-sample frame, silent < 1024, runs via gaps-and-islands
     "media_silence_profile" ->
-      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |    octet_length(encode(text))::BIGINT AS nb
+      s"""WITH m AS (SELECT doc_id AS media_id, 40 + doc_id % 37 AS nb
          |  FROM documents WHERE doc_id % 3 = 1),
          |f AS (SELECT media_id, fi,
          |    list_sum(list_transform(range(16), j ->
-         |      abs((strpos('0123456789ABCDEF', substr(hx, 2*(fi*16+j)+1, 1)) - 1) * 16
-         |        + (strpos('0123456789ABCDEF', substr(hx, 2*(fi*16+j)+2, 1)) - 1) - 128))) AS e
-         |  FROM m, LATERAL (SELECT unnest(range(nb // 16)) AS fi) r
-         |  WHERE nb >= 16),
-         |fl AS (SELECT media_id, fi, e, e < 460 AS s FROM f),
+         |      abs((media_id*13 + (fi*16 + j)*17) % 256 - 128))) AS e
+         |  FROM m, LATERAL (SELECT unnest(range(nb // 16)) AS fi) r),
+         |fl AS (SELECT media_id, fi, e, e < 1024 AS s FROM f),
          |runs AS (SELECT media_id, count(*)::BIGINT AS rl FROM (
          |    SELECT media_id, fi,
          |      fi - row_number() OVER (PARTITION BY media_id ORDER BY fi) AS g
@@ -3993,27 +4033,28 @@ object SparkEntry {
          |FROM agg a LEFT JOIN mr USING (media_id)
          |ORDER BY media_id""".stripMargin,
     "media_feature_stats" ->
-      s"""WITH m AS (
-         |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |    hex(encode(text)) AS hx,
-         |    octet_length(encode(text))::BIGINT AS n_bytes
-         |  FROM documents
-         |),
-         |b AS (
-         |  SELECT kind, n_bytes,
-         |    list_transform(range(5), i ->
-         |      CASE WHEN n_bytes > i THEN
-         |        (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
-         |        + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
-         |      ELSE 0 END) AS hdr
-         |  FROM m
-         |)
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    8 + doc_id % 9 AS iw, 6 + doc_id % 7 AS ih,
+         |    40 + doc_id % 37 AS an
+         |  FROM documents),
+         |v AS (SELECT kind,
+         |    CASE doc_id % 3 WHEN 0 THEN iw WHEN 1 THEN an ELSE 16 END AS w,
+         |    CASE doc_id % 3 WHEN 0 THEN ih WHEN 1 THEN 1 ELSE 9 END AS h,
+         |    CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 9 ELSE 1 END AS f,
+         |    CASE doc_id % 3
+         |      WHEN 0 THEN list_sum(list_transform(range(iw*ih), i ->
+         |        (doc_id*7 + i*11) % 256))
+         |      WHEN 1 THEN list_sum(list_transform(range(an), i ->
+         |        abs((doc_id*13 + i*17) % 256 - 128)))
+         |      ELSE 0 END AS sig
+         |  FROM d)
          |SELECT kind, count(*) AS n,
-         |  CAST(sum(hdr[1]*256 + hdr[2]) AS BIGINT) AS sum_width,
-         |  CAST(sum(hdr[3]*256 + hdr[4]) AS BIGINT) AS sum_height,
-         |  CAST(sum(greatest(1, hdr[5])) AS BIGINT) AS sum_frames,
-         |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
-         |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+         |  CAST(sum(w) AS BIGINT) AS sum_width,
+         |  CAST(sum(h) AS BIGINT) AS sum_height,
+         |  CAST(sum(f) AS BIGINT) AS sum_frames,
+         |  CAST(sum(sig) AS BIGINT) AS sum_sig
+         |FROM v GROUP BY kind ORDER BY kind""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -6318,15 +6359,10 @@ object SparkEntry {
          |FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
          |ORDER BY a.doc_id""".stripMargin,
     "media_frame_sample" ->
-      s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |                  octet_length(encode(text))::BIGINT AS nb
-         |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
-         |f AS (SELECT media_id, greatest(1, CASE WHEN nb > 4 THEN
-         |        (strpos('0123456789ABCDEF', substr(hx, 9, 1)) - 1) * 16
-         |        + (strpos('0123456789ABCDEF', substr(hx, 10, 1)) - 1) ELSE 0 END) AS frames
-         |      FROM m)
-         |SELECT media_id, CAST(unnest(range(0, frames, 2)) AS BIGINT) AS frame_idx
-         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+      s"""SELECT doc_id AS media_id,
+         |  CAST(unnest(range(0, 1 + doc_id % 9, 2)) AS BIGINT) AS frame_idx
+         |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+         |ORDER BY media_id, frame_idx""".stripMargin,
     "streaming_session_counts" ->
       s"""SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
          |  SELECT user_id,

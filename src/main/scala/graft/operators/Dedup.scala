@@ -61,7 +61,15 @@ object Dedup {
     * jaccard > num/den without any float comparison (so the DuckDB
     * oracle matches bit-for-bit).
     */
-  def jaccardPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+  def jaccardPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame =
+    jaccardPairsUnsorted(docs, n, num, den).orderBy("id_a", "id_b")
+
+  /** [[jaccardPairs]] without the final sort — the form consumers that
+    * re-aggregate or re-join (CC, keep lists, reports) should take,
+    * and the form [[graft.sources.DedupStage]] checkpoints.
+    */
+  private[graft] def jaccardPairsUnsorted(docs: DataFrame, n: Int, num: Int,
+                                          den: Int): DataFrame = {
     val sh = shingles(docs, n)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), "shingle")
@@ -74,7 +82,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sa.n_sh") + col("sb.n_sh") - col("inter")).as("uni"))
       .where(col("inter") * den > col("uni") * num)
-      .orderBy("id_a", "id_b")
   }
 
   /** Exact substring-duplication signal (the span-level dedup of
@@ -331,8 +338,16 @@ object Dedup {
     * loop) — and one doc_id rollup for the reassembly; both ride the
     * same hash(doc_id) partitioning.
     */
-  def cutSpans(docs: DataFrame, w: Int): DataFrame = {
-    val islands = crossDocSpans(docs, w)
+  def cutSpans(docs: DataFrame, w: Int): DataFrame =
+    cutSpansFrom(docs, crossDocSpans(docs, w))
+
+  /** [[cutSpans]] over a pre-built islands frame (the staged entry
+    * point — [[graft.sources.DedupStage.islands]]). `w` only shapes
+    * island detection, so the cut itself needs no window parameter.
+    */
+  private[graft] def cutSpansFrom(docs: DataFrame,
+                                  islandsIn: DataFrame): DataFrame = {
+    val islands = islandsIn
       .select(col("doc_id").as("i_doc"), col("tok_start"), col("tok_end"))
     val toks = docs
       .select(col("doc_id"), posexplode(WordCount.cleanWords(col("text"))))
@@ -462,10 +477,16 @@ object Dedup {
     * near-duplicate pair — i.e. what a training pipeline actually
     * materializes after dedup. One aggregation + one left-anti join.
     */
-  def keepList(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+  def keepList(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame =
+    keepListFrom(docs, jaccardPairsUnsorted(docs, n, num, den))
+
+  /** [[keepList]] over a pre-built near-dup pair frame (the staged
+    * entry point — [[graft.sources.DedupStage.pairs]]).
+    */
+  private[graft] def keepListFrom(docs: DataFrame,
+                                  pairs: DataFrame): DataFrame = {
     val reps = exact(docs).select(col("keep_id").as("doc_id"))
-    val drops = jaccardPairs(docs, n, num, den)
-      .select(col("id_b").as("doc_id")).distinct()
+    val drops = pairs.select(col("id_b").as("doc_id")).distinct()
     reps.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
@@ -715,11 +736,17 @@ object Dedup {
     * Clusters via [[componentsAdaptive]]: propagation speed on the
     * usual shallow graphs, star-contraction bound on deep chains.
     */
-  def keepListCC(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+  def keepListCC(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame =
+    keepListCCFrom(docs,
+      componentsAdaptive(jaccardPairsUnsorted(docs, n, num, den)))
+
+  /** [[keepListCC]] over pre-built component labels (doc_id, comp) —
+    * the staged entry point ([[graft.sources.DedupStage.ccLabels]]).
+    */
+  private[graft] def keepListCCFrom(docs: DataFrame,
+                                    comp: DataFrame): DataFrame = {
     val reps = exact(docs).select(col("keep_id").as("doc_id"))
-    val drops = componentsAdaptive(jaccardPairs(docs, n, num, den))
-      .where(col("doc_id") =!= col("comp"))
-      .select("doc_id")
+    val drops = comp.where(col("doc_id") =!= col("comp")).select("doc_id")
     reps.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
@@ -732,8 +759,15 @@ object Dedup {
     * the exact-dedup representative. One aggregate per cluster (the
     * argmax rides a struct max — no window, no second shuffle).
     */
-  def keepBestQuality(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val comp = componentsAdaptive(jaccardPairs(docs, n, num, den))
+  def keepBestQuality(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame =
+    keepBestQualityFrom(docs,
+      componentsAdaptive(jaccardPairsUnsorted(docs, n, num, den)))
+
+  /** [[keepBestQuality]] over pre-built component labels — the staged
+    * entry point ([[graft.sources.DedupStage.ccLabels]]).
+    */
+  private[graft] def keepBestQualityFrom(docs: DataFrame,
+                                         comp: DataFrame): DataFrame = {
     val winners = comp
       .join(graft.operators.TextAnalysis.qualityScore(docs), "doc_id")
       .groupBy("comp")
@@ -760,8 +794,15 @@ object Dedup {
     * existing scale paths) + one left join; the hash is the
     * dual-engine md5-prefix used by every sampling operator.
     */
-  def splitLeakproof(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val cc = componentsAdaptive(jaccardPairs(docs, n, num, den))
+  def splitLeakproof(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame =
+    splitLeakproofFrom(docs,
+      componentsAdaptive(jaccardPairsUnsorted(docs, n, num, den)))
+
+  /** [[splitLeakproof]] over pre-built component labels — the staged
+    * entry point ([[graft.sources.DedupStage.ccLabels]]).
+    */
+  private[graft] def splitLeakproofFrom(docs: DataFrame,
+                                        cc: DataFrame): DataFrame = {
     docs.select("doc_id")
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
@@ -859,10 +900,18 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int, b: Int, r: Int,
                    num: Int, den: Int, seed: Long = 42L): DataFrame =
+    minhashPairsUnsorted(docs, n, b, r, num, den, seed)
+      .orderBy("id_a", "id_b")
+
+  /** [[minhashPairs]] without the final sort — the form
+    * [[graft.sources.DedupStage]] checkpoints and CC consumes.
+    */
+  private[graft] def minhashPairsUnsorted(docs: DataFrame, n: Int, b: Int,
+                                          r: Int, num: Int, den: Int,
+                                          seed: Long = 42L): DataFrame =
     verifyJaccard(docs,
       lshCandidates(minhashSignatures(docs, n, b * r, seed), b, r),
       n, num, den)
-      .orderBy("id_a", "id_b")
 
   /** Incremental dedup — the nightly-increment production shape: which
     * INCOMING documents (doc_id > baseMaxId) duplicate the existing
@@ -1011,13 +1060,29 @@ object Dedup {
                          benchN: Int = 8, n: Int = 3, num: Int = 4,
                          den: Int = 5): DataFrame = {
     val corpus = docs.where(col("doc_id") > benchMaxId)
+    corpusFilterReportFrom(docs, jaccardPairsUnsorted(corpus, n, num, den),
+      benchMaxId, benchN)
+  }
+
+  /** [[corpusFilterReport]] over a pre-built pair frame covering AT
+    * LEAST the post-benchmark corpus — the staged entry point.
+    * Accepts the full-corpus pair set ([[graft.sources.DedupStage
+    * .pairs]]): Jaccard is pair-local, so pairs-over-the-subset equals
+    * pairs-over-everything filtered to `id_a > benchMaxId` (id_a < id_b
+    * makes that condition cover both endpoints).
+    */
+  private[graft] def corpusFilterReportFrom(docs: DataFrame,
+                                            pairs: DataFrame,
+                                            benchMaxId: Long = 50L,
+                                            benchN: Int = 8): DataFrame = {
+    val corpus = docs.where(col("doc_id") > benchMaxId)
     val gopher = TextAnalysis.gopherRules(corpus)
       .select(col("doc_id"), col("gopher_ok"))
     val keepers = exact(corpus)
       .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
     val contam = decontaminate(docs, benchMaxId, benchN)
       .select(col("doc_id"), lit(true).as("contam"))
-    val drops = jaccardPairs(corpus, n, num, den)
+    val drops = pairs.where(col("id_a") > benchMaxId)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("neardup", lit(true))
     gopher.join(keepers, Seq("doc_id"), "left")
@@ -1069,9 +1134,18 @@ object Dedup {
     * two tiny keyed aggs over component-sized frames.
     */
   def clusterSizeHistogram(docs: DataFrame, n: Int, num: Int,
-                           den: Int): DataFrame = {
-    val comp = componentsAdaptive(jaccardPairs(docs, n, num, den),
-      propRounds = 1)
+                           den: Int): DataFrame =
+    clusterSizeHistogramFrom(docs,
+      componentsAdaptive(jaccardPairsUnsorted(docs, n, num, den),
+        propRounds = 1))
+
+  /** [[clusterSizeHistogram]] over pre-built component labels — the
+    * staged entry point ([[graft.sources.DedupStage.ccLabels]]; every
+    * CC variant converges to the same min-id fixed point, so the
+    * propRounds used to derive the labels doesn't change them).
+    */
+  private[graft] def clusterSizeHistogramFrom(docs: DataFrame,
+                                              comp: DataFrame): DataFrame = {
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
     val nonSingleton = sizes.agg(sum("sz").as("covered"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
@@ -1283,9 +1357,17 @@ object Dedup {
     * [[blockedFuzzyPairs]]; the survivorship pick is one window over
     * cluster-sized groups, so the whole merge is two keyed shuffles.
     */
-  def goldenRecord(customer: DataFrame, maxDist: Int = 1): DataFrame = {
-    val cl = componentsStar(blockedFuzzyPairs(customer, maxDist))
-      .select(col("doc_id").as("custkey"), col("comp"))
+  def goldenRecord(customer: DataFrame, maxDist: Int = 1): DataFrame =
+    goldenRecordFrom(customer,
+      componentsStar(blockedFuzzyPairs(customer, maxDist))
+        .select(col("doc_id").as("custkey"), col("comp")))
+
+  /** [[goldenRecord]] over pre-built entity clusters (custkey, comp) —
+    * the staged entry point ([[graft.sources.DedupStage
+    * .fuzzyClusters]]).
+    */
+  private[graft] def goldenRecordFrom(customer: DataFrame,
+                                      cl: DataFrame): DataFrame = {
     // NOTE: m feeds two consumers (survivorship window + balance
     // rollup); componentsStar already materializes the expensive CC
     // state internally, so re-deriving the cheap join twice measured

@@ -421,8 +421,13 @@ object TextAnalysis {
     * already-oracle-checked operator; this is the end-to-end shape a
     * 100 TB dataset build actually runs.
     */
-  def corpusBuild(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
-    val kept = Dedup.keepListCC(docs, n = 3, num = 4, den = 5)
+  def corpusBuild(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
+                  cc: Option[DataFrame] = None): DataFrame = {
+    // `cc`: pre-built near-dup component labels (the staged frame from
+    // [[graft.sources.DedupStage.ccLabels]]) — same keep list, pair
+    // derivation paid once per session instead of per capstone
+    val kept = cc.map(Dedup.keepListCCFrom(docs, _))
+      .getOrElse(Dedup.keepListCC(docs, n = 3, num = 4, den = 5))
     val good = qualityScore(docs).where(col("quality_ok")).select("doc_id")
     val chunks = chunk(docs.join(kept, "doc_id").join(good, "doc_id"),
       chunkSize, overlap)
@@ -463,13 +468,17 @@ object TextAnalysis {
     * window over ≤ splits×sources rows. No stage is corpus-quadratic.
     */
   def corpusBuildV2(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
-                    w: Int = 8): DataFrame = {
+                    w: Int = 8, islands: Option[DataFrame] = None): DataFrame = {
+    // `islands`: pre-built cross-doc span islands at window `w` (the
+    // staged frame from [[graft.sources.DedupStage.islands]])
     val stride = chunkSize - overlap
     val keep = docs.groupBy(md5(col("text")))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val gok = gopherRules(docs).where(col("gopher_ok")).select("doc_id")
     val rok = repetitionProfile(docs).where(col("rep_ok")).select("doc_id")
-    val nk = Dedup.cutSpans(docs, w).select("doc_id", "n_kept")
+    val nk = islands.map(Dedup.cutSpansFrom(docs, _))
+      .getOrElse(Dedup.cutSpans(docs, w))
+      .select("doc_id", "n_kept")
     val surv = docs.select("doc_id", "source")
       .join(keep, "doc_id").join(gok, "doc_id").join(rok, "doc_id")
       .join(nk, "doc_id")

@@ -300,6 +300,14 @@ object AnnIndex {
     (centR, cellsR)
   }
 
+  // ONE maintenance decision per (dir, params) — ADVICE r12: the
+  // tripwire always compares against the FROZEN graft_anni centroids
+  // (never the rebuilt ones), so on a drifted corpus `rebuild_due`
+  // would never clear and every annMaintain call would retrain and
+  // write fresh _g<N> tables. The memo makes repeat calls idempotent.
+  private val stagedMt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
   /** CONSUME the drift tripwire: compute [[annIncrementDrift]] and,
     * when `rebuild_due`, run the scheduled [[rebuild]] + swap — the
     * production maintenance decision as one call. The returned row is
@@ -309,15 +317,43 @@ object AnnIndex {
     * rebuild branch is exercised by the spec on a synthetically
     * drifted delta. The decision read is a 1-row driver fetch — the
     * maintenance controller, not a data path.
+    *
+    * The rebuild runs on a DEDICATED maintenance family (ADVICE r12):
+    * retraining the shared [[ensureInc]] tag would swap its serving
+    * pointer, and a later compact on that tag would pair the REBUILT
+    * postings with the frozen `graft_anni` centroids pinned by
+    * [[annCompactReport]] — a mismatched quantizer/postings pair whose
+    * answer depends on gate order. The shared tag is only ever READ
+    * here (by the drift scan); its tables and pointer never change.
     */
   def annMaintain(spark: SparkSession, dir: String, nClusters: Int = 8,
                   iters: Int = 5): DataFrame = {
     val drift = annIncrementDrift(spark, dir, nClusters, iters)
-    if (drift.head().getAs[Boolean]("rebuild_due"))
-      rebuild(spark, ensureInc(spark, dir, nClusters, iters), nClusters, iters)
+    stagedMt.computeIfAbsent(s"$dir#$nClusters#$iters", { key =>
+      val due = drift.head().getAs[Boolean]("rebuild_due")
+      if (due) {
+        // own base+append build (same split and parameters as the
+        // shared increment family), then the retrain — the serving
+        // pointer swap happens on THIS tag only
+        val t = StagedTags.tagOf(key + "#mt")
+        val emb = graft.Tables.embeddings(spark, dir)
+        val cut = incCut(spark, dir)
+        writeIncBase(emb.where(col("vec_id") < cut),
+          emb.where(col("vec_id") < cut), t, nClusters, iters)
+        appendDelta(spark, t, emb.where(col("vec_id") >= cut))
+        rebuild(spark, t, nClusters, iters)
+      }
+      due
+    })
     drift.withColumn("action",
       when(col("rebuild_due"), lit("rebuild")).otherwise(lit("keep")))
   }
+
+  /** The maintenance family's tag for (dir, params) — where
+    * [[annMaintain]]'s rebuild (if any) lives; spec/probe accessor.
+    */
+  def maintainTag(dir: String, nClusters: Int = 8, iters: Int = 5): String =
+    StagedTags.tagOf(s"$dir#$nClusters#$iters#mt")
 
   // rebuild-family staging: its OWN base+append build (same split and
   // parameters as the shared increment family), because the rebuild

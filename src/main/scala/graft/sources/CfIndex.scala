@@ -357,14 +357,45 @@ object CfIndex {
   // a different session in the same JVM must derive its own state,
   // never be served frames whose blocks die with someone else's
   // session.
-  private val incStates = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int), IncState]()
+  // BOUNDED per-session cache (ADVICE r12): the round-11 strong
+  // (SparkSession, …) tuple key retained every session ever used —
+  // plus all its checkpointed frames — for the JVM lifetime, unbounded
+  // growth in exactly the long-lived multi-session JVM the session
+  // scoping targets. A WeakHashMap would NOT fix it: IncState's
+  // frames strongly reference their creating session, and WeakHashMap
+  // holds values strongly, so the value→key chain pins every entry
+  // anyway. Instead: an access-ordered LRU over sessions, capped at
+  // [[MaxCachedSessions]] — evicting a session's entry drops its
+  // frames (and with them the only cache-held reference to the
+  // session); a still-live evicted session merely re-derives on next
+  // use, which is deterministic and answer-identical (localCheckpoint
+  // contents are a pure function of (dir, params)).
+  private val MaxCachedSessions = 4
+  private val incStates =
+    new java.util.LinkedHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
+          IncState]](16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
+              IncState]]): Boolean = size() > MaxCachedSessions
+    }
 
   private[graft] def incrementState(spark: SparkSession, dir: String,
                                     maxDf: Int = 30, minShared: Int = 2,
-                                    kNb: Int = 3): IncState =
-    incStates.computeIfAbsent((spark, dir, maxDf, minShared, kNb), _ =>
+                                    kNb: Int = 3): IncState = {
+    val perSession = incStates.synchronized {
+      var m = incStates.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          (String, Int, Int, Int), IncState]()
+        incStates.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, maxDf, minShared, kNb), _ =>
       deriveIncrementState(spark, dir, maxDf, minShared, kNb))
+  }
 
   private def deriveIncrementState(spark: SparkSession, dir: String,
                                    maxDf: Int, minShared: Int,

@@ -71,4 +71,95 @@ class MultimodalSpec extends SparkSpec {
     val kinds = meta.select("kind").distinct().as[String].collect().toSet
     assert(kinds == Set("image", "audio", "video"))
   }
+
+  // ---------------------------------------------------- real codecs
+
+  import Multimodal.RealCodec
+
+  test("RealCodec PNG: a real ImageIO round trip recovers the exact " +
+    "gray samples, and the payload IS a PNG") {
+    val samples = Array(0, 17, 255, 128, 200, 64) // 3x2
+    val png = RealCodec.encodePngSamples(3, 2, samples)
+    // PNG magic: 0x89 'P' 'N' 'G'
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+    val (w, h, got) = RealCodec.decodeGray(png)
+    assert(w == 3 && h == 2 && got.toSeq == samples.toSeq)
+  }
+
+  test("RealCodec planted image: encode(docId) decodes to the formula") {
+    val id = 42L // 42 % 3 = 0: an image doc
+    val (w, h, s) = RealCodec.decodeGray(RealCodec.encodePng(id))
+    assert((w, h) == RealCodec.imageDims(id))
+    assert(s.zipWithIndex.forall { case (v, i) =>
+      v == RealCodec.grayPixel(id, i.toLong) })
+  }
+
+  test("RealCodec WAV: canonical RIFF round trip, strict validation") {
+    val id = 43L // 43 % 3 = 1: an audio doc
+    val wav = RealCodec.encodeWav(id)
+    val (rate, ch, bits, s) = RealCodec.decodeWav(wav)
+    assert(rate == 8000 && ch == 1 && bits == 8)
+    assert(s.length == RealCodec.audioLen(id))
+    assert(s.zipWithIndex.forall { case (v, i) =>
+      v == RealCodec.sampleVal(id, i) })
+    // corrupt magic fails loudly instead of decoding garbage
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](RealCodec.decodeWav(bad))
+  }
+
+  test("resizeNearest: truncating source mapping, hand-traced 4x2 -> 2x1") {
+    // src (w=4, h=2): row0 = 0,1,2,3; row1 = 4,5,6,7
+    // dst (2,1): y=0 -> srcY = 0*2/1 = 0; x=0 -> srcX=0, x=1 -> srcX=2
+    val out = RealCodec.resizeNearest(4, 2, Array(0, 1, 2, 3, 4, 5, 6, 7), 2, 1)
+    assert(out.toSeq == Seq(0, 2))
+  }
+
+  test("realMediaMeta: decoded dims equal the planted formulas at sf0.001") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Multimodal.realMediaMeta(spark, docs).collect()
+    assert(got.length == docs.count())
+    got.foreach { r =>
+      val (id, kind) = (r.getLong(0), r.getString(1))
+      val (w, h, f) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      kind match {
+        case "image" =>
+          val (ew, eh) = RealCodec.imageDims(id)
+          assert((w, h, f) == ((ew.toLong, eh.toLong, 1L)))
+        case "audio" =>
+          assert((w, h, f) == ((RealCodec.audioLen(id).toLong, 1L, 1L)))
+        case _ =>
+          assert((w, h, f) ==
+            ((16L, 9L, RealCodec.videoFrames(id).toLong)))
+      }
+    }
+  }
+
+  test("realResize: decode -> NN resample -> re-encode -> re-decode " +
+    "lands on the arithmetic pixel sum") {
+    val id = 42L
+    val (w, h, s) = RealCodec.decodeGray(RealCodec.encodePng(id))
+    val expected = (for (y <- 0 until 3; x <- 0 until 4)
+      yield s((y * h / 3) * w + (x * w / 4)).toLong).sum
+    val row = Multimodal.realResize(spark,
+        Seq((id, "t")).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(row.getLong(2) == 4L && row.getLong(3) == 3L)
+    assert(row.getLong(4) == expected)
+  }
+
+  test("realPhashNearDup: planted pixel clones at hamming 0; decoded-" +
+    "pixel hashes, not payload-byte hashes") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Multimodal.realPhashNearDup(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // base-vs-clone only (doc 0's clone also pairs with doc 0's
+    // perturbed copy at +20M — a genuine near-dup, not a clone pair)
+    val clonePairs = got.filter { case (a, b, _) =>
+      a < 10000000L && b == a + 10000000L }
+    assert(clonePairs.nonEmpty && clonePairs.forall(_._3 == 0L))
+    // the one-pixel perturbed plants land within the threshold too
+    assert(got.exists { case (a, b, _) =>
+      a < 10000000L && b == a + 20000000L })
+  }
 }

@@ -75,15 +75,30 @@ class Round12Spec extends SparkSpec {
     assert(rep.getAs[Boolean]("rebuild_due"),
       s"shifted delta must trip the drift wire: $rep")
     assert(rep.getAs[String]("action") == "rebuild")
-    // the rebuild ran and swapped: the drifted tag now serves annr
-    // tables, and their centroids equal a full retrain over base∪delta
-    val tag = StagedTags.tagOf(s"$dir#8#5")
-    val (centS, cellsS) = AnnIndex.servingTables(tag)
-    assert(centS.startsWith(s"graft_annr_cent_$tag") &&
-      cellsS.startsWith(s"graft_annr_cells_$tag"))
+    // ADVICE r12: the rebuild runs on a DEDICATED maintenance family —
+    // the shared increment tag's serving pointer must stay untouched,
+    // so a later compact on it still pairs matching centroid/posting
+    // tables (rebuilding the shared tag would swap its pointer and
+    // poison annCompactReport's frozen-centroid pinning)
+    val shared = StagedTags.tagOf(s"$dir#8#5")
+    assert(AnnIndex.servingTables(shared) ==
+      ((s"graft_anni_cent_$shared", s"graft_anni_cells_$shared")),
+      "shared increment tag must not be rebuilt or swapped by maintain")
+    val mt = AnnIndex.maintainTag(dir)
+    val (centS, cellsS) = AnnIndex.servingTables(mt)
+    assert(centS.startsWith(s"graft_annr_cent_$mt") &&
+      cellsS.startsWith(s"graft_annr_cells_$mt"))
     val all = spark.read.parquet(s"$dir/embeddings.parquet")
     assert(rows(spark.table(centS)) ==
       rows(operators.Clustering.lloydCentroids(all, 8, 5)))
+    // ADVICE r12: the decision is memoized per (dir, params) — the
+    // tripwire never clears (it always compares against the frozen
+    // anni centroids), so without the memo every call would retrain
+    // and write fresh _g<N> generations
+    val rep2x = AnnIndex.annMaintain(spark, dir).collect()(0)
+    assert(rep2x.getAs[String]("action") == "rebuild")
+    assert(AnnIndex.servingTables(mt) == ((centS, cellsS)),
+      "repeat maintain must not retrain: serving pointer unchanged")
     // in-distribution delta (the fixture): the tripwire stays quiet
     // and nothing is rebuilt
     val rep2 = AnnIndex.annMaintain(spark, sf0001).collect()(0)
