@@ -125,9 +125,65 @@ object PlanSnapshot {
     *     only their PERMUTATION varies; a multiset change still
     *     flips).
     */
+  /** Depth-aware recursive comma-list canonicalization for gid-bearing
+    * NON-Expand lines (r13, the customer_rec_eval residual): the old
+    * flat `", "` split sheared inside parens AND attached structural
+    * prefixes (`keys=[`, `output=[`, `hashpartitioning(`) to whichever
+    * attribute the labeling happened to put first — so two permuted
+    * key lists produced different fragment MULTISETS and the segment
+    * sort could not undo them. Here every bracket/paren group's
+    * content is canonicalized recursively and each level's top-level
+    * comma list is sorted; a permutation at any depth canonicalizes
+    * identically, while a changed element multiset still flips.
+    * Unbalanced input (truncated lines) stays deterministic: an
+    * unclosed group simply canonicalizes to its end.
+    */
+  private[graft] def canonDeep(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val b = new StringBuilder
+    var dep = 0
+    s.foreach { ch =>
+      if (ch == ',' && dep == 0) { parts += b.toString; b.clear() }
+      else {
+        if (ch == '[' || ch == '(') dep += 1
+        else if (ch == ']' || ch == ')') dep -= 1
+        b.append(ch)
+      }
+    }
+    parts += b.toString
+    def one(seg: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < seg.length) {
+        val ch = seg(i)
+        if (ch == '[' || ch == '(') {
+          val close = if (ch == '[') ']' else ')'
+          var d = 1
+          var j = i + 1
+          while (j < seg.length && d > 0) {
+            val c = seg(j)
+            if (c == '[' || c == '(') d += 1
+            else if (c == ']' || c == ')') d -= 1
+            j += 1
+          }
+          val inner = seg.substring(i + 1, if (d == 0) j - 1 else j)
+          sb.append(ch).append(canonDeep(inner))
+          if (d == 0) sb.append(close)
+          i = j
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
+    }
+    // strip SPACES only — trim would also eat the fallback path's
+    // control-character projection marker at a segment edge
+    def stripSp(x: String): String =
+      x.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    parts.map(p => one(stripSp(p))).sorted.mkString(", ")
+  }
+
   private[graft] def canonGid(line: String): String = {
     val norm = line.replaceAll("gid#x = \\d+", "gid#x = n")
-    def sortSegs(s: String): String = s.split(", ").sorted.mkString(", ")
+    def sortSegs(s: String): String = canonDeep(s)
     val open = norm.indexOf("[[")
     if (open < 0) return sortSegs(norm)
     // find the matching close of the outer '[' at `open`

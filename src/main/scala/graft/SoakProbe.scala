@@ -73,16 +73,38 @@ object SoakProbe {
       dir
     }
 
-    /** Wall seconds + shuffle (bytes, records) of one materialization.
-      * Single-shot by design: a soak measures the cold composed
-      * pipeline (the staged-index builds INCLUDED — they are the
-      * production cost), not a warmed min.
+    /** Wall seconds + shuffle (bytes, records) of one capstone run,
+      * measured across EVERY job the run fires — a session-level
+      * listener tally, not plan-local metrics, because the staged
+      * operators materialize checkpointed state eagerly at DataFrame
+      * CONSTRUCTION time (those derivation jobs are the production
+      * cost a soak exists to measure) and their shuffles never appear
+      * in the final serving plan's metrics. Single-shot by design: a
+      * soak measures the cold composed pipeline, not a warmed min.
       */
     def measure(f: => DataFrame): (Double, Long, Long) = {
-      val df = f
-      val t0 = System.nanoTime()
-      val (bytes, recs) = PlanMetrics.shuffleTotals(df)
-      ((System.nanoTime() - t0) / 1e9, bytes, recs)
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val tally = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(tally)
+      try {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener bus is async: give queued task-end events a moment
+        // to drain before reading the tally (bounded, best-effort)
+        Thread.sleep(500)
+        (sec, bytes.get, recs.get)
+      } finally spark.sparkContext.removeSparkListener(tally)
     }
 
     def capstones(dir: String): Seq[(String, () => DataFrame)] = Seq(

@@ -71,7 +71,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("minhash verify prunes shingles to LSH candidates via semi join") {
-    val p = planOf("dedup_minhash")
+    // r13: the GATE serves the session-staged checkpointed pair frame
+    // (its plan is a LogicalRDD scan by design) — audit the LIVE
+    // derivation DedupStage checkpoints, which is where the semi-join
+    // prune must hold
+    val p = graft.operators.Dedup.minhashPairs(
+        Tables.documents(spark, sf0001), n = 3, b = 32, r = 4,
+        num = 4, den = 5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"),
       s"non-candidate docs' shingles must not enter the verify joins:\n$p")
   }
