@@ -145,8 +145,8 @@ object ScaleProbe {
         () => operators.TextAnalysis.skipgramCounts(docsBase),
         () => operators.TextAnalysis.skipgramCounts(docsBig)),
       ("phash_neardup",
-        () => operators.Multimodal.phashNearDup(spark, docsBase),
-        () => operators.Multimodal.phashNearDup(spark, docsBig)),
+        () => operators.Multimodal.realPhashNearDup(spark, docsBase),
+        () => operators.Multimodal.realPhashNearDup(spark, docsBig)),
       ("rolling_7d",
         () => operators.Relational.rollingUserWindow(eventsBase),
         () => operators.Relational.rollingUserWindow(eventsBig)),
@@ -246,8 +246,8 @@ object ScaleProbe {
         () => operators.Layout.deleteVectorStats(liBase),
         () => operators.Layout.deleteVectorStats(liBig)),
       ("silence_profile",
-        () => operators.Multimodal.silenceProfileQuery(spark, docsBase),
-        () => operators.Multimodal.silenceProfileQuery(spark, docsBig)),
+        () => operators.Multimodal.realSilenceProfile(spark, docsBase),
+        () => operators.Multimodal.realSilenceProfile(spark, docsBig)),
       ("rec_eval",
         () => operators.Basket.recEval(liBase, ordsBase),
         () => operators.Basket.recEval(liBig, ordsBig)),

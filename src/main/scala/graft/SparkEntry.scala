@@ -860,10 +860,11 @@ object SparkEntry {
       Similarity.lshNearDup(
         Similarity.plantNearDups(Tables.embeddings(s, dir), nPlants = 20),
         threshold = 0.9)),
-    // --- multimodal (REAL codecs, round 13: PNG via ImageIO, WAV via
-    // the hand-rolled RIFF parser; only video stays FakeCodec-stubbed.
-    // Payload content is planted doc_id arithmetic, so the oracles
-    // replay every decoded value without a codec — see Multimodal.)
+    // --- multimodal (ALL-REAL codecs: PNG via ImageIO, WAV via the
+    // hand-rolled RIFF parser, video via ImageIO's multi-frame
+    // animated-GIF reader — no stubs remain. Payload content is
+    // planted doc_id arithmetic, so the oracles replay every decoded
+    // value without a codec — see Multimodal.)
     "media_meta" -> ((s, dir) =>
       Multimodal.realMediaMeta(s, Tables.documents(s, dir))),
     "media_feature_stats" -> ((s, dir) =>
@@ -3939,12 +3940,14 @@ object SparkEntry {
 
   // second half of the oracle registry (see oracleSqlBaseA)
   private lazy val oracleSqlBaseB: Map[String, String] = Map(
-    // REAL-codec gates (round 13): payload content is planted doc_id
-    // arithmetic (image w = 8 + d%9, h = 6 + d%7, gray pixel
+    // REAL-codec gates: payload content is planted doc_id arithmetic
+    // (image w = 8 + d%9, h = 6 + d%7, gray pixel
     // v(i) = (d*7 + i*11) % 256; audio n = 40 + d%37 samples,
-    // s(i) = (d*13 + i*17) % 256; video frames = 1 + d%9), so the
-    // oracle replays every DECODED value without a codec — if ImageIO
-    // or the WAV parser returned anything else, the hash compare fails
+    // s(i) = (d*13 + i*17) % 256; video = 16x9 animated GIF with
+    // 1 + d%9 frames, frame f pixel v(f,i) = (d*7 + f*19 + i*11) % 256),
+    // so the oracle replays every DECODED value without a codec — if
+    // ImageIO (PNG or GIF) or the WAV parser returned anything else,
+    // the hash compare fails
     "media_meta" ->
       s"""SELECT doc_id AS media_id,
          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -4032,6 +4035,9 @@ object SparkEntry {
          |  coalesce(max_run, 0)::BIGINT AS max_silent_run, total_energy
          |FROM agg a LEFT JOIN mr USING (media_id)
          |ORDER BY media_id""".stripMargin,
+    // video sig (round 14, real GIF decode): pixel sum over ALL
+    // 1 + d%9 frames of the 144-pixel raster, frame f's pixel i being
+    // (d*7 + f*19 + i*11) % 256 — folded as one range over f*144 + i
     "media_feature_stats" ->
       s"""WITH d AS (SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -4047,7 +4053,8 @@ object SparkEntry {
          |        (doc_id*7 + i*11) % 256))
          |      WHEN 1 THEN list_sum(list_transform(range(an), i ->
          |        abs((doc_id*13 + i*17) % 256 - 128)))
-         |      ELSE 0 END AS sig
+         |      ELSE list_sum(list_transform(range((1 + doc_id % 9) * 144), i ->
+         |        (doc_id*7 + (i // 144)*19 + (i % 144)*11) % 256)) END AS sig
          |  FROM d)
          |SELECT kind, count(*) AS n,
          |  CAST(sum(w) AS BIGINT) AS sum_width,
@@ -6358,10 +6365,16 @@ object SparkEntry {
          |  levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128))::BIGINT AS dist_next
          |FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
          |ORDER BY a.doc_id""".stripMargin,
+    // every 2nd GENUINELY decoded GIF frame; frame_sig replays the
+    // planted per-frame pixel formula v(f, i) = (d*7 + f*19 + i*11)%256
+    // over the 16x9 = 144-pixel raster — a wrong frame count, order,
+    // or pixel anywhere in the real decode breaks the hash
     "media_frame_sample" ->
-      s"""SELECT doc_id AS media_id,
-         |  CAST(unnest(range(0, 1 + doc_id % 9, 2)) AS BIGINT) AS frame_idx
-         |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+      s"""SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(list_sum(list_transform(range(144), i ->
+         |    (doc_id*7 + f*19 + i*11) % 256)) AS BIGINT) AS frame_sig
+         |FROM documents, LATERAL (SELECT unnest(range(0, 1 + doc_id % 9, 2)) AS f) r
+         |WHERE CAST(doc_id % 3 AS INT) = 2
          |ORDER BY media_id, frame_idx""".stripMargin,
     "streaming_session_counts" ->
       s"""SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (

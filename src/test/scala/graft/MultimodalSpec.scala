@@ -1,46 +1,9 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{FakeCodec, MediaRow}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
-
-  private def media(rows: MediaRow*) = spark.createDataset(rows.toSeq)
-
-  private val header = Array[Byte](1, 64, 0, 200.toByte, 10) // w=320, h=200, 10 frames
-
-  test("decodeMeta parses the stub header per partition") {
-    val m = Multimodal.decodeMeta(media(
-      MediaRow(1L, "image", header ++ Array[Byte](9, 9)),
-      MediaRow(2L, "audio", Array[Byte]())))
-      .collect().map(x => x.media_id -> x).toMap
-    assert(m(1L).width == 320 && m(1L).height == 200 && m(1L).n_frames == 10
-      && m(1L).n_bytes == 7L)
-    assert(m(2L).width == 0 && m(2L).n_frames == 1)
-  }
-
-  test("resizeImages restamps only image payloads") {
-    val out = Multimodal.resizeImages(media(
-      MediaRow(1L, "image", header.clone()),
-      MediaRow(2L, "video", header.clone())), 64, 32)
-      .collect().map(m => m.media_id -> FakeCodec.decode(m.payload)).toMap
-    assert(out(1L) == ((64, 32, 10)))
-    assert(out(2L) == ((320, 200, 10)))
-  }
-
-  test("frameSample emits every Nth frame of the declared count") {
-    val got = Multimodal.frameSample(media(MediaRow(1L, "video", header)), 3)
-      .collect().map(_.getInt(2)).toSeq
-    assert(got == Seq(0, 3, 6, 9))
-  }
-
-  test("feature extraction is deterministic with fixed dim") {
-    val p = "some payload bytes".getBytes("UTF-8")
-    val a = FakeCodec.features(p, 16)
-    val b = FakeCodec.features(p, 16)
-    assert(a.toSeq == b.toSeq && a.length == 16 && a.exists(_ != 0f))
-  }
 
   test("aHash60: block-mean bits, integer threshold, empty payload") {
     // 120 bytes: first 60 zero, last 60 = 0xFF -> blocks 0..29 below
@@ -52,24 +15,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHash60(Array.empty[Byte]) == 0L)
   }
 
-  test("phashNearDup finds the planted clone and perturbed pairs") {
-    val docs = Tables.documents(spark, sf0001)
-    val got = Multimodal.phashNearDup(spark, docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // every %97 doc pairs with its +10M exact clone at hamming 0
-    val clonePairs = got.filter { case (a, b, _) => b == a + 10000000L }
-    assert(clonePairs.nonEmpty && clonePairs.forall(_._3 == 0L))
-    // perturbed copies (+20M) are found too, within the threshold
-    val pert = got.filter { case (a, b, _) => b == a + 20000000L }
-    assert(pert.nonEmpty && pert.forall(_._3 <= 3L))
-  }
-
-  test("syntheticMedia/mediaMeta plumbing over documents") {
-    val docs = Tables.documents(spark, sf0001)
-    val meta = Multimodal.mediaMeta(docs)
-    assert(meta.count() == docs.count())
-    val kinds = meta.select("kind").distinct().as[String].collect().toSet
-    assert(kinds == Set("image", "audio", "video"))
+  test("silenceStats: frame energies, runs, trailing samples dropped") {
+    def frame(v: Int) = Array.fill(16)(v)
+    // 4 frames: silent, silent, loud, silent (+7 trailing samples cut)
+    val s = frame(128) ++ frame(130) ++ frame(0) ++ frame(128) ++ Array.fill(7)(1)
+    val (n, silent, maxRun, tot) = Multimodal.silenceStats(s, 16, 460L)
+    assert(n == 4L)
+    assert(silent == 3L, "three frames under the threshold")
+    assert(maxRun == 2L, "longest silent run is the leading pair")
+    assert(tot == 0L + 32L + 16L * 128L + 0L,
+      "energy = sum |s-128| over full frames only")
   }
 
   // ---------------------------------------------------- real codecs
@@ -106,6 +61,42 @@ class MultimodalSpec extends SparkSpec {
     // corrupt magic fails loudly instead of decoding garbage
     val bad = wav.clone(); bad(0) = 'X'.toByte
     intercept[IllegalArgumentException](RealCodec.decodeWav(bad))
+  }
+
+  test("RealCodec GIF: a real multi-frame animated-GIF round trip " +
+    "recovers every frame's exact gray samples, and the payload IS a GIF") {
+    // 3 frames of 2x5, values spanning the palette
+    val frames = Array(
+      Array(0, 17, 255, 128, 200, 64, 1, 99, 254, 33),
+      Array(255, 254, 0, 1, 127, 128, 129, 130, 2, 3),
+      Array(7, 7, 7, 7, 7, 7, 7, 7, 7, 7))
+    val gif = RealCodec.encodeGifFrames(2, 5, frames)
+    assert(new String(gif, 0, 3, "US-ASCII") == "GIF", "GIF magic")
+    val (w, h, got) = RealCodec.decodeGifFrames(gif)
+    assert(w == 2 && h == 5 && got.length == 3)
+    (got zip frames).foreach { case (g, e) => assert(g.toSeq == e.toSeq) }
+    // the JDK GIF reader zeroes rows past row 0 at heights 2..4
+    // (measured exhaustively) — the encoder refuses the quirk band
+    intercept[IllegalArgumentException](
+      RealCodec.encodeGifFrames(4, 3, Array(Array.fill(12)(0))))
+  }
+
+  test("RealCodec planted video: encode(docId) walks getNumImages and " +
+    "decodes every frame to the per-frame formula") {
+    val id = 44L // 44 % 3 = 2: a video doc
+    val (w, h, frames) = RealCodec.decodeGifFrames(RealCodec.encodeGif(id))
+    assert(w == RealCodec.videoW && h == RealCodec.videoH)
+    assert(frames.length == RealCodec.videoFrames(id))
+    frames.zipWithIndex.foreach { case (f, fi) =>
+      assert(f.zipWithIndex.forall { case (v, i) =>
+        v == RealCodec.framePixel(id, fi, i.toLong) })
+    }
+    // fewest-frame video id shape: id % 3 = 2 forces id % 9 ∈ {2,5,8},
+    // so every video has ≥ 3 frames — check the 3-frame case too
+    val three = 191L // 191 % 3 = 2, 1 + 191 % 9 = 3 frames
+    assert(RealCodec.decodeGifFrames(RealCodec.encodeGif(three))._3.length == 3)
+    // undecodable payload fails loudly
+    intercept[Exception](RealCodec.decodeGifFrames("nope".getBytes("UTF-8")))
   }
 
   test("resizeNearest: truncating source mapping, hand-traced 4x2 -> 2x1") {
@@ -146,6 +137,21 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0)
     assert(row.getLong(2) == 4L && row.getLong(3) == 3L)
     assert(row.getLong(4) == expected)
+  }
+
+  test("realFrameSample: every 2nd GENUINELY decoded frame, sig = that " +
+    "frame's pixel sum of the planted formula") {
+    val id = 44L // video doc, 1 + 44 % 9 = 9 frames -> idx 0,2,4,6,8
+    val got = Multimodal.realFrameSample(spark,
+        Seq((id, "t")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    got.foreach { case (mid, fi, sig) =>
+      assert(mid == id)
+      val expect = (0 until RealCodec.videoW * RealCodec.videoH)
+        .map(i => RealCodec.framePixel(id, fi.toInt, i.toLong).toLong).sum
+      assert(sig == expect, s"frame $fi pixel sum")
+    }
   }
 
   test("realPhashNearDup: planted pixel clones at hamming 0; decoded-" +

@@ -182,16 +182,18 @@ class Round8Spec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "aaaa", 2L, 375L)))
   }
 
-  test("crossmodalTopk: integer dot ranks image bytes against the text tower") {
-    // images are doc_id % 3 == 0; payload byte0 = first utf-8 char.
-    // query qv = [1000, 0...] so score = 1000 * byte0: 'b'(98) > 'a'(97)
+  test("crossmodalTopk: integer dot ranks decoded image pixels against " +
+    "the text tower") {
+    // images are doc_id % 3 == 0; decoded pixel 0 = (doc_id*7) % 256.
+    // query qv = [1000, 0...] so score = 1000 * pixel0: doc3 -> 21,
+    // doc0 -> 0; 'zz' doc1 is audio and never a candidate
     val docs = Seq((0L, "bb"), (1L, "zz"), (3L, "ab")).toDF("doc_id", "text")
     val emb = Seq((0L, Array(1f) ++ Array.fill(15)(0f)))
       .toDF("vec_id", "embedding")
-    val got = operators.Multimodal.crossmodalTopk(spark, docs, emb,
+    val got = operators.Multimodal.realCrossmodalTopk(spark, docs, emb,
       nQueries = 1, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(got.toSeq == Seq((0L, 1L, 0L, 98000L), (0L, 2L, 3L, 97000L)))
+    assert(got.toSeq == Seq((0L, 1L, 3L, 21000L), (0L, 2L, 0L, 0L)))
   }
 
   test("rakeKeyphrases: hand-traced deg/freq scores; long runs drop") {

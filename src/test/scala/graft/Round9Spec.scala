@@ -67,7 +67,7 @@ class Round9Spec extends SparkSpec {
     val emb = Seq(
       (0L, Array(1f, 2f)), // short: would zip_with-pad to a NULL score
       (1L, Array.tabulate(16)(_.toFloat))).toDF("vec_id", "embedding")
-    val got = operators.Multimodal.crossmodalTopk(spark, docs, emb,
+    val got = operators.Multimodal.realCrossmodalTopk(spark, docs, emb,
       nQueries = 20, k = 3).collect()
     assert(got.nonEmpty && got.forall(_.getLong(0) == 1L),
       "only the full-width query survives")
@@ -241,24 +241,19 @@ class Round9Spec extends SparkSpec {
     assert(r.getLong(7) == 1L, "the kept file's DV entry remains")
   }
 
-  test("silenceProfile: frame energies, runs, and kind filter hand-trace") {
-    import operators.Multimodal.MediaRow
-    def frame(b: Int) = Array.fill(16)(b.toByte)
-    // 4 frames: silent, silent, loud, silent (+7 trailing bytes dropped)
-    val audio = MediaRow(1L, "audio",
-      frame(128) ++ frame(130) ++ frame(0) ++ frame(128) ++ Array.fill(7)(1.toByte))
-    val image = MediaRow(2L, "image", frame(128))
-    val short = MediaRow(3L, "audio", Array.fill(5)(128.toByte))
-    val media = spark.createDataset(Seq(audio, image, short))(
-      org.apache.spark.sql.Encoders.product[MediaRow])
-    val got = operators.Multimodal.silenceProfile(media).collect()
-    assert(got.length == 1, "image and sub-frame audio rows are excluded")
+  test("realSilenceProfile: kind filter + decoded samples match the " +
+    "planted-formula silenceStats fold") {
+    import operators.Multimodal
+    // 0=image, 1=audio, 2=video: only the audio doc emits a profile row
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    val got = Multimodal.realSilenceProfile(spark, docs).collect()
+    assert(got.length == 1, "image and video rows are excluded")
     val r = got(0)
-    assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
-    assert(r.getLong(2) == 3L, "three frames under the threshold")
-    assert(r.getLong(3) == 2L, "longest silent run is the leading pair")
-    assert(r.getLong(4) == 0L + 32L + 16L * 128L + 0L,
-      "energy = sum |b-128| over full frames only")
+    val planted = Array.tabulate(Multimodal.RealCodec.audioLen(1L))(i =>
+      Multimodal.RealCodec.sampleVal(1L, i))
+    val (n, silent, maxRun, tot) = Multimodal.silenceStats(planted, 16, 1024L)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, n, silent, maxRun, tot)))
   }
 
   test("proximitySearch: minimal cover window hand-trace") {
