@@ -25,9 +25,20 @@ package graft
   *    measured instead of recording nothing but penalties.
   *  - ADAPTIVE repeats: run 1 pays Catalyst plan compile + JIT (~3×
   *    inflation on complex plans), so every query gets ≥ 2 runs and
-  *    reports the min; the third run happens only when the first two
-  *    disagree by > 20% (host noise) — steady queries finish in two,
-  *    cutting sweep wall-clock by ~⅓ with the same min semantics.
+  *    reports the min; the third run happens when the first two
+  *    disagree by > 20% OR the query is expensive (min > 1.0 s) —
+  *    regression adjudication reads the heavy queries' minimums, so
+  *    those keep full min-of-3, while cheap stable queries take a
+  *    min-of-2 fast path, cutting sweep wall-clock by ~⅓.
+  *  - STAGING pre-warm (ADVICE r13): the session-staged families
+  *    (DedupStage/CfIndex/AnnIndex) derive their shared state BEFORE
+  *    any timed run, and the derivation cost is reported as its own
+  *    top-level `staging` field. Without this, whichever staged-family
+  *    gate the prior-file order happened to run first paid the
+  *    derivation in its run 1 — discarded by min, but leaving run-1
+  *    noise and wall-clock attribution order-dependent round-over-
+  *    round. Deliberately-live derivations (the d=2 fuzzy gate) are
+  *    not pre-warmed — the sweep still measures them.
   */
 object Bench {
   /** Sweep order: by DESCENDING last-capture time, alphabetical within
@@ -47,6 +58,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    // derive the session-staged family state up front (see scaladoc);
+    // each getter localCheckpoints/saves on first call, so count() /
+    // the cheapest consumer forces materialization. Best-effort: a
+    // failed pre-warm just returns the old run-1 behavior.
+    val stagingSec: Double = {
+      val t0 = System.nanoTime()
+      try {
+        import graft.sources.{AnnIndex, CfIndex, DedupStage}
+        DedupStage.pairs(spark, sfDir).count()
+        DedupStage.minhashPairs(spark, sfDir).count()
+        DedupStage.ccLabels(spark, sfDir).count()
+        DedupStage.islands(spark, sfDir).count()
+        DedupStage.fuzzyPairs(spark, sfDir).count()
+        DedupStage.fuzzyClusters(spark, sfDir).count()
+        CfIndex.cfNeighbors(spark, sfDir).count()
+        AnnIndex.annIncrementDrift(spark, sfDir).count()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -83,7 +114,7 @@ object Bench {
       val flag = if (partial) "\"partial\":true," else ""
       val full = s"""{"metric":"total",$flag"value":$total,""" +
         s""""unit":"sec","n_queries":${done.size},"queries":$qs,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"staging":$stagingSec,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // bench output file is best-effort
@@ -122,7 +153,7 @@ object Bench {
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${sortedR.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"staging":$stagingSec,"sf":"$sfDir"}"""
     println(headline)
     println(full)
     // ...and AGAIN after it: BENCH_r04.json was tail-captured (kept the

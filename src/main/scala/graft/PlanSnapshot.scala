@@ -137,6 +137,17 @@ object PlanSnapshot {
     * identically, while a changed element multiset still flips.
     * Unbalanced input (truncated lines) stays deterministic: an
     * unclosed group simply canonicalizes to its end.
+    *
+    * ACCEPTED FALSE-NEGATIVE CLASS (ADVICE r13): because paren groups
+    * are sorted too, a genuine argument-ORDER change whose multiset is
+    * unchanged — f(x, 1, 2) vs f(x, 2, 1) — canonicalizes identically
+    * on gid-bearing lines. Parens cannot be exempted: the r13 flake
+    * lived in `hashpartitioning(…)`/`keys=[…]` PAREN groups whose key
+    * lists the labeling permutes, so order-preserving parens would
+    * reintroduce the 1-in-3 digest flip. The exposure is narrow (only
+    * the handful of gid-bearing countDistinct-rewrite lines, where
+    * argument lists are attribute sets, not positional expressions)
+    * and bounded: any added/removed/renamed argument still flips.
     */
   private[graft] def canonDeep(s: String): String = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()

@@ -300,13 +300,18 @@ object AnnIndex {
     (centR, cellsR)
   }
 
-  // ONE maintenance decision per (dir, params) — ADVICE r12: the
-  // tripwire always compares against the FROZEN graft_anni centroids
-  // (never the rebuilt ones), so on a drifted corpus `rebuild_due`
-  // would never clear and every annMaintain call would retrain and
-  // write fresh _g<N> tables. The memo makes repeat calls idempotent.
-  private val stagedMt =
-    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  // ONE maintenance decision per (session, dir, params) — ADVICE r12:
+  // the tripwire always compares against the FROZEN graft_anni
+  // centroids (never the rebuilt ones), so on a drifted corpus
+  // `rebuild_due` would never clear and every annMaintain call would
+  // retrain and write fresh _g<N> tables. The memo makes repeat calls
+  // idempotent. SESSION-scoped via SessionCache (ADVICE r13): the
+  // rebuilt maintain-tag tables live in the creating session's
+  // catalog/warehouse, so a JVM-global memo would skip the rebuild for
+  // a NEW session whose catalog has no such tables; SessionCache also
+  // runs the derive (several Spark jobs) outside any map lock, unlike
+  // the old computeIfAbsent.
+  private val stagedMt = new SessionCache[String, Boolean]()
 
   /** CONSUME the drift tripwire: compute [[annIncrementDrift]] and,
     * when `rebuild_due`, run the scheduled [[rebuild]] + swap — the
@@ -329,7 +334,8 @@ object AnnIndex {
   def annMaintain(spark: SparkSession, dir: String, nClusters: Int = 8,
                   iters: Int = 5): DataFrame = {
     val drift = annIncrementDrift(spark, dir, nClusters, iters)
-    stagedMt.computeIfAbsent(s"$dir#$nClusters#$iters", { key =>
+    val key = s"$dir#$nClusters#$iters"
+    stagedMt.getOrDerive(spark, key) {
       val due = drift.head().getAs[Boolean]("rebuild_due")
       if (due) {
         // own base+append build (same split and parameters as the
@@ -344,7 +350,7 @@ object AnnIndex {
         rebuild(spark, t, nClusters, iters)
       }
       due
-    })
+    }
     drift.withColumn("action",
       when(col("rebuild_due"), lit("rebuild")).otherwise(lit("keep")))
   }
