@@ -21,7 +21,25 @@ captures exceed min_ratio. One capture over = "suspect (not confirmed)"
 """
 import json
 import re
+import statistics
 import sys
+
+# Pinned host-drift CONTROL SET (round 14): queries untouched since at
+# least r12, plan-digest-stable, >= ~1.3s at sf0.1 (so their ratios are
+# not noise-dominated), spread across families, and in NO session-staged
+# family (staging rewires would contaminate the drift estimate). The
+# median new/old ratio over these estimates pure host drift; per-query
+# ratios are reported normalized by it. Rebuild this list only when a
+# member is touched — then REMOVE it rather than re-tuning.
+CONTROL_SET = [
+    "bigram_generate", "bigram_lm", "doc_char_collision",
+    "doc_editdist_next", "doc_ngram_novelty", "doc_perplexity_buckets",
+    "doc_repetition_gopher", "emb_top2_directions",
+    "events_coactivity_pairs", "join_card_estimate", "kmeans_silhouette",
+    "part_closeness", "part_link_pred", "phrase_search",
+    "q21_waiting_suppliers", "q8_market_share", "skipgram_counts",
+    "word_ktruss_edges", "word_modularity", "word_ppr",
+]
 
 
 def load_queries(path: str) -> dict:
@@ -51,9 +69,22 @@ def main(old_path: str, new_path: str, min_ratio: float = 1.3,
              old[q], new[q], q) for q in shared]
     tot_old = sum(old[q] for q in shared)
     tot_new = sum(new[q] for q in shared)
+    # host drift: median ratio over the pinned control set (1.0 = no
+    # drift; fewer than 5 control members shared -> no estimate)
+    control = [new[q] / old[q] for q in CONTROL_SET
+               if q in old and q in new and old[q] > 0]
+    drift = statistics.median(control) if len(control) >= 5 else None
     print(f"shared queries: {len(shared)}  "
           f"old total {tot_old:.1f}s  new total {tot_new:.1f}s  "
           f"ratio {tot_new / tot_old:.2f}x")
+    if drift is not None:
+        print(f"host drift (median over {len(control)} control queries): "
+              f"{drift:.2f}x — per-query 'norm' below divides it out")
+    else:
+        print("host drift: not estimable (control set not in both captures)")
+
+    def norm(ratio: float) -> str:
+        return f"; norm {ratio / drift:.2f}x" if drift else ""
     worst = sorted((r for r in rows if r[0] >= min_ratio), reverse=True)
     best = sorted(r for r in rows if r[0] <= 1 / min_ratio)
     if worst and confirm is not None:
@@ -68,22 +99,22 @@ def main(old_path: str, new_path: str, min_ratio: float = 1.3,
             print(f"\nCONFIRMED regressions >= {min_ratio}x in BOTH captures:")
             for ratio, o, n, q, c in confirmed:
                 print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x; "
-                      f"confirm {c:.2f}x)")
+                      f"confirm {c:.2f}x{norm(ratio)})")
         if suspect:
             print(f"\nsuspect (NOT confirmed by the second capture — "
                   f"treat as host noise, adjudicate with BenchOne):")
             for ratio, o, n, q, c in suspect:
                 cs = f"{c:.2f}x" if c is not None else "absent"
                 print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x; "
-                      f"confirm {cs})")
+                      f"confirm {cs}{norm(ratio)})")
     elif worst:
         print(f"\nregressions >= {min_ratio}x:")
         for ratio, o, n, q in worst:
-            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x)")
+            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x{norm(ratio)})")
     if best:
         print(f"\nimprovements <= {1/min_ratio:.2f}x:")
         for ratio, o, n, q in best:
-            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x)")
+            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x{norm(ratio)})")
     only_new = sorted(set(new) - set(old))
     if only_new:
         print(f"\nnew-only queries ({len(only_new)}): {', '.join(only_new)}")
@@ -97,5 +128,8 @@ if __name__ == "__main__":
         i = argv.index("--confirm")
         confirm = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv[0], argv[1],
-                  float(argv[2]) if len(argv) > 2 else 1.3, confirm))
+    try:
+        sys.exit(main(argv[0], argv[1],
+                      float(argv[2]) if len(argv) > 2 else 1.3, confirm))
+    except BrokenPipeError:  # output piped into head — not an error
+        sys.exit(0)
