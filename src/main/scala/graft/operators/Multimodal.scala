@@ -352,6 +352,17 @@ object Multimodal {
       })
   }
 
+  /** [[realMedia]] restricted to one kind, with the kind predicate
+    * pushed BELOW the codec: kind is a pure function of doc_id
+    * (`doc_id % 3`), so a single-kind gate filters the id column
+    * before the encode runs — an audio gate never pays a GIF encode.
+    * (A `.filter(_.kind == …)` above realMedia runs AFTER every
+    * payload is built; at sf0.1 that is thousands of discarded
+    * encodes.) The codec-kind mod values: image 0, audio 1, video 2.
+    */
+  def realMediaOfKind(docs: DataFrame, kindMod: Int): Dataset[MediaRow] =
+    realMedia(docs.where(pmod(col("doc_id"), lit(3)) === kindMod))
+
   /** Per-kind REAL decode → (width, height, n_frames, sig): image =
     * ImageIO dims + pixel sum; audio = WAV (n_samples, channels) +
     * Σ|s−128| energy; video = GIF frame-directory walk + per-frame
@@ -434,7 +445,7 @@ object Multimodal {
   def realPhashNearDup(spark: SparkSession, docs: DataFrame,
                        maxHam: Int = 3): DataFrame = {
     import spark.implicits._
-    val hashes = realMedia(docs).filter(_.kind == "image")
+    val hashes = realMediaOfKind(docs, 0)
       .mapPartitions(_.flatMap { m =>
         val (_, _, s) = RealCodec.decodeGray(m.payload)
         val bytes = s.map(v => v.toByte)
@@ -483,7 +494,7 @@ object Multimodal {
                          frameSamples: Int = 16,
                          silentThresh: Long = 1024L): DataFrame = {
     import spark.implicits._
-    realMedia(docs).filter(_.kind == "audio")
+    realMediaOfKind(docs, 1)
       .mapPartitions(_.map { m =>
         val (_, _, _, s) = RealCodec.decodeWav(m.payload)
         val (n, silent, maxRun, tot) = silenceStats(s, frameSamples, silentThresh)
@@ -503,7 +514,7 @@ object Multimodal {
   def realFrameSample(spark: SparkSession, docs: DataFrame,
                       everyN: Int = 2): DataFrame = {
     import spark.implicits._
-    realMedia(docs).filter(_.kind == "video")
+    realMediaOfKind(docs, 2)
       .mapPartitions(_.flatMap { m =>
         val (_, _, frames) = RealCodec.decodeGifFrames(m.payload)
         (0 until frames.length by everyN).map(i =>
@@ -521,7 +532,7 @@ object Multimodal {
                          emb: DataFrame, nQueries: Int = 20,
                          k: Int = 3): DataFrame = {
     import spark.implicits._
-    val feats = realMedia(docs).filter(_.kind == "image")
+    val feats = realMediaOfKind(docs, 0)
       .mapPartitions(_.map { m =>
         val (_, _, s) = RealCodec.decodeGray(m.payload)
         (m.media_id, Array.tabulate(16)(i => s(i).toLong))
