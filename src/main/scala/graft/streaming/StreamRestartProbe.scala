@@ -81,8 +81,8 @@ object StreamRestartProbe {
 
   /** The time-split cut — deterministic (recomputed identically in
     * every JVM from the data alone), and chosen so the restart proof
-    * cannot be vacuous: the 90th-percentile view_ms over the batch
-    * interval join's matched pairs. The pair whose view sits exactly
+    * cannot be vacuous: the median view_ms over the batch interval
+    * join's matched pairs. The pair whose view sits exactly
     * at the cut has its purchase strictly after it (the join is
     * v_ts < p_ts), so at least one cross-phase match exists that can
     * only be produced from RECOVERED join state, and that pair's user
@@ -95,15 +95,19 @@ object StreamRestartProbe {
       .select(col("user_id").as("p_user"), col("ts_ms").as("p_ms"))
     val v = ev.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts_ms").as("view_ms"))
-    val pairViews = p.join(v,
+    // percentile_approx returns an OBSERVED view_ms (never interpolates
+    // — the "a pair sits exactly at the cut" guarantee) and is
+    // deterministic for a given accuracy, so every JVM derives the same
+    // cut from a 1-row aggregate — no driver-side pair-list collect
+    val row = p.join(v,
         col("p_user") === col("v_user") &&
           col("view_ms") >= col("p_ms") - windowMs &&
           col("view_ms") < col("p_ms"))
-      .select("view_ms").orderBy("view_ms")
-      .as(org.apache.spark.sql.Encoders.scalaLong).collect()
-    if (pairViews.isEmpty)
+      .agg(expr("percentile_approx(view_ms, 0.5D, 100000)").as("cut"))
+      .head()
+    if (row.isNullAt(0))
       ev.agg(expr("percentile(ts_ms, 0.5D)")).head().getDouble(0).toLong
-    else pairViews(pairViews.length / 2)
+    else row.getLong(0)
   }
 
   private def stageInput(spark: SparkSession, phase: String,
