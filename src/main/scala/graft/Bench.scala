@@ -49,6 +49,18 @@ object Bench {
                                 prior: Map[String, Double]): Seq[String] =
     names.sorted.sortBy(n => -prior.getOrElse(n, Double.MaxValue))
 
+  /** Excursion detector (round 15, VERDICT r14 #4): BENCH_r14 carries
+    * `word_hits` 66.9 s and `corpus_build_v3` 59.8 s — lone host
+    * stalls 13–20× the same-code steady state that became the round's
+    * permanent record AND the next sweep's ordering prior. A measured
+    * min is an excursion worth one end-of-sweep re-run when it exceeds
+    * 3× the committed prior and is expensive enough (> 1 s) that the
+    * ratio is not sub-second noise-floor jitter. Failed queries (−1)
+    * are not excursions — they must stay loud.
+    */
+  private[graft] def isExcursion(min: Double, prior: Double): Boolean =
+    prior > 0 && min > 3 * prior && min > 1.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,7 +78,8 @@ object Bench {
     val stagingSec: Double = {
       val t0 = System.nanoTime()
       try {
-        import graft.sources.{AnnIndex, CfIndex, DedupStage}
+        import graft.sources.{AnnIndex, CfIndex, DedupStage, MediaStage}
+        MediaStage.media(spark, sfDir).count()
         DedupStage.pairs(spark, sfDir).count()
         DedupStage.minhashPairs(spark, sfDir).count()
         DedupStage.ccLabels(spark, sfDir).count()
@@ -79,13 +92,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def once(name: String): Double = {
+    // deterministic run counters (VERDICT r14 #1/#2): jobs, tasks,
+    // shuffle bytes/records, scheduler latency per query — recorded
+    // alongside seconds so host-vs-code adjudication is mechanical
+    // (benchdiff auto-classifies: seconds up + counters flat = host)
+    val meter = BenchMetrics.install(spark.sparkContext)
+
+    def once(name: String): (Double, BenchMetrics.Snap) = {
+      meter.reset()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+        ((System.nanoTime() - t0) / 1e9, meter.snapshot())
+      } catch { case _: Throwable => (-1.0, null) }
     }
 
     // last-capture per-query seconds, for the heaviest-first order:
@@ -105,6 +125,10 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val names = orderNames(SparkEntry.queries.keys.toSeq, prior)
 
+    val qmetrics =
+      scala.collection.mutable.Map[String, BenchMetrics.Snap]()
+    val excursions = scala.collection.mutable.Map[String, Double]()
+
     def writeOut(done: Seq[(String, Double)], partial: Boolean): Unit = {
       val qs = done.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -112,18 +136,34 @@ object Bench {
       val total = done.map(_._2).filter(_ >= 0).sum + 600.0 * failed.size
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val flag = if (partial) "\"partial\":true," else ""
+      val qm = qmetrics.toSeq.sortBy(_._1)
+        .map { case (k, s) => "\"" + k + "\":" + s.json }
+        .mkString("{", ",", "}")
+      val exc = excursions.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       val full = s"""{"metric":"total",$flag"value":$total,""" +
         s""""unit":"sec","n_queries":${done.size},"queries":$qs,""" +
-        s""""failed":$failedJson,"staging":$stagingSec,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"staging":$stagingSec,""" +
+        s""""qmetrics":$qm,"excursions":$exc,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // bench output file is best-effort
     }
 
-    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    names.foreach { name =>
-      val t1 = once(name)
-      val t2 = once(name)
+    // min-of-runs seconds AND the min run's counters (the clean run is
+    // the one adjudication reads; a retried-stage excursion's inflated
+    // task count must not pollute the deterministic record)
+    def measure(name: String): Double = {
+      var best = Double.MaxValue
+      var bestSnap: BenchMetrics.Snap = null
+      def run(): Double = {
+        val (t, s) = once(name)
+        if (t >= 0 && t < best) { best = t; bestSnap = s }
+        t
+      }
+      val t1 = run()
+      val t2 = run()
       val t = if (t1 < 0 || t2 < 0) -1.0
       else {
         val m = math.min(t1, t2)
@@ -132,13 +172,37 @@ object Bench {
         // heavy queries' minimums, so those keep full min-of-3; the
         // ~2/3 of queries that are cheap AND stable stay at two runs
         if (math.abs(t1 - t2) > 0.2 * m || m > 1.0) {
-          val t3 = once(name)
+          val t3 = run()
           if (t3 < 0) -1.0 else math.min(m, t3)
         } else m
       }
-      results += name -> t
+      if (t >= 0 && bestSnap != null) qmetrics(name) = bestSnap
+      t
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    names.foreach { name =>
+      results += name -> measure(name)
       writeOut(results.toSeq, partial = true)
     }
+    // end-of-sweep excursion retry (VERDICT r14 #4): a min > 3× its
+    // committed prior is re-measured ONCE now that the host has moved
+    // past whatever stalled it; the original value is preserved in the
+    // `excursions` field so the stall is recorded, not laundered, and
+    // the query's reported value stays the min over ALL its runs —
+    // the sweep's existing methodology.
+    for (i <- results.indices) {
+      val (name, t) = results(i)
+      if (isExcursion(t, prior.getOrElse(name, 0.0))) {
+        val (t2, s2) = once(name)
+        if (t2 >= 0 && t2 < t) {
+          excursions(name) = t
+          results(i) = name -> t2
+          if (s2 != null) qmetrics(name) = s2
+        }
+      }
+    }
+    if (excursions.nonEmpty) writeOut(results.toSeq, partial = true)
     val sortedR = results.toSeq.sortBy(_._1)
     val qs = sortedR.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -17,18 +17,28 @@ object BenchOne {
         println(s"==== PLAN $name ====")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       }
+    // deterministic run counters (VERDICT r14 #1): every run prints
+    // job/task counts, shuffle volume and summed job-submit→first-task
+    // scheduler latency — the decomposition that separates per-job
+    // fixed overhead (tiny-jobs class) from compute
+    val meter = BenchMetrics.install(spark.sparkContext)
     for (name <- args; i <- 1 to 3) {
+      meter.reset()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      // SPARK_GRAFT_METRICS=1: measured shuffle volume of the run —
-      // the number behind every "this plan shuffles less" claim
+      val s = meter.snapshot()
+      // SPARK_GRAFT_METRICS=1: executed-plan shuffle metrics of a
+      // SECOND run via PlanMetrics (kept for plan-level attribution;
+      // the listener totals above cover the whole run incl. staging)
       val metrics = if (sys.env.get("SPARK_GRAFT_METRICS").contains("1")) {
         val (bytes, recs) = PlanMetrics.shuffleTotals(df)
-        f" shuffleMB=${bytes / 1e6}%.1f shuffleRecs=$recs"
+        f" planShuffleMB=${bytes / 1e6}%.1f planShuffleRecs=$recs"
       } else ""
-      println(f"BENCHONE $name run$i $secs%.2f s$metrics")
+      println(f"BENCHONE $name run$i $secs%.2f s jobs=${s.jobs} " +
+        f"tasks=${s.tasks} shufMB=${s.shuffleBytes / 1e6}%.1f " +
+        f"shufRecs=${s.shuffleRecs} schedMs=${s.schedDelayMs}$metrics")
     }
     spark.stop()
   }

@@ -57,9 +57,44 @@ def load_queries(path: str) -> dict:
             re.finditer(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', raw)}
 
 
+def load_qmetrics(path: str) -> dict:
+    """Per-query deterministic counters ({name: {jobs, tasks,
+    shuffle_bytes, shuffle_recs, sched_ms}}) when the capture has them
+    (round 15+); {} otherwise."""
+    try:
+        d = json.loads(open(path).read())
+        qm = d.get("qmetrics")
+        return qm if isinstance(qm, dict) else {}
+    except (json.JSONDecodeError, OSError):
+        return {}
+
+
+def classify(old_m: dict, new_m: dict) -> str:
+    """Mechanical host-vs-code verdict for one regressed query from its
+    deterministic counters: jobs/tasks/shuffle records identical (or
+    within rounding) while seconds rose means the plan and its work did
+    not change — the regression is the host (or per-unit fixed
+    overhead), not the code. Counters up means the code now does more.
+    """
+    if not old_m or not new_m:
+        return ""
+    keys = ("jobs", "tasks", "shuffle_recs")
+    ups = []
+    for k in keys:
+        o, n = old_m.get(k), new_m.get(k)
+        if o is None or n is None:
+            return ""
+        if n > max(o * 1.1, o + 2):
+            ups.append(f"{k} {o}->{n}")
+    if ups:
+        return "; counters UP (code-linked): " + ", ".join(ups)
+    return "; counters flat (host-class)"
+
+
 def main(old_path: str, new_path: str, min_ratio: float = 1.3,
          confirm_path: str = None) -> int:
     old, new = load_queries(old_path), load_queries(new_path)
+    old_qm, new_qm = load_qmetrics(old_path), load_qmetrics(new_path)
     confirm = load_queries(confirm_path) if confirm_path else None
     shared = sorted(set(old) & set(new))
     if not shared:
@@ -70,9 +105,11 @@ def main(old_path: str, new_path: str, min_ratio: float = 1.3,
     tot_old = sum(old[q] for q in shared)
     tot_new = sum(new[q] for q in shared)
     # host drift: median ratio over the pinned control set (1.0 = no
-    # drift; fewer than 5 control members shared -> no estimate)
+    # drift; fewer than 5 control members shared -> no estimate).
+    # new[q] > 0 too: a failed query is recorded as -1.0 and would
+    # inject a negative ratio into the median (ADVICE r14)
     control = [new[q] / old[q] for q in CONTROL_SET
-               if q in old and q in new and old[q] > 0]
+               if q in old and q in new and old[q] > 0 and new[q] > 0]
     drift = statistics.median(control) if len(control) >= 5 else None
     print(f"shared queries: {len(shared)}  "
           f"old total {tot_old:.1f}s  new total {tot_new:.1f}s  "
@@ -99,18 +136,21 @@ def main(old_path: str, new_path: str, min_ratio: float = 1.3,
             print(f"\nCONFIRMED regressions >= {min_ratio}x in BOTH captures:")
             for ratio, o, n, q, c in confirmed:
                 print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x; "
-                      f"confirm {c:.2f}x{norm(ratio)})")
+                      f"confirm {c:.2f}x{norm(ratio)})"
+                      f"{classify(old_qm.get(q), new_qm.get(q))}")
         if suspect:
             print(f"\nsuspect (NOT confirmed by the second capture — "
                   f"treat as host noise, adjudicate with BenchOne):")
             for ratio, o, n, q, c in suspect:
                 cs = f"{c:.2f}x" if c is not None else "absent"
                 print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x; "
-                      f"confirm {cs}{norm(ratio)})")
+                      f"confirm {cs}{norm(ratio)})"
+                      f"{classify(old_qm.get(q), new_qm.get(q))}")
     elif worst:
         print(f"\nregressions >= {min_ratio}x:")
         for ratio, o, n, q in worst:
-            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x{norm(ratio)})")
+            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x{norm(ratio)})"
+                  f"{classify(old_qm.get(q), new_qm.get(q))}")
     if best:
         print(f"\nimprovements <= {1/min_ratio:.2f}x:")
         for ratio, o, n, q in best:
