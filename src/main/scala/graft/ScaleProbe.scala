@@ -145,8 +145,10 @@ object ScaleProbe {
         () => operators.TextAnalysis.skipgramCounts(docsBase),
         () => operators.TextAnalysis.skipgramCounts(docsBig)),
       ("phash_neardup",
-        () => operators.Multimodal.realPhashNearDup(spark, docsBase),
-        () => operators.Multimodal.realPhashNearDup(spark, docsBig)),
+        () => operators.Multimodal.realPhashNearDup(spark,
+          operators.Multimodal.realMediaOfKind(docsBase, 0)),
+        () => operators.Multimodal.realPhashNearDup(spark,
+          operators.Multimodal.realMediaOfKind(docsBig, 0))),
       ("rolling_7d",
         () => operators.Relational.rollingUserWindow(eventsBase),
         () => operators.Relational.rollingUserWindow(eventsBig)),
@@ -246,8 +248,10 @@ object ScaleProbe {
         () => operators.Layout.deleteVectorStats(liBase),
         () => operators.Layout.deleteVectorStats(liBig)),
       ("silence_profile",
-        () => operators.Multimodal.realSilenceProfile(spark, docsBase),
-        () => operators.Multimodal.realSilenceProfile(spark, docsBig)),
+        () => operators.Multimodal.realSilenceProfile(spark,
+          operators.Multimodal.realMediaOfKind(docsBase, 1)),
+        () => operators.Multimodal.realSilenceProfile(spark,
+          operators.Multimodal.realMediaOfKind(docsBig, 1))),
       ("rec_eval",
         () => operators.Basket.recEval(liBase, ordsBase),
         () => operators.Basket.recEval(liBig, ordsBig)),

@@ -865,18 +865,26 @@ object SparkEntry {
     // animated-GIF reader — no stubs remain. Payload content is
     // planted doc_id arithmetic, so the oracles replay every decoded
     // value without a codec — see Multimodal.)
+    // media_meta stays deliberately LIVE (fresh encode per run, the
+    // d=2 fuzzy-gate convention) so the sweep keeps measuring the
+    // encode→decode round trip; the other six media gates read the
+    // session-staged payload table (MediaStage, round 15 — encoded
+    // once per (session, dir), the family's parquet handoff shape)
     "media_meta" -> ((s, dir) =>
-      Multimodal.realMediaMeta(s, Tables.documents(s, dir))),
+      Multimodal.realMediaMeta(s,
+        Multimodal.realMedia(Tables.documents(s, dir)))),
     "media_feature_stats" -> ((s, dir) =>
-      Multimodal.realFeatureStats(s, Tables.documents(s, dir))),
+      Multimodal.realFeatureStats(s, graft.sources.MediaStage.media(s, dir))),
     // VAD-style audio screen: per-item frame energy + silent-run
     // profile over REAL decoded WAV samples
     "media_silence_profile" -> ((s, dir) =>
-      Multimodal.realSilenceProfile(s, Tables.documents(s, dir))),
+      Multimodal.realSilenceProfile(s,
+        graft.sources.MediaStage.mediaOfKind(s, dir, 1))),
     // perceptual-hash (aHash) near-dup over DECODED pixels, planted
     // clone + one-pixel-perturbed pairs
     "media_phash_neardup" -> ((s, dir) =>
-      Multimodal.realPhashNearDup(s, Tables.documents(s, dir))),
+      Multimodal.realPhashNearDup(s,
+        graft.sources.MediaStage.mediaOfKind(s, dir, 0))),
     // --- relational / events
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(s, dir)),
     "q3_revenue" -> ((s, dir) => Relational.q3Revenue(s, dir)),
@@ -1401,9 +1409,10 @@ object SparkEntry {
     // resize pipeline: REAL ImageIO decode → nearest-neighbor resample
     // to 4×3 → re-encode → re-decode (dims + pixel sum oracle-pinned)
     "media_resize" -> ((s, dir) =>
-      Multimodal.realResize(s, Tables.documents(s, dir))),
+      Multimodal.realResize(s, graft.sources.MediaStage.media(s, dir))),
     "media_frame_sample" -> ((s, dir) =>
-      Multimodal.realFrameSample(s, Tables.documents(s, dir))),
+      Multimodal.realFrameSample(s,
+        graft.sources.MediaStage.mediaOfKind(s, dir, 2))),
     "events_type_rank" -> ((s, dir) =>
       Relational.eventTypeRanks(Tables.events(s, dir))),
     // integer-exact variance components (the deterministic stddev form)
@@ -1900,7 +1909,8 @@ object SparkEntry {
     // cross-modal retrieval: text-tower embeddings vs the DECODED-pixel
     // image tower, integer dot product, top-3 per query
     "media_crossmodal_topk" -> ((s, dir) =>
-      Multimodal.realCrossmodalTopk(s, Tables.documents(s, dir),
+      Multimodal.realCrossmodalTopk(s,
+        graft.sources.MediaStage.mediaOfKind(s, dir, 0),
         Tables.embeddings(s, dir))),
     // RAKE keyphrases: stopword-free runs scored by deg/freq word stats
     "doc_rake_keyphrases" -> ((s, dir) =>

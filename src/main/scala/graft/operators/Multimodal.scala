@@ -344,7 +344,11 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        (id % 3) match {
+        // floorMod, NOT %: [[realMediaOfKind]] pre-filters with SQL
+        // pmod(doc_id, 3), and the two kind derivations must agree for
+        // a negative doc_id too (ADVICE r14 — Scala % of a negative id
+        // would route a pmod-selected "audio" row to the GIF encoder)
+        java.lang.Math.floorMod(id, 3L).toInt match {
           case 0 => MediaRow(id, "image", RealCodec.encodePng(id))
           case 1 => MediaRow(id, "audio", RealCodec.encodeWav(id))
           case _ => MediaRow(id, "video", RealCodec.encodeGif(id))
@@ -384,10 +388,16 @@ object Multimodal {
           frames.foldLeft(0L)((a, f) => a + f.foldLeft(0L)(_ + _)))
     }
 
-  /** Gate: per-item decoded metadata through the real codecs. */
-  def realMediaMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** Gate: per-item decoded metadata through the real codecs. Takes
+    * the media table as a frame so the caller picks the source: the
+    * declared gate stays deliberately LIVE on [[realMedia]] (it keeps
+    * measuring the encode→decode round trip), while the rest of the
+    * family reads the session-staged table
+    * ([[graft.sources.MediaStage]], round 15).
+    */
+  def realMediaMeta(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
     import spark.implicits._
-    realMedia(docs).mapPartitions(_.map { m =>
+    media.mapPartitions(_.map { m =>
       val (w, h, f, _) = decodeReal(m)
       (m.media_id, m.kind, w, h, f)
     }).toDF("media_id", "kind", "width", "height", "n_frames")
@@ -398,9 +408,9 @@ object Multimodal {
     * (image pixel sums / audio energies / video all-frame pixel sums —
     * values only a correct decode can produce).
     */
-  def realFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def realFeatureStats(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
     import spark.implicits._
-    realMedia(docs).mapPartitions(_.map { m =>
+    media.mapPartitions(_.map { m =>
       val (w, h, f, sig) = decodeReal(m)
       (m.kind, w, h, f, sig)
     }).toDF("kind", "w", "h", "f", "sig")
@@ -417,10 +427,10 @@ object Multimodal {
     * lossy or non-deterministic step anywhere in the chain breaks the
     * oracle equality. Non-images pass through the plain decode.
     */
-  def realResize(spark: SparkSession, docs: DataFrame,
+  def realResize(spark: SparkSession, media: Dataset[MediaRow],
                  tw: Int = 4, th: Int = 3): DataFrame = {
     import spark.implicits._
-    realMedia(docs).mapPartitions(_.map { m =>
+    media.mapPartitions(_.map { m =>
       if (m.kind == "image") {
         val (w, h, s) = RealCodec.decodeGray(m.payload)
         val reenc = RealCodec.encodePngSamples(tw, th,
@@ -440,12 +450,12 @@ object Multimodal {
     * deterministic plants — exact pixel clones at +10M for
     * doc_id % 29 = 0, one-pixel (+128 mod 256) perturbations at +20M
     * for doc_id % 31 = 0 — then the 4×15-bit pigeonhole banding and
-    * integer `bit_count(xor)` verify of [[phashNearDup]].
+    * integer `bit_count(xor)` verify of [[bandedHamPairs]].
     */
-  def realPhashNearDup(spark: SparkSession, docs: DataFrame,
+  def realPhashNearDup(spark: SparkSession, images: Dataset[MediaRow],
                        maxHam: Int = 3): DataFrame = {
     import spark.implicits._
-    val hashes = realMediaOfKind(docs, 0)
+    val hashes = images
       .mapPartitions(_.flatMap { m =>
         val (_, _, s) = RealCodec.decodeGray(m.payload)
         val bytes = s.map(v => v.toByte)
@@ -467,8 +477,8 @@ object Multimodal {
 
   /** SimHash-style pigeonhole banding + verify over (media_id, ahash):
     * 4 bands of 15 bits (Hamming ≤ 3 pairs must collide on ≥ 1 band),
-    * `bit_count(xor)` on candidates only. Shared by the payload-byte
-    * and decoded-pixel phash paths.
+    * `bit_count(xor)` on candidates only — the banding half of
+    * [[realPhashNearDup]].
     */
   private def bandedHamPairs(hashes: DataFrame, maxHam: Int): DataFrame = {
     val bands = hashes.select(col("media_id"), col("ahash"),
@@ -486,15 +496,15 @@ object Multimodal {
   }
 
   /** Gate: VAD-style silence/energy profile over REAL decoded WAV
-    * samples (frames of `frameSamples`, energy Σ|s−128|, silent
-    * < `silentThresh`, longest silent run) — [[silenceProfile]]'s
-    * pipeline moved from payload bytes to the decoded sample domain.
+    * samples — frames of `frameSamples`, energy Σ|s−128|, silent
+    * < `silentThresh`, longest silent run ([[silenceStats]]), run over
+    * the decoded sample domain, not payload bytes.
     */
-  def realSilenceProfile(spark: SparkSession, docs: DataFrame,
+  def realSilenceProfile(spark: SparkSession, audio: Dataset[MediaRow],
                          frameSamples: Int = 16,
                          silentThresh: Long = 1024L): DataFrame = {
     import spark.implicits._
-    realMediaOfKind(docs, 1)
+    audio
       .mapPartitions(_.map { m =>
         val (_, _, _, s) = RealCodec.decodeWav(m.payload)
         val (n, silent, maxRun, tot) = silenceStats(s, frameSamples, silentThresh)
@@ -511,10 +521,10 @@ object Multimodal {
     * wrong frame order, or wrong pixel anywhere breaks the oracle
     * hash. One pass, partition-local until the final sort.
     */
-  def realFrameSample(spark: SparkSession, docs: DataFrame,
+  def realFrameSample(spark: SparkSession, videos: Dataset[MediaRow],
                       everyN: Int = 2): DataFrame = {
     import spark.implicits._
-    realMediaOfKind(docs, 2)
+    videos
       .mapPartitions(_.flatMap { m =>
         val (_, _, frames) = RealCodec.decodeGifFrames(m.payload)
         (0 until frames.length by everyN).map(i =>
@@ -524,15 +534,14 @@ object Multimodal {
   }
 
   /** Gate: cross-modal retrieval with the image tower fed by REAL
-    * decoded pixels (first 16 gray samples as the integer feature
-    * vector) — [[crossmodalTopk]] with the byte stand-in replaced by
-    * the codec output.
+    * decoded pixels — the first 16 gray samples as the integer feature
+    * vector, dot-scored against the quantized embedding queries.
     */
-  def realCrossmodalTopk(spark: SparkSession, docs: DataFrame,
+  def realCrossmodalTopk(spark: SparkSession, images: Dataset[MediaRow],
                          emb: DataFrame, nQueries: Int = 20,
                          k: Int = 3): DataFrame = {
     import spark.implicits._
-    val feats = realMediaOfKind(docs, 0)
+    val feats = images
       .mapPartitions(_.map { m =>
         val (_, _, s) = RealCodec.decodeGray(m.payload)
         (m.media_id, Array.tabulate(16)(i => s(i).toLong))

@@ -79,10 +79,11 @@ object StreamRestartProbe {
     runUpsert(spark, workDir)
   }
 
-  /** The time-split cut — deterministic (recomputed identically in
-    * every JVM from the data alone), and chosen so the restart proof
-    * cannot be vacuous: the median view_ms over the batch interval
-    * join's matched pairs. The pair whose view sits exactly
+  /** The time-split cut, chosen so the restart proof cannot be
+    * vacuous: the median view_ms over the batch interval join's
+    * matched pairs. Derived once per workDir and persisted by
+    * [[persistedCut]] — cross-JVM phases read the same stored value
+    * rather than trusting percentile_approx to reproduce bit-for-bit. The pair whose view sits exactly
     * at the cut has its purchase strictly after it (the join is
     * v_ts < p_ts), so at least one cross-phase match exists that can
     * only be produced from RECOVERED join state, and that pair's user
@@ -110,11 +111,33 @@ object StreamRestartProbe {
     else row.getLong(0)
   }
 
+  /** The cut a PHASE actually uses: computed once per workDir and
+    * PERSISTED under it (ADVICE r14 — phases `first` and `rest` run in
+    * separate JVMs, and beyond its compression threshold
+    * percentile_approx's result can depend on partial-aggregate merge
+    * order, so "recompute identically in every JVM" is not a contract
+    * the engine gives; a drifted cut would drop/duplicate events
+    * between phases). The first phase to touch the workDir writes
+    * `cut.ms`; every later phase reads it back verbatim.
+    */
+  private def persistedCut(spark: SparkSession, workDir: String,
+                           sfDir: String): Long = {
+    val f = java.nio.file.Paths.get(workDir, "cut.ms")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+    else {
+      val cut = cutMs(spark, sfDir)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, cut.toString.getBytes("UTF-8"))
+      cut
+    }
+  }
+
   private def stageInput(spark: SparkSession, phase: String,
                          workDir: String, sfDir: String): Unit = {
     val input = s"$workDir/input"
     val ev = graft.Tables.events(spark, sfDir)
-    val cut = cutMs(spark, sfDir)
+    val cut = persistedCut(spark, workDir, sfDir)
     def write(half: DataFrame, mtime: Long): Unit = {
       half.coalesce(1).write.mode("append").parquet(input)
       // FileStreamSource orders by mtime; pin phase order explicitly

@@ -26,6 +26,29 @@ object Streams {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** State-partition count for the streaming gates when the caller
+    * does not pin one (round 15, VERDICT r14 #3). Every micro-batch of
+    * a stateful query pays per-STATE-PARTITION fixed costs — state
+    * store load + commit (a delta/snapshot file each, per store, per
+    * batch; ×4 stores for a stream-stream join) plus one task — so the
+    * partition count should track STATE VOLUME, not the session's CPU
+    * count: inheriting `spark.sql.shuffle.partitions` (= cores locally,
+    * 3× executor cores on the cluster posture) made a ≤150-key
+    * mapGroupsWithState gate commit 32 near-empty stores per batch,
+    * pure fixed overhead — the dominant term of the tiny-jobs
+    * streaming family the r14 verdict flagged. Parameterized
+    * (`spark.graft.stream.statePartitions` /
+    * `$SPARK_GRAFT_STREAM_STATE_PARTITIONS`) with a local default of 8:
+    * production sizes it to peak keys × bytes/key ÷ target store size
+    * (DEPLOY.md), the same rule the two explicit gate pins (8 and 4)
+    * already applied. Results are partitioning-independent — this
+    * changes WHERE keys live, never what is computed.
+    */
+  private def defaultStatePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS"))
+      .map(_.toInt).getOrElse(8)
+
   /** Drive a streaming DataFrame to completion: AvailableNow trigger +
     * memory sink — processes everything present, then terminates,
     * returning the result table ordered by `orderCols`. The
@@ -48,12 +71,14 @@ object Streams {
       java.util.UUID.randomUUID().toString.replace("-", "")
     // stateful operators pay per-partition state-store commit overhead
     // every micro-batch; heavily-stateful queries (stream-stream joins
-    // keep 4 stores per partition) want fewer, larger state partitions.
+    // keep 4 stores per partition) want fewer, larger state partitions
+    // (see [[defaultStatePartitions]] for the sizing rule).
     // The conf is read at query START and baked into the checkpoint, so
     // scoping it around start() is safe; restore afterwards.
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    spark.conf.set(key,
+      statePartitions.getOrElse(defaultStatePartitions(spark)).toString)
     try {
       val q = stream
         .writeStream.format("memory").queryName(name)
@@ -67,7 +92,7 @@ object Streams {
         q.recentProgress.foreach(pr => println(
           s"STREAMDEBUG $name batch=${pr.batchId} rows=${pr.numInputRows} " +
             s"wm=${pr.eventTime.get("watermark")}"))
-    } finally if (statePartitions.isDefined) spark.conf.set(key, saved)
+    } finally spark.conf.set(key, saved)
     val out = spark.table(name).orderBy(orderCols.map(col): _*)
     // resolve the sink relation into the plan NOW, then drop the
     // catalog name: repeated runs in one session (bench sweeps, test

@@ -177,7 +177,8 @@ class EdgeCasesSpec extends SparkSpec {
       emptyDocs.withColumn("source", lit("s")), budget = 10).count() == 0)
     assert(graft.operators.Graph.wordHits(emptyDocs).count() == 0)
     assert(graft.operators.Graph.wordKCore(emptyDocs).count() == 0)
-    assert(graft.operators.Multimodal.realPhashNearDup(spark, emptyDocs).count() == 0)
+    assert(graft.operators.Multimodal.realPhashNearDup(spark,
+      graft.operators.Multimodal.realMediaOfKind(emptyDocs, 0)).count() == 0)
   }
 
   test("custom topk plan on empty input") {

@@ -108,7 +108,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("realMediaMeta: decoded dims equal the planted formulas at sf0.001") {
     val docs = Tables.documents(spark, sf0001)
-    val got = Multimodal.realMediaMeta(spark, docs).collect()
+    val got = Multimodal.realMediaMeta(spark, Multimodal.realMedia(docs)).collect()
     assert(got.length == docs.count())
     got.foreach { r =>
       val (id, kind) = (r.getLong(0), r.getString(1))
@@ -133,7 +133,7 @@ class MultimodalSpec extends SparkSpec {
     val expected = (for (y <- 0 until 3; x <- 0 until 4)
       yield s((y * h / 3) * w + (x * w / 4)).toLong).sum
     val row = Multimodal.realResize(spark,
-        Seq((id, "t")).toDF("doc_id", "text"))
+        Multimodal.realMedia(Seq((id, "t")).toDF("doc_id", "text")))
       .collect()(0)
     assert(row.getLong(2) == 4L && row.getLong(3) == 3L)
     assert(row.getLong(4) == expected)
@@ -143,7 +143,7 @@ class MultimodalSpec extends SparkSpec {
     "frame's pixel sum of the planted formula") {
     val id = 44L // video doc, 1 + 44 % 9 = 9 frames -> idx 0,2,4,6,8
     val got = Multimodal.realFrameSample(spark,
-        Seq((id, "t")).toDF("doc_id", "text"))
+        Multimodal.realMediaOfKind(Seq((id, "t")).toDF("doc_id", "text"), 2))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.map(_._2).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
     got.foreach { case (mid, fi, sig) =>
@@ -157,7 +157,7 @@ class MultimodalSpec extends SparkSpec {
   test("realPhashNearDup: planted pixel clones at hamming 0; decoded-" +
     "pixel hashes, not payload-byte hashes") {
     val docs = Tables.documents(spark, sf0001)
-    val got = Multimodal.realPhashNearDup(spark, docs).collect()
+    val got = Multimodal.realPhashNearDup(spark, Multimodal.realMediaOfKind(docs, 0)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // base-vs-clone only (doc 0's clone also pairs with doc 0's
     // perturbed copy at +20M — a genuine near-dup, not a clone pair)
@@ -167,5 +167,33 @@ class MultimodalSpec extends SparkSpec {
     // the one-pixel perturbed plants land within the threshold too
     assert(got.exists { case (a, b, _) =>
       a < 10000000L && b == a + 20000000L })
+  }
+
+  // ----------------------------------- session staging (round 15)
+
+  test("MediaStage staged table == live realMedia, and the staged " +
+    "kind filter == the live kind pushdown, gate-for-gate") {
+    import graft.sources.MediaStage
+    val docs = Tables.documents(spark, sf0001)
+    // payload bytes and kinds are identical row-for-row
+    val staged = MediaStage.media(spark, sf0001).collect()
+      .map(m => (m.media_id, m.kind, m.payload.toSeq)).sortBy(_._1)
+    val live = Multimodal.realMedia(docs).collect()
+      .map(m => (m.media_id, m.kind, m.payload.toSeq)).sortBy(_._1)
+    assert(staged.toSeq == live.toSeq)
+    // a staged all-kind gate equals its live form
+    assert(Multimodal.realFeatureStats(spark, MediaStage.media(spark, sf0001))
+      .collect().toSeq ==
+      Multimodal.realFeatureStats(spark, Multimodal.realMedia(docs))
+        .collect().toSeq)
+    // a staged single-kind gate equals its live kind-pushdown form
+    assert(Multimodal.realSilenceProfile(spark,
+        MediaStage.mediaOfKind(spark, sf0001, 1)).collect().toSeq ==
+      Multimodal.realSilenceProfile(spark,
+        Multimodal.realMediaOfKind(docs, 1)).collect().toSeq)
+    // derive-once: the second staged handle is the same checkpointed
+    // frame, not a re-encode
+    assert(MediaStage.media(spark, sf0001).queryExecution.analyzed
+      .sameResult(MediaStage.media(spark, sf0001).queryExecution.analyzed))
   }
 }

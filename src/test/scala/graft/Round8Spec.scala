@@ -190,7 +190,8 @@ class Round8Spec extends SparkSpec {
     val docs = Seq((0L, "bb"), (1L, "zz"), (3L, "ab")).toDF("doc_id", "text")
     val emb = Seq((0L, Array(1f) ++ Array.fill(15)(0f)))
       .toDF("vec_id", "embedding")
-    val got = operators.Multimodal.realCrossmodalTopk(spark, docs, emb,
+    val got = operators.Multimodal.realCrossmodalTopk(spark,
+      operators.Multimodal.realMediaOfKind(docs, 0), emb,
       nQueries = 1, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((0L, 1L, 3L, 21000L), (0L, 2L, 0L, 0L)))

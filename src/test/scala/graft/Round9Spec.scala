@@ -67,7 +67,8 @@ class Round9Spec extends SparkSpec {
     val emb = Seq(
       (0L, Array(1f, 2f)), // short: would zip_with-pad to a NULL score
       (1L, Array.tabulate(16)(_.toFloat))).toDF("vec_id", "embedding")
-    val got = operators.Multimodal.realCrossmodalTopk(spark, docs, emb,
+    val got = operators.Multimodal.realCrossmodalTopk(spark,
+      operators.Multimodal.realMediaOfKind(docs, 0), emb,
       nQueries = 20, k = 3).collect()
     assert(got.nonEmpty && got.forall(_.getLong(0) == 1L),
       "only the full-width query survives")
@@ -246,7 +247,7 @@ class Round9Spec extends SparkSpec {
     import operators.Multimodal
     // 0=image, 1=audio, 2=video: only the audio doc emits a profile row
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
-    val got = Multimodal.realSilenceProfile(spark, docs).collect()
+    val got = Multimodal.realSilenceProfile(spark, Multimodal.realMediaOfKind(docs, 1)).collect()
     assert(got.length == 1, "image and video rows are excluded")
     val r = got(0)
     val planted = Array.tabulate(Multimodal.RealCodec.audioLen(1L))(i =>
