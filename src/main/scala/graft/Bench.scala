@@ -78,8 +78,9 @@ object Bench {
     val stagingSec: Double = {
       val t0 = System.nanoTime()
       try {
-        import graft.sources.{AnnIndex, CfIndex, DedupStage, MediaStage}
+        import graft.sources.{AnnIndex, CfIndex, DedupStage, GraphStage, MediaStage}
         MediaStage.media(spark, sfDir).count()
+        GraphStage.copurchase(spark, sfDir).count()
         DedupStage.pairs(spark, sfDir).count()
         DedupStage.minhashPairs(spark, sfDir).count()
         DedupStage.ccLabels(spark, sfDir).count()

@@ -1045,26 +1045,27 @@ object SparkEntry {
     // item-to-item recommendation over NON-adjacent part pairs
     "part_link_pred" -> ((s, dir) =>
       Graph.commonNeighborPairs(
-        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+        graft.sources.GraphStage.copurchase(s, dir).select("a", "b"))),
     // per-node local clustering coefficient on the co-purchase graph
     // (ppm): tree-like hubs score 0, clique members 10^6
     "part_clustering_coeff" -> ((s, dir) =>
       Graph.clusteringCoefficients(
-        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+        graft.sources.GraphStage.copurchase(s, dir).select("a", "b"))),
     // association rules: ppm confidence + lift over the directed pairs
     "part_assoc_rules" -> ((s, dir) =>
-      Graph.associationRules(Tables.lineitem(s, dir))),
+      Graph.associationRulesFrom(Tables.lineitem(s, dir),
+        graft.sources.GraphStage.copurchase(s, dir))),
     // Newman degree assortativity of the co-purchase graph (exact ppm)
     "part_assortativity" -> ((s, dir) =>
       Graph.degreeAssortativity(
-        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+        graft.sources.GraphStage.copurchase(s, dir).select("a", "b"))),
     // CUSUM change-point: the day where cumulative deviation peaks
     "events_cusum_split" -> ((s, dir) =>
       Relational.eventsCusumSplit(Tables.events(s, dir))),
     // degree-weighted link prediction: hubs discounted 1/deg (ppm)
     "part_link_pred_ra" -> ((s, dir) =>
       Graph.resourceAllocationPairs(
-        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+        graft.sources.GraphStage.copurchase(s, dir).select("a", "b"))),
     // integer α=1/2 EWMA of daily counts — exact halving recurrence
     "events_ewma" -> ((s, dir) =>
       Relational.eventsEwma(Tables.events(s, dir))),
@@ -1230,7 +1231,7 @@ object SparkEntry {
     // product families: O(log n)-round connected components over the
     // support-thresholded co-purchase graph
     "part_families" -> ((s, dir) =>
-      Dedup.componentsStar(Graph.copurchaseEdges(Tables.lineitem(s, dir))
+      Dedup.componentsStar(graft.sources.GraphStage.copurchase(s, dir)
           .select(org.apache.spark.sql.functions.col("a").as("id_a"),
             org.apache.spark.sql.functions.col("b").as("id_b")))
         .withColumnRenamed("doc_id", "part_id")
@@ -1773,7 +1774,8 @@ object SparkEntry {
       TextAnalysis.zipfSlope(Tables.documents(s, dir))),
     // radius-bounded multi-source BFS closeness on co-purchase graph
     "part_closeness" -> ((s, dir) =>
-      Graph.closenessBfs(Tables.lineitem(s, dir))),
+      Graph.closenessBfsFrom(
+        graft.sources.GraphStage.copurchase(s, dir).select("a", "b"))),
     // inter-event gap CV-squared: the bot-cadence feature
     "events_gap_regularity" -> ((s, dir) =>
       Relational.gapRegularity(Tables.events(s, dir))),
@@ -1811,7 +1813,7 @@ object SparkEntry {
     // union-normalized link prediction (CN / RA / Jaccard family)
     "part_link_pred_jaccard" -> ((s, dir) =>
       Graph.jaccardLinkPred(
-        Graph.copurchaseEdges(Tables.lineitem(s, dir)).select("a", "b"))),
+        graft.sources.GraphStage.copurchase(s, dir).select("a", "b"))),
     // daily KMV sketches MATERIALIZED, then re-merged to weekly
     // distincts (k=8192 keeps every test sf inside the exact window)
     "events_weekly_users_rollup" -> ((s, dir) => {

@@ -621,13 +621,24 @@ object Graph {
     * support counts after thresholding).
     */
   def associationRules(lineitem: DataFrame, minSupport: Long = 2L,
-                       topK: Int = 50): DataFrame = {
+                       topK: Int = 50): DataFrame =
+    associationRulesFrom(lineitem, copurchaseEdges(lineitem, minSupport),
+      topK)
+
+  /** [[associationRules]] over a pre-built co-purchase pair set
+    * (a, b, supp) — the staged entry point
+    * ([[graft.sources.GraphStage.copurchase]]); item supports and the
+    * order count stay live (one distinct (order, part) frame, both
+    * rollups reuse its exchange).
+    */
+  private[graft] def associationRulesFrom(lineitem: DataFrame,
+                                          pairs: DataFrame,
+                                          topK: Int = 50): DataFrame = {
     val op = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
     val nOrders = op.agg(countDistinct(col("o")).as("n_orders"))
     val itemSupp = op.groupBy(col("p")).agg(count(lit(1)).as("s"))
-    val pairs = copurchaseEdges(lineitem, minSupport)
     val directed = pairs
       .select(col("a").as("ante"), col("b").as("cons"), col("supp"))
       .unionByName(pairs
@@ -869,8 +880,15 @@ object Graph {
     * seed list are part-domain-sized.
     */
   def closenessBfs(lineitem: DataFrame, nSeeds: Int = 5, rounds: Int = 3,
-                   minSupport: Long = 2L): DataFrame = {
-    val e0 = copurchaseEdges(lineitem, minSupport).select("a", "b")
+                   minSupport: Long = 2L): DataFrame =
+    closenessBfsFrom(copurchaseEdges(lineitem, minSupport).select("a", "b"),
+      nSeeds, rounds)
+
+  /** [[closenessBfs]] over a pre-built normalized edge set (a, b) —
+    * the staged entry point ([[graft.sources.GraphStage.copurchase]]).
+    */
+  private[graft] def closenessBfsFrom(e0: DataFrame, nSeeds: Int = 5,
+                                      rounds: Int = 3): DataFrame = {
     val edges = e0.select(col("a").as("u"), col("b").as("v"))
       .union(e0.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()

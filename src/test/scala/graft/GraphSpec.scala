@@ -203,4 +203,32 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L)) // CN is blind: every pair has 1 witness
     assert(got.head._1 == ("p", "q")) // RA is not
   }
+
+  // ----------------------------------- session staging (round 15)
+
+  test("GraphStage staged co-purchase edges == live derivation, " +
+    "gate-for-gate, and derive-once") {
+    import graft.sources.GraphStage
+    val li = Tables.lineitem(spark, sf0001)
+    // edge rows identical (a, b, supp)
+    val staged = GraphStage.copurchase(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val live = Graph.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(staged == live && staged.nonEmpty)
+    // a staged consumer gate equals its live form (assoc rules carry
+    // the support values through arithmetic, so a wrong supp breaks it)
+    assert(Graph.associationRulesFrom(li,
+        GraphStage.copurchase(spark, sf0001)).collect().toSeq ==
+      Graph.associationRules(li).collect().toSeq)
+    // ...and the BFS consumer (exercises closenessBfsFrom)
+    assert(Graph.closenessBfsFrom(
+        GraphStage.copurchase(spark, sf0001).select("a", "b"))
+        .collect().toSeq ==
+      Graph.closenessBfs(li).collect().toSeq)
+    // derive-once: the second staged handle is the same checkpointed
+    // frame, not a re-derivation
+    assert(GraphStage.copurchase(spark, sf0001).queryExecution.analyzed
+      .sameResult(GraphStage.copurchase(spark, sf0001).queryExecution.analyzed))
+  }
 }
