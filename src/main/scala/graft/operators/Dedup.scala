@@ -70,6 +70,12 @@ object Dedup {
     */
   private[graft] def jaccardPairsUnsorted(docs: DataFrame, n: Int, num: Int,
                                           den: Int): DataFrame = {
+    // r15 A/B note: checkpointing the shared shingle frame here was
+    // measured a WASH (mins 2.3-2.7 s unchanged on the three live
+    // consumers) — AQE's runtime stage reuse already dedupes the
+    // identical distinct-exchange subtrees in this shape, unlike the
+    // divergent-branch shapes (prefixFilterPairs, dedupIncrement)
+    // where an explicit checkpoint measured 2x. Left live.
     val sh = shingles(docs, n)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), "shingle")
@@ -877,11 +883,18 @@ object Dedup {
     */
   private[graft] def verifyJaccardSh(shAll: DataFrame, cands: DataFrame,
                                      num: Int, den: Int): DataFrame = {
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val sh = shAll.join(candIds, Seq("doc_id"), "left_semi")
+    // r15: the verify consumed its two inputs from THREE subtree copies
+    // each (cands: candIds ∪ the pair join; sh: sz + both join sides) —
+    // with no runtime exchange reuse, the candidate generator and the
+    // shingle derivation re-ran per copy. Both frames are checkpointed
+    // once: cands is bounded by band/prefix collisions and sh by
+    // candidate documents (the semi-join prune runs INSIDE the
+    // checkpointed derivation — [[prunedShingles]] — so non-candidate
+    // docs still never materialize their shingles; plan-audited).
+    val candsM = cands.localCheckpoint()
+    val sh = prunedShingles(shAll, candsM).localCheckpoint()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    cands
+    candsM
       .join(sh.as("a"), col("id_a") === col("a.doc_id"))
       .join(sh.as("b"), col("id_b") === col("b.doc_id") &&
         col("a.shingle") === col("b.shingle"))
@@ -891,6 +904,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sa.n_sh") + col("sb.n_sh") - col("inter")).as("uni"))
       .where(col("inter") * den > col("uni") * num)
+  }
+
+  /** The verify's candidate-document shingle frame: `shAll` semi-join
+    * pruned to documents appearing in `cands` — split out so the
+    * 100 TB prune contract (non-candidate docs never shuffle their
+    * shingles) stays plan-auditable now that [[verifyJaccardSh]]
+    * checkpoints the pruned result.
+    */
+  private[graft] def prunedShingles(shAll: DataFrame,
+                                    cands: DataFrame): DataFrame = {
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    shAll.join(candIds, Seq("doc_id"), "left_semi")
   }
 
   /** MinHash near-duplicate pairs: LSH candidates verified by exact
@@ -931,12 +957,22 @@ object Dedup {
     */
   def dedupIncrement(docs: DataFrame, baseMaxId: Long, n: Int, b: Int, r: Int,
                      num: Int, den: Int, seed: Long = 42L): DataFrame = {
+    // r15: the fingerprint scan fed two subtree copies (the min-id agg
+    // and the join-back), the banded-signature derivation two (both
+    // sides of the bucket join), and the exact-drop set two (the
+    // output union and the near-drop anti join) — with no runtime
+    // exchange reuse each copy re-ran from parquet (52 scan nodes in
+    // the plan). Checkpoint each shared frame once: fp and banded are
+    // corpus-linear narrow rows, exactDrops is increment-bounded.
     val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint()
     val exactDrops = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
       .join(fp, "fp")
       .where(col("doc_id") > baseMaxId && col("doc_id") > col("keep_id"))
       .select("doc_id")
+      .localCheckpoint()
     val banded = bandedSigs(minhashSignatures(docs, n, b * r, seed), b, r)
+      .localCheckpoint()
     val cands = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .where(col("b.doc_id") > baseMaxId && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -1200,15 +1236,35 @@ object Dedup {
     * costs one extra aggregate + window over (doc, shingle).
     */
   def prefixFilterPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val sh = shingles(docs, n)
+    // ONE pass builds the per-doc sorted distinct shingle-set frame and
+    // materializes it (r15): the df ranking, the prefix index, BOTH
+    // sides of the candidate join and the verify all re-derived
+    // `shingles()` before — five scan+explode+distinct subtrees per run
+    // (16 parquet scans in the plan, 0 reused exchanges; 22.5 MB
+    // shuffled). collect_set replaces the standalone distinct shuffle
+    // (map-side partial sets dedup before the exchange), and every
+    // branch now explodes the checkpointed blocks instead of rescanning
+    // text. The checkpoint is doc-keyed (corpus-linear) — the same
+    // frame the verify step needed anyway.
+    val sets = docs
+      .select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))"))
+        .as("shingle"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("shingle"))).as("shs"))
+      .select(col("doc_id"), col("shs"),
+        size(col("shs")).cast("long").as("n_sh"))
+      .localCheckpoint()
+    val sh = sets.select(col("doc_id"), col("n_sh"),
+      explode(col("shs")).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // rarest-first global order; (df, shingle) is a deterministic total
     // order so both plan runs and the spec agree on the prefix
     val ranked = sh.join(dfreq, "shingle")
       .withColumn("r", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "shingle")))
-      .join(sz, "doc_id")
       // prefix length: n_sh − ⌈t·n_sh⌉ + 1 with ⌈num·x/den⌉ in ints
       .where(col("r") <=
         col("n_sh") - expr(s"($num * n_sh + $den - 1) div $den") + 1)
@@ -1222,9 +1278,6 @@ object Dedup {
     // dataset aliases of one frame — a self-aliased join would let the
     // analyzer resolve sa.shs and sb.shs to the same attribute and
     // make the intersect trivially the whole set.
-    val sets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("shingle"))).as("shs"),
-        count(lit(1)).as("n_sh"))
     val setsA = sets.select(col("doc_id").as("id_a"),
       col("shs").as("shs_a"), col("n_sh").as("n_a"))
     val setsB = sets.select(col("doc_id").as("id_b"),

@@ -929,8 +929,18 @@ object TextAnalysis {
     */
   def corpusBuildV3(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
                     w: Int = 8): DataFrame =
-    corpusBuildV2(docs.withColumn("text",
-        htmlExtractCol(htmlWrap(col("doc_id"), col("text")))),
+    // r15: the extracted frame is materialized once — the v2 shape
+    // consumes its input from four subtree copies (exact-dup keep,
+    // gopher, repetition, survivor join; the span-cut rides the staged
+    // islands), and with no runtime exchange reuse each copy re-ran
+    // the wrap + regex-extraction chain over the full corpus (4 of the
+    // plan's 8 scans). In production the extracted text IS the front
+    // door's parquet handoff, written once — the checkpoint is the
+    // in-session stand-in, and the capstone still pays the extraction
+    // (once) inside its own timed run.
+    corpusBuildV2(docs.select(col("doc_id"), col("source"),
+        htmlExtractCol(htmlWrap(col("doc_id"), col("text"))).as("text"))
+      .localCheckpoint(),
       chunkSize, overlap, w)
 
   /** PII patterns shared with the oracle — kept lookaround-free so Java

@@ -74,13 +74,23 @@ class PlanAuditSpec extends SparkSpec {
     // r13: the GATE serves the session-staged checkpointed pair frame
     // (its plan is a LogicalRDD scan by design) — audit the LIVE
     // derivation DedupStage checkpoints, which is where the semi-join
-    // prune must hold
-    val p = graft.operators.Dedup.minhashPairs(
-        Tables.documents(spark, sf0001), n = 3, b = 32, r = 4,
-        num = 4, den = 5)
+    // prune must hold. r15: the verify checkpoints the PRUNED shingle
+    // frame (so its three consumers stop re-running the derivation),
+    // which moves the semi join inside the checkpointed subtree —
+    // audit prunedShingles, the derivation that feeds the checkpoint.
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docs, n = 3, k = 128), b = 32, r = 4)
+    val p = Dedup.prunedShingles(Dedup.shingles(docs, 3), cands)
       .queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"),
       s"non-candidate docs' shingles must not enter the verify joins:\n$p")
+    // ...and the end-to-end pair set over the checkpointed verify is
+    // unchanged (the staged≡unstaged contract for the scale path)
+    assert(Dedup.minhashPairs(docs, n = 3, b = 32, r = 4, num = 4, den = 5)
+      .collect().toSeq ==
+      Dedup.jaccardPairs(docs, n = 3, num = 4, den = 5).collect().toSeq)
   }
 
   test("cube: one hash exchange on the expanded grouping keys") {
