@@ -385,7 +385,8 @@ object Dedup {
     * text before training.
     */
   def repetitionStats(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+    WordCount.fillCores(docs)
+      .select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
       .where(size(col("ws")) >= n)
       .select(col("doc_id"), expr(
         s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))")
@@ -999,7 +1000,8 @@ object Dedup {
     * identically on both engines; the 4×16-bit banding is unaffected.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), WordCount.cleanWords(col(textCol)).as("ws"))
+    WordCount.fillCores(docs)
+      .select(col("doc_id"), WordCount.cleanWords(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
       .select(col("doc_id"), expr(
         "transform(ws, w -> cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint))")

@@ -89,7 +89,7 @@ object TextAnalysis {
     * codegen — zero shuffles except the presentation sort.
     */
   def gopherRules(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), ws.as("ws"), col("text"))
+    WordCount.fillCores(docs).select(col("doc_id"), ws.as("ws"), col("text"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
@@ -138,7 +138,7 @@ object TextAnalysis {
     * lexicographically (ASCII-identical ordering in both engines).
     */
   def repetitionProfile(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), ws.as("ws"))
+    val base = WordCount.fillCores(docs).select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), col("ws"),
         aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_chars"))
     def gramCounts(n: Int) = base
@@ -2408,7 +2408,7 @@ object TextAnalysis {
     * before the final ordering.
     */
   def charCollision(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    WordCount.fillCores(docs).select(col("doc_id"),
         WordCount.cleanWords(col("text")).as("ws"))
       .where(size(col("ws")) > 0)
       .select(col("doc_id"),

@@ -44,6 +44,41 @@ object WordCount {
   /** Whitespace tokenizer (`operator>>`, `sendFileByFile.cpp:88`). */
   def tokens(text: Column): Column = split(text, WhitespacePattern)
 
+  /** Fill idle cores under a compute-bound per-row stage (round 15,
+    * guide §2.6/§6): a parquet scan parallelizes by file SPLITS, and a
+    * source whose whole input fits inside one split
+    * (`files.maxPartitionBytes`) runs every downstream narrow stage as
+    * ONE task — a heavy codegen projection (regex chains, per-token
+    * hashing, run-length passes) then serializes on a single core
+    * while the rest of the session idles. When, and only when, the
+    * source is that small, redistribute by hash of `keyCol` to the
+    * session's default parallelism (deterministic row placement —
+    * round-robin would depend on scan order). At production scale the
+    * stats exceed one split and this is the identity — the condition
+    * derives from input size, never from the local core count; frames
+    * without file statistics (checkpointed LogicalRDDs default to the
+    * max size) are likewise left alone.
+    *
+    * Measured applicability rule (r15 matched A/B, min-of-3): the
+    * rebalance wins when the downstream work is per-row reduce
+    * (charCollision 3.3→2.4 s, simhash 2.5→1.9) or doc_id-KEYED —
+    * hashpartitioning(doc_id) satisfies ClusteredDistribution for any
+    * grouping that contains doc_id, so per-doc aggregations become
+    * exchange-free (repetitionProfile 3.1→1.8 s, gram shuffle
+    * 12.1→2.7 MB). It LOSES when downstream shuffles on other keys
+    * (bigramFamiliarity 1.9→3.8 s, phraseSearchN 1.6→2.9 s: the extra
+    * exchange + 32-way task fan-out buys nothing the next shuffle
+    * keeps) — those operators deliberately do not call it.
+    */
+  def fillCores(df: DataFrame, keyCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < maxSplit && target > 1) df.repartition(target, col(keyCol))
+    else df
+  }
+
   /** Prefix-truncation cleaner (`sendFileByFile.cpp:89-91`). */
   def clean(tok: Column): Column = regexp_extract(tok, CleanPattern, 0)
 
