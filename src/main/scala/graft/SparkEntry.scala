@@ -633,12 +633,14 @@ object SparkEntry {
       TextAnalysis.corpusBuildV2(Tables.documents(s, dir),
         islands = Some(graft.sources.DedupStage.islands(s, dir)))),
     "doc_gopher_rules" -> ((s, dir) =>
-      TextAnalysis.gopherRules(Tables.documents(s, dir))),
+      TextAnalysis.gopherRules(
+        WordCount.fillCores(Tables.documents(s, dir)))),
     // Gopher REPETITION rules (top-2-gram / duplicated-3-gram char
     // fractions) — the duplication half of the A1.1 screen (the plain
     // gram-count repetition stats are doc_repetition)
     "doc_repetition_gopher" -> ((s, dir) =>
-      TextAnalysis.repetitionProfile(Tables.documents(s, dir))),
+      TextAnalysis.repetitionProfile(
+        WordCount.fillCores(Tables.documents(s, dir)))),
     // context-window packing accounting: concat per source in doc_id
     // order, cut every 256 tokens — sequences, fill, straddle rate
     "doc_seq_pack" -> ((s, dir) =>

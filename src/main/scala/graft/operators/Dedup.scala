@@ -1000,8 +1000,7 @@ object Dedup {
     * identically on both engines; the 4×16-bit banding is unaffected.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    WordCount.fillCores(docs)
-      .select(col("doc_id"), WordCount.cleanWords(col(textCol)).as("ws"))
+    docs.select(col("doc_id"), WordCount.cleanWords(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
       .select(col("doc_id"), expr(
         "transform(ws, w -> cast(conv(substr(md5(w), 1, 15), 16, 10) AS bigint))")

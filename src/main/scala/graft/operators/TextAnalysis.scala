@@ -89,7 +89,7 @@ object TextAnalysis {
     * codegen — zero shuffles except the presentation sort.
     */
   def gopherRules(docs: DataFrame): DataFrame =
-    WordCount.fillCores(docs).select(col("doc_id"), ws.as("ws"), col("text"))
+    docs.select(col("doc_id"), ws.as("ws"), col("text"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
@@ -138,7 +138,7 @@ object TextAnalysis {
     * lexicographically (ASCII-identical ordering in both engines).
     */
   def repetitionProfile(docs: DataFrame): DataFrame = {
-    val base = WordCount.fillCores(docs).select(col("doc_id"), ws.as("ws"))
+    val base = docs.select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), col("ws"),
         aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_chars"))
     def gramCounts(n: Int) = base
@@ -468,18 +468,28 @@ object TextAnalysis {
     * window over ≤ splits×sources rows. No stage is corpus-quadratic.
     */
   def corpusBuildV2(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
-                    w: Int = 8, islands: Option[DataFrame] = None): DataFrame = {
+                    w: Int = 8, islands: Option[DataFrame] = None,
+                    fill: Boolean = true): DataFrame = {
     // `islands`: pre-built cross-doc span islands at window `w` (the
     // staged frame from [[graft.sources.DedupStage.islands]])
     val stride = chunkSize - overlap
-    val keep = docs.groupBy(md5(col("text")))
+    // pre-fill ONCE above the branches (r15, `fill`): every screen
+    // re-derives from the input frame; redistributing a sub-split
+    // local input here parallelizes each branch's per-row work
+    // (measured 2.6 → 2.1 s over raw docs). corpusBuildV3 opts OUT —
+    // its input carries the wrap+regex extraction, and an exchange
+    // above that serializes the extraction behind one task while
+    // fanning every downstream stage (measured 4.7 → 7.7 s sweep /
+    // 343-task floods in the repartitioned variants).
+    val d = if (fill) WordCount.fillCores(docs) else docs
+    val keep = d.groupBy(md5(col("text")))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val gok = gopherRules(docs).where(col("gopher_ok")).select("doc_id")
-    val rok = repetitionProfile(docs).where(col("rep_ok")).select("doc_id")
-    val nk = islands.map(Dedup.cutSpansFrom(docs, _))
-      .getOrElse(Dedup.cutSpans(docs, w))
+    val gok = gopherRules(d).where(col("gopher_ok")).select("doc_id")
+    val rok = repetitionProfile(d).where(col("rep_ok")).select("doc_id")
+    val nk = islands.map(Dedup.cutSpansFrom(d, _))
+      .getOrElse(Dedup.cutSpans(d, w))
       .select("doc_id", "n_kept")
-    val surv = docs.select("doc_id", "source")
+    val surv = d.select("doc_id", "source")
       .join(keep, "doc_id").join(gok, "doc_id").join(rok, "doc_id")
       .join(nk, "doc_id")
       .where(col("n_kept") > 0)
@@ -929,19 +939,19 @@ object TextAnalysis {
     */
   def corpusBuildV3(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
                     w: Int = 8): DataFrame =
-    // r15: the extracted frame is materialized once — the v2 shape
-    // consumes its input from four subtree copies (exact-dup keep,
-    // gopher, repetition, survivor join; the span-cut rides the staged
-    // islands), and with no runtime exchange reuse each copy re-ran
-    // the wrap + regex-extraction chain over the full corpus (4 of the
-    // plan's 8 scans). In production the extracted text IS the front
-    // door's parquet handoff, written once — the checkpoint is the
-    // in-session stand-in, and the capstone still pays the extraction
-    // (once) inside its own timed run.
-    corpusBuildV2(docs.select(col("doc_id"), col("source"),
-        htmlExtractCol(htmlWrap(col("doc_id"), col("text"))).as("text"))
-      .localCheckpoint(),
-      chunkSize, overlap, w)
+    // r15 A/B note: materializing the extracted frame once (plain
+    // checkpoint, and a doc_id-repartitioned variant) was MEASURED and
+    // rejected — the four v2 branches' single-split extraction stages
+    // are independent and overlap across cores as-is (sweep 4.70 s),
+    // while the checkpointed forms either serialized the whole
+    // pipeline behind a 1-partition barrier (sweep 7.71 s) or flooded
+    // the scheduler with 32-way fan-out on every downstream stage
+    // (529 tasks, 5–9 s scheduler latency). The repeated extraction is
+    // the cheaper evil at bench scale; at 100 TB the extracted text is
+    // a written parquet handoff and the branches read THAT.
+    corpusBuildV2(docs.withColumn("text",
+        htmlExtractCol(htmlWrap(col("doc_id"), col("text")))),
+      chunkSize, overlap, w, fill = false)
 
   /** PII patterns shared with the oracle — kept lookaround-free so Java
     * regex and RE2 agree byte-for-byte.

@@ -75,7 +75,15 @@ object WordCount {
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < maxSplit && target > 1) df.repartition(target, col(keyCol))
+    // idempotent: a frame the caller already redistributed (the
+    // corpusBuildV2/V3 composition pre-fills ONCE above its branches)
+    // must not pay a second exchange per branch
+    val alreadySpread = df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }
+    if (bytes < maxSplit && target > 1 && !alreadySpread)
+      df.repartition(target, col(keyCol))
     else df
   }
 
