@@ -118,15 +118,19 @@ object Clustering {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("newcv"))
       val prev = cents.select(col("cluster"), col("cv").as("pcv"))
-      // changed flag rides the one checkpointed frame; the probe is a
-      // limit-1 read of cached blocks and is skipped on the final
-      // iteration (the loop exits on the iter bound regardless)
+      // changed flag rides the one checkpointed frame, and the probe IS
+      // the materializing action (r15): lazy checkpoint + one
+      // count-changed aggregate per iteration instead of an eager
+      // checkpoint job plus a limit-1 probe job — the aggregate scans
+      // every partition, so the frame is fully persisted before the
+      // superseded round's blocks are freed below
       val next = prev.join(stats, Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("newcv"), col("pcv")).as("cv"),
           (coalesce(col("newcv"), col("pcv")) =!= col("pcv")).as("changed"))
-        .localCheckpoint()
-      moved = iter < maxIters - 1 &&
-        next.where(col("changed")).limit(1).count() > 0
+        .localCheckpoint(eager = false)
+      val nChanged =
+        next.agg(count(when(col("changed"), 1)).as("n")).head().getLong(0)
+      moved = iter < maxIters - 1 && nChanged > 0
       Dedup.release(cents) // superseded round's blocks (prev read it above)
       cents = next.drop("changed")
       iter += 1
@@ -277,17 +281,16 @@ object Clustering {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("newcv"))
       val prev = cents.select(col("tag"), col("cluster"), col("cv").as("pcv"))
-      // the changed flag rides the ONE checkpointed frame (the CC
-      // propagate trick): the convergence probe is a limit-1 read of
-      // the just-cached blocks, not a second join job — and the final
-      // iteration skips it entirely (the loop exits on iter anyway)
+      // the changed flag rides the ONE checkpointed frame, and the
+      // probe IS the materializing action (r15, see [[lloydCentroids]])
       val next = prev.join(stats, Seq("tag", "cluster"), "left")
         .select(col("tag"), col("cluster"),
           coalesce(col("newcv"), col("pcv")).as("cv"),
           (coalesce(col("newcv"), col("pcv")) =!= col("pcv")).as("changed"))
-        .localCheckpoint()
-      moved = iter < maxIters - 1 &&
-        next.where(col("changed")).limit(1).count() > 0
+        .localCheckpoint(eager = false)
+      val nChanged =
+        next.agg(count(when(col("changed"), 1)).as("n")).head().getLong(0)
+      moved = iter < maxIters - 1 && nChanged > 0
       Dedup.release(cents)
       cents = next.drop("changed")
       iter += 1

@@ -574,18 +574,24 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("comp").as("ncomp"))
-      // the changed flag rides the propagation row, so the ONE real job
-      // per iteration (the eager localCheckpoint) computes both the new
-      // labels and the convergence signal; the isEmpty probe below is a
-      // limit-1 scan of the just-cached blocks, not a second pass (the
-      // round-1 version re-joined old and new labels to diff them)
+      // the changed flag rides the propagation row, and the convergence
+      // probe IS the materializing action (r15, the componentsStar
+      // signed() discipline): the round's frame is checkpointed lazily
+      // and a single count-changed aggregate both persists every
+      // partition and returns the signal — one action per round instead
+      // of checkpoint + isEmpty. (Reliable mode keeps the eager
+      // checkpoint; Spark's checkpoint-write job subsumes the pass.)
       val updated = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
-      val updatedM = materialize(updated)
-      converged = updatedM.where(col("changed")).isEmpty
+      val updatedM = if (reliable) updated.checkpoint()
+                     else updated.localCheckpoint(eager = false)
+      converged = updatedM
+        .agg(count(when(col("changed"), 1)).as("n")).head().getLong(0) == 0L
+      // the aggregate scanned every partition, so the lazy checkpoint is
+      // fully persisted BEFORE the superseded round's blocks are freed
       release(labelsM, reliable)
       labelsM = updatedM
       labels = updatedM.drop("changed")
