@@ -81,6 +81,7 @@ object Bench {
         import graft.sources.{AnnIndex, CfIndex, DedupStage, GraphStage, MediaStage}
         MediaStage.media(spark, sfDir).count()
         GraphStage.copurchase(spark, sfDir).count()
+        GraphStage.wordEdgeCounts(spark, sfDir).count()
         DedupStage.pairs(spark, sfDir).count()
         DedupStage.minhashPairs(spark, sfDir).count()
         DedupStage.ccLabels(spark, sfDir).count()

@@ -1009,32 +1009,33 @@ object SparkEntry {
     // PageRank over the word-adjacency graph: integer-scaled damped
     // power iteration, 3 unrolled rounds in the oracle
     "word_pagerank" -> ((s, dir) =>
-      Graph.wordPageRank(Tables.documents(s, dir))),
+      Graph.wordPageRankFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // seeded teleport: rank = proximity to the top-2 corpus words
     "word_ppr" -> ((s, dir) =>
-      Graph.wordPpr(Tables.documents(s, dir))),
+      Graph.wordPprFrom(Tables.documents(s, dir),
+        graft.sources.GraphStage.wordEdges(s, dir))),
     // degree-oriented wedge-join triangle count of the same word graph
     "word_triangles" -> ((s, dir) =>
       Graph.triangleCount(Tables.documents(s, dir))),
     // BFS hop distances from the smallest word (frontier expansion)
     "word_bfs_dist" -> ((s, dir) =>
-      Graph.bfsDistances(Tables.documents(s, dir))),
+      Graph.bfsDistancesFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // HITS hubs/authorities: integer max-normalized half-steps,
     // 2 unrolled rounds in the oracle
     "word_hits" -> ((s, dir) =>
-      Graph.wordHits(Tables.documents(s, dir))),
+      Graph.wordHitsFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // 24-core by iterative peeling (order-independent fixpoint)
     "word_kcore" -> ((s, dir) =>
-      Graph.wordKCore(Tables.documents(s, dir))),
+      Graph.wordKCoreFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // rank flow proportional to bigram occurrence counts
     "word_pagerank_weighted" -> ((s, dir) =>
-      Graph.wordPageRankWeighted(Tables.documents(s, dir))),
+      Graph.wordPageRankWeightedFrom(graft.sources.GraphStage.wordEdgeCounts(s, dir))),
     // synchronous LPA communities, 2 deterministic rounds
     "word_communities" -> ((s, dir) =>
-      Graph.wordCommunities(Tables.documents(s, dir))),
+      Graph.wordCommunitiesFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // Newman modularity of the LPA partition, exact-integer ppm
     "word_modularity" -> ((s, dir) =>
-      Graph.wordModularity(Tables.documents(s, dir))),
+      Graph.wordModularityFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // market-basket support counting: part pairs co-bought in ≥2 orders
     "part_copurchase" -> ((s, dir) =>
       Graph.copurchaseEdges(Tables.lineitem(s, dir))
@@ -1708,7 +1709,7 @@ object SparkEntry {
       graft.sources.BloomParquet.pointLookup(s, dir)),
     // Bellman-Ford weighted SSSP over the word adjacency graph
     "word_sssp" -> ((s, dir) =>
-      Graph.ssspWords(Tables.documents(s, dir))),
+      Graph.ssspWordsFrom(graft.sources.GraphStage.wordEdgeCounts(s, dir))),
     // sweep-line interval overlap: peak concurrent open orders
     "orders_concurrency" -> ((s, dir) =>
       Relational.ordersConcurrency(Tables.orders(s, dir),
@@ -1746,13 +1747,13 @@ object SparkEntry {
       Relational.partsSkyline(Tables.part(s, dir))),
     // two-sweep BFS diameter lower bound of the word graph
     "word_diameter_2sweep" -> ((s, dir) =>
-      Graph.diameter2Sweep(Tables.documents(s, dir))),
+      Graph.diameter2SweepFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // exact p25/50/75/90/99 grid via one two-pass histogram selection
     "events_percentile_grid" -> ((s, dir) =>
       Relational.exactPercentiles2Pass(Tables.events(s, dir))),
     // bounded k-truss peel: cohesive word-graph edges by tri support
     "word_ktruss_edges" -> ((s, dir) =>
-      Graph.ktrussEdges(Tables.documents(s, dir))),
+      Graph.ktrussEdgesFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // one-pass sessionizer gap-parameter sweep (10/30/60 min)
     "events_session_sensitivity" -> ((s, dir) =>
       Relational.sessionSensitivity(Tables.events(s, dir))),
@@ -1875,7 +1876,7 @@ object SparkEntry {
     // bowtie decomposition of the DIRECTED word graph: the pivot's SCC
     // exactly (fwd ∩ bwd reachability) plus in/out wings + disconnected
     "word_bowtie" -> ((s, dir) =>
-      Graph.bowtie(Tables.documents(s, dir))),
+      Graph.bowtieFrom(graft.sources.GraphStage.wordEdges(s, dir))),
     // MMR diversified top-5: greedy rel − max-sim-to-selected selection
     // (k corpus scans, broadcast selected set, zero corpus shuffles)
     "emb_mmr_select" -> ((s, dir) =>
@@ -1894,7 +1895,7 @@ object SparkEntry {
     // skip-gram graph-embedding model trains on, hash-driven so both
     // engines walk identical trajectories
     "word_walk_corpus" -> ((s, dir) =>
-      Graph.walkCorpus(Tables.documents(s, dir), nWalks = 2, len = 3)),
+      Graph.walkCorpusFrom(graft.sources.GraphStage.wordEdges(s, dir), nWalks = 2, len = 3)),
     // Rényi-2 collision probability per doc (ppm): the integer-exact
     // character-diversity quality signal (Σ cnt² / tot²)
     "doc_char_collision" -> ((s, dir) =>

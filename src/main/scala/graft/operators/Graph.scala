@@ -73,7 +73,14 @@ object Graph {
 
   /** Gate shape: PageRank of the corpus word-adjacency graph. */
   def wordPageRank(docs: DataFrame, iters: Int = 3): DataFrame =
-    pageRank(bigramEdges(docs), iters)
+    wordPageRankFrom(bigramEdges(docs), iters)
+
+  /** [[wordPageRank]] over a pre-built directed distinct edge set —
+    * the staged entry point ([[graft.sources.GraphStage.wordEdges]]).
+    */
+  private[graft] def wordPageRankFrom(e0: DataFrame,
+                                      iters: Int = 3): DataFrame =
+    pageRank(e0, iters)
       .select(col("node"), col("rank"))
 
   /** Weighted PageRank over (src, dst, w) edges: rank flows in
@@ -117,17 +124,29 @@ object Graph {
     * OCCURRENCE count (how often the adjacency appears corpus-wide) —
     * the multigraph the unweighted gate collapses with `distinct()`.
     */
-  def wordPageRankWeighted(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val weighted = docs.select(WordCount.cleanWords(col("text")).as("ws"))
+  def wordPageRankWeighted(docs: DataFrame, iters: Int = 3): DataFrame =
+    wordPageRankWeightedFrom(bigramEdgeCounts(docs), iters)
+
+  /** Directed word-adjacency MULTIGRAPH counts (src, dst, cnt) — the
+    * weighted family's shared derivation ([[wordPageRankWeighted]],
+    * [[ssspWords]]); [[bigramEdges]] is its distinct key set.
+    */
+  private[graft] def bigramEdgeCounts(docs: DataFrame): DataFrame =
+    docs.select(WordCount.cleanWords(col("text")).as("ws"))
       .where(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS src, ws[i+1] AS dst))"))
         .as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    pageRankWeighted(weighted, iters)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+
+  /** [[wordPageRankWeighted]] over pre-built multigraph counts — the
+    * staged entry point ([[graft.sources.GraphStage.wordEdgeCounts]]).
+    */
+  private[graft] def wordPageRankWeightedFrom(counts: DataFrame,
+                                              iters: Int = 3): DataFrame =
+    pageRankWeighted(counts.withColumnRenamed("cnt", "w"), iters)
       .select(col("node"), col("rank"))
-  }
 
   /** Personalized PageRank: the teleport mass lands ONLY on the seed
     * set — the rank measures proximity to the seeds rather than global
@@ -182,11 +201,19 @@ object Graph {
     * seeded at the corpus' top `nSeeds` words by count (data-derived —
     * no corpus-dependent literal in the query).
     */
-  def wordPpr(docs: DataFrame, iters: Int = 3, nSeeds: Int = 2): DataFrame = {
+  def wordPpr(docs: DataFrame, iters: Int = 3, nSeeds: Int = 2): DataFrame =
+    wordPprFrom(docs, bigramEdges(docs), iters, nSeeds)
+
+  /** [[wordPpr]] over a pre-built edge set (seeds still derive from
+    * the docs wordcount) — the staged entry point.
+    */
+  private[graft] def wordPprFrom(docs: DataFrame, e0: DataFrame,
+                                 iters: Int = 3,
+                                 nSeeds: Int = 2): DataFrame = {
     val seeds = WordCount.wordCount(docs)
       .orderBy(col("cnt").desc, col("word")).limit(nSeeds)
       .select(col("word").as("node"))
-    personalizedPageRank(bigramEdges(docs), seeds, iters)
+    personalizedPageRank(e0, seeds, iters)
       .select(col("node"), col("rank"))
   }
 
@@ -202,8 +229,14 @@ object Graph {
     * vocabulary outgrows an executor); the two big joins shuffle on
     * wedge keys.
     */
-  def triangleCount(docs: DataFrame): DataFrame = {
-    val e0 = bigramEdges(docs)
+  def triangleCount(docs: DataFrame): DataFrame =
+    triangleCountFrom(bigramEdges(docs))
+
+  /** [[triangleCount]] over a pre-built directed distinct edge set —
+    * the staged entry point.
+    */
+  private[graft] def triangleCountFrom(e: DataFrame): DataFrame = {
+    val e0 = e
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -344,6 +377,10 @@ object Graph {
   def wordHits(docs: DataFrame, iters: Int = 2): DataFrame =
     hits(bigramEdges(docs), iters)
 
+  /** [[wordHits]] over a pre-built edge set — the staged entry point. */
+  private[graft] def wordHitsFrom(e0: DataFrame, iters: Int = 2): DataFrame =
+    hits(e0, iters)
+
   /** k-core decomposition of the UNDIRECTED graph by iterative
     * peeling: repeatedly delete every node of degree < `k` (and its
     * edges) until none remains — the standard graph-quality filter
@@ -403,6 +440,10 @@ object Graph {
   def wordKCore(docs: DataFrame, k: Int = 24): DataFrame =
     kCore(bigramEdges(docs), k)
 
+  /** [[wordKCore]] over a pre-built edge set — the staged entry point. */
+  private[graft] def wordKCoreFrom(e0: DataFrame, k: Int = 24): DataFrame =
+    kCore(e0, k)
+
   /** Synchronous label propagation (Raghavan et al.) over the
     * UNDIRECTED graph — community detection next to [[Dedup.components]]'
     * connectivity: each round every node adopts the most frequent label
@@ -449,6 +490,11 @@ object Graph {
   def wordCommunities(docs: DataFrame, iters: Int = 2): DataFrame =
     labelPropagation(bigramEdges(docs), iters)
 
+  /** [[wordCommunities]] over a pre-built edge set — staged entry. */
+  private[graft] def wordCommunitiesFrom(e0: DataFrame,
+                                         iters: Int = 2): DataFrame =
+    labelPropagation(e0, iters)
+
   /** Newman modularity of a partition over the undirected `(a < b)`
     * edge set, exact-integer ppm: with m edges, Σᵢₙ intra-community
     * edges, and Dᶜ the community degree sums,
@@ -486,8 +532,13 @@ object Graph {
     * the clustering-quality readout next to [[wordCommunities]]
     * itself. Both consume the same normalized edge set.
     */
-  def wordModularity(docs: DataFrame, iters: Int = 2): DataFrame = {
-    val raw = bigramEdges(docs)
+  def wordModularity(docs: DataFrame, iters: Int = 2): DataFrame =
+    wordModularityFrom(bigramEdges(docs), iters)
+
+  /** [[wordModularity]] over a pre-built edge set — staged entry. */
+  private[graft] def wordModularityFrom(e: DataFrame,
+                                        iters: Int = 2): DataFrame = {
+    val raw = e
     val e0 = raw.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -512,8 +563,13 @@ object Graph {
     * cross-joined in, NOT a driver-side fetch; superseded rounds'
     * checkpoints are released like every other iterative loop here.
     */
-  def bfsDistances(docs: DataFrame, maxHops: Int = 20): DataFrame = {
-    val edges = undirectedWordEdges(docs)
+  def bfsDistances(docs: DataFrame, maxHops: Int = 20): DataFrame =
+    bfsDistancesFrom(bigramEdges(docs), maxHops)
+
+  /** [[bfsDistances]] over a pre-built edge set — staged entry. */
+  private[graft] def bfsDistancesFrom(e0: DataFrame,
+                                      maxHops: Int = 20): DataFrame = {
+    val edges = undirectedFrom(e0)
     // min over an EMPTY edge set is one NULL row — drop it, or an
     // empty graph would report a phantom (null, 0) source
     val source = edges.agg(min(col("src")).as("word"))
@@ -521,12 +577,13 @@ object Graph {
     bfsCore(edges, source, maxHops).orderBy("word")
   }
 
-  private def undirectedWordEdges(docs: DataFrame): DataFrame = {
-    val e0 = bigramEdges(docs)
+  private def undirectedWordEdges(docs: DataFrame): DataFrame =
+    undirectedFrom(bigramEdges(docs))
+
+  private def undirectedFrom(e0: DataFrame): DataFrame =
     e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-  }
 
   /** Frontier-expansion BFS from an arbitrary 1-column (word) source
     * frame — the engine behind [[bfsDistances]] and
@@ -568,8 +625,13 @@ object Graph {
     * diameter-many rounds); the "farthest" picks are 1-row aggregates
     * chained as frames, never driver fetches.
     */
-  def diameter2Sweep(docs: DataFrame, maxHops: Int = 20): DataFrame = {
-    val edges = undirectedWordEdges(docs)
+  def diameter2Sweep(docs: DataFrame, maxHops: Int = 20): DataFrame =
+    diameter2SweepFrom(bigramEdges(docs), maxHops)
+
+  /** [[diameter2Sweep]] over a pre-built edge set — staged entry. */
+  private[graft] def diameter2SweepFrom(e0: DataFrame,
+                                        maxHops: Int = 20): DataFrame = {
+    val edges = undirectedFrom(e0)
     val start = edges.agg(min(col("src")).as("word"))
       .where(col("word").isNotNull)
     val b1 = bfsCore(edges, start, maxHops)
@@ -819,7 +881,13 @@ object Graph {
     * per peel.
     */
   def ktrussEdges(docs: DataFrame, minSupport: Long = 2L, rounds: Int = 3,
-                  topK: Int = 20): DataFrame = {
+                  topK: Int = 20): DataFrame =
+    ktrussEdgesFrom(bigramEdges(docs), minSupport, rounds, topK)
+
+  /** [[ktrussEdges]] over a pre-built edge set — staged entry. */
+  private[graft] def ktrussEdgesFrom(e: DataFrame, minSupport: Long = 2L,
+                                     rounds: Int = 3,
+                                     topK: Int = 20): DataFrame = {
     def support(edges: DataFrame): DataFrame = {
       val deg = edges.select(col("ea").as("w"))
         .union(edges.select(col("eb").as("w")))
@@ -846,7 +914,7 @@ object Graph {
         .select(col("e.ea").as("ea"), col("e.eb").as("eb"))
         .groupBy("ea", "eb").agg(count(lit(1)).as("tri_support"))
     }
-    var edges = bigramEdges(docs)
+    var edges = e
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("ea"),
         greatest(col("src"), col("dst")).as("eb"))
@@ -933,14 +1001,13 @@ object Graph {
     * shortest path that uses ≤ k hops, and diameter-chasing belongs to
     * the adaptive CC family ([[graft.operators.Dedup.componentsAdaptive]]).
     */
-  def ssspWords(docs: DataFrame, rounds: Int = 6): DataFrame = {
-    val e0 = docs.select(WordCount.cleanWords(col("text")).as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS src, ws[i+1] AS dst))"))
-        .as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+  def ssspWords(docs: DataFrame, rounds: Int = 6): DataFrame =
+    ssspWordsFrom(bigramEdgeCounts(docs), rounds)
+
+  /** [[ssspWords]] over pre-built multigraph counts — staged entry. */
+  private[graft] def ssspWordsFrom(counts: DataFrame,
+                                   rounds: Int = 6): DataFrame = {
+    val e0 = counts
     val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("cnt")))
       .groupBy("src", "dst").agg(sum("cnt").as("cnt"))
@@ -976,8 +1043,15 @@ object Graph {
     * any pairwise mutual-reachability formulation cannot. The oracle
     * mirrors both sweeps as depth-capped recursive CTEs.
     */
-  def bowtie(docs: DataFrame, maxHops: Int = 20): DataFrame = {
-    val e = bigramEdges(docs).localCheckpoint()
+  def bowtie(docs: DataFrame, maxHops: Int = 20): DataFrame =
+    bowtieFrom(bigramEdges(docs).localCheckpoint(), maxHops)
+
+  /** [[bowtie]] over a pre-built (already materialized) edge set —
+    * staged entry; both BFS sweeps re-join the frame, so the caller
+    * passes a checkpointed one.
+    */
+  private[graft] def bowtieFrom(e: DataFrame,
+                                maxHops: Int = 20): DataFrame = {
     val nodes = e.select(col("src").as("word"))
       .union(e.select(col("dst").as("word"))).distinct().localCheckpoint()
     val pivot = nodes.agg(min(col("word")).as("word"))
@@ -1017,8 +1091,14 @@ object Graph {
     * (frontier cardinality is invariant across steps).
     */
   def walkCorpus(docs: DataFrame, nWalks: Int = 2, len: Int = 3,
-                 maxNeighbors: Int = 64): DataFrame = {
-    val adj = bigramEdges(docs)
+                 maxNeighbors: Int = 64): DataFrame =
+    walkCorpusFrom(bigramEdges(docs), nWalks, len, maxNeighbors)
+
+  /** [[walkCorpus]] over a pre-built edge set — staged entry. */
+  private[graft] def walkCorpusFrom(e0: DataFrame, nWalks: Int = 2,
+                                    len: Int = 3,
+                                    maxNeighbors: Int = 64): DataFrame = {
+    val adj = e0
       .groupBy(col("src"))
       .agg(slice(sort_array(collect_set(col("dst"))), 1, maxNeighbors).as("nb"))
       .localCheckpoint()

@@ -41,4 +41,26 @@ object GraphStage {
       Graph.copurchaseEdges(Tables.lineitem(spark, dir), minSupport)
         .localCheckpoint()
     }
+
+  /** The staged word-adjacency MULTIGRAPH counts (src, dst, cnt) for
+    * (session, dir) — the other corpus-derived graph the round-15
+    * qmetrics flagged: 13 word_* gates each re-derived their edge set
+    * from the documents table before any gate-specific iteration.
+    * One staged frame serves both the weighted family (counts) and,
+    * via [[wordEdges]], the unweighted one (its distinct key set).
+    * `word_triangles` stays deliberately live on the un-staged
+    * derivation (the d=2 fuzzy-gate convention).
+    */
+  def wordEdgeCounts(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrDerive(spark, s"$dir#wec") {
+      Graph.bigramEdgeCounts(Tables.documents(spark, dir))
+        .localCheckpoint()
+    }
+
+  /** Directed distinct word-adjacency edges (src, dst) — the
+    * [[Graph.bigramEdges]] key set, derived from the staged counts
+    * (the groupBy keys are exactly the distinct pairs).
+    */
+  def wordEdges(spark: SparkSession, dir: String): DataFrame =
+    wordEdgeCounts(spark, dir).select("src", "dst")
 }

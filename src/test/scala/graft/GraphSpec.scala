@@ -231,4 +231,28 @@ class GraphSpec extends SparkSpec {
     assert(GraphStage.copurchase(spark, sf0001).queryExecution.analyzed
       .sameResult(GraphStage.copurchase(spark, sf0001).queryExecution.analyzed))
   }
+
+  test("GraphStage staged word edges == live derivation, gate-for-gate") {
+    import graft.sources.GraphStage
+    val d = Tables.documents(spark, sf0001)
+    // the staged counts equal the live multigraph derivation...
+    val staged = GraphStage.wordEdgeCounts(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val live = Graph.bigramEdgeCounts(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(staged == live && staged.nonEmpty)
+    // ...and the derived key set equals bigramEdges
+    assert(GraphStage.wordEdges(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Graph.bigramEdges(d).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet)
+    // staged consumers equal their live forms: an iterative unweighted
+    // gate, the weighted family, and an undirected-derivation gate
+    assert(Graph.wordPageRankFrom(GraphStage.wordEdges(spark, sf0001))
+        .collect().toSeq == Graph.wordPageRank(d).collect().toSeq)
+    assert(Graph.ssspWordsFrom(GraphStage.wordEdgeCounts(spark, sf0001))
+        .collect().toSeq == Graph.ssspWords(d).collect().toSeq)
+    assert(Graph.bfsDistancesFrom(GraphStage.wordEdges(spark, sf0001))
+        .collect().toSeq == Graph.bfsDistances(d).collect().toSeq)
+  }
 }
