@@ -207,7 +207,12 @@ object DataQuality {
     */
   def joinCardEstimate(lineitem: DataFrame, d: Int = 4,
                        w: Int = 65536): DataFrame = {
-    val keys = lineitem.select(col("l_partkey").cast("string").as("k"))
+    // fillCores (r16): the sketch side runs d md5 hashes per row — the
+    // heaviest per-row kernel of the dq family — and lineitem fits one
+    // scan split, so it serialized on one core (12 tasks total;
+    // measured 2.23 → see OPTIMIZATION_r16). Identity at real scale.
+    val keys = graft.operators.WordCount.fillCores(
+      lineitem.select(col("l_partkey").cast("string").as("k")), "k")
     val buckets = keys.select(posexplode(array((0 until d).map(i =>
         expr(s"cast(conv(substr(md5(concat('$i:', k)), 1, 15), 16, 10) AS bigint) % $w")): _*)))
       .toDF("i", "bucket")

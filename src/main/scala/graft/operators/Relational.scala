@@ -316,11 +316,16 @@ object Relational {
         expr("1000000L div n_types").as("mass_ppm"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // LAZY checkpoint (r16): the next round's broadcast build is the
+      // materializing action — the eager form paid one extra job per
+      // iteration (60 jobs for 15 rounds on a |types|-row frame; the
+      // tiny-jobs class pays per-job fixed overhead, VERDICT r14 #3).
+      // The checkpoint still caps plan depth at one round.
       mass = p.join(broadcast(mass),
           p("prev_type") === mass("event_type"))
         .groupBy(col("next_type").as("event_type"))
         .agg(sum(expr("(mass_ppm * p_ppm) div 1000000L")).as("mass_ppm"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     mass.orderBy("event_type")
   }
