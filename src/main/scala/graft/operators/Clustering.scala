@@ -105,7 +105,15 @@ object Clustering {
     * lineage would otherwise grow by one broadcast join per round).
     */
   def lloydCentroids(embs: DataFrame, k: Int, maxIters: Int): DataFrame = {
-    val scaled = scaledView(embs)
+    // r16: every iteration's assignment re-derived the scaled view from
+    // parquet (maxIters scans); the checkpoint makes the loop read the
+    // one materialized frame, released once the loop converges.
+    // NEGATIVE RESULT (measured, reverted): fillCores here — the argmin
+    // kernel over this table is microseconds of compute, so the 32-way
+    // fan-out only multiplied per-iteration task overhead
+    // (kmeans_converged 1.9 → 3.5 s); the loop is fixed-overhead-bound,
+    // the r15 applicability rule's losing case.
+    val scaled = scaledView(embs).localCheckpoint()
     var cents = centroids(embs, k).localCheckpoint()
     var iter = 0
     var moved = true
@@ -135,6 +143,7 @@ object Clustering {
       cents = next.drop("changed")
       iter += 1
     }
+    Dedup.release(scaled) // loop-scoped input blocks
     cents
   }
 
@@ -159,11 +168,22 @@ object Clustering {
     * (k rows per vector, same contract as [[probeCells]]), one
     * vec-keyed window, one k-row rollup.
     */
-  def silhouette(embs: DataFrame, k: Int, iters: Int): DataFrame = {
-    val cents = lloydCentroids(embs, k, iters)
+  def silhouette(embs: DataFrame, k: Int, iters: Int): DataFrame =
+    silhouetteWith(embs, lloydCentroids(embs, k, iters))
+
+  /** [[silhouette]] against an already-learned centroid set — pair with
+    * [[Similarity.cachedCentroids]] so the quality readout shares the
+    * session's one k-means run (the semdedup/prototypes/IVF discipline;
+    * `kmeans_converged` stays the live Lloyd gate).
+    */
+  def silhouetteWith(embs: DataFrame, cents: DataFrame): DataFrame = {
+    // r16 fillCores: the k-way distance explode + per-vec window ran on
+    // the single scan split; hashpartitioning(vec_id) also satisfies
+    // the window's clustering, so the spread costs no extra exchange
+    val scored = WordCount.fillCores(scaledView(embs), "vec_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
-    val ranked = scaledView(embs)
+    val ranked = scored
       .crossJoin(broadcast(cents.select(col("cluster"), col("cv"))))
       .withColumn("d2", expr(
         "aggregate(zip_with(ev, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
@@ -258,8 +278,12 @@ object Clustering {
                            maxIters: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("tag").orderBy("vec_id")
+    // r16: same loop-input staging as [[lloydCentroids]] — the m-slice
+    // union re-derived m parquet scans PER ITERATION before this
+    // (fillCores measured and rejected here too, same reason)
     val scaled = slices.select(col("tag"), col("vec_id"),
-      scaledVec(col("embedding")).as("ev"))
+        scaledVec(col("embedding")).as("ev"))
+      .localCheckpoint()
     var cents = scaled.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("tag"), col("vec_id").as("cluster"), col("ev").as("cv"))
@@ -295,6 +319,7 @@ object Clustering {
       cents = next.drop("changed")
       iter += 1
     }
+    Dedup.release(scaled) // loop-scoped input blocks
     cents
   }
 
@@ -340,6 +365,10 @@ object Clustering {
     */
   private def centeredAndDirection(embs: DataFrame,
                                    iters: Int): (DataFrame, DataFrame) = {
+    // (r16 NEGATIVE RESULT: fillCores on the centered frame measured
+    // and rejected — emb_top_direction 0.7 → 1.6 s; the dot/project
+    // kernels over this table are trivial, so the fan-out is pure
+    // per-iteration task overhead)
     val scaled = scaledView(embs)
     val mean = scaled.select(posexplode(col("ev")))
       .groupBy("pos").agg(expr("sum(col) div count(1)").as("mu"))
@@ -357,23 +386,34 @@ object Clustering {
     * dimension count, so `limit(1)`'s row choice is immaterial.
     */
   private def powerIterate(centered: DataFrame, iters: Int): DataFrame = {
-    var v = centered.limit(1)
-      .select(expr("transform(cv, x -> CAST(1000000 AS BIGINT))").as("v"))
+    // r16: the direction rides the DRIVER as d ≤ 64 longs of bounded
+    // metadata (the bpeLearn 256-slot-registry precedent) instead of a
+    // 1-row frame — per iteration the old shape paid a broadcast build
+    // + two aggregate jobs just to move d integers (the three direction
+    // gates ran ~30 jobs for four chained iterations). Now each
+    // iteration is ONE job: the (pos → Σ cv·s) aggregate collect; the
+    // rescale is the identical integer arithmetic (Scala Long `/` and
+    // Spark `div` both truncate toward zero), so every iterate — and
+    // the oracle's unrolled recurrence — is bit-for-bit unchanged.
+    var v: Array[Long] = null // round 0's all-10⁶ start rides inline SQL
     for (_ <- 1 to iters) {
-      val st = centered.join(broadcast(v))
-        .select(col("cv"), expr(
-          "aggregate(zip_with(cv, v, (x, y) -> x * y), 0L, (a, b) -> a + b) div 1000000")
-          .as("s"))
-      val w = st.select(posexplode(expr("transform(cv, x -> x * s)")))
+      val vSql =
+        if (v == null) "transform(cv, x -> CAST(1000000 AS BIGINT))"
+        else v.mkString("array(", "L, ", "L)")
+      val wArr = centered
+        .selectExpr("cv", s"aggregate(zip_with(cv, $vSql, " +
+          "(x, y) -> x * y), 0L, (a, b) -> a + b) div 1000000 AS s")
+        .select(posexplode(expr("transform(cv, x -> x * s)")))
         .groupBy("pos").agg(sum("col").as("w"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")).as("ws"))
-      v = w.select(expr(
-        """transform(ws, x -> x div
-          |  greatest(array_max(transform(ws, y -> abs(y))) div 1000000, 1L))"""
-          .stripMargin).as("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1).map(_._2) // d rows of metadata, driver-sorted
+      val norm = math.max(wArr.map(math.abs).max / 1000000L, 1L)
+      v = wArr.map(_ / norm)
     }
-    v
+    // single-partition 1-row frame (range(1) would fan every consumer
+    // out to defaultParallelism empty tasks)
+    centered.sparkSession.range(0, 1, 1, 1)
+      .select(typedLit(v.toSeq).as("v"))
   }
 
   /** First TWO principal directions by integer power iteration with
@@ -449,8 +489,14 @@ object Clustering {
     * beyond the k-row rollup), centroids from the shared cached Lloyd
     * chain; output is k rows.
     */
-  def clusterDrift(embs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
-    val assigned = cellAssignments(embs, lloydCentroids(embs, k, iters))
+  def clusterDrift(embs: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =
+    clusterDriftWith(embs, lloydCentroids(embs, k, iters))
+
+  /** [[clusterDrift]] against an already-learned centroid set — the
+    * [[Similarity.cachedCentroids]] pairing (see [[silhouetteWith]]).
+    */
+  def clusterDriftWith(embs: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = cellAssignments(embs, cents)
     val mid = embs.agg(expr("(max(vec_id) + 1) div 2").as("mid"))
     val g = assigned.crossJoin(broadcast(mid))
       .groupBy("cell")
@@ -487,11 +533,13 @@ object Clustering {
     */
   def dbscanGrid(embs: DataFrame, eps: Long = 40L, minPts: Long = 5L)
       : DataFrame = {
-    val p = embs.select(col("vec_id"),
+    // r16 fillCores before the checkpoint: the grid index/probe frames
+    // and the 3×3 cell join's map sides otherwise ride one scan split
+    val p = WordCount.fillCores(embs.select(col("vec_id"),
       expr("cast(round(cast(embedding[0] as double) * 1000) as long)")
         .as("x"),
       expr("cast(round(cast(embedding[1] as double) * 1000) as long)")
-        .as("y")).localCheckpoint()
+        .as("y")), "vec_id").localCheckpoint()
     // exact floor-division cell id: the non-negative-mod numerator is
     // divisible by eps, so truncating `div` IS floor here (stays long)
     def cellOf(c: Column): Column =
@@ -517,7 +565,13 @@ object Clustering {
       .join(core.toDF("vb"), col("ib") === col("vb"))
       .where(col("ia") =!= col("ib"))
       .select(col("ia").as("id_a"), col("ib").as("id_b"))
-    // singleton cores never enter an edge — label them with themselves
+    // singleton cores never enter an edge — label them with themselves.
+    // r16 NEGATIVE RESULT (measured, reverted): componentsAdaptive here
+    // (propagation-first, same min-id fixed point) shuffled 2.1 M
+    // records vs star's 380 k and ran 108 jobs vs 74 — the ε-blob core
+    // graphs are DEEP chains (adjacent ε-balls daisy-chain through
+    // dense regions), so 8 propagation rounds burn and it falls back to
+    // contraction anyway. Star contraction stays.
     val lbl = core
       .join(Dedup.componentsStar(coreEdges).toDF("v", "comp"),
         Seq("v"), "left")

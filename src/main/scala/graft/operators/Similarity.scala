@@ -736,38 +736,54 @@ object Similarity {
         tagged.where(col("tag") === s).select(col("cluster"), col("cv")))
     }
 
-    val specs = (0 until m).map { s =>
-      (s"code$s", theBooks(s),
-        s"slice(ev, $s * (size(ev) div $m) + 1, size(ev) div $m)")
-    } ++ cellCents.map(cc => ("cell", cc, "ev")).toSeq
-    val coded = specs.foldLeft(
-      emb.select(col("vec_id"), Clustering.scaledVec(col("embedding")).as("ev"))) {
-      case (acc, (name, cents, sliceExpr)) =>
-        val centsArr = cents.agg(
-          sort_array(collect_list(struct(col("cluster"), col("cv"))))
-            .as(s"__cents_$name"))
-        acc.join(broadcast(centsArr))
-          .withColumn(name, graft.functions.functions.nearest_centroid_l2(
-            expr(sliceExpr), col(s"__cents_$name")).getField("cluster"))
-          .drop(s"__cents_$name")
-    }
-    val codes = coded.select(
-      col("vec_id") +: specs.map { case (name, _, _) => col(name) }: _*)
+    // r16 job-count consolidation (the tiny-jobs lever, VERDICT r14
+    // #3): the old shape built one broadcast PER SUBSPACE for the
+    // encode (m + 1 builds) and assembled the LUT columns through m
+    // crossJoin+groupBy chains joined pairwise (each its own broadcast
+    // build) — ~25 of ann_pq's 48 jobs were these builds over
+    // kilobyte frames. All codebooks (+ the IVF cells at tag m) now
+    // ride ONE 1-row broadcast map (tag → sorted centroid array); the
+    // corpus encode reads `element_at(books, s)` per subspace in the
+    // same single scan, and each query's m ADC tables are computed by
+    // a per-row transform over the broadcast arrays — a projection,
+    // not a join. Arithmetic is unchanged expression-for-expression
+    // (same scaled ints, same (x−y)² fold, same cluster-keyed maps),
+    // so codes, LUTs, and the oracle are bit-identical.
+    val taggedBooks = theBooks.zipWithIndex.map { case (b, s) =>
+        b.select(lit(s).as("tag"), col("cluster"), col("cv")) } ++
+      cellCents.map(cc =>
+        cc.select(lit(m).as("tag"), col("cluster"), col("cv"))).toSeq
+    val booksRow = taggedBooks.reduce(_ unionAll _)
+      .groupBy("tag")
+      .agg(sort_array(collect_list(struct(col("cluster"), col("cv"))))
+        .as("cents"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("tag"), col("cents"))))).as("books"))
+    val withBooks = emb
+      .select(col("vec_id"), Clustering.scaledVec(col("embedding")).as("ev"))
+      .join(broadcast(booksRow))
+    def sliceOf(s: Int) =
+      expr(s"slice(ev, $s * (size(ev) div $m) + 1, size(ev) div $m)")
+    val codeCols = (0 until m).map { s =>
+      graft.functions.functions.nearest_centroid_l2(
+          sliceOf(s), element_at(col("books"), lit(s)))
+        .getField("cluster").as(s"code$s")
+    } ++ cellCents.map(_ =>
+      graft.functions.functions.nearest_centroid_l2(
+          col("ev"), element_at(col("books"), lit(m)))
+        .getField("cluster").as("cell")).toSeq
+    val codes = withBooks.select(col("vec_id") +: codeCols: _*)
 
-    val qlut = (0 until m).map { s =>
-      sliced(s).where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"),
-          Clustering.scaledVec(col("embedding")).as("qv"))
-        .crossJoin(broadcast(theBooks(s).select(col("cluster"), col("cv"))))
-        .select(col("query_id"), col("cluster"), expr(
-          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
-            "0L, (acc, v) -> acc + v)").as("pd2"))
-        .groupBy("query_id")
-        .agg(map_from_entries(sort_array(
-          collect_list(struct(col("cluster"), col("pd2"))))).as(s"lut$s"))
-      // nQueries-row frames: assembling the m LUT columns must stay
-      // broadcast joins, not stats-blind sort-merges
-    }.reduce((a, b) => a.join(broadcast(b), "query_id"))
+    val lutCols = (0 until m).map { s =>
+      map_from_entries(transform(element_at(col("books"), lit(s)),
+        c => struct(c.getField("cluster").as("cluster"),
+          aggregate(
+            zip_with(sliceOf(s), c.getField("cv"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v).as("pd2")))).as(s"lut$s")
+    }
+    val qlut = withBooks.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +: lutCols: _*)
     (codes, qlut)
   }
 

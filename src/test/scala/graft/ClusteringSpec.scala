@@ -130,4 +130,21 @@ class ClusteringSpec extends SparkSpec {
     assert(v1(1L) > 10L * v1(2L) && v1(1L) > 10L * v1(3L)) // first = x axis
     assert(v2(2L) > 10L * v2(1L) && v2(2L) > 10L * v2(3L)) // second = y axis
   }
+
+  test("silhouetteWith/clusterDriftWith over the session-cached " +
+       "centroids equal the private-Lloyd forms (r16 shared index)") {
+    val cached = graft.operators.Similarity.cachedCentroids(spark, sf0001)
+    val own = Clustering.lloydCentroids(embs, 8, 5)
+    // the cached frame IS the same derivation — rows must be identical
+    assert(cached.collect().map(_.toString).sorted
+      .sameElements(own.collect().map(_.toString).sorted))
+    val silA = Clustering.silhouette(embs, 8, 5).collect().map(_.toString)
+    val silB = Clustering.silhouetteWith(embs, cached)
+      .collect().map(_.toString)
+    assert(silA.sameElements(silB))
+    val drA = Clustering.clusterDrift(embs).collect().map(_.toString)
+    val drB = Clustering.clusterDriftWith(embs, cached)
+      .collect().map(_.toString)
+    assert(drA.sameElements(drB))
+  }
 }
