@@ -1740,8 +1740,12 @@ object SparkEntry {
       Relational.supplierHerfindahl(Tables.lineitem(s, dir),
         Tables.supplier(s, dir))),
     // simplified silhouette: per-cluster quality of the Lloyd run
+    // quality readout over the SHARED session k-means (r16: the private
+    // Lloyd run here was derivation-identical to cachedCentroids(8, 5);
+    // kmeans_converged stays the live Lloyd gate)
     "kmeans_silhouette" -> ((s, dir) =>
-      Clustering.silhouette(Tables.embeddings(s, dir), 8, 5)),
+      Clustering.silhouetteWith(Tables.embeddings(s, dir),
+        Similarity.cachedCentroids(s, dir))),
     // 2-D Pareto frontier over the size domain (cummin walk)
     "parts_skyline" -> ((s, dir) =>
       Relational.partsSkyline(Tables.part(s, dir))),
@@ -1792,8 +1796,10 @@ object SparkEntry {
     "orders_seasonality_index" -> ((s, dir) =>
       Relational.seasonalityIndex(Tables.orders(s, dir))),
     // cluster-mass drift between corpus halves on shared centroids
+    // r16: shares the session k-means like kmeans_silhouette above
     "emb_cluster_drift" -> ((s, dir) =>
-      Clustering.clusterDrift(Tables.embeddings(s, dir))),
+      Clustering.clusterDriftWith(Tables.embeddings(s, dir),
+        Similarity.cachedCentroids(s, dir))),
     // within-doc hapax share: lexical diversity per document
     "doc_hapax_ratio" -> ((s, dir) =>
       TextAnalysis.hapaxRatio(Tables.documents(s, dir))),
@@ -1948,9 +1954,13 @@ object SparkEntry {
     "dq_fd_profile" -> ((s, dir) =>
       DataQuality.fdProfile(Tables.documents(s, dir),
         Seq("doc_id" -> "source", "source" -> "lang", "lang" -> "source"))),
-    // candidate-generator evaluation: winnow recall vs jaccard truth
+    // candidate-generator evaluation: winnow recall vs jaccard truth —
+    // the truth side probes the session-staged pair frame (r16: it IS
+    // the same jaccardPairs(3,4,5) derivation, paid once per session;
+    // dedup_minhash_eval keeps its truth live at its own threshold)
     "dedup_winnow_eval" -> ((s, dir) =>
-      Dedup.winnowEval(Tables.documents(s, dir))),
+      Dedup.winnowEvalFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.pairs(s, dir))),
     // index-choice cost model: Σ df(df-1)/2 per candidate index
     "dedup_cost_model" -> ((s, dir) =>
       Dedup.dedupCostModel(Tables.documents(s, dir))),
@@ -1962,8 +1972,12 @@ object SparkEntry {
     // exact-jaccard components and the winnow-index components,
     // sample-bounded (deterministic 50% doc hash-sample) because the
     // exact-Jaccard truth side is quadratic by contract
+    // r16: the truth side filters the session-staged full pair frame to
+    // sampled endpoints (pair Jaccard is independent of other docs, so
+    // the filtered frame equals the sampled-corpus truth join exactly)
     "dedup_rand_index" -> ((s, dir) =>
-      Dedup.randIndexEval(Tables.documents(s, dir), samplePct = 50)),
+      Dedup.randIndexEvalFrom(Tables.documents(s, dir),
+        graft.sources.DedupStage.pairs(s, dir), samplePct = 50)),
     // measured Bloom false-positive rate: probes provably absent from
     // the base, so every positive is false — ground truth, not theory
     "dedup_bloom_fpr" -> ((s, dir) =>

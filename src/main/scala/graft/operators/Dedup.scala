@@ -212,8 +212,18 @@ object Dedup {
   def blockedFuzzyPairs(customer: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       "symmetric-delete blocking is implemented for maxDist in {1, 2}")
-    val b = customer.select(col("c_custkey"), col("c_name"),
-      col("c_nationkey").cast("long").as("nk"))
+    // fillCores (r16, guide §2.6/§6): customer fits one parquet split,
+    // so the variant GENERATION — the C(len,2)-per-row native kernel at
+    // d = 2, the dominant cost (qmetrics: ~5 s on 15 tasks, 31 cores
+    // idle) — ran as one task per join side. Hash-redistributing the
+    // narrow projection spreads the per-row kernel across the session;
+    // identity at production scale (the condition is input size, never
+    // core count). Measured r16 matched min-of-3: d2 5.77 → 3.69 s
+    // (variant-join shuffle 7.5 → 1.7 MB / 858 k → 193 k records — the
+    // spread map side partial-combines the duplicate candidate rows).
+    val b = WordCount.fillCores(customer.select(col("c_custkey"),
+        col("c_name"), col("c_nationkey").cast("long").as("nk")),
+      "c_custkey")
     // native expression (one tight loop per row) — the declarative
     // transform × flatten × array_distinct tree interprets every lambda
     // and cost ~3 s per join side at sf0.1 just to build variants
@@ -426,7 +436,11 @@ object Dedup {
   def decontaminate(docs: DataFrame, benchMaxId: Long, n: Int): DataFrame = {
     val bench = shingles(docs.where(col("doc_id") <= benchMaxId), n)
       .select("shingle").distinct()
-    shingles(docs.where(col("doc_id") > benchMaxId), n)
+    // fillCores (r16): the corpus probe is per-row shingling + a
+    // broadcast-probe — shuffle-free by design, so it all ran on the
+    // single scan split; the downstream agg keys on doc_id, which the
+    // spread's hashpartitioning satisfies (the winning r15 shape)
+    shingles(WordCount.fillCores(docs.where(col("doc_id") > benchMaxId)), n)
       .join(broadcast(bench), "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -471,7 +485,8 @@ object Dedup {
     val bench = shingles(docs.where(col("doc_id") <= benchMaxId), n)
       .select("shingle").distinct()
     val corpus = docs.where(col("doc_id") > benchMaxId)
-    val contaminated = shingles(corpus, n)
+    // same fillCores reasoning as [[decontaminate]] (r16)
+    val contaminated = shingles(WordCount.fillCores(corpus), n)
       .join(broadcast(bench), "shingle")
       .select("doc_id").distinct()
     corpus.select("doc_id")
@@ -588,8 +603,15 @@ object Dedup {
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("changed"))
       val updatedM = if (reliable) updated.checkpoint()
                      else updated.localCheckpoint(eager = false)
-      converged = updatedM
-        .agg(count(when(col("changed"), 1)).as("n")).head().getLong(0) == 0L
+      // lazy path: the count-changed aggregate IS the materializing
+      // action (one job does both). Reliable path (ADVICE r15): the
+      // eager checkpoint already materialized the frame, so the probe
+      // is a limit-1 filter over the checkpointed blocks, not a second
+      // full aggregate pass.
+      converged =
+        if (reliable) updatedM.where(col("changed")).isEmpty
+        else updatedM
+          .agg(count(when(col("changed"), 1)).as("n")).head().getLong(0) == 0L
       // the aggregate scanned every partition, so the lazy checkpoint is
       // fully persisted BEFORE the superseded round's blocks are freed
       release(labelsM, reliable)
@@ -839,7 +861,12 @@ object Dedup {
     * No shuffle, no UDF, no exploded (doc × perm × shingle) rows.
     */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int, seed: Long = 42L): DataFrame =
-    docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+    // fillCores (r16): the k-permutation minhash over every shingle
+    // hash is the family's heaviest per-row kernel and the documents
+    // table fits one scan split — the signature pass serialized on one
+    // core (the charCollision winning shape; identity at corpus scale)
+    WordCount.fillCores(docs)
+      .select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
       .where(size(col("ws")) >= n)
       .select(col("doc_id"), expr(
         s"transform(sequence(0, size(ws) - $n), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $n))))")
@@ -888,6 +915,26 @@ object Dedup {
     * entry point for index-backed callers whose base shingles are
     * persisted rather than recomputed.
     */
+  /** Per-(session, operator) registry of the LAST invocation's eager
+    * per-call checkpoints (ADVICE r15): verifyJaccardSh / dedupIncrement
+    * / prefixFilterPairs checkpoint at DataFrame-construction time and
+    * the frames' blocks otherwise accumulate for the session lifetime —
+    * a bench min-of-3 or a test suite piles up one generation per run.
+    * Superseding an invocation releases the previous one's blocks
+    * (bounded at ONE retained generation per operator); every harness
+    * sinks a result before re-invoking the operator, and a released
+    * frame fails loudly (truncated lineage) if that contract is broken.
+    */
+  private val perCallCheckpoints =
+    new graft.sources.SessionCache[String,
+      java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]]]()
+
+  private def trackPerCall(tag: String, frames: Seq[DataFrame]): Unit = {
+    val ref = perCallCheckpoints.getOrDerive(frames.head.sparkSession, tag)(
+      new java.util.concurrent.atomic.AtomicReference(Seq.empty))
+    ref.getAndSet(frames).foreach(release(_))
+  }
+
   private[graft] def verifyJaccardSh(shAll: DataFrame, cands: DataFrame,
                                      num: Int, den: Int): DataFrame = {
     // r15: the verify consumed its two inputs from THREE subtree copies
@@ -900,6 +947,7 @@ object Dedup {
     // docs still never materialize their shingles; plan-audited).
     val candsM = cands.localCheckpoint()
     val sh = prunedShingles(shAll, candsM).localCheckpoint()
+    trackPerCall("verifyJaccardSh", Seq(candsM, sh))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     candsM
       .join(sh.as("a"), col("id_a") === col("a.doc_id"))
@@ -980,6 +1028,7 @@ object Dedup {
       .localCheckpoint()
     val banded = bandedSigs(minhashSignatures(docs, n, b * r, seed), b, r)
       .localCheckpoint()
+    trackPerCall("dedupIncrement", Seq(fp, exactDrops, banded))
     val cands = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .where(col("b.doc_id") > baseMaxId && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -1076,7 +1125,8 @@ object Dedup {
                          thrX1000: Int): DataFrame = {
     val bench = shingles(docs.where(col("doc_id") <= benchMaxId), n)
       .select("shingle").distinct().withColumn("hit", lit(1L))
-    shingles(docs.where(col("doc_id") > benchMaxId), n)
+    // same fillCores reasoning as [[decontaminate]] (r16)
+    shingles(WordCount.fillCores(docs.where(col("doc_id") > benchMaxId)), n)
       .join(broadcast(bench), Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -1208,7 +1258,15 @@ object Dedup {
     // 4-block banding only guarantees a shared block for distance <= 3
     // (pigeonhole); a larger radius needs maxDist+1 blocks.
     require(maxDist >= 0 && maxDist <= 3, "4-block banding covers maxDist <= 3")
-    val sigs = simhash(docs)
+    // r16: the block self-join consumed TWO copies of the signature
+    // subtree (plan: two parquet scans, the per-word md5 + simhash64
+    // kernel — the dominant cost — run per side), and the whole
+    // derivation sat on one scan split. fillCores spreads the per-row
+    // kernel; the checkpoint makes both join sides read the one
+    // materialized signature frame (un-hinted join: tiny shuffle here,
+    // and at corpus scale the banding self-join is a shuffle anyway).
+    val sigs = simhash(WordCount.fillCores(docs)).localCheckpoint()
+    trackPerCall("simhashPairs", Seq(sigs))
     val blocks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("blk"),
@@ -1264,6 +1322,7 @@ object Dedup {
       .select(col("doc_id"), col("shs"),
         size(col("shs")).cast("long").as("n_sh"))
       .localCheckpoint()
+    trackPerCall("prefixFilterPairs", Seq(sets))
     val sh = sets.select(col("doc_id"), col("n_sh"),
       explode(col("shs")).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -1376,9 +1435,18 @@ object Dedup {
     * counts are 1-row aggregates crossed broadcast-style.
     */
   def winnowEval(docs: DataFrame, n: Int = 3, num: Int = 4, den: Int = 5,
-                 k: Int = 4, w: Int = 4): DataFrame = {
+                 k: Int = 4, w: Int = 4): DataFrame =
+    winnowEvalFrom(docs, jaccardPairsUnsorted(docs, n, num, den), k, w)
+
+  /** [[winnowEval]] over a pre-built truth pair set — the staged entry
+    * point ([[graft.sources.DedupStage.pairs]] IS the same
+    * jaccardPairs(3, 4, 5) derivation, materialized once per session;
+    * r16 stops this gate re-deriving it from raw text).
+    */
+  private[graft] def winnowEvalFrom(docs: DataFrame, truthPairs: DataFrame,
+                                    k: Int = 4, w: Int = 4): DataFrame = {
     val det = winnowPairs(docs, k, w, minShared = 1).select("id_a", "id_b")
-    val truth = jaccardPairs(docs, n, num, den).select("id_a", "id_b")
+    val truth = truthPairs.select("id_a", "id_b")
     val hit = truth.join(det, Seq("id_a", "id_b"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
@@ -1490,20 +1558,48 @@ object Dedup {
     */
   def randIndexEval(docs: DataFrame, n: Int = 3, num: Int = 4,
                     den: Int = 5, k: Int = 4, w: Int = 4,
-                    minShared: Int = 3, samplePct: Int = 100): DataFrame = {
+                    minShared: Int = 3, samplePct: Int = 100): DataFrame =
+    randIndexEvalFrom(docs, jaccardPairsUnsorted(docs, n, num, den),
+      k, w, minShared, samplePct)
+
+  /** [[randIndexEval]] over a pre-built FULL-corpus truth pair set —
+    * the staged entry point ([[graft.sources.DedupStage.pairs]]).
+    * Jaccard of a pair depends only on the two documents' own shingle
+    * sets, so the sampled-corpus truth `jaccardPairs(sample(docs))`
+    * equals the full-corpus pair set filtered to pairs whose BOTH
+    * endpoints pass the sample predicate — the r16 rewrite that lets
+    * the gate probe the session-staged frame instead of re-running the
+    * quadratic truth join over the sample.
+    */
+  private[graft] def randIndexEvalFrom(docs: DataFrame, fullPairs: DataFrame,
+                                       k: Int = 4, w: Int = 4,
+                                       minShared: Int = 3,
+                                       samplePct: Int = 100): DataFrame = {
+    def pri(c: String) = pmod(expr(
+      s"cast(conv(substr(md5(cast($c AS string)), 1, 15), 16, 10) AS bigint)"),
+      lit(100L))
     val d = if (samplePct >= 100) docs
-    else docs.where(pmod(expr(
-      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"),
-      lit(100L)) < samplePct)
+    else docs.where(pri("doc_id") < samplePct)
+    val truth = if (samplePct >= 100) fullPairs.select("id_a", "id_b")
+    else fullPairs.where(pri("id_a") < samplePct && pri("id_b") < samplePct)
+      .select("id_a", "id_b")
     def coPairs(cc: DataFrame): DataFrame = {
       val a = cc.select(col("doc_id").as("x"), col("comp"))
       val b = cc.select(col("doc_id").as("y"), col("comp"))
       a.join(b, Seq("comp")).where(col("x") < col("y")).select("x", "y")
     }
-    val pa = coPairs(componentsAdaptive(
-      jaccardPairs(d, n, num, den).select("id_a", "id_b")))
-    val pb = coPairs(componentsAdaptive(
-      winnowPairs(d, k, w, minShared).select("id_a", "id_b")))
+    // the two CC chains are independent iterative loops whose rounds
+    // block the driver; overlapping them on two driver threads (guide
+    // §2.6) lets each loop's tiny jobs back-fill the other's idle
+    // cores — results are deterministic regardless of scheduling
+    val ec = scala.concurrent.ExecutionContext.global
+    val fa = scala.concurrent.Future(coPairs(componentsAdaptive(truth)))(ec)
+    val fb = scala.concurrent.Future(coPairs(componentsAdaptive(
+      winnowPairs(d, k, w, minShared).select("id_a", "id_b"))))(ec)
+    val pa = scala.concurrent.Await.result(
+      fa, scala.concurrent.duration.Duration.Inf)
+    val pb = scala.concurrent.Await.result(
+      fb, scala.concurrent.duration.Duration.Inf)
     val both = pa.join(pb, Seq("x", "y"))
     d.agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(pa.agg(count(lit(1)).as("pairs_exact"))))
@@ -1537,7 +1633,11 @@ object Dedup {
     */
   def minhashEval(docs: DataFrame, n: Int = 3, k: Int = 16,
                   seed: Long = 42L, num: Int = 1, den: Int = 5): DataFrame = {
-    val hs = docs.select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
+    // (r16 NEGATIVE RESULT: fillCores on this derivation measured and
+    // rejected — 2.15 → 2.57 s; the truth join dominates the gate and
+    // shuffles on shingle, so the spread buys nothing it keeps)
+    val hs = docs
+      .select(col("doc_id"), WordCount.cleanWords(col("text")).as("ws"))
       .where(size(col("ws")) >= n)
       .select(col("doc_id"), expr(
         s"transform(sequence(0, size(ws) - $n), i -> " +

@@ -373,9 +373,12 @@ object Graph {
       .orderBy(col("auth").desc, col("node"))
   }
 
-  /** Gate shape: HITS of the corpus word-adjacency graph. */
+  /** Gate shape: HITS of the corpus word-adjacency graph. Delegates to
+    * the staged entry point (ADVICE r15: one derivation path, the
+    * wordPageRank/wordModularity convention).
+    */
   def wordHits(docs: DataFrame, iters: Int = 2): DataFrame =
-    hits(bigramEdges(docs), iters)
+    wordHitsFrom(bigramEdges(docs), iters)
 
   /** [[wordHits]] over a pre-built edge set — the staged entry point. */
   private[graft] def wordHitsFrom(e0: DataFrame, iters: Int = 2): DataFrame =
@@ -438,7 +441,7 @@ object Graph {
     * vocabulary graph is dense, so the interesting peel threshold
     * sits near the top of the degree distribution). */
   def wordKCore(docs: DataFrame, k: Int = 24): DataFrame =
-    kCore(bigramEdges(docs), k)
+    wordKCoreFrom(bigramEdges(docs), k)
 
   /** [[wordKCore]] over a pre-built edge set — the staged entry point. */
   private[graft] def wordKCoreFrom(e0: DataFrame, k: Int = 24): DataFrame =
@@ -488,7 +491,7 @@ object Graph {
 
   /** Gate shape: 2-round label propagation on the word graph. */
   def wordCommunities(docs: DataFrame, iters: Int = 2): DataFrame =
-    labelPropagation(bigramEdges(docs), iters)
+    wordCommunitiesFrom(bigramEdges(docs), iters)
 
   /** [[wordCommunities]] over a pre-built edge set — staged entry. */
   private[graft] def wordCommunitiesFrom(e0: DataFrame,

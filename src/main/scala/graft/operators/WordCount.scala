@@ -77,9 +77,13 @@ object WordCount {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // idempotent: a frame the caller already redistributed (the
     // corpusBuildV2/V3 composition pre-fills ONCE above its branches)
-    // must not pay a second exchange per branch
+    // must not pay a second exchange per branch. Scoped to repartitions
+    // that KEY ON keyCol (ADVICE r15): a repartition in an unrelated
+    // joined/staged branch must not silently disable the fill for an
+    // otherwise single-split input.
     val alreadySpread = df.queryExecution.analyzed.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        r.partitionExpressions.exists(_.references.exists(_.name == keyCol))
       case _ => false
     }
     if (bytes < maxSplit && target > 1 && !alreadySpread)

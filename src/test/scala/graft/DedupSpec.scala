@@ -480,4 +480,41 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       ("A", (3L, 2L, 333333L)), ("B", (1L, 1L, 0L))))
   }
+
+  test("sampled-truth equivalence: full pairs filtered to sampled " +
+       "endpoints equal the sampled-corpus truth join (r16 rand-index rewrite)") {
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+    val d = Tables.documents(spark, sf0001)
+    def pri(c: String) = pmod(expr(
+      s"cast(conv(substr(md5(cast($c AS string)), 1, 15), 16, 10) AS bigint)"),
+      lit(100L))
+    val pct = 50
+    val direct = Dedup
+      .jaccardPairsUnsorted(d.where(pri("doc_id") < pct), 3, 4, 5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.jaccardPairsUnsorted(d, 3, 4, 5)
+      .where(pri("id_a") < pct && pri("id_b") < pct)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == direct)
+  }
+
+  test("per-call checkpoint release: repeated invocations stay correct " +
+       "after the previous generation's blocks are freed (ADVICE r15)") {
+    val d = docs(
+      1L -> base,
+      2L -> (base + " more"),
+      3L -> base,
+      4L -> (base + " extra"),
+      5L -> "totally different text here entirely")
+    def run() = Dedup.dedupIncrement(d, baseMaxId = 2, n = 3, b = 32, r = 4,
+        num = 4, den = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val first = run()
+    val second = run() // supersedes + releases the first call's frames
+    val third = run()
+    assert(first == second && second == third &&
+      first == Seq((3L, "exact"), (4L, "near")))
+  }
 }
