@@ -433,14 +433,20 @@ object Dedup {
     * relative to the corpus — broadcast them; the corpus side streams
     * through one shuffle-free semi-join probe, then aggregates per doc.
     */
-  def decontaminate(docs: DataFrame, benchMaxId: Long, n: Int): DataFrame = {
+  def decontaminate(docs: DataFrame, benchMaxId: Long, n: Int,
+                    fill: Boolean = true): DataFrame = {
     val bench = shingles(docs.where(col("doc_id") <= benchMaxId), n)
       .select("shingle").distinct()
     // fillCores (r16): the corpus probe is per-row shingling + a
     // broadcast-probe — shuffle-free by design, so it all ran on the
     // single scan split; the downstream agg keys on doc_id, which the
-    // spread's hashpartitioning satisfies (the winning r15 shape)
-    shingles(WordCount.fillCores(docs.where(col("doc_id") > benchMaxId)), n)
+    // spread's hashpartitioning satisfies (the winning r15 shape).
+    // Compositions opt OUT (`fill = false`): inside corpusFilterReport
+    // the four verdict branches already overlap across cores and the
+    // fan-out only added tasks (measured 1.7 → 2.5 s — the
+    // corpusBuildV3 lesson).
+    val corpus = docs.where(col("doc_id") > benchMaxId)
+    shingles(if (fill) WordCount.fillCores(corpus) else corpus, n)
       .join(broadcast(bench), "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -1173,7 +1179,7 @@ object Dedup {
       .select(col("doc_id"), col("gopher_ok"))
     val keepers = exact(corpus)
       .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
-    val contam = decontaminate(docs, benchMaxId, benchN)
+    val contam = decontaminate(docs, benchMaxId, benchN, fill = false)
       .select(col("doc_id"), lit(true).as("contam"))
     val drops = pairs.where(col("id_a") > benchMaxId)
       .select(col("id_b").as("doc_id")).distinct()
